@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+For every query in ``__spark_entry__.queries()``: run the Spark plan and the
+DuckDB oracle at the given sf, compare row count, column names/order
+(sorted), and values (order-insensitive).  Exit non-zero on any mismatch.
+
+Usage: python scripts/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from vector_search_engine_spark.session import get_spark
+
+    spark = get_spark("compare_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir).toPandas()
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"  {name}: rows-only check — {len(sdf)} rows ({spark_s:.1f}s)")
+            if len(sdf) == 0:
+                failures.append((name, "zero rows (rows-only query)"))
+            continue
+        odf = con.sql(oracles[name]).df()
+        a, b = normalize(sdf), normalize(odf)
+        status = []
+        if len(a) != len(b):
+            status.append(f"ROWS {len(a)} vs {len(b)}")
+        if list(a.columns) != list(b.columns):
+            status.append(f"COLS {list(a.columns)} vs {list(b.columns)}")
+        if not status:
+            try:
+                pd.testing.assert_frame_equal(
+                    a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+                )
+            except AssertionError as e:
+                status.append("VALUES: " + str(e).split("\n")[0])
+                # show a sample diff
+                neq = (a.values != b.values).any(axis=1)
+                print(a[neq].head(3))
+                print(b[neq].head(3))
+        if status:
+            failures.append((name, "; ".join(status)))
+            print(f"  {name}: FAIL — {'; '.join(status)}")
+        else:
+            print(f"  {name}: OK ({len(a)} rows, spark {spark_s:.1f}s)")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:")
+        for n, s in failures:
+            print(f"  {n}: {s}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

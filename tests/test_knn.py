@@ -1,0 +1,111 @@
+"""Exact kNN operator tests vs a NumPy oracle + reference edge semantics:
+k > N returns N rows; empty table returns empty (``hnsw_index.h:228-231``);
+pandas and sql paths agree exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.operators import knn as knn_ops
+
+
+def numpy_topk(ids, V, Q, qids, k, metric="l2_sq"):
+    out = {}
+    V64 = V.astype(np.float64)
+    for qi, q in zip(qids, Q.astype(np.float64)):
+        if metric == "l2_sq":
+            d = ((V64 - q) ** 2).sum(axis=1)
+            order = np.lexsort((ids, d))
+        else:
+            vn = np.linalg.norm(V64, axis=1)
+            qn = np.linalg.norm(q)
+            d = (V64 @ q) / (vn * qn)
+            order = np.lexsort((ids, -d))
+        out[qi] = [int(ids[i]) for i in order[:k]]
+    return out
+
+
+def _queries(embeddings):
+    return knn_ops.make_queries(embeddings, n=10)
+
+
+def test_knn_exact_matches_numpy(embeddings, embeddings_np):
+    ids, V = embeddings_np
+    qids = ids[ids < 10]
+    Q = V[np.argsort(ids)][np.sort(qids)]
+    expected = numpy_topk(ids, V, Q, np.sort(qids), k=10)
+    res = knn_ops.knn_exact(embeddings, _queries(embeddings), k=10)
+    got = {}
+    for r in res.orderBy("qid", "rank").collect():
+        got.setdefault(r.qid, []).append(r.neighbor_id)
+    assert got == expected
+
+
+def test_pandas_and_sql_paths_agree(embeddings):
+    q = _queries(embeddings)
+    a = knn_ops.knn_exact(embeddings, q, k=7, method="pandas").orderBy("qid", "rank")
+    b = knn_ops.knn_exact(embeddings, q, k=7, method="sql").orderBy("qid", "rank")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_cosine_metric(embeddings, embeddings_np):
+    ids, V = embeddings_np
+    qids = np.sort(ids[ids < 10])
+    Q = V[np.argsort(ids)][qids]
+    expected = numpy_topk(ids, V, Q, qids, k=5, metric="cosine")
+    res = knn_ops.knn_exact(embeddings, _queries(embeddings), k=5, metric="cosine")
+    got = {}
+    for r in res.orderBy("qid", "rank").collect():
+        got.setdefault(r.qid, []).append(r.neighbor_id)
+    assert got == expected
+
+
+def test_k_larger_than_n(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(3)], "vec_id long, embedding array<float>"
+    )
+    q = spark.createDataFrame([(0, [0.0] * 4)], "qid long, query array<float>")
+    res = knn_ops.knn_exact(df, q, k=10)
+    assert res.count() == 3  # k > N -> N rows (hnsw_index.h:228-231 analog)
+
+
+def test_empty_table_returns_empty(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(0, [0.0] * 4)], "qid long, query array<float>")
+    assert knn_ops.knn_exact(df, q, k=5).count() == 0
+
+
+def test_empty_queries(embeddings):
+    q = embeddings.sparkSession.createDataFrame([], "qid long, query array<float>")
+    assert knn_ops.knn_exact(embeddings, q, k=5).count() == 0
+
+
+def test_filtered_knn_is_prefilter(embeddings, embeddings_np):
+    ids, V = embeddings_np
+    labels = {
+        r.vec_id: r.label for r in embeddings.select("vec_id", "label").collect()
+    }
+    mask = np.array([labels[int(i)] < 5 for i in ids])
+    qids = np.sort(ids[ids < 10])
+    Q = V[np.argsort(ids)][qids]
+    expected = numpy_topk(ids[mask], V[mask], Q, qids, k=10)
+    res = knn_ops.knn_filtered(
+        embeddings, _queries(embeddings), F.col("label") < 5, k=10
+    )
+    got = {}
+    for r in res.orderBy("qid", "rank").collect():
+        got.setdefault(r.qid, []).append(r.neighbor_id)
+    assert got == expected
+
+
+def test_recall_harness_exact_is_one(spark, embeddings):
+    res = knn_ops.knn_exact(embeddings, _queries(embeddings), k=10)
+    gt = (
+        res.orderBy("rank")
+        .groupBy("qid")
+        .agg(F.collect_list("neighbor_id").alias("neighbor_ids"))
+    )
+    row = knn_ops.recall_at_k(res, gt, k=10).collect()[0]
+    assert row.recall_at_k == 1.0
+    assert row.n_queries == 10

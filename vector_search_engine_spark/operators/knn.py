@@ -1,0 +1,213 @@
+"""Bulk exact k-NN search — the reference's entire query surface, distributed.
+
+Reference mapping (SURVEY.md §2.3/§2.4):
+  * ``write_buffer.h:54-70``  brute-force scan + bounded max-heap   → per-partition
+    NumPy top-k inside ``mapInPandas`` (the heap, vectorized);
+  * ``engine.h:128-143``      merge of per-source heaps, ascending  → global
+    window ``row_number() <= k`` over the per-partition candidates;
+  * ``hnsw_index.h:228-231``  empty index → empty result            → holds trivially;
+  * tie-breaking: reference leaves heap ties unspecified; we pin ascending
+    ``(dist, id)`` everywhere (oracle uses the identical convention).
+
+Scale posture (100 TB): queries are broadcast (bulk-search contract — the
+query set is small; the reference holds it in RAM too, ``recall_bench.cpp:67``),
+vectors are never collected; each scan partition emits at most k rows per
+query, so the final shuffle moves ``num_partitions * k * |Q|`` rows, not
+``N * |Q|``.  The distance kernel is a single BLAS GEMM per Arrow batch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.functions.vector import (
+    cosine_sim,
+    cosine_sim_matrix,
+    l2_sq,
+    l2_sq_matrix,
+)
+
+DIST_DECIMALS = 4  # outputs pin distances at 1e-4 for oracle hash-parity
+
+
+def make_queries(
+    embeddings: DataFrame,
+    n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Derive the deterministic query set used by tests/oracles:
+    the first ``n`` vectors by id (FIXTURES.md `queries` fixture)."""
+    return embeddings.filter(F.col(id_col) < n).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("query")
+    )
+
+
+def _rank_window(metric: str) -> Window:
+    if metric == "l2_sq":
+        return Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+    return Window.partitionBy("qid").orderBy(
+        F.col("dist").desc(), F.col("neighbor_id").asc()
+    )
+
+
+def _finalize_topk(candidates: DataFrame, k: int, metric: str) -> DataFrame:
+    """Global merge: rank per query, keep k, round the distance for output."""
+    out_name = "dist_sq" if metric == "l2_sq" else "sim"
+    return (
+        candidates.withColumn("rank", F.row_number().over(_rank_window(metric)))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("dist"), DIST_DECIMALS).alias(out_name),
+        )
+    )
+
+
+def knn_exact(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2_sq",
+    method: str = "pandas",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for every query.
+
+    Returns ``(qid, neighbor_id, rank, dist_sq|sim)``; rank ascending by
+    (dist, id) for L2, (−sim, id) for cosine.  ``method='pandas'`` is the
+    GEMM fast path; ``method='sql'`` is the pure-Catalyst plan (same
+    results — used for plan audits and as the oracle twin).
+    """
+    if metric not in ("l2_sq", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if method == "sql":
+        dist_expr: Column = (
+            l2_sq(F.col(vec_col), F.col("query"))
+            if metric == "l2_sq"
+            else cosine_sim(F.col(vec_col), F.col("query"))
+        )
+        cand = vectors.join(F.broadcast(queries)).select(
+            "qid", F.col(id_col).alias("neighbor_id"), dist_expr.alias("dist")
+        )
+        return _finalize_topk(cand, k, metric)
+
+    spark = vectors.sparkSession
+    qrows = queries.select("qid", "query").collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, rank long, "
+            + ("dist_sq double" if metric == "l2_sq" else "sim double"),
+        )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([np.asarray(r["query"], dtype=np.float32) for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, Q))
+    larger_is_better = metric == "cosine"
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bc.value
+        nq = len(qids_)
+        # running per-partition candidates — the bounded heap, vectorized
+        cand_ids: list[np.ndarray] = []
+        cand_dist: list[np.ndarray] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf[vec_col].to_numpy())
+            D = (
+                cosine_sim_matrix(V, Q_)
+                if larger_is_better
+                else l2_sq_matrix(V, Q_)
+            )
+            key = -D if larger_is_better else D
+            if len(ids) > 4 * k:
+                # pre-cut with argpartition, then exact (dist, id) sort of the
+                # survivors; keeping 4k guards tie groups at the cut
+                keep = min(4 * k, len(ids) - 1)
+                part = np.argpartition(key, keep, axis=0)[: keep + 1]
+            else:
+                part = np.tile(np.arange(len(ids))[:, None], (1, nq))
+            sel_ids = np.empty((min(k, len(ids)), nq), dtype=np.int64)
+            sel_dist = np.empty_like(sel_ids, dtype=np.float64)
+            for j in range(nq):
+                rows = part[:, j]
+                order = np.lexsort((ids[rows], key[rows, j]))[: k]
+                sel_ids[:, j] = ids[rows[order]][: sel_ids.shape[0]]
+                sel_dist[:, j] = D[rows[order], j][: sel_ids.shape[0]]
+            cand_ids.append(sel_ids)
+            cand_dist.append(sel_dist)
+        if not cand_ids:
+            return
+        all_ids = np.concatenate(cand_ids, axis=0)
+        all_dist = np.concatenate(cand_dist, axis=0)
+        out_qid, out_id, out_dist = [], [], []
+        for j in range(nq):
+            keyj = -all_dist[:, j] if larger_is_better else all_dist[:, j]
+            order = np.lexsort((all_ids[:, j], keyj))[:k]
+            out_qid.append(np.full(len(order), qids_[j], dtype=np.int64))
+            out_id.append(all_ids[order, j])
+            out_dist.append(all_dist[order, j])
+        yield pd.DataFrame(
+            {
+                "qid": np.concatenate(out_qid),
+                "neighbor_id": np.concatenate(out_id),
+                "dist": np.concatenate(out_dist),
+            }
+        )
+
+    cand = vectors.select(
+        F.col(id_col), F.col(vec_col)
+    ).mapInPandas(local_topk, schema="qid long, neighbor_id long, dist double")
+    return _finalize_topk(cand, k, metric)
+
+
+def knn_filtered(
+    vectors: DataFrame,
+    queries: DataFrame,
+    predicate: Column,
+    k: int = 10,
+    metric: str = "l2_sq",
+    **kw,
+) -> DataFrame:
+    """Filtered vector search: metadata predicate + kNN (a capability the
+    reference lacks — SURVEY.md §2.7).  The filter is applied *before* the
+    scan so Catalyst pushes it into the parquet read (pre-filtering, not
+    post-filtering — result is the true top-k of the filtered set)."""
+    return knn_exact(vectors.filter(predicate), queries, k=k, metric=metric, **kw)
+
+
+def recall_at_k(results: DataFrame, ground_truth: DataFrame, k: int) -> DataFrame:
+    """Recall@k per query + macro average (reference ``recall_bench.cpp:80-101``).
+
+    ``results``: (qid, neighbor_id, rank, …); ``ground_truth``:
+    (qid, neighbor_ids array<long>, ascending by (dist, id), len >= k).
+    """
+    got = results.filter(F.col("rank") <= k).groupBy("qid").agg(
+        F.collect_list("neighbor_id").alias("got_ids")
+    )
+    per_q = got.join(ground_truth, "qid").select(
+        "qid",
+        (
+            F.size(
+                F.array_intersect(
+                    F.col("got_ids"), F.slice(F.col("neighbor_ids"), 1, k)
+                )
+            )
+            / F.lit(k)
+        ).alias("recall"),
+    )
+    return per_q.agg(
+        F.round(F.avg("recall"), 6).alias("recall_at_k"),
+        F.count("*").cast("long").alias("n_queries"),
+    )

@@ -1,0 +1,207 @@
+"""Query + oracle registry backing ``__spark_entry__.py``.
+
+Every implemented operator from SURVEY.md §2 gets:
+  * a callable ``(spark, sf_dir) -> DataFrame`` (the Spark-native plan), and
+  * where SQL-expressible, a DuckDB oracle SQL string computing the same
+    result over the same parquet views (tables: region nation customer
+    supplier part orders lineitem events documents embeddings).
+
+Column names and value rounding are pinned identically on both sides —
+the driver hashes values after sorting columns by name (see repo README).
+
+Conventions shared by engine and oracle:
+  * distances are **squared** L2 (reference ``distance.cpp:6-13``), float64
+    accumulation over float32 inputs, rounded to 4 decimals in outputs;
+  * ordering/tie-break ascending ``(dist, id)`` (SURVEY.md §2.4);
+  * derived query set = embeddings with ``vec_id < 20`` (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark import load_table
+from vector_search_engine_spark.functions.vector import dot, norm
+from vector_search_engine_spark.operators import knn as knn_ops
+from vector_search_engine_spark.operators import simjoin
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# The DuckDB twin of functions.vector.l2_sq / dot (float64 accumulation).
+_DD_L2SQ = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))**2))"
+)
+_DD_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+_DD_QUERIES = "SELECT vec_id AS qid, embedding AS query FROM embeddings WHERE vec_id < 20"
+
+
+# ---------------------------------------------------------------------------
+# Vector search (reference Q1/Q3/Q4 exact semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_exact_l2",
+    oracle=f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {_DD_L2SQ.format(a="e.embedding", b="q.query")} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, neighbor_id, "rank", round(dist, 4) AS dist_sq
+FROM r WHERE "rank" <= 10
+""",
+)
+def knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: bulk exact top-10 under squared L2 (reference Search RPC at
+    nprobe=∞; ``engine.h:100-144`` + ``write_buffer.h:54-70``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.knn_exact(emb, knn_ops.make_queries(emb), k=10, metric="l2_sq")
+
+
+@register(
+    "knn_exact_l2_sql",
+    oracle=ORACLES["knn_exact_l2"],
+)
+def knn_exact_l2_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query through the pure-Catalyst plan (higher-order-function
+    distance, broadcast join, window top-k) — plan-audit twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.knn_exact(
+        emb, knn_ops.make_queries(emb), k=10, metric="l2_sq", method="sql"
+    )
+
+
+@register(
+    "knn_exact_cosine",
+    oracle=f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         CASE WHEN sqrt({_DD_DOT.format(a="e.embedding", b="e.embedding")})
+                   * sqrt({_DD_DOT.format(a="q.query", b="q.query")}) = 0 THEN 0.0
+              ELSE {_DD_DOT.format(a="e.embedding", b="q.query")}
+                   / (sqrt({_DD_DOT.format(a="e.embedding", b="e.embedding")})
+                      * sqrt({_DD_DOT.format(a="q.query", b="q.query")}))
+         END AS dist
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist DESC, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, neighbor_id, "rank", round(dist, 4) AS sim
+FROM r WHERE "rank" <= 10
+""",
+)
+def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 (embeddings are L2-normalized so ordering matches L2,
+    but the metric surface is first-class)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.knn_exact(emb, knn_ops.make_queries(emb), k=10, metric="cosine")
+
+
+@register(
+    "knn_filtered",
+    oracle=f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {_DD_L2SQ.format(a="e.embedding", b="q.query")} AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label < 5
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, neighbor_id, "rank", round(dist, 4) AS dist_sq
+FROM r WHERE "rank" <= 10
+""",
+)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: predicate + kNN, pre-filter pushed to the scan
+    (capability the reference lacks — SURVEY.md §2.7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.knn_filtered(
+        emb, knn_ops.make_queries(emb), F.col("label") < 5, k=10
+    )
+
+
+@register(
+    "vector_norms",
+    oracle=f"""
+SELECT vec_id,
+       round(sqrt({_DD_DOT.format(a="embedding", b="embedding")}), 4) AS l2_norm,
+       round({_DD_DOT.format(a="embedding", b="embedding")}, 4) AS self_dot,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       label
+FROM embeddings
+""",
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar kernel surface (reference F1/F2) as a projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(norm(e), 4).alias("l2_norm"),
+        F.round(dot(e, e), 4).alias("self_dot"),
+        F.size(e).alias("dim"),
+        "label",
+    )
+
+
+@register(
+    "knn_self_similarity_pairs",
+    oracle=f"""
+WITH d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt({_DD_DOT.format(a="a.embedding", b="a.embedding")})
+                   * sqrt({_DD_DOT.format(a="b.embedding", b="b.embedding")}) = 0 THEN 0.0
+              ELSE {_DD_DOT.format(a="a.embedding", b="b.embedding")}
+                   / (sqrt({_DD_DOT.format(a="a.embedding", b="a.embedding")})
+                      * sqrt({_DD_DOT.format(a="b.embedding", b="b.embedding")}))
+         END AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 4) AS sim
+FROM d WHERE sim >= 0.35
+""",
+)
+def knn_self_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity threshold self-join (embedding near-duplicate candidates):
+    all pairs with cosine >= 0.35 via the broadcast-GEMM strategy
+    (operators/simjoin.py); exact baseline for the LSH scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simjoin.similarity_pairs(emb, threshold=0.35, metric="cosine")
