@@ -1,0 +1,75 @@
+"""IVF index tests: exactness at full probe, recall monotonicity, partition
+pruning in the physical plan (SURVEY.md §4 — the HNSW candidate-pruning role
+must be played by Catalyst partition pruning, verifiably)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.operators import knn as knn_ops
+from vector_search_engine_spark.operators.ivf import IVFIndex
+
+
+@pytest.fixture(scope="module")
+def index(spark, embeddings, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ivf") / "index")
+    return IVFIndex.build(embeddings, d, n_centroids=8, extra_cols=("label",))
+
+
+def test_full_probe_equals_exact(spark, embeddings, index):
+    q = knn_ops.make_queries(embeddings, n=10)
+    exact = knn_ops.knn_exact(embeddings, q, k=10).orderBy("qid", "rank")
+    ann = index.search(q, k=10, nprobe=8).orderBy("qid", "rank")
+    assert [tuple(r) for r in ann.collect()] == [tuple(r) for r in exact.collect()]
+
+
+def test_recall_monotone_in_nprobe(spark, embeddings, index):
+    q = knn_ops.make_queries(embeddings, n=10)
+    exact = knn_ops.knn_exact(embeddings, q, k=10)
+    gt = (
+        exact.orderBy("rank")
+        .groupBy("qid")
+        .agg(F.collect_list("neighbor_id").alias("neighbor_ids"))
+    )
+    recalls = []
+    for nprobe in (1, 4, 8):
+        res = index.search(q, k=10, nprobe=nprobe)
+        recalls.append(knn_ops.recall_at_k(res, gt, k=10).collect()[0].recall_at_k)
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # full probe -> exact
+    assert recalls[0] > 0.0  # nprobe=1 finds at least the home cell
+
+
+def test_results_subset_of_probed_cells(spark, embeddings, index):
+    """ANN results must come only from probed partitions (candidate-set
+    contract of the coarse quantizer)."""
+    q = knn_ops.make_queries(embeddings, n=5)
+    qrows = q.collect()
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.array([r.query for r in qrows], dtype=np.float32)
+    pairs = set(index.probe_pairs(qids, Q, nprobe=2))
+    res = index.search(q, k=10, nprobe=2)
+    cell_of = {
+        r[index.meta["id_col"]]: r.centroid_id
+        for r in index.vectors().select(index.meta["id_col"], "centroid_id").collect()
+    }
+    for r in res.collect():
+        assert (r.qid, cell_of[r.neighbor_id]) in pairs
+
+
+def test_partition_pruning_in_plan(spark, embeddings, index):
+    probed = index.vectors().filter(F.col("centroid_id").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_index_stats_cover_all_vectors(index, embeddings):
+    total = index.stats().agg(F.sum("n_vectors")).collect()[0][0]
+    assert total == embeddings.count()
+
+
+def test_search_empty_queries(spark, index):
+    q = spark.createDataFrame([], "qid long, query array<float>")
+    assert index.search(q, k=5).count() == 0

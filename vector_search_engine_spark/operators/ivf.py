@@ -1,0 +1,252 @@
+"""IVF (inverted-file) vector index — the Spark-native analog of the
+reference's HNSW graph (SURVEY.md §1.3, §2.5 B2, §2.3 Q2/Q3).
+
+The reference gets sublinear search from a navigable graph built by
+sequential, lock-heavy inserts (``hnsw_index.h:135-218``) — an anti-pattern
+on Spark.  The idiomatic replacement keeps the *roles*:
+
+  * upper graph layers (greedy descent to a region) → **KMeans coarse
+    quantizer**: nearest ``nprobe`` centroids per query;
+  * level-0 beam search within the region → **partition-pruned brute-force
+    scan**: the vector table is written ``partitionBy("centroid_id")`` so
+    probing touches only ``nprobe / n_centroids`` of the files (Catalyst
+    partition pruning does the work);
+  * ``ef_search`` recall/latency knob (``hnsw_index.h:256``) → ``nprobe``.
+
+Index layout on disk (plain parquet — snapshot isolation via immutable
+files, replacing the reference's EBR/RCU machinery entirely):
+
+    index_dir/vectors/centroid_id=*/...parquet   partitioned vector table
+    index_dir/centroids.parquet                  (centroid_id, centroid)
+    index_dir/meta.json                          dim, n_centroids, columns
+
+Scale posture: KMeans fits on a sample (MLlib distributes its own
+iterations); assignment is one map over the data; the partitioned write is
+one shuffle.  Search broadcasts only (query, centroid) pairs — never
+vectors — and each probed partition emits ≤ k rows per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.functions.vector import l2_sq_matrix
+from vector_search_engine_spark.operators.knn import _finalize_topk
+
+
+class IVFIndex:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        rows = spark.read.parquet(
+            os.path.join(index_dir, "centroids.parquet")
+        ).collect()
+        rows.sort(key=lambda r: r["centroid_id"])
+        self.centroid_ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+        self.centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+    # -- build ---------------------------------------------------------------
+
+    @staticmethod
+    def build(
+        vectors: DataFrame,
+        index_dir: str,
+        n_centroids: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        seed: int = 42,
+        max_iter: int = 20,
+        extra_cols: tuple[str, ...] = (),
+    ) -> "IVFIndex":
+        """Batch index build (reference bulk-load path ``server.cpp:72-112``):
+        KMeans on the vector column, assign ``centroid_id``, write the table
+        partitioned by it."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        spark = vectors.sparkSession
+        n = vectors.count()
+        if n == 0:
+            raise ValueError("cannot build an IVF index over an empty table")
+        if n_centroids is None:
+            # sqrt(N) cells keeps probe cost ~ O(sqrt(N)) per query at fixed
+            # nprobe — standard IVF sizing; floor keeps tiny tables useful
+            n_centroids = max(4, min(int(np.sqrt(n)), 4096))
+        dim = len(vectors.select(vec_col).first()[0])
+
+        feat = vectors.withColumn("_features", array_to_vector(F.col(vec_col)))
+        model = KMeans(
+            k=n_centroids,
+            seed=seed,
+            maxIter=max_iter,
+            featuresCol="_features",
+            predictionCol="centroid_id",
+        ).fit(feat)
+        assigned = (
+            model.transform(feat)
+            .drop("_features")
+            .withColumn("centroid_id", F.col("centroid_id").cast("int"))
+        )
+
+        tmp = index_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        cols = [id_col, vec_col, *extra_cols, "centroid_id"]
+        assigned.select(*cols).write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(os.path.join(tmp, "vectors"))
+        centers = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        spark.createDataFrame(
+            centers, "centroid_id int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "centroids.parquet")
+        )
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "dim": dim,
+                    "n_centroids": n_centroids,
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                    "extra_cols": list(extra_cols),
+                    "n_vectors": n,
+                    "seed": seed,
+                },
+                f,
+            )
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.rename(tmp, index_dir)
+        return IVFIndex(spark, index_dir)
+
+    # -- read ----------------------------------------------------------------
+
+    def vectors(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "vectors"))
+
+    def stats(self) -> DataFrame:
+        """Per-centroid occupancy — the index's health check."""
+        return (
+            self.vectors()
+            .groupBy("centroid_id")
+            .agg(F.count("*").cast("long").alias("n_vectors"))
+            .orderBy("centroid_id")
+        )
+
+    # -- search --------------------------------------------------------------
+
+    def probe_pairs(self, qids: np.ndarray, Q: np.ndarray, nprobe: int):
+        """(qid, centroid_id) pairs for the nprobe nearest centroids of each
+        query — the coarse 'upper layers' lookup.  Tiny: |Q| x nprobe rows."""
+        D = l2_sq_matrix(Q.astype(np.float64), self.centroids)  # (|Q|, C)
+        nprobe = min(nprobe, len(self.centroid_ids))
+        order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+        pairs = [
+            (int(q), int(self.centroid_ids[c]))
+            for qi, q in enumerate(qids)
+            for c in order[qi]
+        ]
+        return pairs
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+    ) -> DataFrame:
+        """ANN top-k: probe nprobe partitions per query, exact scan within
+        (reference Q3: greedy descent + level-0 beam, ``hnsw_index.h:223-262``).
+        ``nprobe = n_centroids`` degenerates to exact search."""
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        spark = self.spark
+        qrows = queries.select(qid_col, qvec_col).collect()
+        if not qrows:
+            return spark.createDataFrame(
+                [], "qid long, neighbor_id long, rank long, dist_sq double"
+            )
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
+        pairs = self.probe_pairs(qids, Q, nprobe)
+        pairs_df = spark.createDataFrame(pairs, "qid long, centroid_id int")
+        needed = sorted({c for _, c in pairs})
+
+        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
+        bc = spark.sparkContext.broadcast(qmap)
+
+        # isin on the partition column → parquet partition pruning;
+        # broadcast join fans each partition's rows out to its probing queries
+        cand = (
+            self.vectors()
+            .filter(F.col("centroid_id").isin(needed))
+            .join(F.broadcast(pairs_df), "centroid_id")
+            .select(F.col("qid"), F.col(id_col), F.col(vec_col))
+        )
+
+        def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qm = bc.value
+            best: dict[int, list] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for qid, grp in pdf.groupby("qid"):
+                    q = qm[int(qid)]
+                    ids = grp[id_col].to_numpy(dtype=np.int64)
+                    V = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                    d = ((V * V).sum(axis=1) - 2.0 * (V @ q) + float(q @ q))
+                    np.maximum(d, 0.0, out=d)
+                    order = np.lexsort((ids, d))[:k]
+                    best.setdefault(int(qid), []).append(
+                        (ids[order], d[order])
+                    )
+            for qid, parts in best.items():
+                ids = np.concatenate([p[0] for p in parts])
+                d = np.concatenate([p[1] for p in parts])
+                order = np.lexsort((ids, d))[:k]
+                yield pd.DataFrame(
+                    {"qid": qid, "neighbor_id": ids[order], "dist": d[order]}
+                )
+
+        cand_topk = cand.mapInPandas(
+            local_topk, schema="qid long, neighbor_id long, dist double"
+        )
+        return _finalize_topk(cand_topk, k, "l2_sq")
+
+
+# ---------------------------------------------------------------------------
+# Cached build for the query registry (the driver re-invokes callables in
+# fresh sessions; rebuilding KMeans per call would dominate runtimes)
+# ---------------------------------------------------------------------------
+
+_CACHE_ROOT = os.environ.get("VSE_INDEX_CACHE", "/tmp/vse_index_cache")
+
+
+def build_or_load(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int | None = None,
+    table: str = "embeddings",
+    extra_cols: tuple[str, ...] = ("label",),
+) -> IVFIndex:
+    key = f"{sf_dir.strip('/').replace('/', '_')}_{table}_{n_centroids or 'auto'}"
+    index_dir = os.path.join(_CACHE_ROOT, key)
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        return IVFIndex(spark, index_dir)
+    os.makedirs(_CACHE_ROOT, exist_ok=True)
+    vectors = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return IVFIndex.build(
+        vectors, index_dir, n_centroids=n_centroids, extra_cols=extra_cols
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from vector_search_engine_spark import load_table
 from vector_search_engine_spark.functions.vector import dot, norm
+from vector_search_engine_spark.operators import ivf
 from vector_search_engine_spark.operators import knn as knn_ops
 from vector_search_engine_spark.operators import simjoin
 
@@ -205,3 +206,63 @@ def knn_self_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/simjoin.py); exact baseline for the LSH scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
     return simjoin.similarity_pairs(emb, threshold=0.35, metric="cosine")
+
+
+# ---------------------------------------------------------------------------
+# IVF index (reference B2 bulk build + Q2/Q3 ANN search)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_exact_when_full_probe",
+    oracle=ORACLES["knn_exact_l2"],
+)
+def ann_ivf_exact_when_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe = n_centroids must equal exact search —
+    the index's correctness contract (SURVEY.md §5)."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = knn_ops.make_queries(emb)
+    return index.search(q, k=10, nprobe=index.meta["n_centroids"])
+
+
+@register("ann_ivf_probe")  # ANN: approximate by nature → rows-only check
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search at nprobe=4 (ef_search ↦ nprobe knob, ``hnsw_index.h:256``)."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search(knn_ops.make_queries(emb), k=10, nprobe=4)
+
+
+@register("ann_ivf_recall_curve")  # recall vs exact oracle — rows-only
+def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF at nprobe ∈ {1,2,4,8} vs the exact result — the
+    reference's own correctness methodology (``recall_bench.cpp:80-101``)."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = knn_ops.make_queries(emb)
+    exact = knn_ops.knn_exact(emb, q, k=10)
+    gt = (
+        exact.orderBy("rank")
+        .groupBy("qid")
+        .agg(F.collect_list("neighbor_id").alias("neighbor_ids"))
+    )
+    parts = []
+    for nprobe in (1, 2, 4, 8):
+        res = index.search(q, k=10, nprobe=nprobe)
+        parts.append(
+            knn_ops.recall_at_k(res, gt, k=10).select(
+                F.lit(nprobe).cast("long").alias("nprobe"), "recall_at_k", "n_queries"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register("ivf_index_stats")  # KMeans assignment — not SQL-expressible
+def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-centroid occupancy of the built index (cell-balance health check
+    for the partition layout — skew here is shuffle skew at scale)."""
+    return ivf.build_or_load(spark, sf_dir).stats()
