@@ -33,5 +33,20 @@ TABLE_NAMES = [
 
 
 def load_table(spark, sf_dir: str, name: str):
-    """Load one driver-generated parquet table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one driver-generated parquet table (TESTDATA.md).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as long nanos (legacy conf) and truncate to
+    microseconds — the same ns→us truncation DuckDB applies, so event-time
+    values hash-match the oracle.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

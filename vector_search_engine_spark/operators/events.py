@@ -1,0 +1,160 @@
+"""Event-time operators over the ``events`` stream table: tumbling windows,
+sessionization, JSON extraction, conditional pivots.
+
+The reference's write path is streaming-shaped but has no event-time
+semantics at all (SURVEY.md §2.7); these give the engine the real thing.
+Batch forms are pinned against the oracle; the same plans run incrementally
+under Structured Streaming (streaming/ingest.py) where the tumbling window
+becomes ``F.window(ts, ...)`` + watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_S = 1800  # 30 min inactivity closes a session
+
+
+def hourly_event_stats(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time window per event type."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+HOURLY_EVENT_STATS_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >gap_s of
+    inactivity.  Classic prefix-sum-of-boundaries formulation — two window
+    functions, one shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_gap.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+            .cast("long")
+            .alias("duration_s"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events",
+            "session_start",
+            "duration_s",
+        )
+    )
+
+
+# floor(epoch(...)) matches Spark's timestamp->long cast (whole seconds)
+SESSIONIZE_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_s
+FROM s
+GROUP BY user_id, session_seq
+"""
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """JSON extraction from the ``props`` string column (semi-structured
+    payloads — table stakes for a log-analytics engine)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+JSON_PROPS_STATS_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def user_funnel_pivot(events: DataFrame) -> DataFrame:
+    """Conditional aggregation (pivot by event type) per user — top 50 most
+    active users for bounded output."""
+    cnt = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    ).cast("long")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            cnt("view").alias("n_view"),
+            cnt("click").alias("n_click"),
+            cnt("purchase").alias("n_purchase"),
+            cnt("error").alias("n_error"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id"))
+        .limit(50)
+    )
+
+
+USER_FUNNEL_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 50
+"""

@@ -1,0 +1,240 @@
+"""Relational operator surface (joins, aggregations, windows, rollup,
+semi/anti joins) over the TPC-H-ish fixture tables.
+
+The reference has NONE of these (SURVEY.md §2.7) — Spark provides them
+natively; these plans exist to pin the engine's relational semantics
+against the DuckDB oracle and to exercise Catalyst's join selection
+(broadcast for dims, sort-merge for facts) at scale.
+
+Float-parity convention: monetary/metric sums are computed over
+``decimal`` casts (exact, order-independent — a double sum is neither)
+and only the final value is cast back to double and rounded.  This is
+also the right call at 100 TB: a sum that depends on reduction order is
+not reproducible across retries/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _money(c) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _metric(c) -> F.Column:
+    return F.col(c).cast("decimal(18,6)")
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-style pricing summary report."""
+    disc_price = _money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _money("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _money("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_metric("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+           AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                 * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 4)
+           AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_unshipped_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3-style: top-10 revenue among BUILDING-segment orders placed
+    before / shipped after a date.  Dims broadcast; fact joins shuffle on key."""
+    revenue = F.sum(
+        _money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _money("l_discount"))
+    ).cast("double")
+    return (
+        lineitem.filter(F.col("l_shipdate") > "1997-01-01")
+        .join(
+            orders.filter(F.col("o_orderdate") < "1997-01-01"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+TOP_UNSHIPPED_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+           AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation where customer and supplier share
+    the nation.  5-way join; all dims broadcast, facts shuffle once."""
+    revenue = F.sum(
+        _money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _money("l_discount"))
+    ).cast("double")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(revenue, 4).alias("revenue"), F.count("*").cast("long").alias("n_items"))
+    )
+
+
+REGIONAL_REVENUE_ORACLE = """
+SELECT r_name, n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def order_priority_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP aggregation (grand total + per-priority subtotals)."""
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(_money("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+ORDER_PRIORITY_ROLLUP_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window top-k: each customer's k largest orders."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_ORACLE = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+FROM r WHERE rn <= 3
+"""
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join: customers that never ordered, counted per nation."""
+    return (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
+SELECT c_nationkey, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def part_type_distinct_suppliers(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Distinct aggregation through a join: suppliers per part brand."""
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+PART_TYPE_DISTINCT_SUPPLIERS_ORACLE = """
+SELECT p_brand,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""

@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 
 from vector_search_engine_spark import load_table
 from vector_search_engine_spark.functions.vector import dot, norm
+from vector_search_engine_spark.operators import events as ev_ops
 from vector_search_engine_spark.operators import ivf
 from vector_search_engine_spark.operators import knn as knn_ops
+from vector_search_engine_spark.operators import relational as rel_ops
 from vector_search_engine_spark.operators import simjoin
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -266,3 +268,94 @@ def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-centroid occupancy of the built index (cell-balance health check
     for the partition layout — skew here is shuffle skew at scale)."""
     return ivf.build_or_load(spark, sf_dir).stats()
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (categories absent from the reference — SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register("tpch_pricing_summary", oracle=rel_ops.PRICING_SUMMARY_ORACLE)
+def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style scan+agg (decimal-exact sums; see relational.py)."""
+    return rel_ops.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("tpch_top_unshipped_orders", oracle=rel_ops.TOP_UNSHIPPED_ORACLE)
+def tpch_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + top-k (broadcast dim, shuffled facts)."""
+    return rel_ops.top_unshipped_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("tpch_regional_revenue", oracle=rel_ops.REGIONAL_REVENUE_ORACLE)
+def tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-table join, revenue by region/nation."""
+    return rel_ops.regional_revenue(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("orders_rollup", oracle=rel_ops.ORDER_PRIORITY_ROLLUP_ORACLE)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over orders."""
+    return rel_ops.order_priority_rollup(load_table(spark, sf_dir, "orders"))
+
+
+@register("top_orders_per_customer", oracle=rel_ops.TOP_ORDERS_PER_CUSTOMER_ORACLE)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group."""
+    return rel_ops.top_orders_per_customer(load_table(spark, sf_dir, "orders"))
+
+
+@register("customers_without_orders", oracle=rel_ops.CUSTOMERS_WITHOUT_ORDERS_ORACLE)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join + agg."""
+    return rel_ops.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register("brand_distinct_suppliers", oracle=rel_ops.PART_TYPE_DISTINCT_SUPPLIERS_ORACLE)
+def brand_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation through a broadcast join."""
+    return rel_ops.part_type_distinct_suppliers(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time / semi-structured surface (events table)
+# ---------------------------------------------------------------------------
+
+
+@register("events_hourly_stats", oracle=ev_ops.HOURLY_EVENT_STATS_ORACLE)
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window aggregation."""
+    return ev_ops.hourly_event_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sessionize", oracle=ev_ops.SESSIONIZE_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min inactivity)."""
+    return ev_ops.sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register("events_json_stats", oracle=ev_ops.JSON_PROPS_STATS_ORACLE)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props payload column."""
+    return ev_ops.json_props_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("events_user_funnel", oracle=ev_ops.USER_FUNNEL_PIVOT_ORACLE)
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional pivot per user, top-50 most active."""
+    return ev_ops.user_funnel_pivot(load_table(spark, sf_dir, "events"))
