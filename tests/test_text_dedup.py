@@ -1,0 +1,151 @@
+"""Text-analysis + dedup operator tests: Python-oracle parity for the
+kernels, recall/precision gates for the approximate (LSH) families using
+planted duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark import load_table
+from vector_search_engine_spark.operators import dedup as dedup_ops
+from vector_search_engine_spark.operators import text_ops
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in text.strip().split(" ") if t]
+
+
+def _py_shingles(toks: list[str], n: int = 3) -> set[str]:
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_doc_stats_against_python(documents):
+    rows = {r.doc_id: r for r in text_ops.doc_stats(documents).collect()}
+    for r in documents.limit(50).collect():
+        toks = _py_tokens(r.text)
+        got = rows[r.doc_id]
+        assert got.n_tokens == len(toks)
+        assert got.n_uniq_tokens == len(set(toks))
+        if toks:
+            # abs=1e-4: engine output is rounded HALF_UP at 4 decimals
+            # (matching DuckDB); Python round() is banker's, so compare raw
+            assert got.avg_token_len == pytest.approx(
+                sum(map(len, toks)) / len(toks), abs=1e-4
+            )
+
+
+def test_jaccard_pairs_against_python(documents):
+    docs = {r.doc_id: r for r in documents.collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ops.ngram_jaccard_pairs(documents).collect()
+    }
+    # recompute expected pairs in pure Python
+    expected = {}
+    items = sorted(docs.values(), key=lambda r: r.doc_id)
+    for i, a in enumerate(items):
+        for b in items[i + 1 :]:
+            if abs(a.n_chars - b.n_chars) > dedup_ops.LENGTH_BAND:
+                continue
+            sa, sb = _py_shingles(_py_tokens(a.text)), _py_shingles(_py_tokens(b.text))
+            uni = len(sa | sb)
+            if uni == 0:
+                continue
+            j = len(sa & sb) / uni
+            if j >= dedup_ops.JACCARD_THRESHOLD:
+                expected[(a.doc_id, b.doc_id)] = round(j, 4)
+    assert got == expected
+    assert len(expected) > 0  # fixture has planted near-dups
+
+
+def test_minhash_lsh_recall_and_precision(documents):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ops.ngram_jaccard_pairs(documents).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ops.minhash_lsh_pairs(documents).collect()
+    }
+    # precision is exact by construction (verified pairs)
+    # note: LSH has no length-blocking, so it may legitimately find
+    # high-jaccard pairs outside the length band; check containment the
+    # other way with jaccard recomputation
+    docs = {r.doc_id: r for r in documents.collect()}
+    for (a, b), j in lsh.items():
+        sa = _py_shingles(_py_tokens(docs[a].text))
+        sb = _py_shingles(_py_tokens(docs[b].text))
+        assert round(len(sa & sb) / len(sa | sb), 4) == j
+        assert j >= dedup_ops.JACCARD_THRESHOLD
+    # recall vs exact pairs
+    found = sum(1 for p in exact if p in lsh)
+    assert found / len(exact) >= 0.8
+
+
+def test_simhash_pairs_are_verified(documents):
+    pairs = dedup_ops.simhash_pairs(documents).collect()
+    sigs = {
+        r.doc_id: r.simhash
+        for r in dedup_ops.simhash_signatures(documents).collect()
+    }
+    for r in pairs[:50]:
+        ham = bin((sigs[r.doc_a] ^ sigs[r.doc_b]) & (2**64 - 1)).count("1")
+        assert ham == r.hamming
+        assert ham <= dedup_ops.SIMHASH_MAX_HAMMING
+
+
+def test_exact_dedup_with_planted_dups(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "  alpha   beta gamma "),  # whitespace-normalized dup of 1
+        (3, "ALPHA BETA GAMMA"),  # case-normalized dup of 1
+        (4, "something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_ops.exact_dedup(df).collect()}
+    assert out[1].canonical_id == 1 and not out[1].is_duplicate
+    assert out[2].canonical_id == 1 and out[2].is_duplicate
+    assert out[3].canonical_id == 1 and out[3].is_duplicate
+    assert out[4].canonical_id == 4 and out[4].group_size == 1
+
+
+def test_embedding_lsh_recall_on_planted_neardups(spark):
+    rng = np.random.default_rng(123)
+    base = rng.normal(0, 1, (100, 32)).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant 10 near-dups: id 1000+i ~= id i (cosine ~0.995)
+    planted = []
+    for i in range(10):
+        v = base[i] + rng.normal(0, 0.05, 32)
+        v /= np.linalg.norm(v)
+        rows.append((1000 + i, [float(x) for x in v]))
+        planted.append((i, 1000 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup_ops.embedding_lsh_pairs(df, threshold=0.9).collect()
+    }
+    found = sum(1 for p in planted if p in got)
+    assert found >= 9  # ~0.998 theoretical recall per pair
+    # precision: every returned pair verified >= threshold by construction
+    vecs = {r[0]: np.array(r[1]) for r in rows}
+    for a, b in got:
+        va, vb = vecs[a], vecs[b]
+        assert va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.9 - 1e-9
+
+
+def test_lang_id_deterministic(documents):
+    out = text_ops.lang_id(documents)
+    assert out.count() == documents.count()
+    preds = {r.predicted_lang for r in out.collect()}
+    assert preds <= {"en", "de", "es", "fr", "zh"}

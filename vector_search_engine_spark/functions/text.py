@@ -1,0 +1,64 @@
+"""Text kernels: tokenization, n-gram shingles, normalization — each with a
+DuckDB SQL twin so every operator built on them is oracle-checkable.
+
+Parity contract (engine ⇔ oracle):
+  * tokens   = split trimmed text on single spaces, drop empties;
+  * shingles = word n-grams joined by one space, [] when < n tokens;
+  * normalized text = lower(trim(collapse whitespace runs to one space));
+  * set sizes use distinct semantics (Spark array_intersect ≡ DuckDB
+    list_intersect, both distinct);
+  * hashes are md5 hex strings (identical across engines; Spark xxhash64
+    has no DuckDB twin so it only appears in rows-only operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), " "), lambda x: x != "")
+
+
+def normalized(text: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-grams as space-joined strings; [] when fewer than n tokens."""
+    body = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(body)
+
+
+def distinct_shingles(text: Column, n: int = 3) -> Column:
+    return F.array_distinct(word_shingles(tokens(text), n))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))
+    return F.when(F.lit(union) == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (format-string fragments; {t} = text expression)
+# ---------------------------------------------------------------------------
+
+DD_TOKENS = "list_filter(string_split(trim({t}), ' '), x -> x != '')"
+DD_NORMALIZED = "lower(trim(regexp_replace({t}, '\\s+', ' ', 'g')))"
+# {t} = a token-array column; produces word n-grams (n=3) like the Spark side
+DD_SHINGLES3 = (
+    "list_transform(range(1, greatest(len({t})-2, 0)+1), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
+)

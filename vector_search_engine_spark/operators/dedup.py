@@ -1,0 +1,381 @@
+"""Deduplication operators over ``documents`` — the core 100 TB
+training-data-pipeline surface (BASELINE.json north star):
+
+  * exact:      md5 of normalized text, hash-groupBy        (oracle-backed)
+  * n-gram Jaccard: length-blocked pair join, exact verify  (oracle-backed)
+  * MinHash+LSH: shingle→minhash→band→bucket-join→verify    (rows-only;
+                 recall vs the exact pairs is pytest-gated)
+  * SimHash:    64-bit token-hash votes, banded Hamming join (rows-only)
+  * embedding near-dup: see operators/simjoin.py (exact) and
+                 embedding_lsh_pairs below (random-hyperplane blocking)
+
+Scale posture: everything is blocked/bucketed — no unblocked O(N²) pair
+join anywhere.  Exact dedup is one shuffle on the hash; LSH families
+shuffle on band keys whose fan-out is controlled by band count; the
+length-blocked Jaccard join exists for oracle parity at test scale and as
+the verify stage after LSH candidate generation at production scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.functions.text import (
+    DD_NORMALIZED,
+    DD_SHINGLES3,
+    DD_TOKENS,
+    jaccard,
+    normalized,
+    tokens,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Group documents by md5(normalized text); canonical = min doc_id.
+    One shuffle on a 128-bit hash — the exact-dedup plan at any scale."""
+    h = F.md5(normalized(F.col("text")))
+    w = Window.partitionBy("text_md5")
+    return (
+        documents.select("doc_id", h.alias("text_md5"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "is_duplicate", (F.col("doc_id") != F.col("canonical_id")).cast("boolean")
+        )
+    )
+
+
+EXACT_DEDUP_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, md5({DD_NORMALIZED.format(t="text")}) AS text_md5
+  FROM documents
+)
+SELECT doc_id, text_md5,
+       min(doc_id) OVER (PARTITION BY text_md5) AS canonical_id,
+       count(*) OVER (PARTITION BY text_md5) AS group_size,
+       doc_id != min(doc_id) OVER (PARTITION BY text_md5) AS is_duplicate
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, length-blocked)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.4
+LENGTH_BAND = 30  # near-dups have near-equal lengths; the blocking predicate
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    length_band: int = LENGTH_BAND,
+) -> DataFrame:
+    """All pairs with word-3-gram Jaccard >= threshold, blocked on
+    |Δn_chars| <= length_band (blocking is part of the operator contract;
+    the oracle applies the identical predicate)."""
+    sh = documents.select(
+        F.col("doc_id"),
+        F.col("n_chars"),
+        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("sh"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    j = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        a.join(
+            b,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= length_band),
+        )
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, n_chars, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, n_chars, list_distinct({DD_SHINGLES3.format(t="t")}) AS s
+  FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= {LENGTH_BAND}
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+FROM pairs
+WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate candidate generation, exact verification)
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 16
+BAND_SIZE = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
+
+
+def minhash_signatures(documents: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of xxhash64(shingle, p)
+    for p in 0..num_perm-1.  Pure column expressions — num_perm array
+    scans, no Python, no shuffle."""
+    sh = F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, p=p: F.xxhash64(s, F.lit(p))))
+            for p in range(num_perm)
+        ]
+    )
+    return documents.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified with true Jaccard.
+
+    shingle → minhash (map) → explode bands (map) → self-join on band key
+    (shuffle bounded by band fan-out) → distinct candidates → exact verify.
+    Precision is exact (verification); recall is the LSH probability curve
+    (pytest-gated against ngram_jaccard_pairs)."""
+    n_bands = num_perm // band_size
+    sig = minhash_signatures(documents, num_perm)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * band_size + r + 1) for r in range(band_size)]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = documents.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("sh"),
+    )
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) with banded Hamming join
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 8
+
+
+def _simhash64(toks: list[str]) -> np.int64:
+    votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    for tok in toks:
+        h = int.from_bytes(
+            hashlib.md5(tok.encode("utf-8")).digest()[:8], "big", signed=False
+        )
+        for bit in range(SIMHASH_BITS):
+            votes[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(SIMHASH_BITS):
+        if votes[bit] > 0:
+            out |= 1 << bit
+    return np.int64(np.uint64(out).astype(np.int64))
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document (deterministic md5 token hashes), via an
+    Arrow-batched pandas UDF (bit-vote loop is genuinely imperative)."""
+
+    @F.pandas_udf("long")
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for txt in texts:
+            toks = [t for t in (txt or "").strip().split(" ") if t]
+            out.append(_simhash64(toks))
+        return pd.Series(out, dtype="int64")
+
+    return documents.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Pairs within Hamming distance <= max_hamming, blocked on 16-bit
+    chunks (a pair within distance d<4 must agree on >=1 of 4 chunks —
+    pigeonhole guarantees full recall for d <= 3; wider d trades recall)."""
+    sig = simhash_signatures(documents).cache()
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.key")
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup at scale: random-hyperplane LSH blocking
+# ---------------------------------------------------------------------------
+
+
+def embedding_lsh_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine near-dup pairs when NEITHER side fits in memory: multi-table
+    random-hyperplane LSH — n_tables independent sign-sketches of n_planes
+    bits; candidates = pairs colliding in ANY table; exact cosine verify.
+    (The broadcastable-side case is operators/simjoin.py.)
+
+    Recall for a pair at cosine s: 1-(1-p^n_planes)^n_tables with
+    p = 1 - acos(s)/pi — defaults give ~0.998 at s=0.9.  Tune n_planes up
+    to shrink buckets (shuffle fan-out), n_tables up to recover recall.
+    """
+    from vector_search_engine_spark.functions.vector import cosine_sim
+
+    first = vectors.select(vec_col).first()
+    if first is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, sim double"
+        )
+    dim = len(first[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(0, 1, (n_tables, n_planes, dim))
+
+    def table_bucket(t: int) -> F.Column:
+        bucket = None
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in planes[t, p]]),
+                    lambda a, w: a.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket * 2 + bit
+        return bucket
+
+    sk = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"), table_bucket(t).alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(F.col(id_col), F.col(vec_col), "tb.table", "tb.bucket")
+    a = sk.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "table", "bucket"
+    )
+    b = sk.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )

@@ -1,0 +1,224 @@
+"""Text-analysis operators over the ``documents`` table — the LLM-pipeline
+surface (BASELINE.json north star): quality scoring, language-ID heuristic,
+token counting, document fingerprinting.
+
+Every operator here is a pure column-expression plan (JVM-side, codegen'd,
+no Python in the hot path) with a DuckDB oracle twin.  At 100 TB these are
+embarrassingly parallel scans — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.functions.text import (
+    DD_NORMALIZED,
+    DD_SHINGLES3,
+    DD_TOKENS,
+    normalized,
+    tokens,
+    word_shingles,
+)
+
+# language-ID stoplists (tiny, deterministic; accuracy is a property of the
+# heuristic, parity of the formula is what the oracle checks)
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "in", "and", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "que", "y", "en", "un", "los", "se", "no", "por"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "du", "est", "dans"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr"]  # deterministic argmax tie-break
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """Per-document quality statistics + a composite quality score."""
+    t = tokens(F.col("text"))
+    n_tok = F.size(t).cast("long")
+    n_uniq = F.size(F.array_distinct(t)).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    avg_tok_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        tok_chars.cast("double") / n_tok.cast("double")
+    )
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.size(
+            F.filter(t, lambda x: x.isin(*STOPWORDS["en"]))
+        ).cast("double")
+        / n_tok.cast("double")
+    )
+    alpha_ratio = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")).cast("double")
+        / F.length("text").cast("double")
+    )
+    uniq_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        n_uniq.cast("double") / n_tok.cast("double")
+    )
+    quality = (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + uniq_ratio * 0.3
+        + alpha_ratio * 0.3
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+def _dd_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+DOC_STATS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, text,
+         {DD_TOKENS.format(t="text")} AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, source, text, t,
+         len(t)::BIGINT AS n_tokens,
+         len(list_distinct(t))::BIGINT AS n_uniq_tokens,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE) END AS avg_token_len,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(t,
+                       x -> list_contains({_dd_list(STOPWORDS["en"])}, x))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE) END AS stopword_ratio,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                   / CAST(len(text) AS DOUBLE) END AS alpha_ratio,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(len(list_distinct(t)) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE) END AS uniq_ratio
+  FROM tok
+)
+SELECT doc_id, lang, source, n_tokens, n_uniq_tokens,
+       round(avg_token_len, 4) AS avg_token_len,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + uniq_ratio * 0.3 + alpha_ratio * 0.3, 4) AS quality_score
+FROM m
+"""
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: score = count of distinct
+    stopwords present per language; argmax with fixed priority tie-break;
+    no latin hits at all → 'zh'."""
+    t = F.array_distinct(tokens(F.lower(F.col("text"))))
+    scores = {
+        lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("zh"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    out = documents.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_PRIORITY],
+        pred.alias("predicted_lang"),
+    )
+    return out.withColumn(
+        "is_match", (F.col("predicted_lang") == F.col("lang")).cast("boolean")
+    )
+
+
+LANG_ID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_distinct({DD_TOKENS.format(t="lower(text)")}) AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         {" , ".join(
+             f"len(list_intersect(t, {_dd_list(words)}))::BIGINT AS score_{lang}"
+             for lang, words in STOPWORDS.items()
+         )}
+  FROM tok
+),
+p AS (
+  SELECT *, greatest(score_en, score_de, score_es, score_fr) AS best FROM s
+)
+SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+       CASE WHEN best = 0 THEN 'zh'
+            WHEN score_en = best THEN 'en'
+            WHEN score_de = best THEN 'de'
+            WHEN score_es = best THEN 'es'
+            ELSE 'fr' END AS predicted_lang,
+       (CASE WHEN best = 0 THEN 'zh'
+             WHEN score_en = best THEN 'en'
+             WHEN score_de = best THEN 'de'
+             WHEN score_es = best THEN 'es'
+             ELSE 'fr' END) = lang AS is_match
+FROM p
+"""
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish char/4 estimate
+    (the standard ~4 chars/token heuristic for budgeting LLM corpora)."""
+    t = tokens(F.col("text"))
+    return documents.select(
+        "doc_id",
+        "source",
+        F.size(t).cast("long").alias("n_ws_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("est_bpe_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id, source,
+       len({DD_TOKENS.format(t="text")})::BIGINT AS n_ws_tokens,
+       ceil(len(text) / 4.0)::BIGINT AS est_bpe_tokens,
+       n_chars::BIGINT AS n_chars
+FROM documents
+"""
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting: full-text hash of the normalized text plus a
+    min-shingle hash (winnowing-style, order-independent)."""
+    norm = normalized(F.col("text"))
+    sh = F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("text_md5"),
+        F.coalesce(min_sh, F.lit("")).alias("min_shingle_md5"),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )
+
+
+FINGERPRINTS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, text, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, text,
+         list_distinct({DD_SHINGLES3.format(t="t")}) AS s
+  FROM tok
+)
+SELECT doc_id,
+       md5({DD_NORMALIZED.format(t="text")}) AS text_md5,
+       coalesce(list_min(list_transform(s, x -> md5(x))), '') AS min_shingle_md5,
+       len(s)::BIGINT AS n_shingles
+FROM sh
+"""

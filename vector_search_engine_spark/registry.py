@@ -30,6 +30,8 @@ from vector_search_engine_spark.operators import ivf
 from vector_search_engine_spark.operators import knn as knn_ops
 from vector_search_engine_spark.operators import relational as rel_ops
 from vector_search_engine_spark.operators import simjoin
+from vector_search_engine_spark.operators import dedup as dedup_ops
+from vector_search_engine_spark.operators import text_ops as txt_ops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -359,3 +361,70 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional pivot per user, top-50 most active."""
     return ev_ops.user_funnel_pivot(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis + dedup (LLM-pipeline surface over documents)
+# ---------------------------------------------------------------------------
+
+
+@register("doc_stats", oracle=txt_ops.DOC_STATS_ORACLE)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics + composite score."""
+    return txt_ops.doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_lang_id", oracle=txt_ops.LANG_ID_ORACLE)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language-ID heuristic (formula parity is the gate)."""
+    return txt_ops.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_token_counts", oracle=txt_ops.TOKEN_COUNTS_ORACLE)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-estimate token counting."""
+    return txt_ops.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprints", oracle=txt_ops.FINGERPRINTS_ORACLE)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 + min-shingle document fingerprints."""
+    return txt_ops.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_exact", oracle=dedup_ops.EXACT_DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash."""
+    return dedup_ops.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", oracle=dedup_ops.NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (length-blocked)."""
+    return dedup_ops.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh")  # LSH recall is probabilistic → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified."""
+    return dedup_ops.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash")  # banded Hamming recall is heuristic → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 8."""
+    return dedup_ops.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_embedding_lsh")  # hyperplane-bucket recall heuristic → rows-only
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via multi-table random-hyperplane LSH.
+    Fixture has no true near-dups (max cos ≈ 0.51), so the demo threshold
+    is 0.3 with a wide table budget; production near-dup defaults (0.9)
+    get ~0.998 recall — see embedding_lsh_pairs docstring."""
+    return dedup_ops.embedding_lsh_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        n_tables=16,
+        n_planes=3,
+    )
