@@ -166,10 +166,15 @@ class IVFIndex:
         nprobe: int = 4,
         qid_col: str = "qid",
         qvec_col: str = "query",
+        exclude_ids: list[int] | None = None,
     ) -> DataFrame:
         """ANN top-k: probe nprobe partitions per query, exact scan within
         (reference Q3: greedy descent + level-0 beam, ``hnsw_index.h:223-262``).
-        ``nprobe = n_centroids`` degenerates to exact search."""
+        ``nprobe = n_centroids`` degenerates to exact search.
+
+        ``exclude_ids``: ids shadowed by newer delta versions (VectorEngine
+        upsert semantics) — filtered before the scan so top-k stays exact.
+        """
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         spark = self.spark
@@ -189,11 +194,11 @@ class IVFIndex:
 
         # isin on the partition column → parquet partition pruning;
         # broadcast join fans each partition's rows out to its probing queries
-        cand = (
-            self.vectors()
-            .filter(F.col("centroid_id").isin(needed))
-            .join(F.broadcast(pairs_df), "centroid_id")
-            .select(F.col("qid"), F.col(id_col), F.col(vec_col))
+        base = self.vectors().filter(F.col("centroid_id").isin(needed))
+        if exclude_ids:
+            base = base.filter(~F.col(id_col).isin(list(exclude_ids)))
+        cand = base.join(F.broadcast(pairs_df), "centroid_id").select(
+            F.col("qid"), F.col(id_col), F.col(vec_col)
         )
 
         def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

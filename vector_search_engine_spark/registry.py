@@ -428,3 +428,97 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=16,
         n_planes=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming engine (reference engine.h LSM path) — merged/upsert/compaction
+# semantics pushed through the exact-search oracle
+# ---------------------------------------------------------------------------
+
+
+def _fresh_engine_root() -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="vse_engine_")
+
+
+@register("streaming_merged_search", oracle=ORACLES["knn_exact_l2"])
+def streaming_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index the first 400 vectors, stream-insert the rest into the delta,
+    merged search at full probe == exact search over the union (reference
+    Q4 contract, ``engine.h:100-144``, minus its duplicate/visibility bugs)."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    return eng.search(
+        knn_ops.make_queries(emb), k=10, nprobe=eng.index.meta["n_centroids"]
+    )
+
+
+_UPSERT_ORACLE = """
+WITH cur AS (
+  SELECT vec_id,
+         CASE WHEN vec_id < 10
+              THEN list_concat([CAST(embedding[1] + 0.5 AS FLOAT)], embedding[2:])
+              ELSE embedding END AS embedding
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS query FROM embeddings WHERE vec_id < 20),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(e.embedding, q.query),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))**2)) AS dist
+  FROM cur e CROSS JOIN q
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, neighbor_id, "rank", round(dist, 4) AS dist_sq
+FROM r WHERE "rank" <= 10
+"""
+
+
+@register("streaming_upsert_search", oracle=_UPSERT_ORACLE)
+def streaming_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-insert perturbed versions of ids 0..9; search with the ORIGINAL
+    query vectors must see only the new versions (upsert-by-id — the
+    divergence from the reference documented in SURVEY.md §2.3 Q4)."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(emb, _fresh_engine_root(), n_centroids=8)
+    perturbed = emb.filter(F.col("vec_id") < 10).withColumn(
+        "embedding",
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.5)).cast("float")),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ),
+    )
+    eng.insert(perturbed)
+    return eng.search(
+        knn_ops.make_queries(emb), k=10, nprobe=eng.index.meta["n_centroids"]
+    )
+
+
+@register("streaming_compacted_search", oracle=ORACLES["knn_exact_l2"])
+def streaming_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as streaming_merged_search but AFTER compaction folds the delta
+    into the partitioned table (reference W4 background flush) — results
+    must be byte-identical to the exact oracle either way."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    eng.compact()
+    return eng.search(
+        knn_ops.make_queries(emb), k=10, nprobe=eng.index.meta["n_centroids"]
+    )
