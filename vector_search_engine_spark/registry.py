@@ -213,6 +213,89 @@ def knn_self_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# fvecs/ivecs sources (reference S1/S2, utils.h:11-67)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fvecs_roundtrip",
+    oracle=f"""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt({_DD_DOT.format(a="embedding", b="embedding")}), 4) AS l2_norm,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS elem_sum
+FROM embeddings
+""",
+)
+def fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write embeddings as a sharded positional .fvecs dataset, ranged-scan
+    it back, and prove bit-exact fidelity against the parquet original
+    (dim + norm + element sum per id).  Reference S1 (``utils.h:11-39``)."""
+    import tempfile
+
+    from vector_search_engine_spark.sources import scan_fvecs, write_fvecs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="vse_fvecs_rt_")
+    write_fvecs(emb, out, num_shards=4)
+    back = scan_fvecs(spark, out)
+    e = F.col("embedding")
+    return back.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(norm(e), 4).alias("l2_norm"),
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 4
+        ).alias("elem_sum"),
+    )
+
+
+@register(
+    "ivecs_roundtrip",
+    oracle=f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {_DD_L2SQ.format(a="e.embedding", b="q.query")} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, "rank", neighbor_id FROM r WHERE "rank" <= 10
+""",
+)
+def ivecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth lists → positional .ivecs (the sift_groundtruth.ivecs
+    analog, ``utils.h:42-67``) → ranged scan → explode; must equal the
+    exact-kNN oracle row-for-row."""
+    import tempfile
+
+    from vector_search_engine_spark.sources import scan_ivecs, write_ivecs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = knn_ops.knn_exact(emb, knn_ops.make_queries(emb), k=10)
+    gt = exact.groupBy("qid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "neighbor_id"))),
+            lambda s: s["neighbor_id"].cast("int"),
+        ).alias("neighbor_ids")
+    )
+    out = tempfile.mkdtemp(prefix="vse_ivecs_rt_")
+    write_ivecs(gt, out, num_shards=2)
+    back = scan_ivecs(spark, out)
+    return back.select(
+        "qid", F.posexplode("neighbor_ids").alias("pos", "neighbor_id")
+    ).select(
+        "qid",
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF index (reference B2 bulk build + Q2/Q3 ANN search)
 # ---------------------------------------------------------------------------
 
