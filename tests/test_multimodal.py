@@ -1,0 +1,92 @@
+"""Multimodal binary-column plumbing tests (north-star extension; the
+reference has no media surface — SURVEY.md §1.1)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark import load_table
+from vector_search_engine_spark.multimodal import (
+    attach_payload,
+    decode_real,
+    fake_decode_features,
+    frame_sample,
+    metadata_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return attach_payload(load_table(spark, sf_dir, "documents")).cache()
+
+
+def test_payload_schema_and_determinism(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert "struct" in dict(media.dtypes)["meta"]
+    a = media.orderBy("doc_id").limit(5).collect()
+    b = media.orderBy("doc_id").limit(5).collect()
+    assert a == b
+    row = a[0]
+    assert row.media_type == "image"  # doc_id 0 % 3
+    assert row.meta.width == 32 and row.meta.sample_rate == 16000
+
+
+def test_fake_decode_features_match_numpy(media):
+    feats = {r.doc_id: r for r in fake_decode_features(media).collect()}
+    for row in media.orderBy("doc_id").limit(6).collect():
+        buf = np.frombuffer(bytes(row.payload), dtype=np.uint8)
+        if row.media_type in ("image", "video"):
+            need = row.meta.width * row.meta.height * row.meta.channels
+            px = np.resize(buf, need)
+        else:
+            px = buf
+        got = feats[row.doc_id]
+        assert got.n_bytes == len(buf)
+        assert got.n_samples == len(px)
+        assert got.mean_val == pytest.approx(round(float(px.mean()), 4))
+        assert got.min_val == int(px.min()) and got.max_val == int(px.max())
+
+
+def test_frame_sample_covers_payload_exactly(media):
+    frames = frame_sample(media)
+    per_doc = (
+        frames.groupBy("doc_id")
+        .agg(
+            F.sum("frame_bytes").alias("covered"),
+            F.count("*").alias("nf"),
+            F.min("frame_offset").alias("first_off"),
+        )
+        .join(media.select("doc_id", F.length("payload").alias("n_bytes"),
+                           F.col("meta.n_frames").alias("want_nf")), "doc_id")
+        .collect()
+    )
+    assert len(per_doc) > 0
+    for r in per_doc:
+        assert r.covered == r.n_bytes  # frames tile the payload, no gaps
+        assert r.first_off == 0
+        assert r.nf <= r.want_nf
+
+
+def test_frame_md5_is_content_hash(spark):
+    media = attach_payload(
+        spark.createDataFrame([(0, "abcdefgh")], "doc_id long, text string")
+    )
+    rows = frame_sample(media, n_frames=2).orderBy("frame_idx").collect()
+    assert [r.frame_bytes for r in rows] == [4, 4]
+    assert rows[0].frame_md5 == hashlib.md5(b"abcd").hexdigest()
+    assert rows[1].frame_md5 == hashlib.md5(b"efgh").hexdigest()
+
+
+def test_metadata_stats_groups_all_types(media):
+    rows = metadata_stats(media).collect()
+    assert [r.media_type for r in rows] == ["audio", "image", "video"]
+    assert all(r.total_bytes > 0 for r in rows)
+
+
+def test_real_decode_is_explicit_stub(media):
+    with pytest.raises(NotImplementedError, match="PIL|decode"):
+        decode_real(media)

@@ -1,0 +1,203 @@
+"""Binary-payload plumbing: attach, decode (stubbed), features, frames.
+
+Data model (the multimodal row): ::
+
+    doc_id       long
+    media_type   string            -- image | audio | video
+    payload      binary            -- opaque encoded bytes
+    meta         struct<width int, height int, channels int,
+                        sample_rate int, n_frames int>
+
+Scale posture: payloads stay columnar (Parquet binary + Arrow) end-to-end;
+decode/feature UDFs are ``mapInPandas`` so each task handles whole Arrow
+batches and per-row Python overhead is amortized.  Feature extraction
+yields fixed-width numeric columns, so downstream ops (dedup, kNN over
+features) run on the JVM/vectorized paths.  At 100 TB, payload columns
+dominate scan bytes — every query below selects only the columns it needs
+so Parquet column pruning skips payload I/O when features/metadata suffice.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "struct<width:int,height:int,channels:int,sample_rate:int,n_frames:int>"
+)
+
+_MEDIA_TYPES = ("image", "audio", "video")
+
+
+def attach_payload(documents: DataFrame) -> DataFrame:
+    """Deterministically derive a multimodal table from ``documents``:
+    payload = UTF-8 bytes of the text (a stand-in for encoded media —
+    opaque to the engine either way), media_type and typed metadata keyed
+    off ``doc_id``.  Pure built-in expressions (no UDF)."""
+    mt = F.element_at(
+        F.array(*[F.lit(m) for m in _MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    width = (F.lit(32) + (F.col("doc_id") % 8) * 16).cast("int")
+    height = (F.lit(32) + (F.col("doc_id") % 5) * 16).cast("int")
+    return documents.select(
+        "doc_id",
+        mt.alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            width.alias("width"),
+            height.alias("height"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(3)).otherwise(F.lit(1)).alias(
+                "channels"
+            ),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("doc_id") % 7 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def decode_real(media: DataFrame, media_type: str = "image") -> DataFrame:
+    """REAL codec decode — stubbed: image/audio libraries are not available
+    in this container.  The import-gate makes the stub self-healing: if PIL
+    ever appears on executors, this path activates with the same signature
+    as ``fake_decode_features``."""
+    try:  # pragma: no cover - container has no PIL
+        import PIL.Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "real media decode needs PIL/libav, not present in this "
+            "container; use fake_decode_features for the tested plumbing"
+        ) from e
+    raise NotImplementedError("real decode path reserved")  # pragma: no cover
+
+
+def fake_decode_features(media: DataFrame) -> DataFrame:
+    """Deterministic fake decode + feature extraction via ``mapInPandas``.
+
+    'Decode' = interpret payload bytes as uint8 pixels/samples, tiled or
+    truncated to ``width*height*channels`` (images/video) or left as-is
+    (audio) — deterministic, so tests pin exact values.  Features are the
+    ones a real pipeline computes post-decode (moments, extremes, entropy).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                buf = np.frombuffer(bytes(row.payload), dtype=np.uint8)
+                meta = row.meta
+                if row.media_type in ("image", "video"):
+                    need = int(meta["width"]) * int(meta["height"]) * int(
+                        meta["channels"]
+                    )
+                    px = (
+                        np.resize(buf, need)  # tile/truncate — deterministic
+                        if len(buf)
+                        else np.zeros(need, dtype=np.uint8)
+                    )
+                else:
+                    px = buf if len(buf) else np.zeros(1, dtype=np.uint8)
+                counts = np.bincount(px, minlength=256).astype(np.float64)
+                p = counts[counts > 0] / len(px)
+                out.append(
+                    (
+                        row.doc_id,
+                        row.media_type,
+                        len(buf),
+                        int(len(px)),
+                        round(float(px.mean()), 4),
+                        round(float(px.std()), 4),
+                        int(px.min()),
+                        int(px.max()),
+                        round(float(-(p * np.log2(p)).sum()), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "n_bytes",
+                    "n_samples",
+                    "mean_val",
+                    "std_val",
+                    "min_val",
+                    "max_val",
+                    "entropy_bits",
+                ],
+            )
+
+    return media.select("doc_id", "media_type", "payload", "meta").mapInPandas(
+        extract,
+        schema=(
+            "doc_id long, media_type string, n_bytes long, n_samples long, "
+            "mean_val double, std_val double, min_val int, max_val int, "
+            "entropy_bits double"
+        ),
+    )
+
+
+def frame_sample(media: DataFrame, n_frames: int | None = None) -> DataFrame:
+    """Frame sampling: split each payload into ``meta.n_frames`` (or a
+    fixed ``n_frames``) contiguous byte slices — the video-keyframe
+    extraction shape.  One input row → n output rows; offsets/lengths are
+    deterministic (= oracle-checkable), frame bytes carry a content
+    fingerprint for downstream frame-level dedup."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, digests = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                buf = bytes(row.payload)
+                nf = n_frames if n_frames is not None else int(row.meta["n_frames"])
+                nf = max(1, nf)
+                flen = max(1, -(-len(buf) // nf))  # ceil
+                for i in range(nf):
+                    off = i * flen
+                    chunk = buf[off : off + flen]
+                    if not chunk:
+                        break
+                    ids.append(row.doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(len(chunk))
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "frame_bytes": pd.Series(lens, dtype="int64"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return media.select("doc_id", "payload", "meta").mapInPandas(
+        sample,
+        schema=(
+            "doc_id long, frame_idx int, frame_offset long, "
+            "frame_bytes long, frame_md5 string"
+        ),
+    )
+
+
+def metadata_stats(media: DataFrame) -> DataFrame:
+    """Per-media-type payload statistics — pure built-ins over metadata and
+    ``length(payload)``; Parquet never materializes payload content for
+    this plan beyond the byte count (column stats / lazy binary)."""
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.round(F.avg(F.length("payload")), 4).alias("avg_bytes"),
+            F.max(F.col("meta.width")).alias("max_width"),
+            F.sum(F.col("meta.n_frames").cast("long")).alias("total_frames"),
+        )
+        .orderBy("media_type")
+    )
