@@ -605,6 +605,46 @@ def _fresh_engine_root() -> str:
     return tempfile.mkdtemp(prefix="vse_engine_")
 
 
+@register("streaming_hourly_event_stats", oracle=ev_ops.HOURLY_EVENT_STATS_ORACLE)
+def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly-window aggregation run INCREMENTALLY: events replayed as
+    4 micro-batches through a watermarked streaming window agg; final
+    result must equal the batch/oracle answer exactly."""
+    import tempfile
+    import uuid
+
+    from vector_search_engine_spark.streaming import event_time as et
+
+    root = tempfile.mkdtemp(prefix="vse_stream_hourly_")
+    staged = et.stage_event_files(spark, sf_dir, f"{root}/staged", n_files=4)
+    table = f"hourly_{uuid.uuid4().hex[:8]}"
+    et.run_to_memory(
+        et.streaming_hourly_stats(et.stream_events(spark, staged)),
+        checkpoint=f"{root}/ckpt",
+        table=table,
+    )
+    return spark.table(table)
+
+
+@register("streaming_sessionize", oracle=ev_ops.SESSIONIZE_ORACLE)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via the custom stateful operator
+    (applyInPandasWithState): per-user state stitches sessions across
+    micro-batch boundaries; compacted emissions equal the batch oracle."""
+    import tempfile
+
+    from vector_search_engine_spark.streaming import event_time as et
+
+    root = tempfile.mkdtemp(prefix="vse_stream_sess_")
+    staged = et.stage_event_files(spark, sf_dir, f"{root}/staged", n_files=4)
+    et.run_updates_to_parquet(
+        et.streaming_sessionize(et.stream_events(spark, staged)),
+        checkpoint=f"{root}/ckpt",
+        out_dir=f"{root}/updates",
+    )
+    return et.compact_session_updates(spark.read.parquet(f"{root}/updates"))
+
+
 @register("streaming_merged_search", oracle=ORACLES["knn_exact_l2"])
 def streaming_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index the first 400 vectors, stream-insert the rest into the delta,

@@ -1,0 +1,247 @@
+"""Event-time Structured Streaming: watermarked windows + stateful sessions.
+
+The reference's write path is streaming-shaped (W1-W4, ``engine.h:67-176``)
+but has **no event-time semantics** (SURVEY.md §2.7).  This module provides
+the real thing over the ``events`` table:
+
+* ``stream_events``       — file-source ``readStream`` over the parquet
+  events (multi-file staging → genuine multi-micro-batch execution);
+* ``streaming_hourly_stats`` — tumbling 1 h event-time window + watermark;
+  identical results to the batch ``operators.events.hourly_event_stats``
+  (and therefore to the DuckDB oracle);
+* ``streaming_sessionize``   — gap-based sessions via
+  ``applyInPandasWithState``: per-user session state carried across
+  micro-batches, emit-on-update, downstream compaction keeps the final
+  version of each session — equal to the batch ``sessionize``.
+
+Scale posture: state is keyed by user_id (hash-partitioned by the state
+store); each micro-batch shuffles only its own rows.  Watermarks bound
+state: windows older than the delay are finalized and evicted.  The
+emit-on-update + compaction pattern is the standard CDC-style sink shape —
+the compaction is a normal batch query over the sink table.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from vector_search_engine_spark import load_table
+from vector_search_engine_spark.operators.events import SESSION_GAP_S
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stage_event_files(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Split the batch events table into ``n_files`` time-ordered parquet
+    files with increasing mtimes, so the file streaming source (ordered by
+    modification time, ``maxFilesPerTrigger=1``) replays them as real
+    consecutive micro-batches in event-time order — the shape a Kafka topic
+    with in-order partitions would produce."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = [
+        r[0]
+        for r in events.select(
+            F.percentile_approx(
+                F.col("ts").cast("double"),
+                [i / n_files for i in range(1, n_files)],
+                10_000,
+            ).alias("b")
+        )
+        .select(F.explode("b"))
+        .collect()
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    lo = None
+    for i, hi in enumerate(list(bounds) + [None]):
+        part = events
+        if lo is not None:
+            part = part.filter(F.col("ts").cast("double") > lo)
+        if hi is not None:
+            part = part.filter(F.col("ts").cast("double") <= hi)
+        path = os.path.join(out_dir, f"slice-{i:03d}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(path + ".tmp")
+        data_file = [
+            f for f in os.listdir(path + ".tmp") if f.endswith(".parquet")
+        ][0]
+        os.replace(os.path.join(path + ".tmp", data_file), path)
+        import shutil
+
+        shutil.rmtree(path + ".tmp", ignore_errors=True)
+        t = time.time() + i  # strictly increasing mtimes = replay order
+        os.utime(path, (t, t))
+        lo = hi
+    return out_dir
+
+
+def stream_events(spark: SparkSession, staged_dir: str) -> DataFrame:
+    """readStream over staged event files, one file per micro-batch."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+    )
+
+
+def streaming_hourly_stats(
+    events_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1 h window per event type (streaming twin of the batch
+    ``hourly_event_stats``).  Exact distinct users via ``collect_set`` —
+    streaming-legal, unlike ``countDistinct``."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    checkpoint: str,
+    table: str,
+    output_mode: str = "complete",
+):
+    """Drain an availableNow streaming query into a memory sink; returns
+    the finished StreamingQuery (progress is inspectable)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+# -- stateful sessionization -------------------------------------------------
+
+_SESSION_STATE_SCHEMA = "start_us long, last_s long, n long"
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start_us long, n_events long, duration_s long"
+)
+
+
+def _sessionize_group(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user fold: continue the open session from state, close on gaps,
+    emit every touched session (emit-on-update; the final emission per
+    session wins downstream).  State = the one open session.
+
+    Gap comparisons use floor-seconds (matching the batch operator's
+    ``ts.cast(long)`` semantics, ``operators/events.py``); session_start
+    keeps full microseconds so oracle `min(ts)` parity holds.  Assumes
+    per-user in-order arrival across batches (the staged replay guarantees
+    it; a production source would pair this with a watermark guard).
+    """
+    (user_id,) = key
+    if state.exists:
+        start_us, last_s, n = state.get
+    else:
+        start_us, last_s, n = None, None, 0
+    ts = (
+        pd.concat([pdf["ts_us"] for pdf in pdfs])
+        .sort_values()
+        .to_numpy()
+    )
+    out = []
+    for t_us in ts:
+        t_us = int(t_us)
+        t_s = t_us // 1_000_000
+        if start_us is None:
+            start_us, last_s, n = t_us, t_s, 1
+        elif t_s - last_s > SESSION_GAP_S:
+            out.append((user_id, start_us, n, last_s - start_us // 1_000_000))
+            start_us, last_s, n = t_us, t_s, 1
+        else:
+            last_s, n = t_s, n + 1
+    out.append((user_id, start_us, n, last_s - start_us // 1_000_000))
+    state.update((start_us, last_s, n))
+    yield pd.DataFrame(
+        out, columns=["user_id", "session_start_us", "n_events", "duration_s"]
+    )
+
+
+def streaming_sessionize(events_stream: DataFrame) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (``applyInPandasWithState``) — state survives micro-batch boundaries,
+    so a session spanning two batches is stitched, not split."""
+    return (
+        events_stream.select(
+            "user_id", F.unix_micros("ts").alias("ts_us")
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_updates_to_parquet(stream_df: DataFrame, checkpoint: str, out_dir: str) -> None:
+    """Drain an update-mode stream by appending every micro-batch's
+    emissions to a parquet dir (memory sink doesn't take update mode);
+    downstream compaction folds rows to final versions."""
+
+    def append_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(append_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def compact_session_updates(updates: DataFrame) -> DataFrame:
+    """Fold emit-on-update session rows to their final versions and assign
+    the batch-compatible ``session_seq`` (rank of session_start per user).
+    A session's identity is (user_id, session_start); later emissions only
+    grow n_events/duration, so max() selects the final version."""
+    final = updates.groupBy("user_id", "session_start_us").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("duration_s").alias("duration_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start_us")
+    return final.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("long").alias("session_seq"),
+        "n_events",
+        F.timestamp_micros("session_start_us").alias("session_start"),
+        "duration_s",
+    )
