@@ -30,6 +30,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "M":
+            # unify datetime unit: ns-vs-us frames with NaT fail
+            # assert_frame_equal even when values are identical
+            df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 

@@ -440,6 +440,49 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev_ops.json_props_stats(load_table(spark, sf_dir, "events"))
 
 
+@register("events_asof_attribution", oracle=None)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (pure-Catalyst union+window strategy): each purchase
+    attributed to the user's latest prior view.  Oracle: DuckDB native
+    ASOF LEFT JOIN (set below after import)."""
+    from vector_search_engine_spark.operators import temporal
+
+    return temporal.purchase_attribution(
+        load_table(spark, sf_dir, "events"), method="window"
+    )
+
+
+@register("events_asof_attribution_pandas", oracle=None)
+def events_asof_attribution_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics through the applyInPandas merge_asof strategy
+    (the escape-hatch shape for tolerance/nearest variants)."""
+    from vector_search_engine_spark.operators import temporal
+
+    return temporal.purchase_attribution(
+        load_table(spark, sf_dir, "events"), method="pandas"
+    )
+
+
+@register("events_range_join", oracle=None)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded time-range join: click→purchase pairs within 15 min via
+    time-bucketed equi-join (fan-out ≤ 2, no per-key cartesian)."""
+    from vector_search_engine_spark.operators import temporal
+
+    return temporal.range_join_within(load_table(spark, sf_dir, "events"))
+
+
+def _set_temporal_oracles() -> None:
+    from vector_search_engine_spark.operators import temporal
+
+    ORACLES["events_asof_attribution"] = temporal.PURCHASE_ATTRIBUTION_ORACLE
+    ORACLES["events_asof_attribution_pandas"] = temporal.PURCHASE_ATTRIBUTION_ORACLE
+    ORACLES["events_range_join"] = temporal.CLICK_PURCHASE_RANGE_ORACLE
+
+
+_set_temporal_oracles()
+
+
 @register("events_user_funnel", oracle=ev_ops.USER_FUNNEL_PIVOT_ORACLE)
 def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional pivot per user, top-50 most active."""
