@@ -21,12 +21,44 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Headline workloads mirroring BASELINE.md M1-M5 plus the heaviest
+# relational / dedup / event operators:
+#   ivf_build                 -> M1 batch index build (fresh dir every run)
+#   knn_exact_* / ann_ivf_*   -> M2/M3 bulk search (exact + ANN)
+#   streaming_merged_search   -> M4/M5 merged indexed+delta search
 BENCH_QUERIES = [
+    "ivf_build",
     "knn_exact_l2",
     "knn_exact_l2_sql",
     "knn_exact_cosine",
     "knn_self_similarity_pairs",
+    "ann_ivf_probe",
+    "streaming_merged_search",
+    "tpch_pricing_summary",
+    "tpch_regional_revenue",
+    "events_sessionize",
+    "events_asof_attribution",
+    "doc_fingerprints",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
 ]
+
+
+def _bench_ivf_build(spark, sf_dir: str):
+    """Fresh KMeans IVF build (reference M1 bulk load) — never cache-hit."""
+    import shutil
+    import tempfile
+
+    from vector_search_engine_spark.operators.ivf import IVFIndex
+
+    out = tempfile.mkdtemp(prefix="vse_bench_ivf_")
+    try:
+        vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = IVFIndex.build(vectors, f"{out}/index")
+        rows = idx.stats().collect()  # force the whole build + readback
+        return spark.createDataFrame(rows, "centroid_id int, n_vectors long")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def main() -> None:
@@ -40,19 +72,36 @@ def main() -> None:
     spark = get_spark("vse-bench")
 
     # Warm the JVM/Arrow paths so per-query numbers measure the engine,
-    # not classloading (reference benches also exclude setup).
+    # not classloading (reference benches also exclude setup), and warm the
+    # IVF cache so ann_ivf_probe times the probe, not the build (the build
+    # is measured separately as ivf_build).
     registry.QUERIES["knn_exact_l2"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    from vector_search_engine_spark.operators import ivf as _ivf
 
+    _ivf.build_or_load(spark, sf_dir)
+
+    # Two timed runs per query, keep the min: steady-state throughput with
+    # plan-compilation and GC noise excluded (the reference's benches also
+    # measure warm in-memory serving, recall_bench.cpp:67-106).
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = registry.QUERIES.get(name)
+        fn = (
+            _bench_ivf_build
+            if name == "ivf_build"
+            else registry.QUERIES.get(name)
+        )
         if fn is None:
             continue
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

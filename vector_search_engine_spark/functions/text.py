@@ -44,6 +44,29 @@ def distinct_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_shingles(tokens(text), n))
 
 
+def with_shingles(df, out_col: str = "sh", n: int = 3, text_col: str = "text"):
+    """Materialize distinct word n-gram shingles as a real column.
+
+    Implementation notes from the bench audit (both matter at scale):
+
+    * tokens are materialized into their own projection first — a
+      lambda-captured expression like ``element_at(tokens(text), i+j)``
+      re-runs the whole split+filter per element, making one-expression
+      shingling O(tokens²);
+    * the n-gram itself uses MLlib's ``NGram`` transformer (JVM sliding
+      window, space-joined — byte-identical to ``word_shingles``) because
+      higher-order-function lambdas evaluate interpreted (~40 µs/element),
+      ~10× slower than the transformer for the same result.
+    """
+    from pyspark.ml.feature import NGram
+
+    df = df.withColumn("_toks", tokens(F.col(text_col)))
+    df = NGram(n=n, inputCol="_toks", outputCol="_ngrams").transform(df)
+    return df.withColumn(out_col, F.array_distinct(F.col("_ngrams"))).drop(
+        "_toks", "_ngrams"
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

@@ -32,6 +32,7 @@ from vector_search_engine_spark.functions.text import (
     jaccard,
     normalized,
     tokens,
+    with_shingles,
     word_shingles,
 )
 
@@ -83,30 +84,47 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with word-3-gram Jaccard >= threshold, blocked on
     |Δn_chars| <= length_band (blocking is part of the operator contract;
-    the oracle applies the identical predicate)."""
-    sh = documents.select(
-        F.col("doc_id"),
-        F.col("n_chars"),
-        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("sh"),
+    the oracle applies the identical predicate).
+
+    Plan shape — INVERTED-INDEX INTERSECTION (PPJoin-style): explode each
+    doc into (shingle, doc) postings, self-join postings on the shingle,
+    and count matches per pair — the count IS |A ∩ B|, and
+    |A ∪ B| = |A| + |B| − |A ∩ B| comes from pre-computed set sizes.  No
+    shingle array ever crosses the shuffle (the earlier array-carrying
+    bucket join shipped ~kB per candidate pair; postings ship ~25 B), and
+    pairs sharing zero shingles never materialize at all.  Skewed hot
+    shingles are AQE-skew-join territory; the length-band predicate
+    filters pairs right at the postings join."""
+    sh = with_shingles(documents, "sh").select(
+        "doc_id", "n_chars", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
     )
     a = sh.select(
+        F.col("s"),
         F.col("doc_id").alias("doc_a"),
         F.col("n_chars").alias("nc_a"),
-        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("nsh_a"),
     )
     b = sh.select(
+        F.col("s"),
         F.col("doc_id").alias("doc_b"),
         F.col("n_chars").alias("nc_b"),
-        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nsh_b"),
     )
-    j = jaccard(F.col("sh_a"), F.col("sh_b"))
-    return (
-        a.join(
-            b,
+    inter = (
+        a.join(b, "s")
+        .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= length_band),
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= length_band)
         )
-        .withColumn("jaccard", j)
+        .groupBy("doc_a", "doc_b", "nsh_a", "nsh_b")
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    union = F.col("nsh_a") + F.col("nsh_b") - F.col("inter")
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(0.0)).otherwise(F.col("inter") / union),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -146,14 +164,14 @@ def minhash_signatures(documents: DataFrame, num_perm: int = NUM_PERM) -> DataFr
     """Per-doc MinHash signature: min over shingles of xxhash64(shingle, p)
     for p in 0..num_perm-1.  Pure column expressions — num_perm array
     scans, no Python, no shuffle."""
-    sh = F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+    sh = F.col("_sh")  # materialized — 16 transform lambdas reference it
     sig = F.array(
         *[
             F.array_min(F.transform(sh, lambda s, p=p: F.xxhash64(s, F.lit(p))))
             for p in range(num_perm)
         ]
     )
-    return documents.select("doc_id", sig.alias("sig"))
+    return with_shingles(documents, "_sh").select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -199,10 +217,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = documents.select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("sh"),
-    )
+    sh = with_shingles(documents, "sh").select("doc_id", "sh")
     verified = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")

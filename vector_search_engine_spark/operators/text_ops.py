@@ -33,8 +33,13 @@ LANG_PRIORITY = ["en", "de", "es", "fr"]  # deterministic argmax tie-break
 
 
 def doc_stats(documents: DataFrame) -> DataFrame:
-    """Per-document quality statistics + a composite quality score."""
-    t = tokens(F.col("text"))
+    """Per-document quality statistics + a composite quality score.
+
+    Tokens are materialized once per row (see ``with_shingles`` note in
+    functions/text.py — lambda-captured expressions re-evaluate per
+    element)."""
+    documents = documents.withColumn("_t", tokens(F.col("text")))
+    t = F.col("_t")
     n_tok = F.size(t).cast("long")
     n_uniq = F.size(F.array_distinct(t)).cast("long")
     tok_chars = F.aggregate(
@@ -119,7 +124,10 @@ def lang_id(documents: DataFrame) -> DataFrame:
     """N-gram/stopword language-ID heuristic: score = count of distinct
     stopwords present per language; argmax with fixed priority tie-break;
     no latin hits at all → 'zh'."""
-    t = F.array_distinct(tokens(F.lower(F.col("text"))))
+    documents = documents.withColumn(
+        "_t", F.array_distinct(tokens(F.lower(F.col("text"))))
+    )
+    t = F.col("_t")
     scores = {
         lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in words])))
         for lang, words in STOPWORDS.items()
@@ -195,15 +203,20 @@ FROM documents
 
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Document fingerprinting: full-text hash of the normalized text plus a
-    min-shingle hash (winnowing-style, order-independent)."""
-    norm = normalized(F.col("text"))
-    sh = F.array_distinct(word_shingles(tokens(F.col("text")), 3))
-    min_sh = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return documents.select(
-        "doc_id",
-        F.md5(norm).alias("text_md5"),
-        F.coalesce(min_sh, F.lit("")).alias("min_shingle_md5"),
-        F.size(sh).cast("long").alias("n_shingles"),
+    min-shingle hash (winnowing-style, order-independent).  Shingles are
+    materialized once per row, not per lambda element."""
+    from vector_search_engine_spark.functions.text import with_shingles
+
+    # explode + groupBy instead of transform(sh, md5): the HOF lambda
+    # evaluates interpreted (~3.5× slower); exploded md5 is codegen'd and
+    # the min/count aggregate is one cheap shuffle on doc_id
+    base = with_shingles(documents, "_sh").select(
+        "doc_id", F.md5(normalized(F.col("text"))).alias("text_md5"), "_sh"
+    )
+    ex = base.select("doc_id", "text_md5", F.explode_outer("_sh").alias("s"))
+    return ex.groupBy("doc_id", "text_md5").agg(
+        F.coalesce(F.min(F.md5("s")), F.lit("")).alias("min_shingle_md5"),
+        F.count("s").cast("long").alias("n_shingles"),
     )
 
 
