@@ -394,3 +394,38 @@ def embedding_lsh_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
+
+
+def corpus_dedup_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus dedup statistics (exact distinct text hashes —
+    the dedup accounting a training-data pipeline reports)."""
+    h = F.md5(normalized(F.col("text")))
+    return (
+        documents.select("source", h.alias("h"), F.col("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("h").cast("long").alias("n_distinct"),
+            (F.count("*") - F.countDistinct("h")).cast("long").alias("n_dup_docs"),
+            F.round(
+                (F.count("*") - F.countDistinct("h")) / F.count("*"), 4
+            ).alias("dup_ratio"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+CORPUS_DEDUP_STATS_ORACLE = f"""
+WITH h AS (
+  SELECT source, md5({DD_NORMALIZED.format(t="text")}) AS h, n_chars
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT h) AS n_distinct,
+       count(*) - count(DISTINCT h) AS n_dup_docs,
+       round(CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*), 4) AS dup_ratio,
+       sum(n_chars) AS total_chars
+FROM h
+GROUP BY source
+"""

@@ -158,3 +158,39 @@ GROUP BY user_id
 ORDER BY n_events DESC, user_id
 LIMIT 50
 """
+
+
+def sliding_window_stats(events: DataFrame) -> DataFrame:
+    """Sliding event-time windows (1 h wide, every 30 min) — each event
+    lands in exactly 2 windows; one shuffle after Spark expands the
+    window list per row."""
+    w = F.window("ts", "1 hour", "30 minutes")
+    return events.groupBy(w.alias("w"), "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# each event replicated into its 2 covering windows via unnest-offsets
+SLIDING_WINDOW_STATS_ORACLE = """
+WITH expanded AS (
+  SELECT e.*, time_bucket(INTERVAL '30 minutes', ts)
+              - (o.o * INTERVAL '30 minutes') AS window_start
+  FROM events e, (SELECT unnest([0, 1]) AS o) o
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM expanded
+GROUP BY window_start, event_type
+"""

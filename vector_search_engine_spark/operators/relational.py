@@ -238,3 +238,103 @@ SELECT p_brand,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
+
+
+def order_status_cube(orders: DataFrame) -> DataFrame:
+    """CUBE grouping sets over orders — all 4 grouping combinations of
+    (priority, status) in one pass (Spark expands to a single shuffle with
+    grouping-id; no reference analog, SURVEY.md §2.7)."""
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(_money("o_totalprice")).cast("double").alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+
+
+ORDER_STATUS_CUBE_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def shipdate_set_ops(lineitem: DataFrame) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION, distinct semantics) on
+    the part-key sets shipped in two adjacent years."""
+    y95 = lineitem.filter(F.year("l_shipdate") == 1995).select("l_partkey")
+    y96 = lineitem.filter(F.year("l_shipdate") == 1996).select("l_partkey")
+    both = y95.intersect(y96).select(F.lit("both_years").alias("op"), "l_partkey")
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll is bag except
+    only95 = y95.subtract(y96).select(F.lit("only_1995").alias("op"), "l_partkey")
+    only96 = y96.subtract(y95).select(F.lit("only_1996").alias("op"), "l_partkey")
+    either = y95.union(y96).distinct().select(
+        F.lit("either_year").alias("op"), "l_partkey"
+    )
+    return (
+        both.unionByName(only95)
+        .unionByName(only96)
+        .unionByName(either)
+        .groupBy("op")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+    )
+
+
+SHIPDATE_SET_OPS_ORACLE = """
+WITH y95 AS (SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995),
+y96 AS (SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996),
+tagged AS (
+  SELECT 'both_years' AS op, l_partkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+  UNION ALL
+  SELECT 'only_1995', l_partkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+  UNION ALL
+  SELECT 'only_1996', l_partkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+  UNION ALL
+  SELECT 'either_year', l_partkey FROM (SELECT * FROM y95 UNION SELECT * FROM y96)
+)
+SELECT op, count(*) AS n_parts FROM tagged GROUP BY op
+"""
+
+
+def orderdate_functions(orders: DataFrame) -> DataFrame:
+    """String/date scalar-function surface as a projection: date parts,
+    truncation, arithmetic, formatting, string ops (SURVEY.md §2.7 — the
+    reference has no scalar functions beyond squared L2)."""
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mo"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_eoy"),
+        F.upper("o_orderstatus").alias("status_u"),
+        F.concat_ws("-", F.upper("o_orderpriority"), F.col("o_orderstatus")).alias(
+            "prio_tag"
+        ),
+        F.length("o_orderpriority").cast("int").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+    )
+
+
+ORDERDATE_FUNCTIONS_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate)::INT AS yr,
+       month(o_orderdate)::INT AS mo,
+       day(o_orderdate)::INT AS dom,
+       quarter(o_orderdate)::INT AS qtr,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')::BIGINT AS days_to_eoy,
+       upper(o_orderstatus) AS status_u,
+       upper(o_orderpriority) || '-' || o_orderstatus AS prio_tag,
+       len(o_orderpriority)::INT AS prio_len,
+       substr(o_orderpriority, 1, 1) AS prio_code
+FROM orders
+"""

@@ -417,6 +417,24 @@ def brand_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("orders_cube", oracle=rel_ops.ORDER_STATUS_CUBE_ORACLE)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combos in one shuffle)."""
+    return rel_ops.order_status_cube(load_table(spark, sf_dir, "orders"))
+
+
+@register("shipdate_set_ops", oracle=rel_ops.SHIPDATE_SET_OPS_ORACLE)
+def shipdate_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION (distinct semantics) on part-key sets."""
+    return rel_ops.shipdate_set_ops(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("orderdate_functions", oracle=rel_ops.ORDERDATE_FUNCTIONS_ORACLE)
+def orderdate_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date scalar-function surface as a projection."""
+    return rel_ops.orderdate_functions(load_table(spark, sf_dir, "orders"))
+
+
 # ---------------------------------------------------------------------------
 # Event-time / semi-structured surface (events table)
 # ---------------------------------------------------------------------------
@@ -438,6 +456,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the props payload column."""
     return ev_ops.json_props_stats(load_table(spark, sf_dir, "events"))
+
+
+@register("events_sliding_window", oracle=ev_ops.SLIDING_WINDOW_STATS_ORACLE)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h wide, every 30 min)."""
+    return ev_ops.sliding_window_stats(load_table(spark, sf_dir, "events"))
 
 
 @register("events_asof_attribution", oracle=None)
@@ -516,6 +540,12 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 + min-shingle document fingerprints."""
     return txt_ops.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_dedup_stats", oracle=dedup_ops.CORPUS_DEDUP_STATS_ORACLE)
+def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup accounting (docs, exact-distinct, dup ratio)."""
+    return dedup_ops.corpus_dedup_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register("dedup_exact", oracle=dedup_ops.EXACT_DEDUP_ORACLE)
@@ -747,6 +777,35 @@ def streaming_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     eng.insert(perturbed)
+    return eng.search(
+        knn_ops.make_queries(emb), k=10, nprobe=eng.index.meta["n_centroids"]
+    )
+
+
+@register("streaming_ingest_search", oracle=ORACLES["knn_exact_l2"])
+def streaming_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like streaming_merged_search, but the delta rows arrive through a
+    REAL Structured Streaming query (file readStream → foreachBatch append,
+    reference Insert RPC path W1/W2) rather than a batch insert."""
+    import os
+
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = _fresh_engine_root()
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), root, n_centroids=8
+    )
+    stage = os.path.join(root, "incoming")
+    emb.filter(F.col("vec_id") >= 400).coalesce(2).write.mode("overwrite").parquet(
+        stage
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    eng.ingest_stream(stream).awaitTermination()
     return eng.search(
         knn_ops.make_queries(emb), k=10, nprobe=eng.index.meta["n_centroids"]
     )
