@@ -1,0 +1,162 @@
+"""Hypothesis property tests: the engine's plans vs pure NumPy/Python
+oracles on adversarial small inputs (ties, k > N, ragged dims, gaps).
+
+Complements the DuckDB oracle gate (fixed fixtures) with randomized
+coverage of the semantics SURVEY.md §5 pins: squared-L2 float behavior,
+(dist, id) tie-breaking, session gap edges, dim validation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.operators import knn as knn_ops
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# quantized coords force distance ties; small dims keep Spark latency sane
+coord = st.integers(min_value=-3, max_value=3).map(lambda v: v / 2.0)
+vec4 = st.lists(coord, min_size=4, max_size=4)
+
+
+@given(
+    data=st.lists(vec4, min_size=1, max_size=30),
+    queries=st.lists(vec4, min_size=1, max_size=4),
+    k=st.integers(min_value=1, max_value=12),
+)
+@SET
+def test_knn_matches_numpy_oracle(spark, data, queries, k):
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+        "qid long, query array<float>",
+    )
+    got = [
+        (r.qid, r.rank, r.neighbor_id, r.dist_sq)
+        for r in knn_ops.knn_exact(vdf, qdf, k=k).collect()
+    ]
+    V = np.array(data, dtype=np.float32).astype(np.float64)
+    want = []
+    for qi, q in enumerate(queries):
+        d = ((V - np.array(q, dtype=np.float32).astype(np.float64)) ** 2).sum(axis=1)
+        order = sorted(range(len(data)), key=lambda i: (d[i], i))[:k]
+        want += [
+            (qi, rank + 1, i, round(float(d[i]), 4))
+            for rank, i in enumerate(order)
+        ]
+    assert sorted(got) == sorted(want)
+
+
+@given(
+    data=st.lists(vec4, min_size=2, max_size=25),
+    threshold=st.sampled_from([0.0, 0.25, 0.5]),
+)
+@SET
+def test_similarity_pairs_match_numpy(spark, data, threshold):
+    from vector_search_engine_spark.operators.simjoin import similarity_pairs
+
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity_pairs(vdf, threshold=threshold, metric="cosine").collect()
+    }
+    V = np.array(data, dtype=np.float32).astype(np.float64)
+    n = np.linalg.norm(V, axis=1)
+    want = {}
+    for i in range(len(data)):
+        for j in range(i + 1, len(data)):
+            denom = n[i] * n[j]
+            sim = 0.0 if denom == 0 else float(V[i] @ V[j] / denom)
+            if sim >= threshold:
+                want[(i, j)] = round(sim, 4)
+    assert set(got) == set(want)
+    for key, sim in want.items():
+        assert got[key] == pytest.approx(sim, abs=1e-4)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=8000),  # seconds
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@SET
+def test_sessionize_matches_python_fold(spark, events):
+    from vector_search_engine_spark.operators.events import (
+        SESSION_GAP_S,
+        sessionize,
+    )
+
+    rows = [
+        (i, f"2024-01-01 00:00:00", u, "view", 0.0, "{}")
+        for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        [(i, u, s) for i, (u, s) in enumerate(events)],
+        "event_id long, user_id long, off long",
+    ).select(
+        "event_id",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("off")).alias("ts"),
+        "user_id",
+    )
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_s)
+        for r in sessionize(df).collect()
+    }
+    want = {}
+    by_user: dict[int, list[int]] = {}
+    for u, s in events:
+        by_user.setdefault(u, []).append(s)
+    for u, ts in by_user.items():
+        ts.sort()
+        seq, start, last, n = 0, ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t - last > SESSION_GAP_S:
+                want[(u, seq)] = (n, last - start)
+                seq, start, n = seq + 1, t, 0
+            n, last = n + 1, t
+        want[(u, seq)] = (n, last - start)
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.lists(coord, min_size=4, max_size=4),  # valid dim
+            st.lists(coord, min_size=1, max_size=3),  # wrong dim
+            st.none(),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET
+def test_validate_vectors_partitions_rows(spark, rows):
+    df = spark.createDataFrame(
+        [(i, r if r is None else [float(x) for x in r]) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    )
+    valid, rejected = knn_ops.validate_vectors(df, dim=4)
+    n_valid = sum(1 for r in rows if r is not None and len(r) == 4)
+    assert valid.count() == n_valid
+    assert rejected.count() == len(rows) - n_valid
+    assert valid.filter(F.size("embedding") != 4).count() == 0

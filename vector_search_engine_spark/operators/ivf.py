@@ -183,6 +183,7 @@ class IVFIndex:
         qid_col: str = "qid",
         qvec_col: str = "query",
         exclude_ids: list[int] | None = None,
+        predicate=None,
     ) -> DataFrame:
         """ANN top-k: probe nprobe partitions per query, exact scan within
         (reference Q3: greedy descent + level-0 beam, ``hnsw_index.h:223-262``).
@@ -190,6 +191,11 @@ class IVFIndex:
 
         ``exclude_ids``: ids shadowed by newer delta versions (VectorEngine
         upsert semantics) — filtered before the scan so top-k stays exact.
+
+        ``predicate``: optional metadata Column over the index's
+        ``extra_cols`` (filtered ANN search) — applied BEFORE ranking, so
+        results are the true top-k of the filtered set; composes with the
+        partition pruning (both filters reach the same parquet scan).
         """
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
@@ -217,6 +223,8 @@ class IVFIndex:
         base = self.vectors().filter(F.col("centroid_id").isin(needed))
         if exclude_ids:
             base = base.filter(~F.col(id_col).isin(list(exclude_ids)))
+        if predicate is not None:
+            base = base.filter(predicate)
         cand = base.join(F.broadcast(pairs_df), "centroid_id").select(
             F.col("qid"), F.col(id_col), F.col(vec_col)
         )

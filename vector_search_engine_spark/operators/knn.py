@@ -187,6 +187,21 @@ def knn_filtered(
     return knn_exact(vectors.filter(predicate), queries, k=k, metric=metric, **kw)
 
 
+def validate_vectors(
+    vectors: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """Dim-validation gate (reference ``server.cpp:27-30``, ``utils.h:24``):
+    split rows into (valid, rejected).  A row is rejected when the vector
+    is null, has the wrong dimension, or contains nulls.  Pure column
+    predicates — both branches stay one pushed-down filter over the scan."""
+    ok = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.exists(vec_col, lambda x: x.isNull())
+    )
+    return vectors.filter(ok), vectors.filter(~ok)
+
+
 def recall_at_k(results: DataFrame, ground_truth: DataFrame, k: int) -> DataFrame:
     """Recall@k per query + macro average (reference ``recall_bench.cpp:80-101``).
 

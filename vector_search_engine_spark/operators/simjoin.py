@@ -50,24 +50,25 @@ def similarity_pairs(
         return spark.createDataFrame([], out_schema)
     ids_b = np.array([r[0] for r in rows], dtype=np.int64)
     B = np.array([r[1] for r in rows], dtype=np.float64)
-    if metric == "cosine":
-        nb = np.linalg.norm(B, axis=1, keepdims=True)
-        nb[nb == 0.0] = 1.0
-        B = B / nb
-    bc = spark.sparkContext.broadcast((ids_b, B))
+    # norms kept separate: sim = dot / (na*nb), dot FIRST — dividing the
+    # vectors first perturbs exact-zero dots off the threshold boundary
+    # (the oracle computes dot-then-divide; arithmetic order is contract)
+    nb = np.linalg.norm(B, axis=1)
+    bc = spark.sparkContext.broadcast((ids_b, B, nb))
     val_col = "sim" if metric == "cosine" else "dist_sq"
 
     def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b_, B_ = bc.value
+        ids_b_, B_, nb_ = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids_a = pdf[id_col].to_numpy(dtype=np.int64)
             A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if metric == "cosine":
-                na = np.linalg.norm(A, axis=1, keepdims=True)
-                na[na == 0.0] = 1.0
-                S = (A / na) @ B_.T
+                na = np.linalg.norm(A, axis=1)
+                denom = na[:, None] * nb_[None, :]
+                denom[denom == 0.0] = 1.0  # zero-norm pair -> sim 0 (dot is 0)
+                S = (A @ B_.T) / denom
                 ii, jj = np.nonzero(
                     (S >= threshold) & (ids_a[:, None] < ids_b_[None, :])
                 )

@@ -321,6 +321,24 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.search(knn_ops.make_queries(emb), k=10, nprobe=4)
 
 
+@register(
+    "ann_ivf_filtered",
+    oracle=ORACLES["knn_filtered"],
+)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN search: metadata predicate (label < 5) inside the
+    partition-pruned index scan, at full probe == the exact filtered
+    oracle.  Capability the reference lacks entirely (SURVEY.md §2.7)."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+    )
+
+
 @register("ann_ivf_recall_curve")  # recall vs exact oracle — rows-only
 def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of IVF at nprobe ∈ {1,2,4,8} vs the exact result — the
