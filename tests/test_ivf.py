@@ -73,3 +73,24 @@ def test_index_stats_cover_all_vectors(index, embeddings):
 def test_search_empty_queries(spark, index):
     q = spark.createDataFrame([], "qid long, query array<float>")
     assert index.search(q, k=5).count() == 0
+
+
+def test_lsh_knn_recall_and_exact_rescore(spark, embeddings):
+    """BRP-LSH ANN family: recall >= 0.9 vs exact; candidate distances are
+    exact squared L2 (re-scored, not approximated)."""
+    from vector_search_engine_spark.operators import knn as knn_ops
+    from vector_search_engine_spark.operators import lsh
+
+    q = knn_ops.make_queries(embeddings)
+    exact = {
+        (r.qid, r.neighbor_id): r.dist_sq
+        for r in knn_ops.knn_exact(embeddings, q, k=10).collect()
+    }
+    got = {
+        (r.qid, r.neighbor_id): r.dist_sq
+        for r in lsh.knn_lsh(embeddings, q, k=10).collect()
+    }
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.9
+    for key in set(got) & set(exact):
+        assert got[key] == exact[key]  # same rounded squared-L2 values

@@ -366,6 +366,16 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("ann_lsh_search")  # approximate by nature → rows-only
+def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second ANN family: BucketedRandomProjectionLSH bucket join + exact
+    re-score (recall ≥ 0.9 pytest-gated vs exact; ~0.985 on fixture)."""
+    from vector_search_engine_spark.operators import lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh.knn_lsh(emb, knn_ops.make_queries(emb), k=10)
+
+
 @register("ivf_index_stats")  # KMeans assignment — not SQL-expressible
 def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-centroid occupancy of the built index (cell-balance health check
