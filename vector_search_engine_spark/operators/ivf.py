@@ -221,8 +221,17 @@ class IVFIndex:
         # isin on the partition column → parquet partition pruning;
         # broadcast join fans each partition's rows out to its probing queries
         base = self.vectors().filter(F.col("centroid_id").isin(needed))
-        if exclude_ids:
-            base = base.filter(~F.col(id_col).isin(list(exclude_ids)))
+        if exclude_ids is not None:
+            if isinstance(exclude_ids, DataFrame):
+                # anti-join path: the shadowed-id set can be arbitrarily
+                # large under sustained streaming — never driver-collected
+                base = base.join(
+                    exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)),
+                    on=id_col,
+                    how="left_anti",
+                )
+            elif exclude_ids:
+                base = base.filter(~F.col(id_col).isin(list(exclude_ids)))
         if predicate is not None:
             base = base.filter(predicate)
         cand = base.join(F.broadcast(pairs_df), "centroid_id").select(

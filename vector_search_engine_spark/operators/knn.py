@@ -187,6 +187,40 @@ def knn_filtered(
     return knn_exact(vectors.filter(predicate), queries, k=k, metric=metric, **kw)
 
 
+def knn_grouped(
+    vectors: DataFrame,
+    queries: DataFrame,
+    group_col: str,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Group-wise exact search: top-k per (query, group) — e.g. the
+    nearest exemplars of EVERY label per query (diversity-style retrieval;
+    no reference analog).  One window over (qid, group)."""
+    dist = l2_sq(F.col(vec_col), F.col("query"))
+    cand = vectors.join(F.broadcast(queries)).select(
+        "qid",
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("neighbor_id"),
+        dist.alias("dist"),
+    )
+    w = Window.partitionBy("qid", "grp").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            F.col("grp").alias(group_col),
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("dist"), DIST_DECIMALS).alias("dist_sq"),
+        )
+    )
+
+
 def validate_vectors(
     vectors: DataFrame, dim: int, vec_col: str = "embedding"
 ) -> tuple[DataFrame, DataFrame]:

@@ -164,6 +164,31 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_grouped_by_label",
+    oracle=f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.label, e.vec_id AS neighbor_id,
+         {_DD_L2SQ.format(a="e.embedding", b="q.query")} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT qid, label, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid, label ORDER BY dist, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, label, neighbor_id, "rank", round(dist, 4) AS dist_sq
+FROM r WHERE "rank" <= 3
+""",
+)
+def knn_grouped_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise search: top-3 nearest exemplars of EVERY label per query
+    (window over (qid, label) — diversity retrieval, SURVEY.md §2.7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.knn_grouped(emb, knn_ops.make_queries(emb), "label", k=3)
+
+
+@register(
     "vector_norms",
     oracle=f"""
 SELECT vec_id,

@@ -138,9 +138,10 @@ class VectorEngine:
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
         delta_latest = self.delta_latest()
-        shadowed = [r[0] for r in delta_latest.select(id_col).collect()]
+        # shadowed ids exclude via anti-join — the delta can be arbitrarily
+        # large under sustained ingest; ids never visit the driver
         indexed_part = self.index.search(
-            queries, k=k, nprobe=nprobe, exclude_ids=shadowed
+            queries, k=k, nprobe=nprobe, exclude_ids=delta_latest.select(id_col)
         )
         delta_part = knn_exact(
             delta_latest, queries, k=k, id_col=id_col, vec_col=vec_col
@@ -197,23 +198,25 @@ class VectorEngine:
         n_delta = delta_latest.count()
         if n_delta == 0:
             return 0
-        assigned = self.assign_centroids(delta_latest)
+        assigned = self.assign_centroids(delta_latest).cache()
         indexed = self.spark.read.parquet(self.index_vectors_dir())
-        delta_ids = [r[0] for r in assigned.select(id_col).collect()]
+        delta_id_df = assigned.select(id_col)
+        # affected-cell list is bounded by n_centroids — safe to collect;
+        # the id sets flow through semi/anti joins, never the driver
         affected = sorted(
-            {
-                r[0]
-                for r in assigned.select("centroid_id")
-                .union(
-                    indexed.filter(F.col(id_col).isin(delta_ids)).select("centroid_id")
-                )
-                .distinct()
-                .collect()
-            }
+            r[0]
+            for r in assigned.select("centroid_id")
+            .union(
+                indexed.join(delta_id_df, id_col, "left_semi").select("centroid_id")
+            )
+            .distinct()
+            .collect()
         )
-        survivors = indexed.filter(
-            F.col("centroid_id").isin(affected) & ~F.col(id_col).isin(delta_ids)
-        ).select(id_col, vec_col, "centroid_id")
+        survivors = (
+            indexed.filter(F.col("centroid_id").isin(affected))
+            .join(delta_id_df, id_col, "left_anti")
+            .select(id_col, vec_col, "centroid_id")
+        )
         new_rows = assigned.filter(F.col("centroid_id").isin(affected))
         rewritten = survivors.unionByName(new_rows)
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
