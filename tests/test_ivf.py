@@ -94,3 +94,43 @@ def test_lsh_knn_recall_and_exact_rescore(spark, embeddings):
     assert recall >= 0.9
     for key in set(got) & set(exact):
         assert got[key] == exact[key]  # same rounded squared-L2 values
+
+
+def test_sq8_rescore_recall_and_exactness(spark, embeddings):
+    """SQ8 two-stage search: recall ~1 at C=4k; returned rows carry EXACT
+    squared-L2 (re-scored); full-candidate mode equals exact search."""
+    from vector_search_engine_spark.operators import knn as knn_ops
+    from vector_search_engine_spark.operators import sq
+
+    q = knn_ops.make_queries(embeddings)
+    exact = {
+        (r.qid, r.neighbor_id): (r.rank, r.dist_sq)
+        for r in knn_ops.knn_exact(embeddings, q, k=10).collect()
+    }
+    got = {
+        (r.qid, r.neighbor_id): (r.rank, r.dist_sq)
+        for r in sq.knn_sq8_rescore(embeddings, q, k=10).collect()
+    }
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.95
+    for key in set(got) & set(exact):
+        assert got[key][1] == exact[key][1]  # exact rescored distances
+    # C = N degenerates to exact search, row for row
+    n = embeddings.count()
+    full = {
+        (r.qid, r.neighbor_id): (r.rank, r.dist_sq)
+        for r in sq.knn_sq8_rescore(
+            embeddings, q, k=10, candidates_per_partition=n
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_sq8_codes_are_byte_packed(spark, embeddings):
+    from vector_search_engine_spark.operators import sq
+
+    codes = sq.sq8_encode(embeddings)
+    row = codes.first()
+    dim = len(embeddings.first().embedding)
+    assert len(bytes(row.code)) == dim  # 1 byte/element, 4x under float32
+    assert row.lo <= row.hi

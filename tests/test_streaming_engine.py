@@ -122,3 +122,23 @@ def test_compaction_preserves_results(spark, embeddings, engine):
 
 def test_compaction_empty_delta_noop(engine):
     assert engine.compact() == 0
+
+
+def test_maybe_compact_threshold_policy(spark, embeddings, tmp_path):
+    """maybe_compact folds only past the delta-fraction threshold
+    (reference W3 soft/hard-limit analog)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    eng = VectorEngine.create(
+        embeddings.filter(F.col("vec_id") < 400), str(tmp_path / "eng"), n_centroids=4
+    )
+    # 50 delta rows on 400 indexed = 12.5% < 25% -> no compaction
+    eng.insert(embeddings.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)))
+    assert eng.maybe_compact(max_delta_fraction=0.25) == 0
+    assert eng.delta().count() == 50
+    # 100 rows = 25% -> compacts everything
+    eng.insert(embeddings.filter(F.col("vec_id") >= 450))
+    assert eng.maybe_compact(max_delta_fraction=0.25) == 100
+    assert eng.delta().count() == 0

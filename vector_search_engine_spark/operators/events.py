@@ -194,3 +194,38 @@ SELECT window_start,
 FROM expanded
 GROUP BY window_start, event_type
 """
+
+
+def user_cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity counted
+    by day offset — two aggregations, one self-join on user_id (classic
+    retention-triangle shape)."""
+    day = F.date_trunc("day", F.col("ts"))
+    cohort = events.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = events.select("user_id", day.alias("active_day")).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+USER_COHORT_RETENTION_ORACLE = """
+WITH cohort AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day FROM events
+)
+SELECT c.cohort_day,
+       datediff('day', c.cohort_day, a.active_day)::BIGINT AS day_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY c.cohort_day, day_offset
+"""

@@ -1,0 +1,133 @@
+"""Scalar quantization (SQ8): int8-coded vectors for scan-byte reduction.
+
+At 100 TB the dominant search cost is scan bytes; per-vector int8 codes
+cut the candidate-generation scan 4× (float32 → uint8 + 2 floats of
+range metadata), with an exact float re-score of the surviving
+candidates — the standard two-stage design (quantized scan → top-C
+candidates → exact top-k).  No reference analog (the reference scans
+full float32, ``write_buffer.h:54-70``); this is a north-star scale op.
+
+Layout: ``(id, code binary, lo float, hi float)`` — the code packs
+``round((x - lo) / (hi - lo) * 255)`` per element as raw uint8 bytes in a
+``binary`` column (Parquet stores it byte-packed; an ``array<tinyint>``
+would cost ~4× more in memory and Arrow transfer).
+
+Error bound: per element ≤ (hi − lo)/510 (half a quantization step), so
+candidate margins C ≥ 3–4× k absorb it at realistic embedding spreads;
+recall is pytest-gated and the exact re-score keeps reported distances
+and ordering bit-identical to the exact engine for every returned row.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.functions.vector import l2_sq
+from vector_search_engine_spark.operators.knn import _finalize_topk
+
+
+def sq8_encode(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Encode float32 vectors to per-vector-ranged uint8 codes."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            lo = V.min(axis=1)
+            hi = V.max(axis=1)
+            span = np.where(hi > lo, hi - lo, 1.0).astype(np.float32)
+            codes = np.rint(
+                (V - lo[:, None]) / span[:, None] * 255.0
+            ).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "code": [c.tobytes() for c in codes],
+                    "lo": lo,
+                    "hi": hi,
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, code binary, lo float, hi float"
+    )
+
+
+def knn_sq8_rescore(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidates_per_partition: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage search: uint8-approximate scan emits top-C candidates per
+    partition; exact float re-score + global top-k.  Same output schema
+    and distance convention as ``knn_exact``."""
+    spark = vectors.sparkSession
+    C = candidates_per_partition or 4 * k
+    qrows = queries.select("qid", "query").collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, rank long, dist_sq double"
+        )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([np.asarray(r["query"], dtype=np.float32) for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, Q.astype(np.float64)))
+
+    codes = sq8_encode(vectors, id_col=id_col, vec_col=vec_col)
+
+    def approx_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Qd = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            raw = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8)
+            codesm = raw.reshape(len(ids), -1).astype(np.float64)
+            lo = pdf["lo"].to_numpy(dtype=np.float64)
+            span = pdf["hi"].to_numpy(dtype=np.float64) - lo
+            span[span <= 0] = 1.0
+            # dequantize once per batch, single GEMM against all queries
+            V = lo[:, None] + codesm * (span[:, None] / 255.0)
+            D = (
+                (V * V).sum(axis=1)[:, None]
+                - 2.0 * (V @ Qd.T)
+                + (Qd * Qd).sum(axis=1)[None, :]
+            )
+            keep = min(C, len(ids))
+            part = (
+                np.argpartition(D, keep - 1, axis=0)[:keep]
+                if len(ids) > keep
+                else np.tile(np.arange(len(ids))[:, None], (1, nq))
+            )
+            out_qid = np.repeat(qids_[None, :], part.shape[0], axis=0).ravel()
+            out_ids = ids[part].ravel()
+            yield pd.DataFrame({"qid": out_qid, "neighbor_id": out_ids})
+
+    cand = codes.mapInPandas(approx_scan, schema="qid long, neighbor_id long")
+    # exact re-score: join candidates back to the float vectors (broadcast
+    # queries), then the usual (dist, id) window top-k
+    qdf = queries.select("qid", "query")
+    rescored = (
+        cand.join(
+            vectors.select(F.col(id_col).alias("neighbor_id"), vec_col),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            l2_sq(F.col(vec_col), F.col("query")).alias("dist"),
+        )
+    )
+    return _finalize_topk(rescored, k, "l2_sq")

@@ -391,6 +391,16 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("knn_sq8_rescore")  # candidate pruning is approximate → rows-only
+def knn_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SQ8 search: uint8-quantized candidate scan (4× fewer scan
+    bytes) + exact float re-score; recall≈1 pytest-gated, distances exact."""
+    from vector_search_engine_spark.operators import sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq.knn_sq8_rescore(emb, knn_ops.make_queries(emb), k=10)
+
+
 @register("ann_lsh_search")  # approximate by nature → rows-only
 def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second ANN family: BucketedRandomProjectionLSH bucket join + exact
@@ -511,6 +521,12 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev_ops.json_props_stats(load_table(spark, sf_dir, "events"))
 
 
+@register("events_cohort_retention", oracle=ev_ops.USER_COHORT_RETENTION_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (first-seen day × day offset)."""
+    return ev_ops.user_cohort_retention(load_table(spark, sf_dir, "events"))
+
+
 @register("events_sliding_window", oracle=ev_ops.SLIDING_WINDOW_STATS_ORACLE)
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1 h wide, every 30 min)."""
@@ -599,6 +615,45 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup accounting (docs, exact-distinct, dup ratio)."""
     return dedup_ops.corpus_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+from vector_search_engine_spark.functions.text import DD_NORMALIZED as _DD_NORM
+
+_CLEAN_CORPUS_ORACLE = f"""
+WITH stats AS ({txt_ops.DOC_STATS_ORACLE.strip()}),
+dd AS (
+  SELECT doc_id,
+         doc_id != min(doc_id) OVER (
+             PARTITION BY md5({_DD_NORM.format(t="text")})
+         ) AS is_duplicate
+  FROM documents
+)
+SELECT s.lang,
+       count(*) AS n_docs_kept,
+       sum(s.n_tokens) AS total_tokens,
+       round(avg(s.quality_score), 4) AS avg_quality
+FROM stats s JOIN dd USING (doc_id)
+WHERE s.quality_score >= 0.5 AND NOT dd.is_duplicate
+GROUP BY s.lang
+"""
+
+
+@register("pipeline_clean_corpus", oracle=_CLEAN_CORPUS_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality filter (score ≥ 0.5) ∘ exact
+    dedup (keep canonicals) → per-language token budget — the composed
+    shape of a real training-data pipeline, one plan, oracle-backed."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = txt_ops.doc_stats(docs)
+    dd = dedup_ops.exact_dedup(docs).select("doc_id", "is_duplicate")
+    kept = stats.join(dd, "doc_id").filter(
+        (F.col("quality_score") >= 0.5) & ~F.col("is_duplicate")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
 
 
 @register("dedup_exact", oracle=dedup_ops.EXACT_DEDUP_ORACLE)

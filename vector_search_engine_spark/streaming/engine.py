@@ -232,5 +232,19 @@ class VectorEngine:
         shutil.rmtree(ckpt, ignore_errors=True)
         return n_delta
 
+    def maybe_compact(self, max_delta_fraction: float = 0.25) -> int:
+        """Compaction trigger policy (reference W3 soft/hard limits,
+        ``engine.h:76-86``): fold the delta when it exceeds
+        ``max_delta_fraction`` of the indexed row count.  Returns rows
+        compacted (0 = below threshold).  Call from the ingest cadence
+        (e.g. every foreachBatch) — cheap when below threshold."""
+        n_delta = self.delta().count()
+        if n_delta == 0:
+            return 0
+        n_indexed = max(1, int(self.index.meta.get("n_vectors", 1)))
+        if n_delta / n_indexed < max_delta_fraction:
+            return 0
+        return self.compact()
+
     def index_vectors_dir(self) -> str:
         return os.path.join(self.root_dir, "index", "vectors")
