@@ -338,3 +338,62 @@ SELECT o_orderkey,
        substr(o_orderpriority, 1, 1) AS prio_code
 FROM orders
 """
+
+
+def quantity_quantiles(lineitem: DataFrame) -> DataFrame:
+    """Exact percentile aggregation (interpolated) per return flag."""
+    q = lambda p: F.round(  # noqa: E731
+        F.percentile(F.col("l_quantity"), F.lit(p)), 4
+    )
+    return lineitem.groupBy("l_returnflag").agg(
+        q(0.5).alias("p50"),
+        q(0.9).alias("p90"),
+        q(0.99).alias("p99"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+QUANTITY_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+       round(quantile_cont(l_quantity, 0.99), 4) AS p99,
+       round(avg(l_quantity), 4) AS mean_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def orders_above_customer_avg(orders: DataFrame) -> DataFrame:
+    """Correlated-subquery shape: orders priced above their customer's own
+    average — decorrelated as an aggregate + self-join (what Catalyst does
+    to the subquery form)."""
+    avgs = orders.groupBy("o_custkey").agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        orders.join(avgs, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_above_avg"),
+            F.round(F.avg(F.col("o_totalprice") - F.col("cust_avg")), 4).alias(
+                "avg_excess"
+            ),
+        )
+    )
+
+
+ORDERS_ABOVE_CUSTOMER_AVG_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_above_avg,
+       round(avg(o_totalprice - cust_avg), 4) AS avg_excess
+FROM (
+  SELECT o.*, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders o
+)
+WHERE o_totalprice > cust_avg
+GROUP BY o_orderpriority
+"""

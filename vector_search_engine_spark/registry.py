@@ -480,6 +480,44 @@ def brand_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("quantity_quantiles", oracle=rel_ops.QUANTITY_QUANTILES_ORACLE)
+def quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) per return flag."""
+    return rel_ops.quantity_quantiles(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("orders_above_customer_avg", oracle=rel_ops.ORDERS_ABOVE_CUSTOMER_AVG_ORACLE)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape, decorrelated as agg + self-join."""
+    return rel_ops.orders_above_customer_avg(load_table(spark, sf_dir, "orders"))
+
+
+@register("sql_revenue_by_nation", oracle=None)
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end surface: same engine, declared via spark.sql over
+    temp views (proves the full ANSI path works, not just the DataFrame
+    API).  Oracle: identical SQL text runs on DuckDB (set below)."""
+    for t in ("nation", "customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_REVENUE_BY_NATION)
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+ORACLES["sql_revenue_by_nation"] = SQL_REVENUE_BY_NATION
+
+
 @register("orders_cube", oracle=rel_ops.ORDER_STATUS_CUBE_ORACLE)
 def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (all 4 combos in one shuffle)."""
