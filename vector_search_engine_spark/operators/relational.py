@@ -199,10 +199,14 @@ FROM r WHERE rn <= 3
 
 
 def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Anti-join: customers that never ordered, counted per nation."""
+    """Anti-join: customers with no URGENT orders, counted per nation.
+    (The fixture gives every customer at least one order, so the anti-join
+    runs against the urgent subset to exercise non-vacuous semantics at
+    every scale factor: 18 customers at sf0.001, 203 at sf0.01.)"""
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         customer.join(
-            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+            urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
         )
         .groupBy("c_nationkey")
         .agg(F.count("*").cast("long").alias("n_customers"))
@@ -212,7 +216,8 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
 CUSTOMERS_WITHOUT_ORDERS_ORACLE = """
 SELECT c_nationkey, count(*) AS n_customers
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
 """
 

@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # keep saveAsTable warehouses out of the repo / cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("VSE_WAREHOUSE_DIR", "/tmp/vse_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
