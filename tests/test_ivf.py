@@ -134,3 +134,17 @@ def test_sq8_codes_are_byte_packed(spark, embeddings):
     dim = len(embeddings.first().embedding)
     assert len(bytes(row.code)) == dim  # 1 byte/element, 4x under float32
     assert row.lo <= row.hi
+
+
+def test_recall_monotone_in_nprobe(spark, sf_dir):
+    """The ef_search↦nprobe knob contract: recall@10 is non-decreasing in
+    nprobe and hits 1.0 at full probe (fixture geometry note in
+    registry.ann_ivf_recall_curve)."""
+    from vector_search_engine_spark import registry
+
+    rows = sorted(
+        (r.nprobe, r.recall_at_k)
+        for r in registry.QUERIES["ann_ivf_recall_curve"](spark, sf_dir).collect()
+    )
+    recalls = [rec for _, rec in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))
