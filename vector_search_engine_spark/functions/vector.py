@@ -97,3 +97,39 @@ def cosine_sim_matrix(V: np.ndarray, Q: np.ndarray) -> np.ndarray:
     vn[vn == 0.0] = 1.0
     qn[qn == 0.0] = 1.0
     return (V / vn) @ (Q / qn).T
+
+
+def label_centroid_components(
+    vectors, group_col: str = "label", vec_col: str = "embedding"
+):
+    """Per-group vector centroid via a GROUPED-AGG pandas UDF (the one
+    Arrow UDF shape the engine didn't exercise elsewhere): mean over the
+    group's stacked vectors in one NumPy reduction, exploded to
+    (group, dim_idx, component) scalars for oracle hashing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit GROUPED_AGG: type-hint inference has no spelling for an
+    # array-returning grouped aggregate
+    @F.pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
+    def centroid(vs):
+        return np.stack(vs.to_numpy()).astype(np.float64).mean(axis=0).tolist()
+
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — two aggs, joined on the tiny key
+    cents = vectors.groupBy(group_col).agg(centroid(F.col(vec_col)).alias("c"))
+    counts = vectors.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    agg = cents.join(counts, group_col)
+    return agg.select(
+        group_col,
+        "n_vectors",
+        F.posexplode("c").alias("dim_idx", "component"),
+    ).select(
+        group_col,
+        "n_vectors",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round("component", 4).alias("component"),
+    )

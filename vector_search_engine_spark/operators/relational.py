@@ -402,3 +402,60 @@ FROM (
 WHERE o_totalprice > cust_avg
 GROUP BY o_orderpriority
 """
+
+
+def customer_order_window_zoo(orders: DataFrame) -> DataFrame:
+    """The window-function zoo in one pass per customer order history:
+    running totals, moving average, lag/lead, rank family, ntile —
+    all over a single (partition, order) spec = one shuffle."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, 0)
+    wmov = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(_money("o_totalprice")).over(wrows).cast("double"), 2).alias(
+            "running_total"
+        ),
+        F.round(F.avg("o_totalprice").over(wmov), 4).alias("moving_avg3"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.rank()
+        .over(Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc()))
+        .cast("long")
+        .alias("price_rank"),
+        F.ntile(4)
+        .over(
+            # o_orderkey tiebreak: ntile assigns by position, so an
+            # order-by with ties is engine-nondeterministic
+            Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+        )
+        .cast("int")
+        .alias("price_quartile"),
+    )
+
+
+CUSTOMER_ORDER_WINDOW_ZOO_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_total,
+       round(avg(o_totalprice)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+       round(lag(o_totalprice, 1)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+           AS prev_price,
+       round(lead(o_totalprice, 1)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+           AS next_price,
+       row_number()
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS order_seq,
+       rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+           AS price_rank,
+       ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)::INT
+           AS price_quartile
+FROM orders
+"""

@@ -213,6 +213,40 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_centroids",
+    oracle="""
+WITH u AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim_idx,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+n AS (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT u.label, n.n_vectors, u.dim_idx::INT AS dim_idx,
+       round(avg(u.x), 4) AS component
+FROM u JOIN n USING (label)
+GROUP BY u.label, n.n_vectors, u.dim_idx
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector centroids via a grouped-agg pandas UDF (one NumPy
+    mean per group), exploded to scalar components for the oracle."""
+    from vector_search_engine_spark.functions.vector import (
+        label_centroid_components,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_components(emb)
+
+
+@register("window_function_zoo", oracle=rel_ops.CUSTOMER_ORDER_WINDOW_ZOO_ORACLE)
+def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals, moving average, lag/lead, rank family, ntile —
+    the full window-function surface in one pass."""
+    return rel_ops.customer_order_window_zoo(load_table(spark, sf_dir, "orders"))
+
+
+@register(
     "knn_self_similarity_pairs",
     oracle=f"""
 WITH d AS (
