@@ -160,6 +160,38 @@ LIMIT 50
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def daily_event_type_pivot(events: DataFrame) -> DataFrame:
+    """True relational PIVOT (``RelationalGroupedDataset.pivot``): one
+    column per event type, one row per day.  Pinning the pivot values
+    skips the extra distinct-values job Spark otherwise runs — at 100 TB
+    that first pass is a full scan you don't want."""
+    return (
+        # date_trunc (timestamp), not to_date: Python date objects land as
+        # dtype=object driver-side, which the value-hash comparator
+        # stringifies while the oracle's DATE arrives as datetime64
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        # count(*) is rejected inside a Pivot; count(lit(1)) is the same agg
+        .agg(F.count(F.lit(1)).cast("long"))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+DAILY_EVENT_TYPE_PIVOT_ORACLE = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events
+GROUP BY date_trunc('day', ts)
+"""
+
+
 def sliding_window_stats(events: DataFrame) -> DataFrame:
     """Sliding event-time windows (1 h wide, every 30 min) — each event
     lands in exactly 2 windows; one shuffle after Spark expands the

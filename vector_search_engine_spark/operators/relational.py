@@ -266,6 +266,71 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
+def lineitem_grouping_sets(lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the general form cube/rollup specialize
+    (SURVEY.md §2.7: absent from the reference): (flag, status), (flag),
+    and grand total in ONE shuffle, distinguished by grouping_id."""
+    return lineitem.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.round(
+            F.sum(_money("l_extendedprice")).cast("double") / F.count("*"), 4
+        ).alias("avg_price"),
+    )
+
+
+LINEITEM_GROUPING_SETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def brand_price_unpivot(part: DataFrame) -> DataFrame:
+    """UNPIVOT (wide -> long): per-brand price stats melted to
+    (brand, metric, price) rows — one narrow shuffle then a zero-shuffle
+    unpivot generator, vs the oracle's 3-way UNION ALL re-scan."""
+    agg = part.groupBy("p_brand").agg(
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        F.round(
+            F.sum(_money("p_retailprice")).cast("double") / F.count("*"), 4
+        ).alias("avg_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+    )
+    return agg.unpivot(
+        "p_brand", ["min_price", "avg_price", "max_price"], "metric", "price"
+    )
+
+
+BRAND_PRICE_UNPIVOT_ORACLE = """
+WITH s AS (
+  SELECT p_brand,
+         round(min(p_retailprice), 2) AS min_price,
+         round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*), 4) AS avg_price,
+         round(max(p_retailprice), 2) AS max_price
+  FROM part GROUP BY p_brand
+)
+SELECT p_brand, 'min_price' AS metric, min_price AS price FROM s
+UNION ALL
+SELECT p_brand, 'avg_price', avg_price FROM s
+UNION ALL
+SELECT p_brand, 'max_price', max_price FROM s
+"""
+
+
 def shipdate_set_ops(lineitem: DataFrame) -> DataFrame:
     """Set operations (INTERSECT / EXCEPT / UNION, distinct semantics) on
     the part-key sets shipped in two adjacent years."""

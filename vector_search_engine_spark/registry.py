@@ -568,6 +568,18 @@ def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel_ops.order_status_cube(load_table(spark, sf_dir, "orders"))
 
 
+@register("lineitem_grouping_sets", oracle=rel_ops.LINEITEM_GROUPING_SETS_ORACLE)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping_id in one shuffle."""
+    return rel_ops.lineitem_grouping_sets(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("brand_price_unpivot", oracle=rel_ops.BRAND_PRICE_UNPIVOT_ORACLE)
+def brand_price_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT wide per-brand stats to (brand, metric, price) rows."""
+    return rel_ops.brand_price_unpivot(load_table(spark, sf_dir, "part"))
+
+
 @register("shipdate_set_ops", oracle=rel_ops.SHIPDATE_SET_OPS_ORACLE)
 def shipdate_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION (distinct semantics) on part-key sets."""
@@ -607,6 +619,12 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle (first-seen day × day offset)."""
     return ev_ops.user_cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@register("events_daily_pivot", oracle=ev_ops.DAILY_EVENT_TYPE_PIVOT_ORACLE)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: one column per event type, one row per day."""
+    return ev_ops.daily_event_type_pivot(load_table(spark, sf_dir, "events"))
 
 
 @register("events_sliding_window", oracle=ev_ops.SLIDING_WINDOW_STATS_ORACLE)
