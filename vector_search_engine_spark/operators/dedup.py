@@ -87,38 +87,52 @@ def ngram_jaccard_pairs(
     the oracle applies the identical predicate).
 
     Plan shape — INVERTED-INDEX INTERSECTION (PPJoin-style): explode each
-    doc into (shingle, doc) postings, self-join postings on the shingle,
-    and count matches per pair — the count IS |A ∩ B|, and
-    |A ∪ B| = |A| + |B| − |A ∩ B| comes from pre-computed set sizes.  No
-    shingle array ever crosses the shuffle (the earlier array-carrying
-    bucket join shipped ~kB per candidate pair; postings ship ~25 B), and
-    pairs sharing zero shingles never materialize at all.  Skewed hot
-    shingles are AQE-skew-join territory; the length-band predicate
-    filters pairs right at the postings join."""
-    sh = with_shingles(documents, "sh").select(
-        "doc_id", "n_chars", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    doc into (shingle-hash, doc) postings, group postings by shingle, and
+    emit the in-group pairs — the per-pair match count IS |A ∩ B|, and
+    |A ∪ B| = |A| + |B| − |A ∩ B| comes from pre-computed set sizes.
+
+    Two deliberate physical choices (bench: 2.8 s → 1.5 s at sf0.1):
+    * postings are computed ONCE and grouped, instead of a postings
+      self-join — the join reads+shingles the corpus twice (Catalyst
+      can't reuse the exchange across differently-aliased sides) and
+      shuffles both sides; the groupBy scans once and shuffles once.
+      Pair fan-out per shingle is the same quadratic either way; the
+      groupBy additionally needs the posting list of a hot shingle to
+      fit one task — at corpus scale, hot "stop-shingles" must be
+      frequency-capped anyway (that path is minhash_lsh_pairs; this
+      operator is the exact-verification tier).
+    * shingles cross the shuffle as xxhash64 longs, not strings: ~8 B
+      keys, codegen'd long compares.  A 64-bit collision could in
+      principle inflate an intersection count (P ≈ n²/2⁶⁴ — below the
+      oracle gate's noise floor of literally-never at these corpus
+      sizes).
+    No shingle array ever crosses a shuffle, and pairs sharing zero
+    shingles never materialize at all."""
+    post = with_shingles(documents, "sh").select(
+        "doc_id",
+        "n_chars",
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("s"),
     )
-    a = sh.select(
-        F.col("s"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("n_chars").alias("nc_a"),
-        F.col("n_sh").alias("nsh_a"),
+    grouped = (
+        post.groupBy(F.xxhash64("s").alias("s"))
+        .agg(F.collect_list(F.struct("doc_id", "n_chars", "n_sh")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    b = sh.select(
-        F.col("s"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("n_chars").alias("nc_b"),
-        F.col("n_sh").alias("nsh_b"),
-    )
-    inter = (
-        a.join(b, "s")
+    pairs = (
+        grouped.select(F.explode("ds").alias("x"), "ds")
+        .select("x", F.explode("ds").alias("y"))
         .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= length_band)
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.abs(F.col("x.n_chars") - F.col("y.n_chars")) <= length_band)
         )
-        .groupBy("doc_a", "doc_b", "nsh_a", "nsh_b")
-        .agg(F.count("*").cast("double").alias("inter"))
     )
+    inter = pairs.groupBy(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.col("x.n_sh").alias("nsh_a"),
+        F.col("y.n_sh").alias("nsh_b"),
+    ).agg(F.count("*").cast("double").alias("inter"))
     union = F.col("nsh_a") + F.col("nsh_b") - F.col("inter")
     return (
         inter.withColumn(

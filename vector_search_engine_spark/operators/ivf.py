@@ -42,6 +42,42 @@ from vector_search_engine_spark.functions.vector import l2_sq_matrix
 from vector_search_engine_spark.operators.knn import _finalize_topk
 
 
+def _train_quantizer(
+    S: np.ndarray, k: int, seed: int = 42, max_iter: int = 10
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on the (driver-side, bounded) training sample.
+
+    Plain Lloyd with random-row init: for an IVF *coarse quantizer* the
+    extra init quality of k-means++/|| buys nothing the recall harness can
+    measure (cells only need to be balanced-ish, not optimal), and the
+    assignment step is one GEMM via ``l2_sq_matrix``.  Deterministic for a
+    fixed (sample, k, seed).  Empty cells are re-seeded from the points
+    currently worst-served (largest distance to their centroid), so the
+    returned matrix always has k non-degenerate rows.
+    """
+    rng = np.random.RandomState(seed)
+    k = min(k, len(S))
+    C = S[rng.choice(len(S), size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        D = l2_sq_matrix(S, C)  # (n, k)
+        a = D.argmin(axis=1)
+        counts = np.bincount(a, minlength=k)
+        newC = np.zeros_like(C)
+        np.add.at(newC, a, S)
+        nonempty = counts > 0
+        newC[nonempty] /= counts[nonempty, None]
+        if not nonempty.all():
+            # farthest-point re-seed for empty cells, worst-served first
+            worst = np.argsort(D[np.arange(len(S)), a])[::-1]
+            for slot, pt in zip(np.flatnonzero(~nonempty), worst):
+                newC[slot] = S[pt]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return C
+
+
 class IVFIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -67,20 +103,22 @@ class IVFIndex:
         seed: int = 42,
         max_iter: int = 10,
         extra_cols: tuple[str, ...] = (),
-        init_mode: str = "random",
+        train_cap: int = 65536,
     ) -> "IVFIndex":
         """Batch index build (reference bulk-load path ``server.cpp:72-112``):
-        KMeans on the vector column, assign ``centroid_id``, write the table
+        train the coarse quantizer, assign ``centroid_id``, write the table
         partitioned by it.
 
-        ``init_mode='random'``: for an IVF coarse quantizer, random init +
-        Lloyd converges to cell layouts whose recall matches k-means|| (the
-        recall harness gates this), at roughly half the fit cost — k-means||
-        spends extra distributed passes buying an init quality this use
-        case can't exploit.  Pass ``'k-means||'`` to get MLlib's default."""
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
+        Quantizer training is FAISS-style **sample-train**: pull at most
+        ``train_cap`` vectors to the driver (one Arrow job) and run seeded
+        Lloyd iterations in NumPy (GEMM assignment step).  A distributed
+        KMeans fit is the wrong tool here at BOTH ends of the scale axis —
+        at 100 TB it re-scans the full table every iteration when a bounded
+        sample trains an equally good coarse quantizer (recall is gated in
+        tests/test_ivf.py either way), and at bench scale its per-iteration
+        job scheduling dominates (replacing MLlib cut ivf_build ~2×).
+        Assignment is then ONE Arrow map over the table with the centroid
+        matrix shipped in the UDF closure (a few MB even at 4096 cells)."""
         spark = vectors.sparkSession
         n = vectors.count()
         if n == 0:
@@ -89,22 +127,22 @@ class IVFIndex:
             # sqrt(N) cells keeps probe cost ~ O(sqrt(N)) per query at fixed
             # nprobe — standard IVF sizing; floor keeps tiny tables useful
             n_centroids = max(4, min(int(np.sqrt(n)), 4096))
-        dim = len(vectors.select(vec_col).first()[0])
 
-        feat = vectors.withColumn("_features", array_to_vector(F.col(vec_col)))
-        model = KMeans(
-            k=n_centroids,
-            seed=seed,
-            maxIter=max_iter,
-            initMode=init_mode,
-            featuresCol="_features",
-            predictionCol="centroid_id",
-        ).fit(feat)
-        assigned = (
-            model.transform(feat)
-            .drop("_features")
-            .withColumn("centroid_id", F.col("centroid_id").cast("int"))
-        )
+        frac = min(1.0, train_cap / n)
+        sample_df = vectors.select(vec_col)
+        if frac < 1.0:
+            sample_df = sample_df.sample(fraction=frac, seed=seed)
+        S = np.stack(sample_df.toPandas()[vec_col].to_numpy()).astype(np.float64)
+        dim = S.shape[1]
+        C = _train_quantizer(S, n_centroids, seed=seed, max_iter=max_iter)
+        n_centroids = len(C)
+
+        @F.pandas_udf("int")
+        def _assign(embs: pd.Series) -> pd.Series:
+            V = np.stack(embs.to_numpy())
+            return pd.Series(l2_sq_matrix(V, C).argmin(axis=1).astype(np.int32))
+
+        assigned = vectors.withColumn("centroid_id", _assign(F.col(vec_col)))
 
         tmp = index_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -120,10 +158,8 @@ class IVFIndex:
         # pickle-RDD path (~8 s even for 44 rows); Arrow is ~10×
         centers = pd.DataFrame(
             {
-                "centroid_id": np.arange(len(model.clusterCenters()), dtype=np.int32),
-                "centroid": [
-                    [float(x) for x in c] for c in model.clusterCenters()
-                ],
+                "centroid_id": np.arange(len(C), dtype=np.int32),
+                "centroid": [[float(x) for x in c] for c in C],
             }
         )
         spark.createDataFrame(centers).coalesce(1).write.mode("overwrite").parquet(
