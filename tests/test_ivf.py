@@ -148,3 +148,54 @@ def test_recall_monotone_in_nprobe(spark, sf_dir):
     )
     recalls = [rec for _, rec in rows]
     assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))
+
+
+def test_radius_search_pruned_equals_brute(spark, embeddings, index):
+    q = knn_ops.make_queries(embeddings, n=10)
+    brute = {
+        (r.qid, r.neighbor_id, r.dist_sq)
+        for r in knn_ops.radius_search(embeddings, q, 1.5).collect()
+    }
+    pruned = {
+        (r.qid, r.neighbor_id, r.dist_sq)
+        for r in index.radius_search(q, 1.5).collect()
+    }
+    assert pruned == brute  # triangle-inequality pruning is lossless
+    assert len(brute) >= 10  # at least the self-pairs
+
+
+def test_radius_search_tiny_radius_is_self_only(spark, embeddings, index):
+    # queries are a subset of the vectors; fixture geometry has no other
+    # pair inside 1e-4 (FIXTURES.md), so a tiny radius returns exactly
+    # the self-pairs at distance 0
+    q = knn_ops.make_queries(embeddings, n=10)
+    rows = index.radius_search(q, 1e-6).collect()
+    assert {(r.qid, r.neighbor_id) for r in rows} == {(i, i) for i in range(10)}
+    assert all(r.dist_sq == 0.0 for r in rows)
+
+
+def test_radius_search_prunes_cells(spark, embeddings, index):
+    # the triangle rule must rule out at least one (query, cell) pair for
+    # a small radius on the fixture's spread-out cells
+    import numpy as np
+    from vector_search_engine_spark.functions.vector import l2_sq_matrix
+
+    q = knn_ops.make_queries(embeddings, n=10)
+    qrows = q.collect()
+    Q = np.array([r["query"] for r in qrows], dtype=np.float64)
+    radii = {
+        int(r["centroid_id"]): float(r["r_sq"])
+        for r in index.vectors()
+        .groupBy("centroid_id")
+        .agg(F.max("dist_to_centroid").alias("r_sq"))
+        .collect()
+    }
+    Dqc = l2_sq_matrix(Q, index.centroids)
+    r = np.sqrt(1e-6)
+    n_probed = sum(
+        1
+        for qi in range(len(Q))
+        for ci, cid in enumerate(index.centroid_ids)
+        if np.sqrt(Dqc[qi, ci]) <= r + np.sqrt(radii.get(int(cid), 0.0))
+    )
+    assert n_probed < len(Q) * len(index.centroid_ids)

@@ -137,23 +137,41 @@ class IVFIndex:
         C = _train_quantizer(S, n_centroids, seed=seed, max_iter=max_iter)
         n_centroids = len(C)
 
-        @F.pandas_udf("int")
-        def _assign(embs: pd.Series) -> pd.Series:
+        @F.pandas_udf("centroid_id int, dist_to_centroid double")
+        def _assign(embs: pd.Series) -> pd.DataFrame:
             V = np.stack(embs.to_numpy())
-            return pd.Series(l2_sq_matrix(V, C).argmin(axis=1).astype(np.int32))
+            D = l2_sq_matrix(V, C)
+            a = D.argmin(axis=1)
+            return pd.DataFrame(
+                {
+                    "centroid_id": a.astype(np.int32),
+                    "dist_to_centroid": D[np.arange(len(a)), a],
+                }
+            )
 
-        assigned = vectors.withColumn("centroid_id", _assign(F.col(vec_col)))
+        # dist_to_centroid rides along into the index files: per-cell radii
+        # (max over the cell) make radius_search's triangle-inequality
+        # pruning exact, and sorting each cell by it gives monotone parquet
+        # row-group stats — both for free, since the assignment GEMM
+        # already computed the distances
+        assigned = vectors.withColumn("_a", _assign(F.col(vec_col))).select(
+            "*", F.col("_a.centroid_id"), F.col("_a.dist_to_centroid")
+        ).drop("_a")
 
         tmp = index_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
-        cols = [id_col, vec_col, *extra_cols, "centroid_id"]
+        cols = [id_col, vec_col, *extra_cols, "dist_to_centroid", "centroid_id"]
         # repartition on the partition column first: exactly one file per
         # centroid cell instead of (tasks × centroids) — the direct write's
-        # small-file pressure gets worse, not better, at cluster scale
-        assigned.select(*cols).repartition("centroid_id").write.mode(
-            "overwrite"
-        ).partitionBy("centroid_id").parquet(os.path.join(tmp, "vectors"))
+        # small-file pressure gets worse, not better, at cluster scale.
+        # sortWithinPartitions: rows inside each cell file ordered by
+        # distance-to-centroid (monotone row-group min/max stats)
+        assigned.select(*cols).repartition("centroid_id").sortWithinPartitions(
+            "centroid_id", "dist_to_centroid"
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(tmp, "vectors")
+        )
         # pandas → Arrow path: createDataFrame from a Python list takes the
         # pickle-RDD path (~8 s even for 44 rows); Arrow is ~10×
         centers = pd.DataFrame(
@@ -175,6 +193,7 @@ class IVFIndex:
                     "extra_cols": list(extra_cols),
                     "n_vectors": n,
                     "seed": seed,
+                    "format": 2,  # v2: dist_to_centroid column, cell-sorted
                 },
                 f,
             )
@@ -303,6 +322,87 @@ class IVFIndex:
         )
         return _finalize_topk(cand_topk, k, "l2_sq")
 
+    def radius_search(
+        self,
+        queries: DataFrame,
+        radius_sq: float,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+    ) -> DataFrame:
+        """EXACT range search with index pruning: all (query, vector) pairs
+        with squared L2 <= radius_sq, scanning only cells that can contain
+        a hit.  Triangle inequality on the coarse quantizer: for v in cell
+        c, d(q,v) >= d(q,centroid_c) - R_c where R_c is the cell's max
+        member distance (stored squared at build; compared via sqrt), so a
+        cell is probed iff sqrt(d(q,c)) <= r + R_c.  Unlike top-k probing
+        this prunes with zero recall loss — results are bit-identical to
+        the brute-force scan (the same oracle SQL gates both).
+        """
+        spark = self.spark
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        qrows = queries.select(qid_col, qvec_col).collect()
+        if not qrows:
+            return spark.createDataFrame([], "qid long, neighbor_id long, dist_sq double")
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
+
+        # per-cell radii: one column-pruned scan of the index's stats column
+        radii = {
+            int(r["centroid_id"]): float(r["r_sq"])
+            for r in self.vectors()
+            .groupBy("centroid_id")
+            .agg(F.max("dist_to_centroid").alias("r_sq"))
+            .collect()
+        }
+        Dqc = l2_sq_matrix(Q.astype(np.float64), self.centroids)  # (|Q|, C)
+        r = float(np.sqrt(radius_sq))
+        pairs = [
+            (int(q), int(cid))
+            for qi, q in enumerate(qids)
+            for ci, cid in enumerate(self.centroid_ids)
+            if np.sqrt(Dqc[qi, ci]) <= r + np.sqrt(radii.get(int(cid), 0.0))
+        ]
+        if not pairs:
+            return spark.createDataFrame([], "qid long, neighbor_id long, dist_sq double")
+        pairs_df = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
+                {"qid": "int64", "centroid_id": "int32"}
+            )
+        )
+        needed = sorted({c for _, c in pairs})
+        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
+        bc = spark.sparkContext.broadcast(qmap)
+
+        base = self.vectors().filter(F.col("centroid_id").isin(needed))
+        cand = base.join(F.broadcast(pairs_df), "centroid_id").select(
+            F.col("qid"), F.col(id_col), F.col(vec_col)
+        )
+
+        def in_radius(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for qid, grp in pdf.groupby("qid"):
+                    q = qm[int(qid)]
+                    ids = grp[id_col].to_numpy(dtype=np.int64)
+                    V = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                    d = (V * V).sum(axis=1) - 2.0 * (V @ q) + float(q @ q)
+                    np.maximum(d, 0.0, out=d)
+                    hit = d <= radius_sq
+                    if hit.any():
+                        yield pd.DataFrame(
+                            {"qid": int(qid), "neighbor_id": ids[hit], "dist": d[hit]}
+                        )
+
+        out = cand.mapInPandas(
+            in_radius, schema="qid long, neighbor_id long, dist double"
+        )
+        return out.select(
+            "qid", "neighbor_id", F.round("dist", 4).alias("dist_sq")
+        )
+
 
 # ---------------------------------------------------------------------------
 # Cached build for the query registry (the driver re-invokes callables in
@@ -319,7 +419,7 @@ def build_or_load(
     table: str = "embeddings",
     extra_cols: tuple[str, ...] = ("label",),
 ) -> IVFIndex:
-    key = f"{sf_dir.strip('/').replace('/', '_')}_{table}_{n_centroids or 'auto'}"
+    key = f"{sf_dir.strip('/').replace('/', '_')}_{table}_{n_centroids or 'auto'}_v2"
     index_dir = os.path.join(_CACHE_ROOT, key)
     if os.path.exists(os.path.join(index_dir, "meta.json")):
         return IVFIndex(spark, index_dir)

@@ -172,6 +172,52 @@ def knn_exact(
     return _finalize_topk(cand, k, metric)
 
 
+def radius_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius_sq: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact range search: every (query, vector) pair with squared L2
+    <= radius_sq — the threshold-membership sibling of top-k (the
+    reference's surface is top-k only; range search is the standard
+    missing member of the family).  Same GEMM-per-Arrow-batch kernel as
+    ``knn_exact``, but output size is data-dependent (no per-partition
+    cut), so each partition emits exactly its hits and nothing shuffles
+    but results."""
+    spark = vectors.sparkSession
+    qrows = queries.select("qid", "query").collect()
+    if not qrows:
+        return spark.createDataFrame([], "qid long, neighbor_id long, dist_sq double")
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([np.asarray(r["query"], dtype=np.float32) for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf[vec_col].to_numpy())
+            D = l2_sq_matrix(V, Q_)  # (n, m)
+            rows, cols = np.nonzero(D <= radius_sq)
+            if len(rows):
+                yield pd.DataFrame(
+                    {
+                        "qid": qids_[cols],
+                        "neighbor_id": ids[rows],
+                        "dist": D[rows, cols],
+                    }
+                )
+
+    out = vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        scan, schema="qid long, neighbor_id long, dist double"
+    )
+    return out.select("qid", "neighbor_id", F.round("dist", 4).alias("dist_sq"))
+
+
 def knn_filtered(
     vectors: DataFrame,
     queries: DataFrame,

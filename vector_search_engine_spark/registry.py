@@ -105,6 +105,32 @@ def knn_exact_l2_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RADIUS_SQ = 1.5  # in a gap of the fixture's pair-distance distribution
+_RADIUS_ORACLE = f"""
+WITH q AS ({_DD_QUERIES})
+SELECT q.qid, e.vec_id AS neighbor_id,
+       round({_DD_L2SQ.format(a="e.embedding", b="q.query")}, 4) AS dist_sq
+FROM embeddings e CROSS JOIN q
+WHERE {_DD_L2SQ.format(a="e.embedding", b="q.query")} <= {RADIUS_SQ}
+"""
+
+
+@register("knn_radius_search", oracle=_RADIUS_ORACLE)
+def knn_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact range search (all neighbors within squared-L2 radius)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.radius_search(emb, knn_ops.make_queries(emb), RADIUS_SQ)
+
+
+@register("ann_ivf_radius", oracle=_RADIUS_ORACLE)
+def ann_ivf_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-pruned range search — triangle-inequality cell pruning keeps
+    it EXACT (same oracle as the brute-force form gates that claim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf.build_or_load(spark, sf_dir)
+    return idx.radius_search(knn_ops.make_queries(emb), RADIUS_SQ)
+
+
 @register(
     "knn_exact_cosine",
     oracle=f"""

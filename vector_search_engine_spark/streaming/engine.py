@@ -181,10 +181,17 @@ class VectorEngine:
                     + (C_ * C_).sum(axis=1)[None, :]
                 )
                 pdf = pdf.copy()
-                pdf["centroid_id"] = cids_[np.argmin(D, axis=1)].astype("int32")
+                a = np.argmin(D, axis=1)
+                pdf["centroid_id"] = cids_[a].astype("int32")
+                # index layout v2 carries the assignment distance (cell
+                # radii for exact radius_search pruning)
+                pdf["dist_to_centroid"] = D[np.arange(len(a)), a]
                 yield pdf
 
-        schema = f"{id_col} long, {vec_col} array<float>, centroid_id int"
+        schema = (
+            f"{id_col} long, {vec_col} array<float>, "
+            "centroid_id int, dist_to_centroid double"
+        )
         return rows.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
     def compact(self) -> int:
@@ -215,10 +222,12 @@ class VectorEngine:
         survivors = (
             indexed.filter(F.col("centroid_id").isin(affected))
             .join(delta_id_df, id_col, "left_anti")
-            .select(id_col, vec_col, "centroid_id")
+            .select(id_col, vec_col, "dist_to_centroid", "centroid_id")
         )
         new_rows = assigned.filter(F.col("centroid_id").isin(affected))
-        rewritten = survivors.unionByName(new_rows)
+        rewritten = survivors.unionByName(
+            new_rows.select(id_col, vec_col, "dist_to_centroid", "centroid_id")
+        ).sortWithinPartitions("centroid_id", "dist_to_centroid")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         rewritten.write.mode("overwrite").partitionBy("centroid_id").parquet(
             self.index_vectors_dir()
