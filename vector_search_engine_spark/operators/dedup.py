@@ -429,6 +429,44 @@ def corpus_dedup_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_approx_distinct(
+    documents: DataFrame, rsd: float = 0.01, tol: float = 0.05
+) -> DataFrame:
+    """Sketch-based dedup accounting: HyperLogLog++ distinct counts per
+    source (SURVEY.md §2.7 aggregations row).  At 100 TB the exact
+    count-distinct's shuffle carries every distinct hash; the HLL sketch
+    is a few KB per group and merges map-side.  The output pins the
+    accuracy contract instead of the raw estimate — ``hll_within_tol``
+    must be uniformly true (the oracle emits literal TRUE), so the
+    correctness gate fails if the sketch ever drifts past ``tol``."""
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("text").cast("long").alias("n_distinct"),
+            F.approx_count_distinct("text", rsd).alias("_approx"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (
+                F.abs(F.col("_approx") - F.col("n_distinct"))
+                / F.col("n_distinct")
+                <= tol
+            ).alias("hll_within_tol"),
+        )
+    )
+
+
+CORPUS_APPROX_DISTINCT_ORACLE = """
+SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+       TRUE AS hll_within_tol
+FROM documents
+GROUP BY source
+"""
+
+
 CORPUS_DEDUP_STATS_ORACLE = f"""
 WITH h AS (
   SELECT source, md5({DD_NORMALIZED.format(t="text")}) AS h, n_chars

@@ -737,6 +737,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "corpus_approx_distinct", oracle=dedup_ops.CORPUS_APPROX_DISTINCT_ORACLE
+)
+def corpus_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct counts, accuracy-gated against exact."""
+    return dedup_ops.corpus_approx_distinct(load_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_dedup_stats", oracle=dedup_ops.CORPUS_DEDUP_STATS_ORACLE)
 def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup accounting (docs, exact-distinct, dup ratio)."""
