@@ -149,3 +149,21 @@ def test_lang_id_deterministic(documents):
     assert out.count() == documents.count()
     preds = {r.predicted_lang for r in out.collect()}
     assert preds <= {"en", "de", "es", "fr", "zh"}
+
+
+def test_capped_sample_is_exact_and_deterministic(spark, documents):
+    out1 = text_ops.capped_source_sample(documents, cap=7)
+    counts = {r.source: r.n for r in out1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    per_source = {
+        r.source: r.n
+        for r in documents.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in per_source.items():
+        assert counts[src] == min(7, n)
+    # pure function of (doc_id, salt, cap): identical on a repartitioned input
+    got1 = {(r.source, r.doc_id) for r in out1.collect()}
+    got2 = {
+        (r.source, r.doc_id)
+        for r in text_ops.capped_source_sample(documents.repartition(13), cap=7).collect()
+    }
+    assert got1 == got2

@@ -235,3 +235,56 @@ SELECT doc_id,
        len(s)::BIGINT AS n_shingles
 FROM sh
 """
+
+
+SAMPLE_SALT = "vse-sample:"
+SAMPLE_CAP = 10  # < docs-per-source at every SF, so the cap always bites
+
+
+def capped_source_sample(documents: DataFrame, cap: int = SAMPLE_CAP) -> DataFrame:
+    """Deterministic capped-per-source sampling: keep exactly
+    ``min(cap, |source|)`` docs per source, chosen by rank of a salted
+    md5 hash of the doc id.  The pipeline op for rebalancing a corpus
+    whose sources are wildly skewed — and, unlike ``sample()``/RNG
+    sampling, the kept set is a pure function of (doc_id, salt, cap):
+    reproducible across runs, engines, partitionings and cluster sizes
+    (the oracle replays the identical selection in SQL).  One shuffle on
+    source; the hash ranking is a window, so Spark's partial top-k
+    (rank <= cap pushes a per-partition limit under AQE) bounds memory.
+
+    15 hex chars of the md5 = 60 bits, so the rank key fits a BIGINT in
+    both engines."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        documents.select("source", "doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+CAPPED_SOURCE_SAMPLE_ORACLE = f"""
+WITH h AS (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM h
+)
+SELECT source, doc_id, rn FROM r WHERE rn <= {SAMPLE_CAP}
+"""

@@ -738,6 +738,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_capped_sample", oracle=txt_ops.CAPPED_SOURCE_SAMPLE_ORACLE
+)
+def corpus_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-ranked sampling: exactly cap docs per source."""
+    return txt_ops.capped_source_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_approx_distinct", oracle=dedup_ops.CORPUS_APPROX_DISTINCT_ORACLE
 )
 def corpus_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
