@@ -179,14 +179,25 @@ FROM p
 """
 
 
+# GPT-2-style pre-tokenizer, restricted to lookahead-free constructs so
+# RE2 (DuckDB) and java.util.regex (Spark) match it identically: a word,
+# a number run, a punctuation run (each with optional leading space), or
+# a whitespace run = one token
+BPE_SPLIT_REGEX = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
-    """Token counting: whitespace tokens + a BPE-ish char/4 estimate
-    (the standard ~4 chars/token heuristic for budgeting LLM corpora)."""
+    """Token counting three ways: whitespace tokens, a BPE-style
+    pre-tokenizer regex count (the real unit LLM corpus budgets are
+    written in), and the ~4-chars/token estimate as the sanity column."""
     t = tokens(F.col("text"))
     return documents.select(
         "doc_id",
         "source",
         F.size(t).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_REGEX), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
         F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("est_bpe_tokens"),
         F.col("n_chars").cast("long").alias("n_chars"),
     )
@@ -195,6 +206,8 @@ def token_counts(documents: DataFrame) -> DataFrame:
 TOKEN_COUNTS_ORACLE = f"""
 SELECT doc_id, source,
        len({DD_TOKENS.format(t="text")})::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))::BIGINT
+           AS n_bpe_tokens,
        ceil(len(text) / 4.0)::BIGINT AS est_bpe_tokens,
        n_chars::BIGINT AS n_chars
 FROM documents
