@@ -160,6 +160,57 @@ LIMIT 50
 """
 
 
+def hourly_gapfill(events: DataFrame) -> DataFrame:
+    """Gap-filled hourly rollup (the time_bucket_gapfill / hypertable
+    pattern): every (hour, event_type) cell over the corpus's [min, max]
+    hour span, zero-filled where no events landed.  The dense grid is
+    generated declaratively — ``sequence()`` over the 2-row min/max agg
+    crossed with the distinct types — so it is a broadcast-side derivation
+    (a few thousand rows) regardless of fact-table size; the only big-data
+    shuffle is the groupBy the rollup needs anyway."""
+    counts = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    span = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = span.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
+    ).crossJoin(events.select("event_type").distinct())
+    return (
+        grid.join(counts, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            (F.col("n_events").isNull()).alias("gap_filled"),
+        )
+    )
+
+
+HOURLY_GAPFILL_ORACLE = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+                                date_trunc('hour', max(ts)),
+                                INTERVAL 1 HOUR)) AS hour
+  FROM events
+),
+full_grid AS (
+  SELECT g.hour, t.event_type
+  FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT f.hour, f.event_type,
+       coalesce(c.n_events, 0) AS n_events,
+       c.n_events IS NULL AS gap_filled
+FROM full_grid f LEFT JOIN c ON f.hour = c.hour AND f.event_type = c.event_type
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

@@ -647,6 +647,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev_ops.user_cohort_retention(load_table(spark, sf_dir, "events"))
 
 
+@register("events_hourly_gapfill", oracle=ev_ops.HOURLY_GAPFILL_ORACLE)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid with zero-filled gaps (time_bucket_gapfill)."""
+    return ev_ops.hourly_gapfill(load_table(spark, sf_dir, "events"))
+
+
 @register("events_daily_pivot", oracle=ev_ops.DAILY_EVENT_TYPE_PIVOT_ORACLE)
 def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational PIVOT: one column per event type, one row per day."""
