@@ -974,6 +974,32 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return et.compact_session_updates(spark.read.parquet(f"{root}/updates"))
 
 
+from vector_search_engine_spark.streaming.event_time import (
+    STREAMING_INTERVAL_JOIN_ORACLE as _SSJ_ORACLE,
+)
+
+
+@register("streaming_interval_join", oracle=_SSJ_ORACLE)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ← same-user clicks within
+    30 min), replayed over 4 micro-batches; equals the batch self-join."""
+    import tempfile
+    import uuid
+
+    from vector_search_engine_spark.streaming import event_time as et
+
+    root = tempfile.mkdtemp(prefix="vse_stream_ssj_")
+    staged = et.stage_event_files(spark, sf_dir, f"{root}/staged", n_files=4)
+    table = f"ssj_{uuid.uuid4().hex[:8]}"
+    et.run_to_memory(
+        et.streaming_click_purchase_join(et.stream_events(spark, staged)),
+        checkpoint=f"{root}/ckpt",
+        table=table,
+        output_mode="append",
+    )
+    return spark.table(table)
+
+
 @register("streaming_merged_search", oracle=ORACLES["knn_exact_l2"])
 def streaming_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index the first 400 vectors, stream-insert the rest into the delta,

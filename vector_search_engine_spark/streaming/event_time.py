@@ -120,6 +120,58 @@ def streaming_hourly_stats(
     )
 
 
+def streaming_click_purchase_join(
+    events_stream: DataFrame,
+    watermark: str = "2 hours",
+    window_s: int = 1800,
+) -> DataFrame:
+    """Stream-stream INTERVAL JOIN (the remaining Structured Streaming
+    join shape): every purchase matched with the same user's clicks in
+    the preceding ``window_s`` seconds.  Both sides carry watermarks and
+    the join condition bounds event-time distance, so the state store
+    evicts rows older than watermark + interval — bounded state under
+    unbounded streams.  Inner join ⇒ append-mode results are final; the
+    batch twin (the oracle's plain self-join) must match exactly."""
+    clicks = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"interval {window_s} seconds")
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+STREAMING_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1800 SECOND
+"""
+
+
 def run_to_memory(
     stream_df: DataFrame,
     checkpoint: str,
