@@ -118,7 +118,7 @@ def json_props_stats(events: DataFrame) -> DataFrame:
 JSON_PROPS_STATS_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
        max(CAST(props->>'$.k' AS BIGINT)) AS max_k
 FROM events
