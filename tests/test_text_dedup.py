@@ -167,3 +167,21 @@ def test_capped_sample_is_exact_and_deterministic(spark, documents):
         for r in text_ops.capped_source_sample(documents.repartition(13), cap=7).collect()
     }
     assert got1 == got2
+
+
+def test_simhash_batch_matches_scalar_reference():
+    import pandas as pd
+
+    texts = [
+        "",
+        None,
+        "alpha",
+        "alpha beta gamma alpha",
+        "  padded   tokens  here ",
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "unicode tøkens émoji ☃ mixed",
+    ]
+    got = dedup_ops._simhash64_batch(pd.Series(texts))
+    for txt, sig in zip(texts, got):
+        toks = [t for t in (txt or "").strip().split(" ") if t]
+        assert sig == dedup_ops._simhash64(toks), txt

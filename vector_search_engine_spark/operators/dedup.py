@@ -29,11 +29,8 @@ from vector_search_engine_spark.functions.text import (
     DD_NORMALIZED,
     DD_SHINGLES3,
     DD_TOKENS,
-    jaccard,
     normalized,
-    tokens,
     with_shingles,
-    word_shingles,
 )
 
 # ---------------------------------------------------------------------------
@@ -199,7 +196,16 @@ def minhash_lsh_pairs(
     shingle → minhash (map) → explode bands (map) → self-join on band key
     (shuffle bounded by band fan-out) → distinct candidates → exact verify.
     Precision is exact (verification); recall is the LSH probability curve
-    (pytest-gated against ngram_jaccard_pairs)."""
+    (pytest-gated against ngram_jaccard_pairs).
+
+    The verify stage reuses the postings-intersection trick from
+    ngram_jaccard_pairs: candidate pairs join the (doc, shingle-hash)
+    postings — 8-byte longs — and |A ∩ B| is a count, |A ∪ B| comes from
+    the pre-computed set sizes.  No shingle array ever crosses a shuffle
+    (the previous cand ⋈ sh_a ⋈ sh_b shape shipped full array<string>
+    shingle sets through two shuffles).  A candidate pair sharing zero
+    shingles simply never materializes — identical output for any
+    threshold > 0."""
     n_bands = num_perm // band_size
     sig = minhash_signatures(documents, num_perm)
     bands = sig.select(
@@ -231,14 +237,29 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = with_shingles(documents, "sh").select("doc_id", "sh")
-    verified = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
+    post = (
+        with_shingles(documents, "sh")
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+        .select("doc_id", "n_sh", F.xxhash64("s").alias("s"))
     )
-    return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    pa = post.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("nsh_a"), "s"
+    )
+    pb = post.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nsh_b"), "s"
+    )
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "nsh_a", "nsh_b")
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    union = F.col("nsh_a") + F.col("nsh_b") - F.col("inter")
+    return (
+        inter.withColumn("jaccard", F.col("inter") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +270,12 @@ SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 8
 
 
+_BIT_WEIGHTS = np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+
 def _simhash64(toks: list[str]) -> np.int64:
+    """Scalar reference implementation (pytest pins the vectorized batch
+    path against it — keep them in lockstep)."""
     votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
     for tok in toks:
         h = int.from_bytes(
@@ -264,18 +290,38 @@ def _simhash64(toks: list[str]) -> np.int64:
     return np.int64(np.uint64(out).astype(np.int64))
 
 
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized SimHash: per row, one (n_tokens, 64) bit matrix and one
+    vote sum — no per-bit Python loop.  Token md5s are memoized across the
+    Arrow batch (natural-language batches repeat most tokens)."""
+    cache: dict[str, int] = {}
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, txt in enumerate(texts):
+        toks = [t for t in (txt or "").strip().split(" ") if t]
+        if not toks:
+            continue
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for j, tok in enumerate(toks):
+            h = cache.get(tok)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode("utf-8")).digest()[:8],
+                    "big",
+                    signed=False,
+                )
+                cache[tok] = h
+            hs[j] = h
+        bits = (hs[:, None] & _BIT_WEIGHTS[None, :]) != 0
+        votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+        out[i] = ((votes > 0) * _BIT_WEIGHTS).sum(dtype=np.uint64)
+    return pd.Series(out.view(np.int64))
+
+
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document (deterministic md5 token hashes), via an
-    Arrow-batched pandas UDF (bit-vote loop is genuinely imperative)."""
+    Arrow-batched pandas UDF with a NumPy-vectorized vote kernel."""
 
-    @F.pandas_udf("long")
-    def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for txt in texts:
-            toks = [t for t in (txt or "").strip().split(" ") if t]
-            out.append(_simhash64(toks))
-        return pd.Series(out, dtype="int64")
-
+    simhash_udf = F.pandas_udf(_simhash64_batch, "long")
     return documents.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
 
 
@@ -350,7 +396,7 @@ def embedding_lsh_pairs(
     p = 1 - acos(s)/pi — defaults give ~0.998 at s=0.9.  Tune n_planes up
     to shrink buckets (shuffle fan-out), n_tables up to recover recall.
     """
-    from vector_search_engine_spark.functions.vector import cosine_sim
+    from vector_search_engine_spark.functions.vector import cosine_sim_pairs_udf
 
     first = vectors.select(vec_col).first()
     if first is None:
@@ -360,51 +406,45 @@ def embedding_lsh_pairs(
     dim = len(first[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(0, 1, (n_tables, n_planes, dim))
+    # All n_tables×n_planes projections in ONE GEMM per Arrow batch.  The
+    # previous shape — an interpreted aggregate(zip_with(...)) lambda per
+    # (table, plane) per row — paid the ~40 µs/element HOF tax 32×
+    # per vector (see module bench notes).
+    plane_mat = planes.reshape(n_tables * n_planes, dim).T  # (dim, T·P)
+    bit_weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
 
-    def table_bucket(t: int) -> F.Column:
-        bucket = None
-        for p in range(n_planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in planes[t, p]]),
-                    lambda a, w: a.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket * 2 + bit
-        return bucket
+    @F.pandas_udf("array<int>")
+    def buckets_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vs.tolist(), dtype=np.float64)  # (B, dim)
+        bits = (V @ plane_mat >= 0).reshape(len(vs), n_tables, n_planes)
+        buckets = (bits * bit_weights).sum(axis=-1).astype(np.int32)
+        return pd.Series(list(buckets))
 
+    # Candidate generation and dedup carry ONLY (id, table, bucket) longs —
+    # vectors rejoin once per side after the pair set is deduped, and the
+    # exact verify is a vectorized pandas UDF (the interpreted-HOF cosine
+    # over the candidate fan-out was the dominant cost of this operator).
     sk = vectors.select(
         F.col(id_col),
-        F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"), table_bucket(t).alias("bucket")
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(F.col(id_col), F.col(vec_col), "tb.table", "tb.bucket")
-    a = sk.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "table", "bucket"
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("table", "bucket"),
     )
-    b = sk.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "table", "bucket"
-    )
+    a = sk.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = sk.select(F.col(id_col).alias("id_b"), "table", "bucket")
     cand = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pair_cosine = cosine_sim_pairs_udf()
     return (
-        cand.withColumn("sim", cosine_sim(F.col("va"), F.col("vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", pair_cosine(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
