@@ -322,6 +322,129 @@ class IVFIndex:
         )
         return _finalize_topk(cand_topk, k, "l2_sq")
 
+    def ensure_sq8(self) -> str:
+        """Write (once) the SQ8 code sidecar: per-vector uint8 codes
+        partitioned by ``centroid_id`` exactly like the float vectors, so
+        probing prunes the SAME partitions but scans ~4× fewer bytes —
+        the true 100 TB layout (candidate generation reads int8 codes;
+        only survivors touch the float table)."""
+        from vector_search_engine_spark.operators.sq import sq8_encode
+
+        sq_dir = os.path.join(self.index_dir, "sq8")
+        if os.path.exists(os.path.join(sq_dir, "_SUCCESS")):
+            return sq_dir
+        codes = sq8_encode(
+            self.vectors(),
+            id_col=self.meta["id_col"],
+            vec_col=self.meta["vec_col"],
+            keep_cols=("centroid_id",),
+        )
+        codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(sq_dir)
+        return sq_dir
+
+    def search_sq8(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+    ) -> DataFrame:
+        """Two-stage probed search: quantized scan of the probed cells'
+        int8 sidecar + exact float re-score of the survivors — composes the
+        SQ8 scan-byte cut (operators/sq.py) with IVF partition pruning.
+
+        The candidate cut is PROVABLY lossless, not a top-C margin: with
+        per-vector dequantization error ``e_v = sqrt(dim)·span_v/510``, the
+        true distance satisfies ``sqrt(d̂)−e ≤ sqrt(d) ≤ sqrt(d̂)+e``, so
+        keeping every vector whose lower bound ≤ the k-th smallest upper
+        bound retains a superset of the true top-k (per Arrow batch, hence
+        per partition, hence globally).  Output is therefore identical to
+        ``search()`` at the same nprobe, and identical to exact kNN at
+        full probe — the same hash-gated oracle applies."""
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        dim = self.meta["dim"]
+        spark = self.spark
+        qrows = queries.select(qid_col, qvec_col).collect()
+        if not qrows:
+            return spark.createDataFrame(
+                [], "qid long, neighbor_id long, rank long, dist_sq double"
+            )
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
+        pairs = self.probe_pairs(qids, Q, nprobe)
+        pairs_df = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
+                {"qid": "int64", "centroid_id": "int32"}
+            )
+        )
+        needed = sorted({c for _, c in pairs})
+        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
+        bc = spark.sparkContext.broadcast(qmap)
+
+        sq_dir = self.ensure_sq8()
+        codes = spark.read.parquet(sq_dir).filter(
+            F.col("centroid_id").isin(needed)
+        )
+        cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
+            "qid", id_col, "code", "lo", "hi"
+        )
+
+        def approx_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for qid, grp in pdf.groupby("qid"):
+                    q = qm[int(qid)]
+                    ids = grp[id_col].to_numpy(dtype=np.int64)
+                    raw = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8)
+                    M = raw.reshape(len(ids), -1).astype(np.float64)
+                    lo = grp["lo"].to_numpy(dtype=np.float64)
+                    span = grp["hi"].to_numpy(dtype=np.float64) - lo
+                    span[span <= 0] = 1.0
+                    V = lo[:, None] + M * (span[:, None] / 255.0)
+                    d = (V * V).sum(axis=1) - 2.0 * (V @ q) + float(q @ q)
+                    np.maximum(d, 0.0, out=d)
+                    sd = np.sqrt(d)
+                    # per-element error ≤ span/510 (half a step) + float32
+                    # rounding slop; L2 across dim elements
+                    e = np.sqrt(dim) * (span / 510.0) * (1 + 1e-5) + 1e-6
+                    ub = sd + e
+                    kth = np.partition(ub, min(k, len(ub)) - 1)[
+                        min(k, len(ub)) - 1
+                    ]
+                    keep = (sd - e) <= kth
+                    yield pd.DataFrame(
+                        {"qid": int(qid), "neighbor_id": ids[keep]}
+                    )
+
+        cand = cand_codes.mapInPandas(
+            approx_cut, schema="qid long, neighbor_id long"
+        )
+        # exact re-score: survivors rejoin the float vectors (same pruned
+        # partitions), broadcast queries, standard (dist, id) top-k
+        base = self.vectors().filter(F.col("centroid_id").isin(needed))
+        qdf = queries.select(qid_col, qvec_col)
+        from vector_search_engine_spark.functions.vector import l2_sq
+
+        rescored = (
+            cand.join(
+                base.select(F.col(id_col).alias("neighbor_id"), vec_col),
+                "neighbor_id",
+            )
+            .join(F.broadcast(qdf), "qid")
+            .select(
+                "qid",
+                "neighbor_id",
+                l2_sq(F.col(vec_col), F.col(qvec_col)).alias("dist"),
+            )
+        )
+        return _finalize_topk(rescored, k, "l2_sq")
+
     def radius_search(
         self,
         queries: DataFrame,

@@ -32,9 +32,23 @@ from vector_search_engine_spark.operators.knn import _finalize_topk
 
 
 def sq8_encode(
-    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Encode float32 vectors to per-vector-ranged uint8 codes."""
+    """Encode float32 vectors to per-vector-ranged uint8 codes.
+
+    ``keep_cols`` ride along unchanged (e.g. ``centroid_id`` when the codes
+    become an IVF index sidecar partitioned the same way as the vectors)."""
+    keep_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in vectors.schema.fields
+        if f.name in keep_cols
+    )
+    schema = f"{id_col} long, code binary, lo float, hi float" + (
+        f", {keep_schema}" if keep_schema else ""
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -47,17 +61,18 @@ def sq8_encode(
             codes = np.rint(
                 (V - lo[:, None]) / span[:, None] * 255.0
             ).astype(np.uint8)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "code": [c.tobytes() for c in codes],
-                    "lo": lo,
-                    "hi": hi,
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "code": [c.tobytes() for c in codes],
+                "lo": lo,
+                "hi": hi,
+            }
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        encode, schema=f"{id_col} long, code binary, lo float, hi float"
+    return vectors.select(id_col, vec_col, *keep_cols).mapInPandas(
+        encode, schema=schema
     )
 
 

@@ -471,6 +471,19 @@ def knn_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq.knn_sq8_rescore(emb, knn_ops.make_queries(emb), k=10)
 
 
+@register("ann_ivf_sq8", oracle=ORACLES["knn_exact_l2"])
+def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 composed WITHIN IVF cells: the probed partitions' int8 code
+    sidecar feeds candidate generation (~4× fewer scan bytes — the true
+    100 TB design), with a provably lossless error-bound cut + exact float
+    re-score, so full probe is hash-identical to exact kNN."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_sq8(
+        knn_ops.make_queries(emb), k=10, nprobe=index.meta["n_centroids"]
+    )
+
+
 @register("ann_lsh_search")  # approximate by nature → rows-only
 def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second ANN family: BucketedRandomProjectionLSH bucket join + exact
