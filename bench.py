@@ -71,6 +71,80 @@ def _setup_merged_search(spark, sf_dir: str):
     return timed
 
 
+def _bench_mixed_rw(spark, sf_dir: str) -> dict:
+    """Mixed read/write serving bench (reference M4-M6,
+    client_bench.cpp:39-49,135-160): merged searches issued CONCURRENTLY
+    with a streaming ingest that triggers W3 compactions mid-run.  Emits
+    search/insert throughput and p50/p99 per-search latency — the
+    reference's isolation-under-load measurement, which single-query wall
+    times can't capture."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    root = tempfile.mkdtemp(prefix="vse_bench_mixed_")
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        ids = emb.select(F.expr("percentile(vec_id, 0.8)").alias("c")).collect()
+        cut = int(ids[0]["c"])
+        eng = VectorEngine.create(
+            emb.filter(F.col("vec_id") < cut),
+            os.path.join(root, "engine"),
+            n_centroids=8,
+        )
+        stage = os.path.join(root, "stage")
+        emb.filter(F.col("vec_id") >= cut).select(
+            "vec_id", "embedding"
+        ).repartition(6).write.mode("overwrite").parquet(stage)
+        q = knn_ops.make_queries(emb)
+        nprobe = eng.index.meta["n_centroids"]
+
+        def one_search() -> float:
+            s0 = time.time()
+            eng.search(q, k=10, nprobe=nprobe).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.time() - s0
+
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        t0 = time.time()
+        qh = eng.ingest_stream(stream, max_delta_fraction=0.1)
+        latencies = []
+        # searches overlap the micro-batch ingest + compactions; the
+        # streaming query runs its own jobs on the shared scheduler
+        while qh.isActive and len(latencies) < 40:
+            latencies.append(one_search())
+        qh.awaitTermination(300)
+        ingest_wall = time.time() - t0
+        concurrent_searches = len(latencies)
+        while len(latencies) < 12:  # floor the percentile sample size
+            latencies.append(one_search())
+        rows_ingested = n - emb.filter(F.col("vec_id") < cut).count()
+        lat_ms = np.sort(np.array(latencies) * 1000.0)
+        return {
+            "rows_ingested": int(rows_ingested),
+            "ingest_wall_sec": round(ingest_wall, 3),
+            "insert_rows_per_sec": round(rows_ingested / ingest_wall, 1),
+            "n_searches": len(latencies),
+            "n_searches_during_ingest": concurrent_searches,
+            "search_qps": round(len(latencies) / float(np.sum(lat_ms) / 1000.0), 3),
+            "search_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
+            "search_p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _bench_ivf_build(spark, sf_dir: str):
     """Fresh KMeans IVF build (reference M1 bulk load) — never cache-hit."""
     import shutil
@@ -133,6 +207,8 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    mixed = _bench_mixed_rw(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -141,6 +217,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "mixed_rw": mixed,
                 "sf": sf,
             }
         )

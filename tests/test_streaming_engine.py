@@ -142,3 +142,103 @@ def test_maybe_compact_threshold_policy(spark, embeddings, tmp_path):
     eng.insert(embeddings.filter(F.col("vec_id") >= 450))
     assert eng.maybe_compact(max_delta_fraction=0.25) == 100
     assert eng.delta().count() == 0
+
+
+def test_backpressure_compacts_midstream_and_stays_exact(
+    spark, embeddings, engine, tmp_path
+):
+    """W3 write throttling under a real trigger cadence: maxFilesPerTrigger=1
+    ingest with a tight delta-fraction limit must fold the delta into the
+    index at least twice MID-STREAM (not once at the end), and the merged
+    search must equal exact kNN afterwards.  Also pins the checkpoint
+    surviving compaction: a second ingest_stream over the same source+
+    checkpoint re-reads nothing (no duplicate delta rows)."""
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    tail = embeddings.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    # 8 single-file batches of ~12-13 rows each against 400 indexed;
+    # threshold 0.05 (~20 rows) -> a compaction roughly every other batch
+    tail.repartition(8).write.mode("overwrite").parquet(str(stage / "batches"))
+
+    compactions = []
+    orig_compact = engine.compact
+
+    def counting_compact():
+        n = orig_compact()
+        if n:
+            compactions.append(n)
+        return n
+
+    engine.compact = counting_compact
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "batches"))
+    )
+    qh = engine.ingest_stream(stream, checkpoint=ckpt, max_delta_fraction=0.05)
+    qh.awaitTermination(180)
+    assert len(compactions) >= 2, compactions
+    assert sum(compactions) + engine.delta().count() == tail.count()
+
+    q = knn_ops.make_queries(embeddings, n=5)
+    merged = engine.search(q, k=10, nprobe=engine.index.meta["n_centroids"])
+    exact = knn_ops.knn_exact(embeddings, q, k=10)
+    assert _sorted(merged) == _sorted(exact)
+
+    # checkpoint kept across compactions: resuming over the same source
+    # must be a no-op, not a full re-read
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "batches"))
+    )
+    qh2 = engine.ingest_stream(stream2, checkpoint=ckpt, max_delta_fraction=0.05)
+    qh2.awaitTermination(60)
+    merged2 = engine.search(q, k=10, nprobe=engine.index.meta["n_centroids"])
+    assert _sorted(merged2) == _sorted(exact)
+    assert engine.index.meta["n_vectors"] == embeddings.count()
+
+
+def test_search_exact_while_ingesting(spark, embeddings, engine, tmp_path):
+    """Reference isolation contract (M4/M5, client_bench.cpp:39-49):
+    searches issued WHILE the ingest stream runs must be internally exact —
+    every reported distance is the true squared L2 between that query and
+    that id's vector (immutable files -> no torn reads), ranks are
+    contiguous from 1, and the post-stream search equals exact kNN over
+    the full universe."""
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float32).astype(np.float64)
+        for r in embeddings.collect()
+    }
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    tail = embeddings.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    tail.repartition(8).write.mode("overwrite").parquet(str(stage / "batches"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "batches"))
+    )
+    q = knn_ops.make_queries(embeddings, n=3)
+    qvecs = {
+        r["qid"]: np.asarray(r["query"], dtype=np.float32).astype(np.float64)
+        for r in q.collect()
+    }
+    qh = engine.ingest_stream(stream, max_delta_fraction=0.05)
+    n_checked = 0
+    while qh.isActive and n_checked < 6:
+        res = engine.search(q, k=10, nprobe=engine.index.meta["n_centroids"]).collect()
+        n_checked += 1
+        by_q = {}
+        for r in res:
+            true_d = float(((qvecs[r["qid"]] - vecs[r["neighbor_id"]]) ** 2).sum())
+            assert r["dist_sq"] == pytest.approx(true_d, abs=1e-3)
+            by_q.setdefault(r["qid"], []).append(r["rank"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    qh.awaitTermination(180)
+    assert n_checked > 0
+    merged = engine.search(q, k=10, nprobe=engine.index.meta["n_centroids"])
+    exact = knn_ops.knn_exact(embeddings, q, k=10)
+    assert _sorted(merged) == _sorted(exact)

@@ -13,12 +13,20 @@ on Spark.  The idiomatic replacement keeps the *roles*:
     partition pruning does the work);
   * ``ef_search`` recall/latency knob (``hnsw_index.h:256``) → ``nprobe``.
 
-Index layout on disk (plain parquet — snapshot isolation via immutable
-files, replacing the reference's EBR/RCU machinery entirely):
+Index layout on disk (plain parquet + a generation manifest — snapshot
+isolation via immutable files and an atomic manifest swap, the
+lakehouse-commit analog of the reference's EBR/RCU machinery):
 
-    index_dir/vectors/centroid_id=*/...parquet   partitioned vector table
+    index_dir/vectors/gen=G/centroid_id=*/...    partitioned vector cells
+    index_dir/vectors_manifest.json              cell -> generation map
     index_dir/centroids.parquet                  (centroid_id, centroid)
     index_dir/meta.json                          dim, n_centroids, columns
+
+Compaction never mutates files in place: it writes affected cells under a
+NEW generation dir, swaps the manifest (os.rename is atomic), and deletes
+a generation's dirs only one full commit cycle after they stop being
+referenced — in-flight readers that listed the old files keep reading
+them (grace period = one compaction cycle).
 
 Scale posture: KMeans fits on a sample (MLlib distributes its own
 iterations); assignment is one map over the data; the partitioned write is
@@ -28,6 +36,7 @@ vectors — and each probed partition emits ≤ k rows per query.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -170,8 +179,23 @@ class IVFIndex:
         assigned.select(*cols).repartition("centroid_id").sortWithinPartitions(
             "centroid_id", "dist_to_centroid"
         ).write.mode("overwrite").partitionBy("centroid_id").parquet(
-            os.path.join(tmp, "vectors")
+            os.path.join(tmp, "vectors", "gen=0")
         )
+        cells = sorted(
+            int(os.path.basename(p).split("=")[1])
+            for p in glob.glob(
+                os.path.join(tmp, "vectors", "gen=0", "centroid_id=*")
+            )
+        )
+        with open(os.path.join(tmp, "vectors_manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "latest_gen": 0,
+                    "cells": {str(c): 0 for c in cells},
+                    "prev_cells": {},
+                },
+                f,
+            )
         # pandas → Arrow path: createDataFrame from a Python list takes the
         # pickle-RDD path (~8 s even for 44 rows); Arrow is ~10×
         centers = pd.DataFrame(
@@ -201,10 +225,70 @@ class IVFIndex:
         os.rename(tmp, index_dir)
         return IVFIndex(spark, index_dir)
 
+    # -- manifest (generation snapshots) -------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.index_dir, "vectors_manifest.json")
+
+    def _read_manifest(self) -> dict | None:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def commit_cells(self, gen: int, cells: list[int]) -> None:
+        """Atomically publish generation ``gen`` for ``cells`` and GC cell
+        dirs referenced by neither the new nor the previous manifest (one
+        commit cycle of grace for in-flight readers)."""
+        m = self._read_manifest() or {"latest_gen": -1, "cells": {}, "prev_cells": {}}
+        prev = dict(m["cells"])
+        cur = dict(prev)
+        cur.update({str(c): gen for c in cells})
+        keep = {(int(g), int(c)) for c, g in cur.items()} | {
+            (int(g), int(c)) for c, g in prev.items()
+        }
+        root = os.path.join(self.index_dir, "vectors")
+        for d in glob.glob(os.path.join(root, "gen=*", "centroid_id=*")):
+            g = int(os.path.basename(os.path.dirname(d)).split("=")[1])
+            c = int(os.path.basename(d).split("=")[1])
+            if (g, c) not in keep:
+                shutil.rmtree(d, ignore_errors=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"latest_gen": gen, "cells": cur, "prev_cells": prev}, f
+            )
+        os.rename(tmp, self._manifest_path())
+
+    def next_gen(self) -> int:
+        m = self._read_manifest()
+        return (int(m["latest_gen"]) + 1) if m else 1
+
     # -- read ----------------------------------------------------------------
 
     def vectors(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "vectors"))
+        root = os.path.join(self.index_dir, "vectors")
+        m = self._read_manifest()
+        if m is None:  # pre-manifest layout (vectors/centroid_id=*)
+            return self.spark.read.parquet(root)
+        dirs = [
+            os.path.join(root, f"gen={g}", f"centroid_id={c}")
+            for c, g in sorted(m["cells"].items(), key=lambda kv: int(kv[0]))
+        ]
+        if not dirs:
+            id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+            return self.spark.createDataFrame(
+                [],
+                f"{id_col} long, {vec_col} array<float>, "
+                "dist_to_centroid double, centroid_id int",
+            )
+        # explicit leaf dirs + basePath: the manifest IS the snapshot —
+        # partition columns (gen, centroid_id) still infer, centroid_id
+        # pruning still applies, superseded generations are never listed
+        return (
+            self.spark.read.option("basePath", root).parquet(*dirs).drop("gen")
+        )
 
     def stats(self) -> DataFrame:
         """Per-centroid occupancy — the index's health check."""
@@ -535,6 +619,23 @@ class IVFIndex:
 _CACHE_ROOT = os.environ.get("VSE_INDEX_CACHE", "/tmp/vse_index_cache")
 
 
+def _data_fingerprint(path: str) -> str:
+    """Cheap content fingerprint (size + mtime of the source parquet) —
+    regenerated fixtures at the same path must not hit a stale index."""
+    import hashlib
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    h = hashlib.md5()
+    for f in files:
+        st = os.stat(f)
+        h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:10]
+
+
 def build_or_load(
     spark: SparkSession,
     sf_dir: str,
@@ -542,7 +643,11 @@ def build_or_load(
     table: str = "embeddings",
     extra_cols: tuple[str, ...] = ("label",),
 ) -> IVFIndex:
-    key = f"{sf_dir.strip('/').replace('/', '_')}_{table}_{n_centroids or 'auto'}_v2"
+    fp = _data_fingerprint(f"{sf_dir}/{table}.parquet")
+    key = (
+        f"{sf_dir.strip('/').replace('/', '_')}_{table}_"
+        f"{n_centroids or 'auto'}_{fp}_v3"
+    )
     index_dir = os.path.join(_CACHE_ROOT, key)
     if os.path.exists(os.path.join(index_dir, "meta.json")):
         return IVFIndex(spark, index_dir)

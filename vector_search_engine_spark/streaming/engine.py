@@ -11,8 +11,12 @@ Reference → Spark mapping (SURVEY.md §2.6, §3.2):
     rewrite only affected partitions (dynamic partition overwrite);
   * merged search (``engine.h:100-144``) → union(partition-pruned ANN over
     indexed, exact scan over delta) + global top-k;
-  * EBR/RCU/snapshots (``ebr_manager.h``) → nothing: immutable files give
-    snapshot isolation for free.
+  * EBR/RCU/snapshots (``ebr_manager.h``) → immutable files + a compaction
+    **watermark** with deferred partition GC: folding marks delta ``_seq``
+    partitions logically dead (readers filter ``_seq > watermark``) but
+    physically deletes them only on the NEXT compaction — in-flight
+    queries that listed the old files keep reading them (grace period =
+    one compaction cycle; the file-granularity analog of an EBR epoch).
 
 Semantics deliberately *stronger* than the reference (divergences documented
 in SURVEY.md §2.3 Q4): duplicate ids are upserted — a delta row shadows the
@@ -24,9 +28,9 @@ compaction commit.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import shutil
-import uuid
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -66,12 +70,36 @@ class VectorEngine:
 
     # -- write path ----------------------------------------------------------
 
-    def _next_seq(self) -> int:
-        seqs = [
+    def _existing_seqs(self) -> list[int]:
+        return sorted(
             int(os.path.basename(p).split("=")[1])
             for p in glob.glob(os.path.join(self.delta_dir, "_seq=*"))
-        ]
-        return (max(seqs) + 1) if seqs else 0
+        )
+
+    def _watermark(self) -> int:
+        """Highest ``_seq`` folded into the index (-1 = nothing compacted).
+        Partitions at or below it are logically dead but may still exist on
+        disk awaiting the next compaction's GC."""
+        p = os.path.join(self.root_dir, "delta_watermark.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(json.load(f)["watermark"])
+        return -1
+
+    def _set_watermark(self, w: int) -> None:
+        p = os.path.join(self.root_dir, "delta_watermark.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"watermark": int(w)}, f)
+        os.rename(tmp, p)
+
+    def _live_seqs(self) -> list[int]:
+        w = self._watermark()
+        return [s for s in self._existing_seqs() if s > w]
+
+    def _next_seq(self) -> int:
+        seqs = self._existing_seqs() + [self._watermark()]
+        return max(seqs) + 1
 
     def insert(self, rows: DataFrame, seq: int | None = None) -> None:
         """Append a batch to the unindexed delta (the foreachBatch body).
@@ -84,14 +112,27 @@ class VectorEngine:
             "append"
         ).partitionBy("_seq").parquet(self.delta_dir)
 
-    def ingest_stream(self, stream_df: DataFrame, checkpoint: str | None = None):
+    def ingest_stream(
+        self,
+        stream_df: DataFrame,
+        checkpoint: str | None = None,
+        max_delta_fraction: float | None = None,
+    ):
         """Structured Streaming ingest: micro-batch append into the delta
         (reference Insert RPC path, ``server.cpp:45-66`` + W1/W2 buffering).
-        Returns the StreamingQuery (caller awaits/validates)."""
+        Returns the StreamingQuery (caller awaits/validates).
+
+        ``max_delta_fraction`` wires the W3 write-throttling policy into
+        the ingest cadence: after each micro-batch commit, fold the delta
+        into the index when it exceeds that fraction of the indexed rows
+        (reference soft/hard limit, ``engine.h:76-86``).  Searches stay
+        exact throughout — compaction is invisible to readers."""
         checkpoint = checkpoint or os.path.join(self.root_dir, "_checkpoint")
 
         def write_batch(bdf: DataFrame, batch_id: int) -> None:
             self.insert(bdf)
+            if max_delta_fraction is not None:
+                self.maybe_compact(max_delta_fraction)
 
         return (
             stream_df.writeStream.foreachBatch(write_batch)
@@ -100,21 +141,28 @@ class VectorEngine:
             .start()
         )
 
-    def delta(self) -> DataFrame:
-        files = glob.glob(
-            os.path.join(self.delta_dir, "**", "*.parquet"), recursive=True
-        )
+    def delta(self, seqs: list[int] | None = None) -> DataFrame:
+        """Live (uncompacted) delta rows.  ``seqs`` pins an explicit seq
+        snapshot so that one logical operation (e.g. a merged search that
+        scans the delta twice) sees ONE consistent delta state even while
+        concurrent inserts/compactions advance it."""
+        if seqs is None:
+            seqs = self._live_seqs()
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
-        if not files:
+        if not seqs:
             return self.spark.createDataFrame(
                 [], f"{id_col} long, {vec_col} array<float>, _seq long"
             )
-        return self.spark.read.parquet(self.delta_dir).select(
-            id_col, vec_col, "_seq"
+        # isin on the partition column: logically-dead partitions awaiting
+        # GC and seqs appended after the snapshot are pruned, not scanned
+        return (
+            self.spark.read.parquet(self.delta_dir)
+            .filter(F.col("_seq").isin(seqs))
+            .select(id_col, vec_col, "_seq")
         )
 
-    def delta_latest(self) -> DataFrame:
+    def delta_latest(self, seqs: list[int] | None = None) -> DataFrame:
         """One row per id: the highest-_seq version (upsert semantics)."""
         from pyspark.sql import Window
 
@@ -122,7 +170,7 @@ class VectorEngine:
         vec_col = self.index.meta["vec_col"]
         w = Window.partitionBy(id_col).orderBy(F.col("_seq").desc())
         return (
-            self.delta()
+            self.delta(seqs)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(id_col, vec_col)
@@ -137,7 +185,10 @@ class VectorEngine:
         shadowed ids excluded + exact scan of the delta, one global top-k."""
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
-        delta_latest = self.delta_latest()
+        # pin the delta snapshot ONCE: the exclude anti-join and the delta
+        # scan below must see the same seq set even if a concurrent insert
+        # or compaction advances the delta mid-query
+        delta_latest = self.delta_latest(seqs=self._live_seqs())
         # shadowed ids exclude via anti-join — the delta can be arbitrarily
         # large under sustained ingest; ids never visit the driver
         indexed_part = self.index.search(
@@ -196,18 +247,25 @@ class VectorEngine:
 
     def compact(self) -> int:
         """Fold the delta into the partitioned indexed table: rewrite only
-        partitions that receive new rows or contain shadowed ids (dynamic
-        partition overwrite), then clear the delta.  Search results before
-        and after are identical (tested)."""
+        cells that receive new rows or contain shadowed ids, committed as a
+        new index generation via atomic manifest swap, then logically clear
+        the delta (watermark).  Search results before and after are
+        identical (tested), including for searches in flight."""
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
-        delta_latest = self.delta_latest()
+        old_watermark = self._watermark()
+        live = self._live_seqs()
+        if not live:
+            return 0
+        fold_high = max(live)  # inserts after this snapshot stay live
+        delta_latest = self.delta_latest(seqs=live)
         n_delta = delta_latest.count()
         if n_delta == 0:
             return 0
         assigned = self.assign_centroids(delta_latest).cache()
-        indexed = self.spark.read.parquet(self.index_vectors_dir())
+        indexed = self.index.vectors()
         delta_id_df = assigned.select(id_col)
+        n_shadowed = indexed.join(delta_id_df, id_col, "left_semi").count()
         # affected-cell list is bounded by n_centroids — safe to collect;
         # the id sets flow through semi/anti joins, never the driver
         affected = sorted(
@@ -225,20 +283,52 @@ class VectorEngine:
             .select(id_col, vec_col, "dist_to_centroid", "centroid_id")
         )
         new_rows = assigned.filter(F.col("centroid_id").isin(affected))
-        rewritten = survivors.unionByName(
+        # never mutate live files: affected cells land in a NEW generation
+        # dir, published by an atomic manifest swap (in-flight searches
+        # keep reading the generation they listed)
+        gen = self.index.next_gen()
+        survivors.unionByName(
             new_rows.select(id_col, vec_col, "dist_to_centroid", "centroid_id")
-        ).sortWithinPartitions("centroid_id", "dist_to_centroid")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        rewritten.write.mode("overwrite").partitionBy("centroid_id").parquet(
-            self.index_vectors_dir()
+        ).repartition("centroid_id").sortWithinPartitions(
+            "centroid_id", "dist_to_centroid"
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(self.index_vectors_dir(), f"gen={gen}")
         )
-        # clear delta only after the commit (move-aside, then drop)
-        tomb = self.delta_dir + f".compacted-{uuid.uuid4().hex[:8]}"
-        os.rename(self.delta_dir, tomb)
-        os.makedirs(self.delta_dir, exist_ok=True)
-        shutil.rmtree(tomb, ignore_errors=True)
-        ckpt = os.path.join(self.root_dir, "_checkpoint")
-        shutil.rmtree(ckpt, ignore_errors=True)
+        # Commit order (crash-safe, reader-safe):
+        #   1. the generation write above is side-effect-free until the
+        #      manifest swap publishes it; if we die before the swap, the
+        #      folded rows are still live in the delta and results are
+        #      unchanged;
+        #   2. commit_cells GCs cell dirs unreferenced since BEFORE the
+        #      previous commit and swaps the manifest atomically;
+        #   3. the delta watermark advances last — if we die between 2 and
+        #      3 the folded rows are briefly BOTH indexed and in the delta,
+        #      and upsert shadowing keeps results correct (the delta copy
+        #      shadows the identical indexed copy);
+        #   4. delta partitions dead since before this compaction are
+        #      GC'd (readers still holding them started two cycles ago —
+        #      past the EBR grace period).
+        # The streaming checkpoint is deliberately KEPT: it tracks source
+        # progress, not delta contents — deleting it would make the next
+        # ingest_stream over the same source re-read (and re-insert)
+        # everything from scratch.
+        self.index.commit_cells(gen, affected)
+        # the SQ8 sidecar (if materialized) encodes the old generation
+        shutil.rmtree(os.path.join(self.root_dir, "index", "sq8"), ignore_errors=True)
+        for s in self._existing_seqs():
+            if s <= old_watermark:
+                shutil.rmtree(
+                    os.path.join(self.delta_dir, f"_seq={s}"),
+                    ignore_errors=True,
+                )
+        self._set_watermark(fold_high)
+        # keep meta n_vectors current — the W3 trigger policy compares the
+        # delta against it
+        self.index.meta["n_vectors"] = (
+            int(self.index.meta.get("n_vectors", 0)) - n_shadowed + n_delta
+        )
+        with open(os.path.join(self.root_dir, "index", "meta.json"), "w") as f:
+            json.dump(self.index.meta, f)
         return n_delta
 
     def maybe_compact(self, max_delta_fraction: float = 0.25) -> int:
