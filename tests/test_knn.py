@@ -109,3 +109,29 @@ def test_recall_harness_exact_is_one(spark, embeddings):
     row = knn_ops.recall_at_k(res, gt, k=10).collect()[0]
     assert row.recall_at_k == 1.0
     assert row.n_queries == 10
+
+
+def test_mass_duplicate_vectors_tie_break_exact(spark):
+    """More than 4k+1 identical vectors at the top-k boundary: the
+    per-partition argpartition pre-cut must widen to the whole tie group so
+    the global (dist, id) tie-break matches the oracle ordering exactly."""
+    import pandas as pd
+
+    dup = [0.5] * 8
+    rows = pd.DataFrame(
+        {
+            "vec_id": range(200),
+            # 100 duplicates (ids 0..99) then distinct tail
+            "embedding": [dup] * 100
+            + [[float(i) / 7.0] * 8 for i in range(1, 101)],
+        }
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        pd.DataFrame({"qid": [0], "query": [dup]}),
+        "qid long, query array<float>",
+    )
+    res = knn_ops.knn_exact(df.repartition(4), q, k=10).orderBy("rank").collect()
+    # all duplicates are at distance 0; (dist, id) order = ids 0..9
+    assert [r.neighbor_id for r in res] == list(range(10))
+    assert all(r.dist_sq == 0.0 for r in res)

@@ -43,3 +43,12 @@ def test_salt_actually_spreads_hot_key(spark):
         .count()
     )
     assert salt_spread == 8
+
+
+def test_salted_join_rejects_outer_joins(spark, sf_dir):
+    import pytest
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(orders, customer, "o_custkey", ["o_orderkey"], how="right")

@@ -131,9 +131,10 @@ def knn_exact(
                 else l2_sq_matrix(V, Q_)
             )
             key = -D if larger_is_better else D
-            if len(ids) > 4 * k:
-                # pre-cut with argpartition, then exact (dist, id) sort of the
-                # survivors; keeping 4k guards tie groups at the cut
+            cut = len(ids) > 4 * k
+            if cut:
+                # pre-cut with argpartition, then exact (dist, id) sort of
+                # the survivors
                 keep = min(4 * k, len(ids) - 1)
                 part = np.argpartition(key, keep, axis=0)[: keep + 1]
             else:
@@ -142,6 +143,15 @@ def knn_exact(
             sel_dist = np.empty_like(sel_ids, dtype=np.float64)
             for j in range(nq):
                 rows = part[:, j]
+                if cut:
+                    # the distance-only cut can split a tie group at the
+                    # boundary (mass-duplicate vectors); widening to every
+                    # row at ≤ the boundary distance makes the (dist, id)
+                    # selection exact for any input
+                    b = key[rows, j].max()
+                    tied = np.flatnonzero(key[:, j] <= b)
+                    if len(tied) > len(rows):
+                        rows = tied
                 order = np.lexsort((ids[rows], key[rows, j]))[: k]
                 sel_ids[:, j] = ids[rows[order]][: sel_ids.shape[0]]
                 sel_dist[:, j] = D[rows[order], j][: sel_ids.shape[0]]

@@ -26,7 +26,14 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key`` with the big side salted by a
     deterministic hash of ``salt_cols`` (any columns unique-ish per row).
-    Result is identical to ``big.join(small, key, how)``."""
+    Result is identical to ``big.join(small, key, how)`` for ``inner`` and
+    ``left`` joins.  Right/full-outer are rejected: an unmatched small-side
+    row exists once per replica, so the join would emit it ``num_salts``
+    times."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join preserves semantics only for inner/left joins, got {how!r}"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(num_salts))
     )
