@@ -107,9 +107,7 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
 
         def one_search() -> float:
             s0 = time.time()
-            eng.search(q, k=10, nprobe=nprobe).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            eng.search_timed(q, k=10, nprobe=nprobe)
             return time.time() - s0
 
         stream = (
@@ -131,10 +129,17 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             latencies.append(one_search())
         rows_ingested = n - emb.filter(F.col("vec_id") < cut).count()
         lat_ms = np.sort(np.array(latencies) * 1000.0)
+        # per-op percentiles from the engine's own S6 metrics sink
+        ops = {m["op"]: m for m in eng.recorder.snapshot()}
+        ins = ops.get("insert", {})
         return {
             "rows_ingested": int(rows_ingested),
             "ingest_wall_sec": round(ingest_wall, 3),
             "insert_rows_per_sec": round(rows_ingested / ingest_wall, 1),
+            "insert_batches": ins.get("count", 0),
+            "insert_p50_ms": ins.get("p50_ms"),
+            "insert_p99_ms": ins.get("p99_ms"),
+            "compactions": ops.get("compact", {}).get("count", 0),
             "n_searches": len(latencies),
             "n_searches_during_ingest": concurrent_searches,
             "search_qps": round(len(latencies) / float(np.sum(lat_ms) / 1000.0), 3),

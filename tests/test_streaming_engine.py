@@ -242,3 +242,20 @@ def test_search_exact_while_ingesting(spark, embeddings, engine, tmp_path):
     merged = engine.search(q, k=10, nprobe=engine.index.meta["n_centroids"])
     exact = knn_ops.knn_exact(embeddings, q, k=10)
     assert _sorted(merged) == _sorted(exact)
+
+
+def test_metrics_sink_records_all_ops(spark, embeddings, engine):
+    """S6 metrics sink: insert/search/compact land one series each with
+    sane counts and monotone percentiles (p50 <= p99 <= p999)."""
+    tail = embeddings.filter(F.col("vec_id") >= 400)
+    engine.insert(tail)
+    q = knn_ops.make_queries(embeddings, n=3)
+    for _ in range(2):
+        engine.search_timed(q, k=10, nprobe=engine.index.meta["n_centroids"])
+    engine.compact()
+    rows = {r["op"]: r for r in engine.metrics().collect()}
+    assert rows["insert"]["count"] == 1
+    assert rows["search"]["count"] == 2
+    assert rows["compact"]["count"] == 1
+    for r in rows.values():
+        assert 0 < r["p50_ms"] <= r["p99_ms"] <= r["p999_ms"]

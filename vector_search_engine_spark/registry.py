@@ -1124,6 +1124,25 @@ def streaming_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_engine_metrics")  # driver-side latency sink — rows-only
+def streaming_engine_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 metrics sink (reference bvar LatencyRecorder, server.cpp):
+    exercise insert + search + compact on a small engine and return the
+    per-op count/avg/p50/p99/p999 latency table."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    q = knn_ops.make_queries(emb)
+    for _ in range(3):
+        eng.search_timed(q, k=10, nprobe=eng.index.meta["n_centroids"])
+    eng.compact()
+    return eng.metrics()
+
+
 # ---------------------------------------------------------------------------
 # Grading-window ordering
 # ---------------------------------------------------------------------------

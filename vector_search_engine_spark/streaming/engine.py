@@ -31,6 +31,7 @@ import glob
 import json
 import os
 import shutil
+import time
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +39,7 @@ from pyspark.sql import functions as F
 
 from vector_search_engine_spark.operators.ivf import IVFIndex
 from vector_search_engine_spark.operators.knn import _finalize_topk, knn_exact
+from vector_search_engine_spark.streaming.metrics import MetricsRecorder
 
 
 class VectorEngine:
@@ -47,6 +49,8 @@ class VectorEngine:
         self.index = IVFIndex(spark, os.path.join(root_dir, "index"))
         self.delta_dir = os.path.join(root_dir, "delta")
         os.makedirs(self.delta_dir, exist_ok=True)
+        # reference S6 metrics sink (bvar LatencyRecorder analog)
+        self.recorder = MetricsRecorder()
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -106,11 +110,13 @@ class VectorEngine:
         Wait-free analog: appends never touch the indexed table.  ``_seq``
         (monotone batch number) makes 'latest version of an id' well-defined
         — the reference has no such notion and returns duplicates."""
+        t0 = time.time()
         seq = self._next_seq() if seq is None else seq
         cols = [self.index.meta["id_col"], self.index.meta["vec_col"]]
         rows.select(*cols).withColumn("_seq", F.lit(seq).cast("long")).write.mode(
             "append"
         ).partitionBy("_seq").parquet(self.delta_dir)
+        self.recorder.record("insert", time.time() - t0)
 
     def ingest_stream(
         self,
@@ -207,6 +213,32 @@ class VectorEngine:
             "l2_sq",
         )
 
+    def search_timed(
+        self, queries: DataFrame, k: int = 10, nprobe: int = 4
+    ) -> DataFrame:
+        """``search`` forced end-to-end (noop sink) with the wall time
+        recorded into the metrics sink; returns the (re-usable lazy)
+        result plan."""
+        t0 = time.time()
+        out = self.search(queries, k=k, nprobe=nprobe)
+        out.write.format("noop").mode("overwrite").save()
+        self.recorder.record("search", time.time() - t0)
+        return out
+
+    def metrics(self) -> DataFrame:
+        """The S6 metrics sink readout: one row per op with count and
+        latency percentiles (reference ``client_bench.cpp:152-160``)."""
+        import pandas as pd
+
+        snap = self.recorder.snapshot()
+        schema = (
+            "op string, count long, avg_ms double, p50_ms double, "
+            "p99_ms double, p999_ms double"
+        )
+        if not snap:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(pd.DataFrame(snap), schema)
+
     # -- compaction (reference W4 background flush) --------------------------
 
     def assign_centroids(self, rows: DataFrame) -> DataFrame:
@@ -251,6 +283,7 @@ class VectorEngine:
         new index generation via atomic manifest swap, then logically clear
         the delta (watermark).  Search results before and after are
         identical (tested), including for searches in flight."""
+        t0 = time.time()
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
         old_watermark = self._watermark()
@@ -329,6 +362,7 @@ class VectorEngine:
         )
         with open(os.path.join(self.root_dir, "index", "meta.json"), "w") as f:
             json.dump(self.index.meta, f)
+        self.recorder.record("compact", time.time() - t0)
         return n_delta
 
     def maybe_compact(self, max_delta_fraction: float = 0.25) -> int:
