@@ -1,0 +1,153 @@
+"""Distributed connected components — near-dup CLUSTER assignment.
+
+The dedup family (operators/dedup.py) emits *pairs*; a training-data
+pipeline needs *clusters*: every document labeled with a canonical id so
+one representative per near-dup group survives.  Pairs → clusters is
+transitive closure, an inherently iterative computation no single
+DataFrame expression covers — the missing altitude between the pair
+operators and `pipeline_clean_corpus`.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the canonical
+shuffle-based CC algorithm:
+
+  large-star: for each node u, connect every *larger* neighbor to
+              m = min(Γ(u) ∪ {u});
+  small-star: connect every not-larger neighbor (and u) to m.
+
+Each round is one symmetrize + one groupBy + one projection; the edge
+set only shrinks toward a union of stars whose centers are the component
+minima.  Convergence in O(log² n) rounds w.h.p. (near-dup graphs: 2-3
+rounds), checked by an order-insensitive edge-set fingerprint
+(count + xor of xxhash64) rather than a driver-side collect — at 100 TB each
+round is a bounded shuffle on (node, neighbor) longs and nothing else.
+
+No reference analog (the reference has no dedup surface at all); DuckDB
+oracle = recursive-CTE min-label propagation over the same pair edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.operators.dedup import NGRAM_JACCARD_ORACLE
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large- or small-star round over an undirected edge list
+    ``(u, v)`` kept as canonical pairs (u != v, both directions implied)."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nbrs = sym.groupBy("u").agg(
+        F.collect_set("v").alias("vs"), F.min("v").alias("min_v")
+    )
+    m = F.least(F.col("u"), F.col("min_v"))
+    out = nbrs.select(
+        F.col("u"), m.alias("m"), F.explode("vs").alias("v")
+    )
+    if large:
+        out = out.filter(F.col("v") > F.col("u"))
+    else:
+        out = out.filter(F.col("v") <= F.col("u")).union(
+            nbrs.select("u", m.alias("m"), F.col("u").alias("v"))
+        )
+    return (
+        out.select(
+            F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Component label per node: ``(node long, component long)`` where
+    component = min node id reachable.  ``edges`` needs columns (u, v).
+
+    Iterates alternating star rounds until the edge-set fingerprint is
+    stable; the driver sees only (count, hash-sum) per round."""
+    cur = (
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_fp = None
+    for _ in range(max_rounds):
+        cur = _star_round(cur, large=True)
+        cur = _star_round(cur, large=False).localCheckpoint(eager=True)
+        fp = _edge_fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged: stars centered at component minima — every non-center
+    # node appears exactly once as v with u = its component min
+    members = cur.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    centers = cur.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.union(centers).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cluster assignment for EVERY document: transitive closure of the
+    near-dup ``pairs`` (doc_a, doc_b), canonical id = min doc_id in the
+    cluster, singletons canonical by themselves — the exact shape a
+    keep-one-per-cluster filter consumes."""
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    labeled = (
+        documents.select("doc_id")
+        .join(comp, documents["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("cluster_size", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("boolean")
+        )
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    )
+
+
+# Transitive closure as a recursive CTE: min-label propagation — every
+# (node, reachable-label) pair enumerates once (UNION dedup terminates it),
+# then min per node.  Fine at oracle scale; the Spark side is the scalable
+# path.
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE jp AS ({NGRAM_JACCARD_ORACLE}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM jp
+  UNION ALL SELECT doc_b, doc_a FROM jp
+),
+cc(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, cc.lbl FROM edges e JOIN cc ON cc.node = e.v
+),
+lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM lab
+"""

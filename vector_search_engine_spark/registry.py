@@ -829,6 +829,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_clusters", oracle=None)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: transitive closure of the Jaccard
+    pair graph via alternating large-star/small-star rounds (Kiveris et
+    al., SoCC'14) — canonical id per document, singletons included.  The
+    iterative-algorithm surface; oracle = recursive-CTE min-label
+    propagation over the same edges."""
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs)
+    return graph_ops.dedup_clusters(docs, pairs)
+
+
+def _set_graph_oracles() -> None:
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    ORACLES["dedup_clusters"] = graph_ops.DEDUP_CLUSTERS_ORACLE
+
+
+_set_graph_oracles()
+
+
 @register("dedup_minhash_lsh")  # LSH recall is probabilistic → rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-verified."""
@@ -1179,6 +1202,7 @@ _GRADE_FIRST: list[str] = [
     # LLM-pipeline: dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_clusters",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_lsh",
@@ -1215,7 +1239,6 @@ _GRADE_FIRST: list[str] = [
     # text analysis
     "doc_stats",
     "doc_lang_id",
-    "doc_token_counts",
 ]
 
 
