@@ -99,3 +99,27 @@ def test_stateful_sessionize_stitches_across_batches(spark, sf_dir, staged, tmp_
     assert got == want
     # emit-on-update produced strictly more rows than final sessions
     assert updates.count() > len(got)
+
+
+def test_streaming_dedup_drops_redelivered_rows(spark, sf_dir, tmp_path):
+    """The staged replay re-delivers every boundary-hour event twice; the
+    watermarked dedup must emit each event_id exactly once and reproduce
+    the batch table."""
+    from vector_search_engine_spark.streaming import event_time as et
+
+    staged = et.stage_event_files_with_dups(
+        spark, sf_dir, str(tmp_path / "staged"), n_files=4
+    )
+    staged_rows = spark.read.parquet(f"{staged}/slice-*.parquet")
+    n_staged = staged_rows.count()
+    n_distinct = staged_rows.select("event_id").distinct().count()
+    assert n_staged > n_distinct  # duplicates really are in the input
+    out_dir = str(tmp_path / "deduped")
+    et.run_append_to_parquet(
+        et.streaming_dedup(et.stream_events(spark, staged)),
+        checkpoint=str(tmp_path / "ckpt"),
+        out_dir=out_dir,
+    )
+    deduped = spark.read.parquet(out_dir)
+    assert deduped.count() == n_distinct
+    assert deduped.select("event_id").distinct().count() == n_distinct

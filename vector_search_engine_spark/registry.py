@@ -1147,6 +1147,47 @@ def streaming_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAMING_DEDUP_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("streaming_dedup_ingest", oracle=_STREAMING_DEDUP_ORACLE)
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once rows from an at-least-once replay: staged micro-batches
+    re-deliver each boundary hour twice; dropDuplicatesWithinWatermark on
+    event_id (bounded state) must reproduce the batch per-type stats
+    exactly — the streaming half of exact dedup."""
+    import tempfile
+
+    from vector_search_engine_spark.streaming import event_time as et
+
+    root = tempfile.mkdtemp(prefix="vse_stream_dedup_")
+    staged = et.stage_event_files_with_dups(spark, sf_dir, f"{root}/staged")
+    deduped_dir = f"{root}/deduped"
+    et.run_append_to_parquet(
+        et.streaming_dedup(et.stream_events(spark, staged)),
+        checkpoint=f"{root}/ckpt",
+        out_dir=deduped_dir,
+    )
+    return (
+        spark.read.parquet(deduped_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 @register("streaming_engine_metrics")  # driver-side latency sink — rows-only
 def streaming_engine_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 metrics sink (reference bvar LatencyRecorder, server.cpp):

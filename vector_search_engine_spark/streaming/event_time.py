@@ -297,3 +297,86 @@ def compact_session_updates(updates: DataFrame) -> DataFrame:
         F.timestamp_micros("session_start_us").alias("session_start"),
         "duration_s",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup (at-least-once delivery → exactly-once rows)
+# ---------------------------------------------------------------------------
+
+
+def stage_event_files_with_dups(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_files: int = 4,
+    overlap: str = "1 hour",
+) -> str:
+    """Like ``stage_event_files`` but each slice REPLAYS the tail of the
+    previous slice (every event within ``overlap`` before the boundary
+    appears in both files) — the duplicate pattern an at-least-once source
+    (Kafka re-delivery, file-source retry) produces."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = [
+        r[0]
+        for r in events.select(
+            F.percentile_approx(
+                F.col("ts").cast("double"),
+                [i / n_files for i in range(1, n_files)],
+                10_000,
+            ).alias("b")
+        )
+        .select(F.explode("b"))
+        .collect()
+    ]
+    overlap_s = 3600.0 if overlap == "1 hour" else float(overlap.split()[0])
+    os.makedirs(out_dir, exist_ok=True)
+    lo = None
+    for i, hi in enumerate(list(bounds) + [None]):
+        part = events
+        if lo is not None:
+            part = part.filter(F.col("ts").cast("double") > lo - overlap_s)
+        if hi is not None:
+            part = part.filter(F.col("ts").cast("double") <= hi)
+        path = os.path.join(out_dir, f"slice-{i:03d}.parquet")
+        part.coalesce(1).write.mode("overwrite").parquet(path + ".tmp")
+        data_file = [
+            f for f in os.listdir(path + ".tmp") if f.endswith(".parquet")
+        ][0]
+        os.replace(os.path.join(path + ".tmp", data_file), path)
+        import shutil
+
+        shutil.rmtree(path + ".tmp", ignore_errors=True)
+        t = time.time() + i
+        os.utime(path, (t, t))
+        lo = hi
+    return out_dir
+
+
+def streaming_dedup(
+    events_stream: DataFrame, watermark: str = "3 hours"
+) -> DataFrame:
+    """Exactly-once rows from an at-least-once stream:
+    ``dropDuplicatesWithinWatermark`` on the event key — state holds one
+    entry per key only within the watermark horizon (bounded, unlike a
+    naive ``dropDuplicates`` whose state grows forever).  The watermark
+    delay must exceed the source's re-delivery window (here: the staged
+    overlap)."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_append_to_parquet(
+    stream_df: DataFrame, checkpoint: str, out_dir: str
+) -> None:
+    """Run an append-mode stream to parquet files (availableNow), blocking
+    until every staged file is processed."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
