@@ -185,3 +185,17 @@ def test_simhash_batch_matches_scalar_reference():
     for txt, sig in zip(texts, got):
         toks = [t for t in (txt or "").strip().split(" ") if t]
         assert sig == dedup_ops._simhash64(toks), txt
+
+
+def test_ppjoin_identical_to_single_scan_tier(documents):
+    """Prefix filtering is exactness-preserving: the PPJoin plan must emit
+    byte-identical pairs to the single-scan postings tier."""
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ops.ngram_jaccard_pairs(documents).collect()
+    }
+    pp = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ops.ngram_jaccard_pairs_ppjoin(documents).collect()
+    }
+    assert pp == base

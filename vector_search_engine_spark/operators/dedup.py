@@ -2,7 +2,8 @@
 training-data-pipeline surface (BASELINE.json north star):
 
   * exact:      md5 of normalized text, hash-groupBy        (oracle-backed)
-  * n-gram Jaccard: length-blocked pair join, exact verify  (oracle-backed)
+  * n-gram Jaccard: postings intersection, exact            (oracle-backed)
+  * n-gram Jaccard, PPJoin tier: df-ordered prefix filter   (same oracle)
   * MinHash+LSH: shingle→minhash→band→bucket-join→verify    (rows-only;
                  recall vs the exact pairs is pytest-gated)
   * SimHash:    64-bit token-hash votes, banded Hamming join (rows-only)
@@ -95,9 +96,9 @@ def ngram_jaccard_pairs(
       shuffles both sides; the groupBy scans once and shuffles once.
       Pair fan-out per shingle is the same quadratic either way; the
       groupBy additionally needs the posting list of a hot shingle to
-      fit one task — at corpus scale, hot "stop-shingles" must be
-      frequency-capped anyway (that path is minhash_lsh_pairs; this
-      operator is the exact-verification tier).
+      fit one task — when any shingle's postings outgrow a task, use
+      ``ngram_jaccard_pairs_ppjoin`` (prefix filtering keeps hot
+      shingles out of candidate generation, exactly).
     * shingles cross the shuffle as xxhash64 longs, not strings: ~8 B
       keys, codegen'd long compares.  A 64-bit collision could in
       principle inflate an intersection count (P ≈ n²/2⁶⁴ — below the
@@ -161,6 +162,85 @@ SELECT doc_a, doc_b,
 FROM pairs
 WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= {JACCARD_THRESHOLD}
 """
+
+
+def ngram_jaccard_pairs_ppjoin(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    length_band: int = LENGTH_BAND,
+) -> DataFrame:
+    """Output-identical to ``ngram_jaccard_pairs`` (same oracle) with
+    PPJoin/AllPairs PREFIX FILTERING (Xiao et al., WWW'08) — the web-scale
+    exact tier that removes the hot-shingle ceiling:
+
+    under any global token order, two sets with Jaccard ≥ t must share a
+    token within each one's first ``|A| − ⌈t·|A|⌉ + 1`` tokens, so only
+    those *prefix* postings generate candidates.  Ordering tokens by
+    ascending document frequency puts the corpus's hottest shingles
+    (boilerplate n-grams shared by millions of docs) at the END of every
+    set — they never enter a posting list, so per-shingle pair fan-out
+    stays bounded no matter how skewed the corpus.  Exactness is kept by
+    verifying candidates against the FULL postings (intersection counts,
+    longs only — no arrays cross any shuffle).
+
+    Cost shape: +1 aggregation (df counts) and +1 per-doc ranking shuffle
+    versus the single-scan tier — the right trade once any shingle's
+    posting list outgrows a task."""
+    from pyspark.sql import Window
+
+    post = (
+        with_shingles(documents, "sh")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size("sh").alias("n_sh"),
+            F.explode("sh").alias("s0"),
+        )
+        .select("doc_id", "n_chars", "n_sh", F.xxhash64("s0").alias("s"))
+    )
+    dfreq = post.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        post.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+    )
+    grouped = (
+        prefix.groupBy("s")
+        .agg(F.collect_list(F.struct("doc_id", "n_chars")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    cand = (
+        grouped.select(F.explode("ds").alias("x"), "ds")
+        .select("x", F.explode("ds").alias("y"))
+        .filter(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.abs(F.col("x.n_chars") - F.col("y.n_chars")) <= length_band)
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pa = post.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("nsh_a"), "s"
+    )
+    pb = post.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nsh_b"), "s"
+    )
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "nsh_a", "nsh_b")
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    union = F.col("nsh_a") + F.col("nsh_b") - F.col("inter")
+    return (
+        inter.withColumn("jaccard", F.col("inter") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -829,6 +829,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_ngram_jaccard_ppjoin", oracle=dedup_ops.NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered exact Jaccard (web-scale tier): identical
+    output to dedup_ngram_jaccard, hot shingles excluded from candidate
+    generation by the prefix bound."""
+    return dedup_ops.ngram_jaccard_pairs_ppjoin(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("dedup_clusters", oracle=None)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER assignment: transitive closure of the Jaccard
