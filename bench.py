@@ -104,11 +104,32 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
         ).repartition(6).write.mode("overwrite").parquet(stage)
         q = knn_ops.make_queries(emb)
         nprobe = eng.index.meta["n_centroids"]
+        # ground truth over the FINAL universe (reference M5 measures
+        # recall against full GT while inserts land): concurrent searches
+        # climb toward 1.0 as the delta fills — by the merged-search
+        # exactness contract they can only miss not-yet-visible rows
+        gt = {
+            r["qid"]: set(r["ids"])
+            for r in knn_ops.knn_exact(emb, q, k=10)
+            .groupBy("qid")
+            .agg(F.collect_set("neighbor_id").alias("ids"))
+            .collect()
+        }
+        recalls = []
 
         def one_search() -> float:
             s0 = time.time()
-            eng.search_timed(q, k=10, nprobe=nprobe)
-            return time.time() - s0
+            res = eng.search(q, k=10, nprobe=nprobe).collect()
+            dt = time.time() - s0
+            eng.recorder.record("search", dt)
+            got: dict = {}
+            for r in res:
+                got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+            recalls.append(
+                sum(len(got.get(k_, set()) & v) for k_, v in gt.items())
+                / sum(len(v) for v in gt.values())
+            )
+            return dt
 
         stream = (
             spark.readStream.schema("vec_id long, embedding array<float>")
@@ -145,6 +166,8 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             "search_qps": round(len(latencies) / float(np.sum(lat_ms) / 1000.0), 3),
             "search_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
             "search_p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+            "recall_at_10_mean": round(float(np.mean(recalls)), 4),
+            "recall_at_10_final": round(float(recalls[-1]), 4),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

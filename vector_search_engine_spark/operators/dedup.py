@@ -597,7 +597,7 @@ SELECT source,
        count(DISTINCT h) AS n_distinct,
        count(*) - count(DISTINCT h) AS n_dup_docs,
        round(CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*), 4) AS dup_ratio,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM h
 GROUP BY source
 """

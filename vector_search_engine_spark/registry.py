@@ -791,7 +791,7 @@ dd AS (
 )
 SELECT s.lang,
        count(*) AS n_docs_kept,
-       sum(s.n_tokens) AS total_tokens,
+       CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens,
        round(avg(s.quality_score), 4) AS avg_quality
 FROM stats s JOIN dd USING (doc_id)
 WHERE s.quality_score >= 0.5 AND NOT dd.is_duplicate
@@ -810,6 +810,29 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = stats.join(dd, "doc_id").filter(
         (F.col("quality_score") >= 0.5) & ~F.col("is_duplicate")
     )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
+@register("pipeline_neardup_corpus", oracle=None)  # oracle set below (graph CTE)
+def pipeline_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning with NEAR-dup clustering: keep only cluster
+    canonicals (transitive closure of the Jaccard pairs), quality ≥ 0.5,
+    per-language token budget — the iterative CC operator composed into
+    the end-to-end pipeline shape."""
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = txt_ops.doc_stats(docs)
+    clusters = graph_ops.dedup_clusters(
+        docs, dedup_ops.ngram_jaccard_pairs(docs)
+    )
+    kept = stats.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
+    ).filter(F.col("quality_score") >= 0.5)
     return kept.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs_kept"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
@@ -857,6 +880,17 @@ def _set_graph_oracles() -> None:
     from vector_search_engine_spark.operators import graph as graph_ops
 
     ORACLES["dedup_clusters"] = graph_ops.DEDUP_CLUSTERS_ORACLE
+    ORACLES["pipeline_neardup_corpus"] = f"""
+WITH cl AS ({graph_ops.DEDUP_CLUSTERS_ORACLE}),
+stats AS ({txt_ops.DOC_STATS_ORACLE.strip()})
+SELECT s.lang,
+       count(*) AS n_docs_kept,
+       CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(s.quality_score), 4) AS avg_quality
+FROM stats s JOIN cl ON s.doc_id = cl.doc_id
+WHERE cl.is_canonical AND s.quality_score >= 0.5
+GROUP BY s.lang
+"""
 
 
 _set_graph_oracles()
@@ -910,10 +944,10 @@ FROM documents
 WITH m AS ({_DD_MEDIA})
 SELECT media_type,
        count(*) AS n_docs,
-       sum(n_bytes) AS total_bytes,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        round(avg(n_bytes), 4) AS avg_bytes,
        max(width) AS max_width,
-       sum(n_frames) AS total_frames
+       CAST(sum(n_frames) AS BIGINT) AS total_frames
 FROM m GROUP BY media_type
 """,
 )
