@@ -160,3 +160,48 @@ def test_validate_vectors_partitions_rows(spark, rows):
     assert valid.count() == n_valid
     assert rejected.count() == len(rows) - n_valid
     assert valid.filter(F.size("embedding") != 4).count() == 0
+
+
+def _uf_components(n_nodes: list[int], edges: list[tuple[int, int]]) -> dict:
+    """Union-find reference: node -> min id of its component."""
+    parent = {n: n for n in n_nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in n_nodes}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_connected_components_matches_union_find(spark, edges):
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    edges = [(u, v) for u, v in edges if u != v]
+    if not edges:
+        return
+    df = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges], "u long, v long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in graph_ops.connected_components(df).collect()
+    }
+    nodes = sorted({x for e in edges for x in e})
+    assert got == _uf_components(nodes, edges)
