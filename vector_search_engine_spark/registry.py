@@ -1292,18 +1292,20 @@ _GRADE_FIRST: list[str] = [
     "dedup_simhash",
     "dedup_embedding_lsh",
     # LLM-pipeline: corpus ops
-    "corpus_capped_sample",
     "corpus_approx_distinct",
     "corpus_dedup_stats",
     "pipeline_clean_corpus",
+    "pipeline_neardup_corpus",
     # LLM-pipeline: multimodal
     "multimodal_metadata_stats",
     "multimodal_frame_index",
     "multimodal_features",
-    # event-time streaming (watermark windows / stateful sessions / interval join)
+    # event-time streaming (watermark windows / stateful sessions /
+    # interval join / bounded-state dedup)
     "streaming_hourly_event_stats",
     "streaming_sessionize",
     "streaming_interval_join",
+    "streaming_dedup_ingest",
     # relational core
     "tpch_pricing_summary",
     "tpch_top_unshipped_orders",
@@ -1320,7 +1322,6 @@ _GRADE_FIRST: list[str] = [
     "events_json_stats",
     "events_asof_attribution",
     "events_range_join",
-    "events_user_funnel",
     # text analysis
     "doc_stats",
     "doc_lang_id",
