@@ -249,3 +249,52 @@ def test_recall_on_clustered_data_at_small_nprobe(spark, tmp_path):
     res = index.search(q, k=10, nprobe=n_clusters // 4)
     recall = knn_ops.recall_at_k(res, gt, k=10).collect()[0].recall_at_k
     assert recall >= 0.9, recall
+
+
+def test_rebalance_splits_hot_cells_and_stays_exact(spark, tmp_path):
+    """Skewed data → one hot cell; rebalance must split it (max occupancy
+    drops, total rows invariant), publish a new centroid set + manifest
+    generation, and keep full-probe search bit-identical to exact kNN."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    # 1 dense blob (800 rows) + 3 sparse blobs (50 each): 4 coarse cells
+    centers = rng.normal(0, 20.0, (4, 16))
+    counts = [800, 50, 50, 50]
+    pts = np.concatenate(
+        [
+            centers[i] + rng.normal(0, 1.0, (n, 16))
+            for i, n in enumerate(counts)
+        ]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(pts), dtype=np.int64),
+                "embedding": [[float(x) for x in v] for v in pts],
+            }
+        )
+    )
+    index = IVFIndex.build(df, str(tmp_path / "skew_index"), n_centroids=4)
+    before = {r["centroid_id"]: r["n_vectors"] for r in index.stats().collect()}
+    mapping = index.rebalance(max_cell_rows=400, sub_k=4)
+    assert mapping, before  # the hot cell was split
+    after = {r["centroid_id"]: r["n_vectors"] for r in index.stats().collect()}
+    assert sum(after.values()) == sum(before.values()) == len(pts)
+    assert max(after.values()) < max(before.values())
+    for parent, children in mapping.items():
+        assert parent not in after
+        assert all(ch in after for ch in children)
+    assert index.meta["n_centroids"] == len(after)
+    # full probe still exact after the split
+    q = knn_ops.make_queries(df, n=10)
+    exact = knn_ops.knn_exact(df, q, k=10).orderBy("qid", "rank")
+    ann = index.search(q, k=10, nprobe=index.meta["n_centroids"]).orderBy(
+        "qid", "rank"
+    )
+    assert [tuple(r) for r in ann.collect()] == [tuple(r) for r in exact.collect()]
+    # and the SQ8 sidecar was invalidated + rebuilt consistently
+    sq = index.search_sq8(q, k=10, nprobe=index.meta["n_centroids"]).orderBy(
+        "qid", "rank"
+    )
+    assert [tuple(r) for r in sq.collect()] == [tuple(r) for r in exact.collect()]

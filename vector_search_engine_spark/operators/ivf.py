@@ -93,8 +93,13 @@ class IVFIndex:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
-        rows = spark.read.parquet(
-            os.path.join(index_dir, "centroids.parquet")
+        self._load_centroids()
+
+    def _load_centroids(self) -> None:
+        m = self._read_manifest() or {}
+        cfile = m.get("centroids_file", "centroids.parquet")
+        rows = self.spark.read.parquet(
+            os.path.join(self.index_dir, cfile)
         ).collect()
         rows.sort(key=lambda r: r["centroid_id"])
         self.centroid_ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
@@ -237,14 +242,23 @@ class IVFIndex:
         with open(p) as f:
             return json.load(f)
 
-    def commit_cells(self, gen: int, cells: list[int]) -> None:
-        """Atomically publish generation ``gen`` for ``cells`` and GC cell
-        dirs referenced by neither the new nor the previous manifest (one
-        commit cycle of grace for in-flight readers)."""
+    def commit_cells(
+        self,
+        gen: int,
+        cells: list[int],
+        remove_cells: list[int] | None = None,
+        centroids_file: str | None = None,
+    ) -> None:
+        """Atomically publish generation ``gen`` for ``cells`` (dropping
+        ``remove_cells`` — e.g. a split cell superseded by its children)
+        and GC cell dirs referenced by neither the new nor the previous
+        manifest (one commit cycle of grace for in-flight readers)."""
         m = self._read_manifest() or {"latest_gen": -1, "cells": {}, "prev_cells": {}}
         prev = dict(m["cells"])
         cur = dict(prev)
         cur.update({str(c): gen for c in cells})
+        for c in remove_cells or []:
+            cur.pop(str(c), None)
         keep = {(int(g), int(c)) for c, g in cur.items()} | {
             (int(g), int(c)) for c, g in prev.items()
         }
@@ -254,11 +268,13 @@ class IVFIndex:
             c = int(os.path.basename(d).split("=")[1])
             if (g, c) not in keep:
                 shutil.rmtree(d, ignore_errors=True)
+        out = dict(m)  # preserve auxiliary keys (e.g. centroids_file)
+        out.update({"latest_gen": gen, "cells": cur, "prev_cells": prev})
+        if centroids_file is not None:
+            out["centroids_file"] = centroids_file
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(
-                {"latest_gen": gen, "cells": cur, "prev_cells": prev}, f
-            )
+            json.dump(out, f)
         os.rename(tmp, self._manifest_path())
 
     def next_gen(self) -> int:
@@ -405,6 +421,121 @@ class IVFIndex:
             local_topk, schema="qid long, neighbor_id long, dist double"
         )
         return _finalize_topk(cand_topk, k, "l2_sq")
+
+    def rebalance(
+        self,
+        max_cell_rows: int,
+        sub_k: int = 4,
+        train_cap: int = 65536,
+        seed: int = 7,
+    ) -> dict[int, list[int]]:
+        """Split every cell exceeding ``max_cell_rows`` into ``sub_k``
+        children — the skew-management path for an index under sustained
+        ingest (compaction keeps pouring rows into the same coarse cells;
+        a hot cell is a hot partition is a straggler task at 100 TB).
+
+        Per oversized cell: bounded sample → seeded sub-quantizer → one
+        Arrow reassignment pass over ONLY that cell's rows; children land
+        in a new generation dir, the parent is dropped from the manifest
+        in the same atomic commit (readers keep their snapshot), and a new
+        versioned centroids file is published alongside.  Full-probe
+        exactness is invariant — the cells partition the same rows, just
+        finer.  Returns {parent_cell: [child_cells]}."""
+        occupancy = {
+            int(r["centroid_id"]): int(r["n_vectors"])
+            for r in self.stats().collect()
+        }
+        oversized = sorted(c for c, n in occupancy.items() if n > max_cell_rows)
+        if not oversized:
+            return {}
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        extra = tuple(self.meta.get("extra_cols", []))
+        gen = self.next_gen()
+        next_id = int(self.centroid_ids.max()) + 1
+        mapping: dict[int, list[int]] = {}
+        sub_centroids: list[tuple[int, np.ndarray]] = []
+
+        def make_reassign(ids_arr: np.ndarray, C_loc: np.ndarray):
+            bc = self.spark.sparkContext.broadcast((ids_arr, C_loc))
+
+            def reassign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                ids_, C_ = bc.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    D = l2_sq_matrix(V, C_)
+                    a = D.argmin(axis=1)
+                    pdf = pdf.copy()
+                    pdf["centroid_id"] = ids_[a].astype("int32")
+                    pdf["dist_to_centroid"] = D[np.arange(len(a)), a]
+                    yield pdf
+
+            return reassign
+
+        parts = []
+        for c in oversized:
+            cell = self.vectors().filter(F.col("centroid_id") == c)
+            sample = cell.select(vec_col)
+            frac = min(1.0, train_cap / occupancy[c])
+            if frac < 1.0:
+                sample = sample.sample(fraction=frac, seed=seed)
+            S = np.stack(sample.toPandas()[vec_col].to_numpy()).astype(np.float64)
+            C = _train_quantizer(S, min(sub_k, len(S)), seed=seed)
+            ids = np.arange(next_id, next_id + len(C), dtype=np.int64)
+            next_id += len(C)
+            mapping[c] = [int(i) for i in ids]
+            sub_centroids += [(int(i), C[j]) for j, i in enumerate(ids)]
+            src = cell.select(id_col, vec_col, *extra)
+            schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+            )
+            schema += ", centroid_id int, dist_to_centroid double"
+            parts.append(src.mapInPandas(make_reassign(ids, C), schema=schema))
+
+        allnew = parts[0]
+        for p in parts[1:]:
+            allnew = allnew.unionByName(p)
+        ordered = [id_col, vec_col, *extra, "dist_to_centroid", "centroid_id"]
+        allnew.select(*ordered).repartition("centroid_id").sortWithinPartitions(
+            "centroid_id", "dist_to_centroid"
+        ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(self.index_dir, "vectors", f"gen={gen}")
+        )
+
+        survivors = [
+            (int(cid), [float(x) for x in vec])
+            for cid, vec in zip(self.centroid_ids, self.centroids)
+            if int(cid) not in set(oversized)
+        ]
+        allc = survivors + [
+            (cid, [float(x) for x in vec]) for cid, vec in sub_centroids
+        ]
+        cfile = f"centroids_gen{gen}.parquet"
+        cdf = pd.DataFrame(
+            {
+                "centroid_id": np.array([c for c, _ in allc], dtype=np.int32),
+                "centroid": [v for _, v in allc],
+            }
+        )
+        self.spark.createDataFrame(cdf).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.index_dir, cfile))
+        self.commit_cells(
+            gen,
+            [i for ids in mapping.values() for i in ids],
+            remove_cells=oversized,
+            centroids_file=cfile,
+        )
+        self.meta["n_centroids"] = len(allc)
+        tmp = os.path.join(self.index_dir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.meta, f)
+        os.rename(tmp, os.path.join(self.index_dir, "meta.json"))
+        shutil.rmtree(os.path.join(self.index_dir, "sq8"), ignore_errors=True)
+        self._load_centroids()
+        return mapping
 
     def ensure_sq8(self) -> str:
         """Write (once) the SQ8 code sidecar: per-vector uint8 codes

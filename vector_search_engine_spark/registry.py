@@ -494,6 +494,23 @@ def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.knn_lsh(emb, knn_ops.make_queries(emb), k=10)
 
 
+@register("ivf_rebalance_stats")  # index maintenance — rows-only
+def ivf_rebalance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell split (skew management under churn): build a coarse
+    4-cell index, split every cell above 1.2× mean occupancy, return the
+    post-split occupancy — full-probe exactness invariance is pinned in
+    tests/test_ivf.py."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf.IVFIndex.build(
+        emb, tempfile.mkdtemp(prefix="vse_rebal_") + "/index", n_centroids=4
+    )
+    occ = [r["n_vectors"] for r in idx.stats().collect()]
+    idx.rebalance(max_cell_rows=max(1, int(1.2 * sum(occ) / len(occ))))
+    return idx.stats()
+
+
 @register("ivf_index_stats")  # KMeans assignment — not SQL-expressible
 def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-centroid occupancy of the built index (cell-balance health check
