@@ -259,3 +259,56 @@ def test_metrics_sink_records_all_ops(spark, embeddings, engine):
     assert rows["compact"]["count"] == 1
     for r in rows.values():
         assert 0 < r["p50_ms"] <= r["p99_ms"] <= r["p999_ms"]
+
+
+def test_hot_cell_autosplit_under_skewed_ingest(spark, tmp_path):
+    """Sustained ingest into ONE region: the hot-cell policy must split
+    the swollen cell mid-stream and searches must stay exact."""
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 20.0, (4, 16))
+    base = np.concatenate(
+        [centers[i] + rng.normal(0, 1.0, (50, 16)) for i in range(4)]
+    ).astype(np.float32)
+    base_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(base), dtype=np.int64),
+                "embedding": [[float(x) for x in v] for v in base],
+            }
+        )
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    eng = VectorEngine.create(base_df, str(tmp_path / "eng"), n_centroids=4)
+    # 400 new rows, ALL near center 0 — one cell takes the entire stream
+    hot = (centers[0] + rng.normal(0, 1.0, (400, 16))).astype(np.float32)
+    hot_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(1000, 1000 + len(hot), dtype=np.int64),
+                "embedding": [[float(x) for x in v] for v in hot],
+            }
+        )
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    stage = str(tmp_path / "stage")
+    hot_df.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    n_cells_before = len(eng.index.centroid_ids)
+    qh = eng.ingest_stream(
+        stream, max_delta_fraction=0.2, hot_cell_factor=1.3
+    )
+    qh.awaitTermination(240)
+    assert len(eng.index.centroid_ids) > n_cells_before
+    occ = {r["centroid_id"]: r["n_vectors"] for r in eng.index.stats().collect()}
+    assert sum(occ.values()) + eng.delta().count() == len(base) + len(hot)
+    # the pre-split hot cells (~230 rows) are gone; children are bounded
+    assert max(occ.values()) < 200
+    union = base_df.unionByName(hot_df)
+    q = knn_ops.make_queries(union, n=5)
+    merged = eng.search(q, k=10, nprobe=eng.index.meta["n_centroids"])
+    exact = knn_ops.knn_exact(union, q, k=10)
+    assert _sorted(merged) == _sorted(exact)

@@ -123,6 +123,7 @@ class VectorEngine:
         stream_df: DataFrame,
         checkpoint: str | None = None,
         max_delta_fraction: float | None = None,
+        hot_cell_factor: float | None = None,
     ):
         """Structured Streaming ingest: micro-batch append into the delta
         (reference Insert RPC path, ``server.cpp:45-66`` + W1/W2 buffering).
@@ -138,7 +139,7 @@ class VectorEngine:
         def write_batch(bdf: DataFrame, batch_id: int) -> None:
             self.insert(bdf)
             if max_delta_fraction is not None:
-                self.maybe_compact(max_delta_fraction)
+                self.maybe_compact(max_delta_fraction, hot_cell_factor)
 
         return (
             stream_df.writeStream.foreachBatch(write_batch)
@@ -365,19 +366,38 @@ class VectorEngine:
         self.recorder.record("compact", time.time() - t0)
         return n_delta
 
-    def maybe_compact(self, max_delta_fraction: float = 0.25) -> int:
+    def maybe_compact(
+        self,
+        max_delta_fraction: float = 0.25,
+        hot_cell_factor: float | None = None,
+    ) -> int:
         """Compaction trigger policy (reference W3 soft/hard limits,
         ``engine.h:76-86``): fold the delta when it exceeds
         ``max_delta_fraction`` of the indexed row count.  Returns rows
         compacted (0 = below threshold).  Call from the ingest cadence
-        (e.g. every foreachBatch) — cheap when below threshold."""
+        (e.g. every foreachBatch) — cheap when below threshold.
+
+        ``hot_cell_factor`` additionally splits any index cell whose
+        occupancy exceeds that multiple of the mean after the fold —
+        sustained ingest into one region would otherwise keep growing one
+        partition into a straggler (skew management; IVFIndex.rebalance)."""
         n_delta = self.delta().count()
         if n_delta == 0:
             return 0
         n_indexed = max(1, int(self.index.meta.get("n_vectors", 1)))
         if n_delta / n_indexed < max_delta_fraction:
             return 0
-        return self.compact()
+        folded = self.compact()
+        if hot_cell_factor is not None:
+            t0 = time.time()
+            n = int(self.index.meta.get("n_vectors", 1))
+            mean = n / max(1, len(self.index.centroid_ids))
+            split = self.index.rebalance(
+                max_cell_rows=max(1, int(hot_cell_factor * mean))
+            )
+            if split:
+                self.recorder.record("rebalance", time.time() - t0)
+        return folded
 
     def index_vectors_dir(self) -> str:
         return os.path.join(self.root_dir, "index", "vectors")
