@@ -312,3 +312,33 @@ def test_hot_cell_autosplit_under_skewed_ingest(spark, tmp_path):
     merged = eng.search(q, k=10, nprobe=eng.index.meta["n_centroids"])
     exact = knn_ops.knn_exact(union, q, k=10)
     assert _sorted(merged) == _sorted(exact)
+
+
+def test_compaction_crash_before_commit_is_harmless(spark, embeddings, engine):
+    """Crash-safety of the commit order: dying AFTER the new generation
+    dir is written but BEFORE the manifest swap must leave results
+    unchanged (the folded rows are still live in the delta, and the
+    unpublished generation is invisible); a later compact() succeeds and
+    results are still exact."""
+    tail = embeddings.filter(F.col("vec_id") >= 400)
+    engine.insert(tail)
+    q = knn_ops.make_queries(embeddings, n=5)
+    exact = knn_ops.knn_exact(embeddings, q, k=10)
+
+    real_commit = engine.index.commit_cells
+
+    def crashing_commit(*a, **kw):
+        raise RuntimeError("simulated crash before manifest swap")
+
+    engine.index.commit_cells = crashing_commit
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        engine.compact()
+    # watermark untouched -> delta still live, index still old generation
+    merged = engine.search(q, k=10, nprobe=engine.index.meta["n_centroids"])
+    assert _sorted(merged) == _sorted(exact)
+    # recovery: a later compact over the same delta commits cleanly
+    engine.index.commit_cells = real_commit
+    assert engine.compact() > 0
+    merged2 = engine.search(q, k=10, nprobe=engine.index.meta["n_centroids"])
+    assert _sorted(merged2) == _sorted(exact)
+    assert engine.delta().count() == 0
