@@ -98,3 +98,28 @@ def test_scan_pushes_no_data_through_driver(spark, tmp_path):
     # lazy: building the scan triggers no job beyond the 4-byte dim peek
     assert df.schema.simpleString() == "struct<vec_id:bigint,embedding:array<float>>"
     assert df.filter(F.col("vec_id") == 3).count() == 1
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """JSONL write→scan is lossless under gzip sharding, and malformed
+    lines are quarantined with accounting rather than dropped or fatal."""
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.sources import jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    jsonl.write_jsonl(docs, out, num_shards=3)
+    back = jsonl.scan_jsonl(spark, out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+    # plant malformed lines in an extra (uncompressed) shard
+    bad = tmp_path / "shards" / "part-bad.json"
+    bad.write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n{"doc_id":\n')
+    scanned = jsonl.scan_jsonl(spark, out)
+    stats = jsonl.quarantine_stats(scanned).collect()[0]
+    assert stats["n_corrupt"] == 2
+    assert stats["n_lines"] == docs.count() + 3

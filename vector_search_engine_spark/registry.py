@@ -494,6 +494,25 @@ def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.knn_lsh(emb, knn_ops.make_queries(emb), k=10)
 
 
+@register(
+    "jsonl_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-corpus interchange: write documents as gzip JSONL shards,
+    schema-enforced scan back (PERMISSIVE + corrupt-record quarantine) —
+    byte-identical to the parquet table."""
+    import tempfile
+
+    from vector_search_engine_spark.sources import jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="vse_jsonl_")
+    jsonl.write_jsonl(docs, out, num_shards=4)
+    back = jsonl.scan_jsonl(spark, out)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 @register("ivf_rebalance_stats")  # index maintenance — rows-only
 def ivf_rebalance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-cell split (skew management under churn): build a coarse
