@@ -298,3 +298,13 @@ def test_rebalance_splits_hot_cells_and_stays_exact(spark, tmp_path):
         "qid", "rank"
     )
     assert [tuple(r) for r in sq.collect()] == [tuple(r) for r in exact.collect()]
+
+
+def test_search_distributed_identical_to_search(spark, embeddings, index):
+    """The large-|Q| shuffle-join path must return exactly what the
+    collect-and-broadcast path returns at the same nprobe."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    for nprobe in (2, 8):
+        a = index.search(q, k=10, nprobe=nprobe).orderBy("qid", "rank")
+        b = index.search_distributed(q, k=10, nprobe=nprobe).orderBy("qid", "rank")
+        assert [tuple(r) for r in b.collect()] == [tuple(r) for r in a.collect()]

@@ -422,6 +422,93 @@ class IVFIndex:
         )
         return _finalize_topk(cand_topk, k, "l2_sq")
 
+    def search_distributed(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+    ) -> DataFrame:
+        """ANN top-k for a LARGE query table — the tier for when ``|Q|``
+        itself is a dataset (bulk re-embedding joins, all-corpus retrieval
+        passes) and ``search()``'s collect-and-broadcast contract breaks:
+
+        * probe assignment runs INSIDE the query table's partitions
+          (centroid matrix in the UDF closure — a few MB even at 4096
+          cells); queries never visit the driver;
+        * candidates come from a shuffle join with the index table on
+          ``centroid_id`` (AQE skew-join splits hot cells probed by many
+          queries);
+        * each joined partition emits ≤ k rows per query (GEMM per
+          (batch, qid) group), then the usual global window top-k.
+
+        Identical results to ``search()`` at the same nprobe (same stable
+        centroid ordering; pinned in tests)."""
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        nprobe = min(nprobe, len(self.centroid_ids))
+        cids = self.centroid_ids
+        C = self.centroids
+        bc = self.spark.sparkContext.broadcast((cids, C, nprobe))
+
+        def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cids_, C_, np_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.stack(pdf[qvec_col].to_numpy()).astype(np.float64)
+                D = l2_sq_matrix(Q, C_)
+                order = np.argsort(D, axis=1, kind="stable")[:, :np_]
+                n, m = order.shape
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(
+                            pdf[qid_col].to_numpy(dtype=np.int64), m
+                        ),
+                        "query": [
+                            v
+                            for v in pdf[qvec_col].to_numpy()
+                            for _ in range(m)
+                        ],
+                        "centroid_id": cids_[order].astype(np.int32).ravel(),
+                    }
+                )
+
+        probes = queries.select(qid_col, qvec_col).mapInPandas(
+            assign_probes,
+            schema="qid long, query array<float>, centroid_id int",
+        )
+        cand = probes.join(self.vectors(), "centroid_id").select(
+            "qid", "query", F.col(id_col), F.col(vec_col)
+        )
+
+        def batch_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for qid, grp in pdf.groupby("qid"):
+                    q = np.asarray(
+                        grp["query"].iloc[0], dtype=np.float32
+                    ).astype(np.float64)
+                    ids = grp[id_col].to_numpy(dtype=np.int64)
+                    V = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                    d = (V * V).sum(axis=1) - 2.0 * (V @ q) + float(q @ q)
+                    np.maximum(d, 0.0, out=d)
+                    order = np.lexsort((ids, d))[:k]
+                    yield pd.DataFrame(
+                        {
+                            "qid": int(qid),
+                            "neighbor_id": ids[order],
+                            "dist": d[order],
+                        }
+                    )
+
+        cand_topk = cand.mapInPandas(
+            batch_topk, schema="qid long, neighbor_id long, dist double"
+        )
+        return _finalize_topk(cand_topk, k, "l2_sq")
+
     def rebalance(
         self,
         max_cell_rows: int,

@@ -484,6 +484,18 @@ def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_distributed", oracle=ORACLES["knn_exact_l2"])
+def ann_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-|Q| tier: probe assignment inside the query table's
+    partitions (no driver collect, no query broadcast), candidates via
+    shuffle join on centroid_id — exact at full probe, same oracle."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_distributed(
+        knn_ops.make_queries(emb), k=10, nprobe=index.meta["n_centroids"]
+    )
+
+
 @register("ann_lsh_search")  # approximate by nature → rows-only
 def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second ANN family: BucketedRandomProjectionLSH bucket join + exact
