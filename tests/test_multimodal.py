@@ -90,3 +90,38 @@ def test_metadata_stats_groups_all_types(media):
 def test_real_decode_is_explicit_stub(media):
     with pytest.raises(NotImplementedError, match="PIL|decode"):
         decode_real(media)
+
+
+def test_frame_dedup_finds_replayed_payloads(spark, sf_dir):
+    """Frames of replayed payloads must pair with their originals at
+    cosine 1.0 through the embedding-LSH path; embeddings are
+    deterministic in frame content."""
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.multimodal import (
+        attach_payload,
+        frame_embeddings,
+        frame_sample,
+    )
+    from vector_search_engine_spark.operators import dedup as dedup_ops
+    from pyspark.sql import functions as F
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    dup = media.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    frames = frame_sample(media.unionByName(dup))
+    fe = frame_embeddings(frames)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in dedup_ops.embedding_lsh_pairs(
+            fe, threshold=0.999, id_col="frame_id", vec_col="embedding"
+        ).collect()
+    }
+    planted = frames.filter(F.col("doc_id") >= 100000).select(
+        "doc_id", "frame_idx"
+    ).collect()
+    assert planted
+    for r in planted:
+        orig = (r["doc_id"] - 100000) * 4096 + r["frame_idx"]
+        copy = r["doc_id"] * 4096 + r["frame_idx"]
+        assert pairs.get((orig, copy)) == 1.0, (orig, copy)

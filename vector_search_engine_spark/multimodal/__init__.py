@@ -17,6 +17,7 @@ from vector_search_engine_spark.multimodal.payload import (  # noqa: F401
     attach_payload,
     decode_real,
     fake_decode_features,
+    frame_embeddings,
     frame_sample,
     metadata_stats,
 )

@@ -201,3 +201,43 @@ def metadata_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+def frame_embeddings(frames: DataFrame, dim: int = 16) -> DataFrame:
+    """Per-frame "visual embedding": the STUB for an image/video encoder
+    (no codec/model libraries in this container) with the real plumbing —
+    Arrow batches in, fixed-dim unit-normalized ``array<float>`` out,
+    deterministic in the frame CONTENT (derived from the md5 content
+    fingerprint, zero-centered so unrelated frames sit near cosine 0):
+    identical frame bytes ⇒ identical embedding, which is exactly the
+    contract frame-level dedup downstream needs.  ``frame_id`` packs
+    (doc_id, frame_idx) into one long for the pair operators."""
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            digs = [
+                bytes.fromhex(h)[:dim].ljust(dim, b"\0")
+                for h in pdf["frame_md5"]
+            ]
+            M = np.frombuffer(b"".join(digs), dtype=np.uint8).reshape(
+                len(digs), dim
+            ).astype(np.float64)
+            M = M - 127.5
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {
+                    "frame_id": (
+                        pdf["doc_id"].to_numpy(dtype=np.int64) * 4096
+                        + pdf["frame_idx"].to_numpy(dtype=np.int64)
+                    ),
+                    "embedding": [
+                        [float(x) for x in row] for row in M.astype(np.float32)
+                    ],
+                }
+            )
+
+    return frames.select("doc_id", "frame_idx", "frame_md5").mapInPandas(
+        embed, schema="frame_id long, embedding array<float>"
+    )

@@ -1280,6 +1280,35 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_frame_dedup")  # embedding stub is non-SQL — rows-only
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-media frame-level near-dup: frame sampling → per-frame
+    embedding (stubbed encoder, real Arrow plumbing) → the SAME
+    random-hyperplane LSH pair machinery as text embeddings.  Five media
+    payloads are replayed under shifted ids, so their frames MUST pair
+    with the originals at cosine ≈ 1 (pytest pins exactness; rows here)."""
+    from vector_search_engine_spark.multimodal import (
+        attach_payload,
+        frame_embeddings,
+        frame_sample,
+    )
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    dup = media.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    frames = frame_sample(media.unionByName(dup))
+    fe = frame_embeddings(frames)
+    return dedup_ops.embedding_lsh_pairs(
+        fe,
+        threshold=0.999,
+        n_tables=8,
+        n_planes=4,
+        id_col="frame_id",
+        vec_col="embedding",
+    )
+
+
 @register("streaming_engine_metrics")  # driver-side latency sink — rows-only
 def streaming_engine_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 metrics sink (reference bvar LatencyRecorder, server.cpp):
