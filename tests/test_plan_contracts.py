@@ -1,0 +1,67 @@
+"""Physical-plan contracts (SURVEY.md §4): the properties that make these
+plans survive a 100 TB scale-up, asserted on the actual executed plans so
+a regression in plan shape fails CI even while results stay correct.
+
+Covered here: no unbounded cartesian product anywhere in the batch
+surface, predicate pushdown reaching the parquet scan for filtered kNN,
+and broadcast (not shuffle) joins for the TPC-H dimension tables.
+Partition-pruning INSET contracts live in tests/test_ivf.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark import load_table, registry
+from vector_search_engine_spark.operators import knn as knn_ops
+
+# batch queries cheap enough to plan-audit wholesale; streaming/engine
+# queries build real engines (their plan contracts are tested in their
+# own suites)
+AUDIT = [
+    "knn_exact_l2_sql",
+    "knn_filtered",
+    "tpch_pricing_summary",
+    "tpch_top_unshipped_orders",
+    "tpch_regional_revenue",
+    "top_orders_per_customer",
+    "customers_without_orders",
+    "orders_above_customer_avg",
+    "events_hourly_stats",
+    "events_sessionize",
+    "events_user_funnel",
+    "doc_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+]
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", AUDIT)
+def test_no_unbounded_cartesian(spark, sf_dir, name):
+    """CartesianProduct is the O(N*M) shuffle-free disaster; the only
+    legitimate all-pairs shapes here are broadcast nested-loop joins
+    against a bounded (query/dim) side."""
+    plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_knn_filter_reaches_parquet_scan(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = knn_ops.knn_filtered(
+        emb, knn_ops.make_queries(emb), F.col("label") < 5, k=10
+    )
+    plan = _executed_plan(df)
+    assert "PushedFilters: [" in plan and "LessThan(label,5)" in plan
+
+
+def test_tpch_dimension_joins_broadcast(spark, sf_dir):
+    """Region/nation/customer dims must broadcast — a shuffle join on the
+    fact table's key is the scale mistake AQE can't always undo."""
+    plan = _executed_plan(registry.QUERIES["tpch_regional_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
