@@ -199,3 +199,42 @@ def test_ppjoin_identical_to_single_scan_tier(documents):
         for r in dedup_ops.ngram_jaccard_pairs_ppjoin(documents).collect()
     }
     assert pp == base
+
+
+def test_train_val_split_stable_under_corpus_growth(documents):
+    """Per-doc hash split: dropping half the corpus must not flip any
+    surviving doc's assignment (the failure mode of randomSplit)."""
+    full = {
+        r["doc_id"]: r["split"]
+        for r in text_ops.train_val_split(documents).collect()
+    }
+    half = {
+        r["doc_id"]: r["split"]
+        for r in text_ops.train_val_split(
+            documents.filter(F.col("doc_id") % 2 == 0)
+        ).collect()
+    }
+    assert half == {d: s for d, s in full.items() if d % 2 == 0}
+    n_val = sum(1 for s in full.values() if s == "val")
+    assert 0.03 < n_val / len(full) < 0.25  # ~10% nominal
+
+
+def test_pack_sequences_bin_invariants(documents):
+    rows = text_ops.pack_sequences(documents, capacity=512).collect()
+    by_source: dict = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert sum(len(v) for v in by_source.values()) == documents.count()
+    for docs in by_source.values():
+        docs.sort(key=lambda r: r["doc_id"])
+        bins: dict = {}
+        last_bin = 0
+        for r in docs:
+            assert r["bin_id"] >= last_bin  # monotone in doc order
+            last_bin = r["bin_id"]
+            bins.setdefault(r["bin_id"], []).append(r)
+        max_doc = max(r["n_tokens"] for r in docs)
+        for b, members in bins.items():
+            total = sum(r["n_tokens"] for r in members)
+            # overflow bounded by one doc; bins never split a doc
+            assert total <= 512 + max_doc

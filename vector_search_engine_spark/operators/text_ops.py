@@ -301,3 +301,93 @@ r AS (
 )
 SELECT source, doc_id, rn FROM r WHERE rn <= {SAMPLE_CAP}
 """
+
+
+VAL_PERMILLE = 100  # 10% validation split
+SPLIT_SALT = "vse-split-v1"
+
+
+def train_val_split(documents: DataFrame, val_permille: int = VAL_PERMILLE) -> DataFrame:
+    """Deterministic train/validation split: assignment is a pure
+    function of (doc_id, salt) — reproducible across runs, engines and
+    partitionings, and immune to corpus growth (a doc never flips split
+    when other docs arrive, unlike fraction-based ``randomSplit``).
+    Per-row decision, zero shuffle."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return documents.select(
+        "doc_id",
+        "source",
+        F.when(h % 1000 < val_permille, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+TRAIN_VAL_SPLIT_ORACLE = f"""
+SELECT doc_id, source,
+       CASE WHEN CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000 < {VAL_PERMILLE}
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+PACK_CAPACITY = 2048  # tokens per packed training sequence
+
+
+def pack_sequences(documents: DataFrame, capacity: int = PACK_CAPACITY) -> DataFrame:
+    """Sequence packing (token-budget binning): assign docs to contiguous
+    bins of ~``capacity`` tokens in deterministic (source, doc_id) order —
+    the shard-local greedy packing a training-data pipeline runs before
+    tokenized-example serialization.  Bin id = exclusive-prefix-sum of
+    token counts ÷ capacity (a doc straddling a boundary stays in the bin
+    it started in — bins overflow by < one doc rather than splitting
+    docs), one window per source, one shuffle.
+
+    Whitespace token counts (``doc_stats`` convention) keep the Spark and
+    DuckDB sides in exact agreement."""
+    from pyspark.sql import Window
+
+    toks = F.size(F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != ""))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = documents.select(
+        "doc_id", "source", toks.cast("long").alias("n_tokens")
+    ).withColumn("prev_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("prev_tokens") / capacity).cast("long").alias("bin_id"),
+    )
+
+
+PACK_SEQUENCES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(trim(text), ' '), x -> x != '')) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prev_tokens
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(CAST(prev_tokens AS DOUBLE) / {PACK_CAPACITY}) AS BIGINT) AS bin_id
+FROM p
+"""

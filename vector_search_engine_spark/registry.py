@@ -1280,6 +1280,22 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("corpus_train_val_split", oracle=txt_ops.TRAIN_VAL_SPLIT_ORACLE)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/val split — assignment is a pure function
+    of (doc_id, salt): stable under corpus growth, repartitioning and
+    engine choice (unlike randomSplit)."""
+    return txt_ops.train_val_split(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_pack_sequences", oracle=txt_ops.PACK_SEQUENCES_ORACLE)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: contiguous token-budget bins per source in
+    deterministic doc order — the pre-serialization step of a training
+    pipeline, as one window aggregation."""
+    return txt_ops.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
 @register("multimodal_frame_dedup")  # embedding stub is non-SQL — rows-only
 def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-media frame-level near-dup: frame sampling → per-frame
