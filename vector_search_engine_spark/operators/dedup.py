@@ -184,8 +184,12 @@ def ngram_jaccard_pairs_ppjoin(
     longs only — no arrays cross any shuffle).
 
     Cost shape: +1 aggregation (df counts) and +1 per-doc ranking shuffle
-    versus the single-scan tier — the right trade once any shingle's
-    posting list outgrows a task."""
+    versus the single-scan tier, and the candidate verify re-joins full
+    postings instead of counting in-group — measured 11× SLOWER than the
+    single-scan tier on a dense-near-dup corpus with no hot shingles
+    (SCALING.md finding 2).  This tier is skew INSURANCE: reach for it
+    when boilerplate shingles (site chrome, license text) would otherwise
+    put one posting list inside one task."""
     from pyspark.sql import Window
 
     post = (
@@ -490,6 +494,13 @@ def embedding_lsh_pairs(
     Recall for a pair at cosine s: 1-(1-p^n_planes)^n_tables with
     p = 1 - acos(s)/pi — defaults give ~0.998 at s=0.9.  Tune n_planes up
     to shrink buckets (shuffle fan-out), n_tables up to recover recall.
+
+    SIZING LAW (measured — SCALING.md finding 1): candidate volume is
+    ~N²·n_tables/2^(n_planes+1), so n_planes MUST grow with the corpus:
+    ``n_planes ≈ log2(N) − log2(target_bucket_rows)`` (≥12 at N=100k for
+    ~25-row buckets).  The n_planes=4 default here fits the ≤10k-row
+    fixtures; running it at 100k rows means ~2.5e9 candidate pairs — an
+    accidental cross join no optimizer can save.
     """
     from vector_search_engine_spark.functions.vector import cosine_sim_pairs_udf
 
