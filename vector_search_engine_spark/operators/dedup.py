@@ -481,7 +481,7 @@ def embedding_lsh_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
     n_tables: int = 8,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -497,10 +497,11 @@ def embedding_lsh_pairs(
 
     SIZING LAW (measured — SCALING.md finding 1): candidate volume is
     ~N²·n_tables/2^(n_planes+1), so n_planes MUST grow with the corpus:
-    ``n_planes ≈ log2(N) − log2(target_bucket_rows)`` (≥12 at N=100k for
-    ~25-row buckets).  The n_planes=4 default here fits the ≤10k-row
-    fixtures; running it at 100k rows means ~2.5e9 candidate pairs — an
-    accidental cross join no optimizer can save.
+    ``n_planes ≈ log2(N) − log2(target_bucket_rows)``.  Passing
+    ``n_planes=None`` (the default) applies that law from a row count
+    (~32-row target buckets, floor 4) — at 100k rows the fixed old
+    default of 4 planes meant ~2.5e9 candidate pairs, an accidental
+    cross join no optimizer can save.
     """
     from vector_search_engine_spark.functions.vector import cosine_sim_pairs_udf
 
@@ -510,6 +511,9 @@ def embedding_lsh_pairs(
             [], "id_a long, id_b long, sim double"
         )
     dim = len(first[0])
+    if n_planes is None:
+        n = vectors.count()
+        n_planes = max(4, int(np.ceil(np.log2(max(n, 2)))) - 5)
     rng = np.random.default_rng(seed)
     planes = rng.normal(0, 1, (n_tables, n_planes, dim))
     # All n_tables×n_planes projections in ONE GEMM per Arrow batch.  The
