@@ -51,6 +51,9 @@ def test_no_unbounded_cartesian(spark, sf_dir, name):
 
 
 def test_knn_filter_reaches_parquet_scan(spark, sf_dir):
+    # other suites cache() the embeddings table; the cached InMemoryRelation
+    # would substitute for the scan and hide the pushdown we're asserting
+    spark.catalog.clearCache()
     emb = load_table(spark, sf_dir, "embeddings")
     df = knn_ops.knn_filtered(
         emb, knn_ops.make_queries(emb), F.col("label") < 5, k=10
