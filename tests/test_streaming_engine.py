@@ -342,3 +342,24 @@ def test_compaction_crash_before_commit_is_harmless(spark, embeddings, engine):
     merged2 = engine.search(q, k=10, nprobe=engine.index.meta["n_centroids"])
     assert _sorted(merged2) == _sorted(exact)
     assert engine.delta().count() == 0
+
+
+def test_time_travel_read_of_previous_snapshot(spark, embeddings, engine):
+    """One-commit time travel: after a compaction the previous index
+    generation stays readable (the EBR grace period) and equals the
+    pre-compaction table exactly."""
+    before = sorted(
+        tuple(r)
+        for r in engine.index.vectors().select("vec_id", "centroid_id").collect()
+    )
+    engine.insert(embeddings.filter(F.col("vec_id") >= 400))
+    assert engine.compact() > 0
+    prev = sorted(
+        tuple(r)
+        for r in engine.index.vectors(snapshot="prev")
+        .select("vec_id", "centroid_id")
+        .collect()
+    )
+    assert prev == before
+    cur = engine.index.vectors().count()
+    assert cur == embeddings.count()

@@ -283,14 +283,27 @@ class IVFIndex:
 
     # -- read ----------------------------------------------------------------
 
-    def vectors(self) -> DataFrame:
+    def vectors(self, snapshot: str = "current") -> DataFrame:
+        """The indexed table at a manifest snapshot.  ``snapshot="prev"``
+        is one-commit time travel: the EBR grace period keeps the
+        previous generation's files on disk until the NEXT commit, so the
+        pre-compaction state stays readable for a full cycle — the same
+        mechanism that protects in-flight readers serves as-of reads."""
         root = os.path.join(self.index_dir, "vectors")
         m = self._read_manifest()
         if m is None:  # pre-manifest layout (vectors/centroid_id=*)
             return self.spark.read.parquet(root)
+        if snapshot == "prev":
+            cells = m.get("prev_cells") or {}
+            if not cells:
+                raise ValueError("no previous snapshot (nothing committed yet)")
+        elif snapshot == "current":
+            cells = m["cells"]
+        else:
+            raise ValueError(f"unknown snapshot {snapshot!r}")
         dirs = [
             os.path.join(root, f"gen={g}", f"centroid_id={c}")
-            for c, g in sorted(m["cells"].items(), key=lambda kv: int(kv[0]))
+            for c, g in sorted(cells.items(), key=lambda kv: int(kv[0]))
         ]
         if not dirs:
             id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
