@@ -49,6 +49,28 @@ def test_pandas_and_sql_paths_agree(embeddings):
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
 
 
+def test_distributed_path_agrees_with_collect_path(embeddings):
+    q = _queries(embeddings)
+    for metric in ("l2_sq", "cosine"):
+        a = knn_ops.knn_exact(embeddings, q, k=7, metric=metric).orderBy(
+            "qid", "rank"
+        )
+        b = knn_ops.knn_exact_distributed(
+            embeddings, q, k=7, metric=metric, q_blocks=3, v_blocks=5
+        ).orderBy("qid", "rank")
+        assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_distributed_path_k_larger_than_block(embeddings):
+    # k exceeding a vblock's row count must still return the global top-k
+    q = _queries(embeddings).limit(3)
+    a = knn_ops.knn_exact(embeddings, q, k=40).orderBy("qid", "rank")
+    b = knn_ops.knn_exact_distributed(
+        embeddings, q, k=40, q_blocks=2, v_blocks=8
+    ).orderBy("qid", "rank")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
 def test_cosine_metric(embeddings, embeddings_np):
     ids, V = embeddings_np
     qids = np.sort(ids[ids < 10])

@@ -182,6 +182,85 @@ def knn_exact(
     return _finalize_topk(cand, k, metric)
 
 
+def knn_exact_distributed(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "l2_sq",
+    q_blocks: int = 4,
+    v_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k when the QUERY SET is itself a dataset — the tier for
+    which ``knn_exact``'s collect-and-broadcast contract (bulk-search,
+    ``recall_bench.cpp:67``) breaks.  Block nested-loop kNN join:
+
+    * queries hash into ``q_blocks`` groups and replicate across the
+      ``v_blocks`` vector groups (vectors replicate symmetrically), so
+      shuffle volume is ``|Q|*v_blocks + N*q_blocks`` — tunable against
+      ``q_blocks*v_blocks`` task parallelism, never ``|Q|*N``;
+    * each (qblock, vblock) cogroup does one GEMM and emits ≤ k rows per
+      query (exact (dist, id) selection — full lexsort, no argpartition
+      tie risk);
+    * the usual global window merge keeps the true top-k: every query's
+      true neighbors all live in SOME vblock, so the union of per-block
+      top-ks contains them.
+
+    Identical results to ``knn_exact`` at the same (k, metric); neither
+    side ever visits the driver."""
+    if metric not in ("l2_sq", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    larger_is_better = metric == "cosine"
+
+    qb = queries.select(
+        "qid",
+        "query",
+        F.pmod(F.xxhash64("qid"), F.lit(q_blocks)).alias("qblock"),
+        F.explode(F.sequence(F.lit(0), F.lit(v_blocks - 1))).alias("vblock"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(v_blocks)).alias("vblock"),
+        F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qblock"),
+    )
+
+    def block_topk(qpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(vpdf) == 0:
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "dist": pd.Series(dtype="float64"),
+                }
+            )
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(qpdf["query"].to_numpy())
+        ids = vpdf["nid"].to_numpy(dtype=np.int64)
+        V = np.stack(vpdf["nvec"].to_numpy())
+        D = cosine_sim_matrix(V, Q) if larger_is_better else l2_sq_matrix(V, Q)
+        key = -D if larger_is_better else D
+        kk = min(k, len(ids))
+        out_qid = np.repeat(qids, kk)
+        out_id = np.empty(len(qids) * kk, dtype=np.int64)
+        out_dist = np.empty_like(out_id, dtype=np.float64)
+        for j in range(len(qids)):
+            order = np.lexsort((ids, key[:, j]))[:kk]
+            out_id[j * kk : (j + 1) * kk] = ids[order]
+            out_dist[j * kk : (j + 1) * kk] = D[order, j]
+        return pd.DataFrame(
+            {"qid": out_qid, "neighbor_id": out_id, "dist": out_dist}
+        )
+
+    cand = (
+        qb.groupby("qblock", "vblock")
+        .cogroup(vb.groupby("qblock", "vblock"))
+        .applyInPandas(block_topk, schema="qid long, neighbor_id long, dist double")
+    )
+    return _finalize_topk(cand, k, metric)
+
+
 def radius_search(
     vectors: DataFrame,
     queries: DataFrame,
