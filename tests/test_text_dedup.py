@@ -187,6 +187,33 @@ def test_simhash_batch_matches_scalar_reference():
         assert sig == dedup_ops._simhash64(toks), txt
 
 
+def test_simhash_jvm_signatures_match_scalar_reference(spark):
+    """The zero-Python signature path (md5 via F.md5 + conv, bit-vote
+    sums) must stay in lockstep with the scalar Python reference."""
+    import pandas as pd
+
+    texts = [
+        "",
+        None,
+        "alpha",
+        "alpha beta gamma alpha",
+        "  padded   tokens  here ",
+        "tab\tinside and trailing newline\n",
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "unicode tøkens émoji ☃ mixed",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r.doc_id: r.simhash
+        for r in dedup_ops.simhash_signatures_jvm(df).collect()
+    }
+    for i, txt in enumerate(texts):
+        toks = [t for t in (txt or "").strip().split(" ") if t]
+        assert got[i] == dedup_ops._simhash64(toks), repr(txt)
+
+
 def test_ppjoin_identical_to_single_scan_tier(documents):
     """Prefix filtering is exactness-preserving: the PPJoin plan must emit
     byte-identical pairs to the single-scan postings tier."""

