@@ -300,6 +300,58 @@ def test_rebalance_splits_hot_cells_and_stays_exact(spark, tmp_path):
     assert [tuple(r) for r in sq.collect()] == [tuple(r) for r in exact.collect()]
 
 
+def test_search_snapshot_survives_concurrent_rebalance(spark, tmp_path):
+    """A search that pinned its (manifest, centroids) view before a
+    rebalance commit must keep reading the SAME cells — the parent cells
+    it probed are dropped from the live manifest but stay on disk for one
+    commit cycle (EBR grace).  Emulates the racing reader by capturing
+    the snapshot a pre-rebalance search would hold, committing the
+    rebalance, then evaluating against the pinned snapshot."""
+    import pandas as pd
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(0, 20.0, (4, 16))
+    counts = [800, 50, 50, 50]
+    pts = np.concatenate(
+        [
+            centers[i] + rng.normal(0, 1.0, (n, 16))
+            for i, n in enumerate(counts)
+        ]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(pts), dtype=np.int64),
+                "embedding": [[float(x) for x in v] for v in pts],
+            }
+        )
+    )
+    index = IVFIndex.build(df, str(tmp_path / "race_index"), n_centroids=4)
+    snap = index._read_manifest()
+    old_cids, old_C = index._centroids_for(snap)
+    n_before = index.vectors(snapshot=snap).count()
+
+    mapping = index.rebalance(max_cell_rows=400, sub_k=4)
+    assert mapping  # the hot cell was split; parents left the live manifest
+
+    # pinned snapshot still reads every pre-rebalance row, including the
+    # split parents'
+    assert index.vectors(snapshot=snap).count() == n_before == len(pts)
+    pinned_cells = {int(c) for c in snap["cells"]}
+    got_cells = {
+        r["centroid_id"]
+        for r in index.vectors(snapshot=snap).select("centroid_id").distinct().collect()
+    }
+    assert got_cells <= pinned_cells
+    assert set(mapping) <= got_cells  # parents readable, not dangling
+    # pinned centroid set is the OLD one even though live centroids moved on
+    again_cids, again_C = index._centroids_for(snap)
+    assert np.array_equal(again_cids, old_cids)
+    assert np.array_equal(again_C, old_C)
+    live_cids, _ = index._centroids_for(index._read_manifest())
+    assert len(live_cids) > len(old_cids)
+
+
 def test_search_distributed_identical_to_search(spark, embeddings, index):
     """The large-|Q| shuffle-join path must return exactly what the
     collect-and-broadcast path returns at the same nprobe."""

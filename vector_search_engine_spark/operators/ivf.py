@@ -96,14 +96,34 @@ class IVFIndex:
         self._load_centroids()
 
     def _load_centroids(self) -> None:
-        m = self._read_manifest() or {}
-        cfile = m.get("centroids_file", "centroids.parquet")
-        rows = self.spark.read.parquet(
-            os.path.join(self.index_dir, cfile)
-        ).collect()
-        rows.sort(key=lambda r: r["centroid_id"])
-        self.centroid_ids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
-        self.centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+        self.centroid_ids, self.centroids = self._centroids_for(
+            self._read_manifest()
+        )
+
+    def _centroids_for(
+        self, manifest: dict | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(centroid_ids, centroids) for the centroids file a manifest
+        snapshot references — memoized per file, so a search that pinned a
+        manifest keeps probing against the MATCHING centroid set even if a
+        concurrent rebalance publishes a new one (centroids files are
+        versioned and never deleted; see ``rebalance``)."""
+        cfile = (manifest or {}).get("centroids_file", "centroids.parquet")
+        cache = getattr(self, "_cent_cache", None)
+        if cache is None:
+            cache = self._cent_cache = {}
+        got = cache.get(cfile)
+        if got is None:
+            rows = self.spark.read.parquet(
+                os.path.join(self.index_dir, cfile)
+            ).collect()
+            rows.sort(key=lambda r: r["centroid_id"])
+            got = (
+                np.array([r["centroid_id"] for r in rows], dtype=np.int64),
+                np.array([r["centroid"] for r in rows], dtype=np.float64),
+            )
+            cache[cfile] = got
+        return got
 
     # -- build ---------------------------------------------------------------
 
@@ -283,17 +303,25 @@ class IVFIndex:
 
     # -- read ----------------------------------------------------------------
 
-    def vectors(self, snapshot: str = "current") -> DataFrame:
+    def vectors(self, snapshot: str | dict | None = "current") -> DataFrame:
         """The indexed table at a manifest snapshot.  ``snapshot="prev"``
         is one-commit time travel: the EBR grace period keeps the
         previous generation's files on disk until the NEXT commit, so the
         pre-compaction state stays readable for a full cycle — the same
-        mechanism that protects in-flight readers serves as-of reads."""
+        mechanism that protects in-flight readers serves as-of reads.
+
+        ``snapshot`` may also be a manifest dict captured earlier with
+        ``_read_manifest()`` — a search pins ONE (centroids, cells) view
+        per call this way, so a concurrent compaction/rebalance commit
+        can't make its probe assignments dangle (cells it probed dropped
+        from a newer manifest)."""
         root = os.path.join(self.index_dir, "vectors")
-        m = self._read_manifest()
+        m = self._read_manifest() if isinstance(snapshot, str) else snapshot
         if m is None:  # pre-manifest layout (vectors/centroid_id=*)
             return self.spark.read.parquet(root)
-        if snapshot == "prev":
+        if isinstance(snapshot, dict):
+            cells = m["cells"]
+        elif snapshot == "prev":
             cells = m.get("prev_cells") or {}
             if not cells:
                 raise ValueError("no previous snapshot (nothing committed yet)")
@@ -330,14 +358,27 @@ class IVFIndex:
 
     # -- search --------------------------------------------------------------
 
-    def probe_pairs(self, qids: np.ndarray, Q: np.ndarray, nprobe: int):
+    def probe_pairs(
+        self,
+        qids: np.ndarray,
+        Q: np.ndarray,
+        nprobe: int,
+        centroid_set: tuple[np.ndarray, np.ndarray] | None = None,
+    ):
         """(qid, centroid_id) pairs for the nprobe nearest centroids of each
-        query — the coarse 'upper layers' lookup.  Tiny: |Q| x nprobe rows."""
-        D = l2_sq_matrix(Q.astype(np.float64), self.centroids)  # (|Q|, C)
-        nprobe = min(nprobe, len(self.centroid_ids))
+        query — the coarse 'upper layers' lookup.  Tiny: |Q| x nprobe rows.
+        ``centroid_set`` pins an explicit (ids, matrix) snapshot (searches
+        pass the set matching their pinned manifest)."""
+        cids, C = (
+            centroid_set
+            if centroid_set is not None
+            else (self.centroid_ids, self.centroids)
+        )
+        D = l2_sq_matrix(Q.astype(np.float64), C)  # (|Q|, C)
+        nprobe = min(nprobe, len(cids))
         order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
         pairs = [
-            (int(q), int(self.centroid_ids[c]))
+            (int(q), int(cids[c]))
             for qi, q in enumerate(qids)
             for c in order[qi]
         ]
@@ -375,7 +416,14 @@ class IVFIndex:
             )
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
-        pairs = self.probe_pairs(qids, Q, nprobe)
+        # pin ONE (manifest, centroids) snapshot for the whole call — a
+        # concurrent rebalance commit can drop the parent cells this call
+        # probes from the live manifest; the pinned view stays readable for
+        # one commit cycle (EBR grace)
+        snap = self._read_manifest()
+        pairs = self.probe_pairs(
+            qids, Q, nprobe, centroid_set=self._centroids_for(snap)
+        )
         pairs_df = spark.createDataFrame(
             pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
                 {"qid": "int64", "centroid_id": "int32"}
@@ -388,7 +436,9 @@ class IVFIndex:
 
         # isin on the partition column → parquet partition pruning;
         # broadcast join fans each partition's rows out to its probing queries
-        base = self.vectors().filter(F.col("centroid_id").isin(needed))
+        base = self.vectors(snapshot=snap).filter(
+            F.col("centroid_id").isin(needed)
+        )
         if exclude_ids is not None:
             if isinstance(exclude_ids, DataFrame):
                 # anti-join path: the shadowed-id set can be arbitrarily
@@ -460,9 +510,11 @@ class IVFIndex:
         centroid ordering; pinned in tests)."""
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
-        nprobe = min(nprobe, len(self.centroid_ids))
-        cids = self.centroid_ids
-        C = self.centroids
+        # same snapshot discipline as search(): centroids and cells from
+        # ONE manifest view
+        snap = self._read_manifest()
+        cids, C = self._centroids_for(snap)
+        nprobe = min(nprobe, len(cids))
         bc = self.spark.sparkContext.broadcast((cids, C, nprobe))
 
         def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -492,7 +544,7 @@ class IVFIndex:
             assign_probes,
             schema="qid long, query array<float>, centroid_id int",
         )
-        cand = probes.join(self.vectors(), "centroid_id").select(
+        cand = probes.join(self.vectors(snapshot=snap), "centroid_id").select(
             "qid", "query", F.col(id_col), F.col(vec_col)
         )
 
@@ -690,7 +742,14 @@ class IVFIndex:
             )
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
-        pairs = self.probe_pairs(qids, Q, nprobe)
+        # snapshot discipline as in search(); NB the sq8 sidecar itself is
+        # unversioned (rebuilt after compaction/rebalance), so a rebalance
+        # committing between here and ensure_sq8() below remains a narrow
+        # caveat for this path only — the float re-score stage is pinned
+        snap = self._read_manifest()
+        pairs = self.probe_pairs(
+            qids, Q, nprobe, centroid_set=self._centroids_for(snap)
+        )
         pairs_df = spark.createDataFrame(
             pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
                 {"qid": "int64", "centroid_id": "int32"}
@@ -742,7 +801,9 @@ class IVFIndex:
         )
         # exact re-score: survivors rejoin the float vectors (same pruned
         # partitions), broadcast queries, standard (dist, id) top-k
-        base = self.vectors().filter(F.col("centroid_id").isin(needed))
+        base = self.vectors(snapshot=snap).filter(
+            F.col("centroid_id").isin(needed)
+        )
         qdf = queries.select(qid_col, qvec_col)
         from vector_search_engine_spark.functions.vector import l2_sq
 
@@ -785,20 +846,23 @@ class IVFIndex:
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
 
+        # pin one (manifest, centroids) view for radii, probes, and scan
+        snap = self._read_manifest()
+        cids, C = self._centroids_for(snap)
         # per-cell radii: one column-pruned scan of the index's stats column
         radii = {
             int(r["centroid_id"]): float(r["r_sq"])
-            for r in self.vectors()
+            for r in self.vectors(snapshot=snap)
             .groupBy("centroid_id")
             .agg(F.max("dist_to_centroid").alias("r_sq"))
             .collect()
         }
-        Dqc = l2_sq_matrix(Q.astype(np.float64), self.centroids)  # (|Q|, C)
+        Dqc = l2_sq_matrix(Q.astype(np.float64), C)  # (|Q|, C)
         r = float(np.sqrt(radius_sq))
         pairs = [
             (int(q), int(cid))
             for qi, q in enumerate(qids)
-            for ci, cid in enumerate(self.centroid_ids)
+            for ci, cid in enumerate(cids)
             if np.sqrt(Dqc[qi, ci]) <= r + np.sqrt(radii.get(int(cid), 0.0))
         ]
         if not pairs:
@@ -812,7 +876,9 @@ class IVFIndex:
         qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
         bc = spark.sparkContext.broadcast(qmap)
 
-        base = self.vectors().filter(F.col("centroid_id").isin(needed))
+        base = self.vectors(snapshot=snap).filter(
+            F.col("centroid_id").isin(needed)
+        )
         cand = base.join(F.broadcast(pairs_df), "centroid_id").select(
             F.col("qid"), F.col(id_col), F.col(vec_col)
         )

@@ -297,6 +297,26 @@ class VectorEngine:
         if n_delta == 0:
             return 0
         assigned = self.assign_centroids(delta_latest).cache()
+        try:
+            return self._compact_assigned(
+                assigned, t0, old_watermark, fold_high, n_delta
+            )
+        finally:
+            # sustained ingest fires compact() repeatedly — without this the
+            # per-cycle cache accumulates in executor storage for the life
+            # of the engine
+            assigned.unpersist()
+
+    def _compact_assigned(
+        self,
+        assigned: DataFrame,
+        t0: float,
+        old_watermark: int,
+        fold_high: int,
+        n_delta: int,
+    ) -> int:
+        id_col = self.index.meta["id_col"]
+        vec_col = self.index.meta["vec_col"]
         indexed = self.index.vectors()
         delta_id_df = assigned.select(id_col)
         n_shadowed = indexed.join(delta_id_df, id_col, "left_semi").count()
@@ -361,8 +381,12 @@ class VectorEngine:
         self.index.meta["n_vectors"] = (
             int(self.index.meta.get("n_vectors", 0)) - n_shadowed + n_delta
         )
-        with open(os.path.join(self.root_dir, "index", "meta.json"), "w") as f:
+        # tmp + rename, same as rebalance(): a crash mid-write must never
+        # leave a truncated meta.json (IVFIndex.__init__ loads it)
+        meta_path = os.path.join(self.root_dir, "index", "meta.json")
+        with open(meta_path + ".tmp", "w") as f:
             json.dump(self.index.meta, f)
+        os.rename(meta_path + ".tmp", meta_path)
         self.recorder.record("compact", time.time() - t0)
         return n_delta
 

@@ -304,6 +304,37 @@ def compact_session_updates(updates: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_INTERVAL_UNIT_S = {
+    "second": 1.0,
+    "seconds": 1.0,
+    "sec": 1.0,
+    "secs": 1.0,
+    "minute": 60.0,
+    "minutes": 60.0,
+    "min": 60.0,
+    "mins": 60.0,
+    "hour": 3600.0,
+    "hours": 3600.0,
+    "day": 86400.0,
+    "days": 86400.0,
+}
+
+
+def _interval_seconds(interval: str | float | int) -> float:
+    """Parse a Spark-style interval string ('2 hours', '30 minutes',
+    '45 seconds') — or a bare number of seconds — into seconds.
+    Previously anything except the literal '1 hour' was read as seconds,
+    so '2 hours' silently became a 2-second overlap."""
+    if isinstance(interval, (int, float)):
+        return float(interval)
+    parts = interval.strip().split()
+    if len(parts) == 1:
+        return float(parts[0])
+    if len(parts) == 2 and parts[1].lower() in _INTERVAL_UNIT_S:
+        return float(parts[0]) * _INTERVAL_UNIT_S[parts[1].lower()]
+    raise ValueError(f"cannot parse interval {interval!r}")
+
+
 def stage_event_files_with_dups(
     spark: SparkSession,
     sf_dir: str,
@@ -328,7 +359,7 @@ def stage_event_files_with_dups(
         .select(F.explode("b"))
         .collect()
     ]
-    overlap_s = 3600.0 if overlap == "1 hour" else float(overlap.split()[0])
+    overlap_s = _interval_seconds(overlap)
     os.makedirs(out_dir, exist_ok=True)
     lo = None
     for i, hi in enumerate(list(bounds) + [None]):
