@@ -36,13 +36,42 @@ def similarity_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with similarity >= threshold (cosine) or
-    squared distance <= threshold (l2_sq).  Broadcast-GEMM self-join."""
+    squared distance <= threshold (l2_sq).  Broadcast-GEMM self-join.
+
+    The broadcast contract is ENFORCED, not assumed: the collect is capped
+    at ``max_broadcast_rows + 1`` rows, and when the table exceeds the
+    bound the call auto-dispatches to the both-sides-huge tier
+    (``operators.dedup.embedding_lsh_pairs``, cosine only — same
+    ``(id_a, id_b, sim)`` schema, approximate recall / exact precision)
+    instead of OOMing the driver.  ``l2_sq`` has no LSH tier; an oversize
+    l2_sq input raises with guidance rather than collecting anyway.
+    """
     if metric not in ("cosine", "l2_sq"):
         raise ValueError(metric)
     spark = vectors.sparkSession
-    rows = vectors.select(id_col, vec_col).collect()
+    # Bounded probe: never pulls more than the declared broadcast budget
+    # into the driver, even when the table is 100 TB.
+    rows = (
+        vectors.select(id_col, vec_col).limit(max_broadcast_rows + 1).collect()
+    )
+    if len(rows) > max_broadcast_rows:
+        if metric == "cosine" and round_to == 4:
+            from vector_search_engine_spark.operators.dedup import (
+                embedding_lsh_pairs,
+            )
+
+            return embedding_lsh_pairs(
+                vectors, threshold=threshold, id_col=id_col, vec_col=vec_col
+            )
+        raise ValueError(
+            f"similarity_pairs: input exceeds max_broadcast_rows="
+            f"{max_broadcast_rows} and metric={metric!r}/round_to={round_to} "
+            "has no LSH fallback; use metric='cosine' (routes to "
+            "embedding_lsh_pairs) or raise max_broadcast_rows explicitly."
+        )
     out_schema = "id_a long, id_b long, " + (
         "sim double" if metric == "cosine" else "dist_sq double"
     )
