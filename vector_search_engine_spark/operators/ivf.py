@@ -108,7 +108,9 @@ class IVFIndex:
         manifest keeps probing against the MATCHING centroid set even if a
         concurrent rebalance publishes a new one (centroids files are
         versioned and never deleted; see ``rebalance``)."""
-        cfile = (manifest or {}).get("centroids_file", "centroids.parquet")
+        # `or` (not a .get default): history entries committed before any
+        # rebalance carry an explicit centroids_file=None
+        cfile = (manifest or {}).get("centroids_file") or "centroids.parquet"
         cache = getattr(self, "_cent_cache", None)
         if cache is None:
             cache = self._cent_cache = {}
@@ -268,30 +270,66 @@ class IVFIndex:
         cells: list[int],
         remove_cells: list[int] | None = None,
         centroids_file: str | None = None,
+        retain: int | None = None,
     ) -> None:
         """Atomically publish generation ``gen`` for ``cells`` (dropping
         ``remove_cells`` — e.g. a split cell superseded by its children)
-        and GC cell dirs referenced by neither the new nor the previous
-        manifest (one commit cycle of grace for in-flight readers)."""
+        and GC cell dirs referenced by no RETAINED snapshot.
+
+        Retention generalizes the one-cycle EBR grace to N-generation
+        time travel: the manifest keeps a ``history`` list of the last
+        ``retain``+1 committed snapshots (each pinning its cell map AND
+        the centroids file that was current at that commit, so as-of
+        probes use matching geometry).  ``retain`` persists in the
+        manifest once set (default 1 — exactly the old prev-cells grace).
+        Files referenced by any retained snapshot are never deleted;
+        shrinking ``retain`` GCs the over-retained tail on the next
+        commit."""
         m = self._read_manifest() or {"latest_gen": -1, "cells": {}, "prev_cells": {}}
+        if retain is not None:
+            if retain < 1:
+                raise ValueError("retain must be >= 1")
+            m["retain"] = int(retain)
+        n_retain = int(m.get("retain", 1))
         prev = dict(m["cells"])
         cur = dict(prev)
         cur.update({str(c): gen for c in cells})
         for c in remove_cells or []:
             cur.pop(str(c), None)
-        keep = {(int(g), int(c)) for c, g in cur.items()} | {
-            (int(g), int(c)) for c, g in prev.items()
-        }
+        out = dict(m)  # preserve auxiliary keys (e.g. centroids_file)
+        out.update({"latest_gen": gen, "cells": cur, "prev_cells": prev})
+        if centroids_file is not None:
+            out["centroids_file"] = centroids_file
+        # history: migrate pre-history manifests by seeding the pre-commit
+        # state as one entry, then append this commit's snapshot
+        hist = list(m.get("history") or [])
+        if not hist and prev:
+            hist = [
+                {
+                    "snapshot_id": int(m["latest_gen"]),
+                    "cells": prev,
+                    "centroids_file": m.get("centroids_file"),
+                }
+            ]
+        hist.append(
+            {
+                "snapshot_id": int(gen),
+                "cells": cur,
+                "centroids_file": out.get("centroids_file"),
+            }
+        )
+        out["history"] = hist[-(n_retain + 1) :]
+        keep = {
+            (int(g), int(c))
+            for entry in out["history"]
+            for c, g in entry["cells"].items()
+        } | {(int(g), int(c)) for c, g in prev.items()}
         root = os.path.join(self.index_dir, "vectors")
         for d in glob.glob(os.path.join(root, "gen=*", "centroid_id=*")):
             g = int(os.path.basename(os.path.dirname(d)).split("=")[1])
             c = int(os.path.basename(d).split("=")[1])
             if (g, c) not in keep:
                 shutil.rmtree(d, ignore_errors=True)
-        out = dict(m)  # preserve auxiliary keys (e.g. centroids_file)
-        out.update({"latest_gen": gen, "cells": cur, "prev_cells": prev})
-        if centroids_file is not None:
-            out["centroids_file"] = centroids_file
         tmp = self._manifest_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(out, f)
@@ -301,32 +339,95 @@ class IVFIndex:
         m = self._read_manifest()
         return (int(m["latest_gen"]) + 1) if m else 1
 
+    def snapshots(self) -> list[dict]:
+        """Retained snapshot metadata, oldest first — the index's
+        DESCRIBE HISTORY: ``[{snapshot_id, n_cells, centroids_file}]``."""
+        m = self._read_manifest() or {}
+        hist = m.get("history")
+        if not hist:  # pre-history manifest: current (+ prev grace) only
+            hist = []
+            if m.get("prev_cells"):
+                hist.append({"snapshot_id": None, "cells": m["prev_cells"],
+                             "centroids_file": m.get("centroids_file")})
+            if m.get("cells"):
+                hist.append({"snapshot_id": int(m["latest_gen"]),
+                             "cells": m["cells"],
+                             "centroids_file": m.get("centroids_file")})
+        return [
+            {
+                "snapshot_id": e["snapshot_id"],
+                "n_cells": len(e["cells"]),
+                "centroids_file": e.get("centroids_file"),
+            }
+            for e in hist
+        ]
+
+    def manifest_at(self, snapshot: int | str) -> dict:
+        """A pinned manifest view for one retained snapshot, usable
+        anywhere a manifest dict is (``vectors()``, ``search()``).
+
+        ``snapshot``: a ``snapshot_id`` from ``snapshots()``, a negative
+        offset (``-1`` = one commit back), or ``"prev"``/``"current"``."""
+        m = self._read_manifest()
+        if m is None:
+            raise ValueError("index has no manifest (nothing committed yet)")
+        hist = m.get("history") or []
+        if snapshot == "current":
+            entry = {"cells": m["cells"], "centroids_file": m.get("centroids_file")}
+        elif snapshot == "prev":
+            if len(hist) >= 2:
+                entry = hist[-2]
+            elif m.get("prev_cells"):
+                entry = {"cells": m["prev_cells"],
+                         "centroids_file": m.get("centroids_file")}
+            else:
+                raise ValueError("no previous snapshot (nothing committed yet)")
+        elif isinstance(snapshot, int) and snapshot < 0:
+            if len(hist) < 1 - snapshot:
+                raise ValueError(
+                    f"snapshot offset {snapshot} out of retained history "
+                    f"({len(hist)} snapshots; raise retain= on commit)"
+                )
+            entry = hist[snapshot - 1]
+        elif isinstance(snapshot, int):
+            by_id = {e["snapshot_id"]: e for e in hist}
+            if snapshot not in by_id:
+                raise ValueError(
+                    f"snapshot_id {snapshot} not retained "
+                    f"(have {sorted(k for k in by_id if k is not None)})"
+                )
+            entry = by_id[snapshot]
+        else:
+            raise ValueError(f"unknown snapshot {snapshot!r}")
+        return {"cells": entry["cells"],
+                "centroids_file": entry.get("centroids_file")}
+
     # -- read ----------------------------------------------------------------
 
-    def vectors(self, snapshot: str | dict | None = "current") -> DataFrame:
-        """The indexed table at a manifest snapshot.  ``snapshot="prev"``
-        is one-commit time travel: the EBR grace period keeps the
-        previous generation's files on disk until the NEXT commit, so the
-        pre-compaction state stays readable for a full cycle — the same
-        mechanism that protects in-flight readers serves as-of reads.
+    def vectors(self, snapshot: str | int | dict | None = "current") -> DataFrame:
+        """The indexed table at a manifest snapshot.  ``snapshot="prev"``,
+        a ``snapshot_id`` from ``snapshots()``, or a negative offset
+        (``-2`` = two commits back) is N-generation time travel: retained
+        snapshots' files stay on disk (``commit_cells(retain=N)``), so any
+        retained as-of state is readable — the same EBR mechanism that
+        protects in-flight readers serves as-of reads.
 
         ``snapshot`` may also be a manifest dict captured earlier with
-        ``_read_manifest()`` — a search pins ONE (centroids, cells) view
-        per call this way, so a concurrent compaction/rebalance commit
-        can't make its probe assignments dangle (cells it probed dropped
-        from a newer manifest)."""
+        ``_read_manifest()`` / ``manifest_at()`` — a search pins ONE
+        (centroids, cells) view per call this way, so a concurrent
+        compaction/rebalance commit can't make its probe assignments
+        dangle (cells it probed dropped from a newer manifest)."""
         root = os.path.join(self.index_dir, "vectors")
         m = self._read_manifest() if isinstance(snapshot, str) else snapshot
-        if m is None:  # pre-manifest layout (vectors/centroid_id=*)
+        if snapshot is None or (m is None and isinstance(snapshot, str)):
+            # pre-manifest layout (vectors/centroid_id=*), or explicit raw read
             return self.spark.read.parquet(root)
         if isinstance(snapshot, dict):
             cells = m["cells"]
-        elif snapshot == "prev":
-            cells = m.get("prev_cells") or {}
-            if not cells:
-                raise ValueError("no previous snapshot (nothing committed yet)")
         elif snapshot == "current":
             cells = m["cells"]
+        elif isinstance(snapshot, (int, str)):
+            cells = self.manifest_at(snapshot)["cells"]
         else:
             raise ValueError(f"unknown snapshot {snapshot!r}")
         dirs = [
@@ -393,6 +494,7 @@ class IVFIndex:
         qvec_col: str = "query",
         exclude_ids: list[int] | None = None,
         predicate=None,
+        snapshot: int | str | None = None,
     ) -> DataFrame:
         """ANN top-k: probe nprobe partitions per query, exact scan within
         (reference Q3: greedy descent + level-0 beam, ``hnsw_index.h:223-262``).
@@ -405,6 +507,10 @@ class IVFIndex:
         ``extra_cols`` (filtered ANN search) — applied BEFORE ranking, so
         results are the true top-k of the filtered set; composes with the
         partition pruning (both filters reach the same parquet scan).
+
+        ``snapshot``: as-of search — a retained ``snapshot_id``, negative
+        offset, or ``"prev"`` (see ``manifest_at``); probes use the
+        centroid geometry that was current AT that snapshot.
         """
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
@@ -419,8 +525,13 @@ class IVFIndex:
         # pin ONE (manifest, centroids) snapshot for the whole call — a
         # concurrent rebalance commit can drop the parent cells this call
         # probes from the live manifest; the pinned view stays readable for
-        # one commit cycle (EBR grace)
-        snap = self._read_manifest()
+        # one commit cycle (EBR grace).  An explicit snapshot pins a
+        # retained historical view instead (as-of search).
+        snap = (
+            self.manifest_at(snapshot)
+            if snapshot is not None
+            else self._read_manifest()
+        )
         pairs = self.probe_pairs(
             qids, Q, nprobe, centroid_set=self._centroids_for(snap)
         )
@@ -492,6 +603,7 @@ class IVFIndex:
         nprobe: int = 4,
         qid_col: str = "qid",
         qvec_col: str = "query",
+        snapshot: int | str | None = None,
     ) -> DataFrame:
         """ANN top-k for a LARGE query table — the tier for when ``|Q|``
         itself is a dataset (bulk re-embedding joins, all-corpus retrieval
@@ -511,8 +623,12 @@ class IVFIndex:
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         # same snapshot discipline as search(): centroids and cells from
-        # ONE manifest view
-        snap = self._read_manifest()
+        # ONE manifest view (historical when an as-of snapshot is given)
+        snap = (
+            self.manifest_at(snapshot)
+            if snapshot is not None
+            else self._read_manifest()
+        )
         cids, C = self._centroids_for(snap)
         nprobe = min(nprobe, len(cids))
         bc = self.spark.sparkContext.broadcast((cids, C, nprobe))

@@ -43,12 +43,20 @@ from vector_search_engine_spark.streaming.metrics import MetricsRecorder
 
 
 class VectorEngine:
-    def __init__(self, spark: SparkSession, root_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root_dir: str,
+        snapshot_retain: int | None = None,
+    ):
         self.spark = spark
         self.root_dir = root_dir
         self.index = IVFIndex(spark, os.path.join(root_dir, "index"))
         self.delta_dir = os.path.join(root_dir, "delta")
         os.makedirs(self.delta_dir, exist_ok=True)
+        # N-generation time travel: how many superseded index snapshots
+        # compaction keeps readable (None = manifest default, 1)
+        self.snapshot_retain = snapshot_retain
         # reference S6 metrics sink (bvar LatencyRecorder analog)
         self.recorder = MetricsRecorder()
 
@@ -366,7 +374,7 @@ class VectorEngine:
         # progress, not delta contents — deleting it would make the next
         # ingest_stream over the same source re-read (and re-insert)
         # everything from scratch.
-        self.index.commit_cells(gen, affected)
+        self.index.commit_cells(gen, affected, retain=self.snapshot_retain)
         # the SQ8 sidecar (if materialized) encodes the old generation
         shutil.rmtree(os.path.join(self.root_dir, "index", "sq8"), ignore_errors=True)
         for s in self._existing_seqs():
