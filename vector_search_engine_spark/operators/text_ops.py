@@ -32,8 +32,12 @@ STOPWORDS = {
 LANG_PRIORITY = ["en", "de", "es", "fr"]  # deterministic argmax tie-break
 
 
-def doc_stats(documents: DataFrame) -> DataFrame:
+def doc_stats(documents: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Per-document quality statistics + a composite quality score.
+
+    Pure column expressions (no shuffle, no state) — safe on a streaming
+    DataFrame too; ``keep`` passes extra input columns through (e.g. a
+    content hash computed upstream).
 
     Tokens are materialized once per row (see ``with_shingles`` note in
     functions/text.py — lambda-captured expressions re-evaluate per
@@ -78,6 +82,7 @@ def doc_stats(documents: DataFrame) -> DataFrame:
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(quality, 4).alias("quality_score"),
+        *keep,
     )
 
 

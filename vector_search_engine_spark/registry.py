@@ -1254,6 +1254,47 @@ def streaming_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_ORACLE = f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {_DD_L2SQ.format(a="e.embedding", b="q.query")} AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id < 400
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, neighbor_id, "rank", round(dist, 4) AS dist_sq
+FROM r WHERE "rank" <= 10
+"""
+
+
+@register("index_asof_search", oracle=_ASOF_ORACLE)
+def index_asof_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: after a compaction folds new rows into the index,
+    searching AT the pre-compaction snapshot (``snapshot=-1``) must see
+    exactly the original table — Delta-style VERSION AS OF built on the
+    manifest history (``ivf.py commit_cells``; the retained-snapshot
+    generalization of the EBR grace period, SURVEY.md §2.6 W5)."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    eng.compact()
+    return eng.index.search(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        snapshot=-1,
+    )
+
+
 _STREAMING_DEDUP_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
