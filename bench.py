@@ -203,13 +203,17 @@ def main() -> None:
     # Warm the JVM/Arrow paths so per-query numbers measure the engine,
     # not classloading (reference benches also exclude setup), and warm the
     # IVF cache so ann_ivf_probe times the probe, not the build (the build
-    # is measured separately as ivf_build).
-    registry.QUERIES["knn_exact_l2"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    from vector_search_engine_spark.operators import ivf as _ivf
+    # is measured separately as ivf_build).  Warmup failures are non-fatal:
+    # a cold first query inflates one number; a crashed bench loses all.
+    try:
+        registry.QUERIES["knn_exact_l2"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        from vector_search_engine_spark.operators import ivf as _ivf
 
-    _ivf.build_or_load(spark, sf_dir)
+        _ivf.build_or_load(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup failed (continuing): {exc!r}", file=sys.stderr)
 
     # Two timed runs per query, keep the min: steady-state throughput with
     # plan-compilation and GC noise excluded (the reference's benches also
@@ -220,36 +224,49 @@ def main() -> None:
         "streaming_merged_search": _setup_merged_search,
     }
 
-    timings: dict[str, float] = {}
+    # Failure isolation: one red query must never zero out the whole
+    # performance record — it gets `null` + an entry in "errors" and the
+    # run continues (round-4 lesson: a single AnalysisException made the
+    # entire bench rc=1 with no numbers at all).
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         setup = special_setup.get(name)
         if setup is None and registry.QUERIES.get(name) is None:
             continue
         best = None
-        for _ in range(2):
-            spark.catalog.clearCache()
-            fn = setup(spark, sf_dir) if setup else registry.QUERIES[name]
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                spark.catalog.clearCache()
+                fn = setup(spark, sf_dir) if setup else registry.QUERIES[name]
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench query {name} failed: {exc!r}", file=sys.stderr)
 
-    mixed = _bench_mixed_rw(spark, sf_dir)
+    try:
+        mixed = _bench_mixed_rw(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        mixed = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"mixed_rw bench failed: {exc!r}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "mixed_rw": mixed,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "mixed_rw": mixed,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -35,10 +35,20 @@ TABLE_NAMES = [
 def load_table(spark, sf_dir: str, name: str):
     """Load one driver-generated parquet table (TESTDATA.md).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as long nanos (legacy conf) and truncate to
-    microseconds — the same ns→us truncation DuckDB applies, so event-time
-    values hash-match the oracle.
+    ``events.ts`` has drifted across driver generations between physical
+    parquet types; normalize every variant to a session-tz TIMESTAMP here —
+    the single choke point — so downstream event-time code can rely on
+    ordinary ``timestamp`` semantics (castable to long/double, unifiable
+    with ``timestamp`` struct fields):
+
+    * TIMESTAMP(NANOS): Spark's reader rejects it outright; read as long
+      nanos (legacy conf) and truncate to micros — the same ns→us
+      truncation DuckDB applies, so values hash-match the oracle.
+    * timestamp[us] without timezone: Spark reads it as TIMESTAMP_NTZ,
+      which cannot be cast to numeric types; cast to TIMESTAMP. The
+      NTZ→LTZ cast interprets the wall-clock in the session timezone and
+      display converts back with the same timezone, so wall-clock values
+      (and oracle hashes) are preserved.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
@@ -47,6 +57,9 @@ def load_table(spark, sf_dir: str, name: str):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
