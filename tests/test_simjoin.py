@@ -66,3 +66,30 @@ def test_l2_over_bound_raises_with_guidance(embeddings):
         similarity_pairs(
             vdf, threshold=1.0, metric="l2_sq", max_broadcast_rows=10
         )
+
+
+def test_over_bound_fallback_warns_and_optout_raises(embeddings):
+    """The exact→LSH dispatch is a recall-contract change, so it must be
+    observable: RuntimeWarning on auto-fallback, ValueError when the
+    caller forbids the approximate tier (ADVICE r3 item 1)."""
+    import warnings
+
+    vdf = embeddings.select("vec_id", "embedding")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        similarity_pairs(
+            vdf, threshold=0.9, metric="cosine", max_broadcast_rows=10
+        )
+    assert any(
+        "LSH" in str(x.message)
+        for x in w
+        if issubclass(x.category, RuntimeWarning)
+    )
+    with pytest.raises(ValueError, match="allow_lsh_fallback"):
+        similarity_pairs(
+            vdf,
+            threshold=0.9,
+            metric="cosine",
+            max_broadcast_rows=10,
+            allow_lsh_fallback=False,
+        )

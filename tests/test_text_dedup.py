@@ -265,3 +265,57 @@ def test_pack_sequences_bin_invariants(documents):
             total = sum(r["n_tokens"] for r in members)
             # overflow bounded by one doc; bins never split a doc
             assert total <= 512 + max_doc
+
+
+def test_minhash_bucket_cap_truncates_and_warns(spark):
+    """Degenerate LSH keys (identical boilerplate) must not become an
+    unbounded single-task pair explosion: buckets over max_bucket keep the
+    max_bucket smallest ids, and the truncation is warned, never silent."""
+    import warnings
+
+    rows = [
+        (i, "identical boilerplate text that repeats verbatim in every doc")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_ops.minhash_lsh_pairs(df, max_bucket=4).collect()
+        }
+    assert any(
+        "truncated" in str(x.message)
+        for x in w
+        if issubclass(x.category, RuntimeWarning)
+    )
+    # deterministic survivors: the 4 smallest doc_ids, all C(4,2) pairs
+    assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}
+    # the default cap leaves ordinary buckets alone — all pairs, no warning
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        allp = dedup_ops.minhash_lsh_pairs(df).collect()
+    assert len(allp) == 20 * 19 // 2
+    assert not any("truncated" in str(x.message) for x in w2)
+
+
+def test_simhash_bucket_cap_truncates_and_warns(spark):
+    import warnings
+
+    rows = [
+        (i, "identical boilerplate text that repeats verbatim in every doc")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_ops.simhash_pairs(df, max_bucket=4).collect()
+        }
+    assert any(
+        "truncated" in str(x.message)
+        for x in w
+        if issubclass(x.category, RuntimeWarning)
+    )
+    assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}

@@ -122,3 +122,27 @@ def test_retained_files_survive_and_old_geometry_pins(spark, embeddings, engine3
     engine3.index.rebalance(max_cell_rows=40)
     # oldest retained snapshot still reads exactly the original ids
     assert _ids(engine3.index.vectors(snapshot=-3)) == s0
+
+
+def test_prehistory_manifest_offset_minus_one_matches_prev(
+    spark, embeddings, engine3
+):
+    """Offset -1 must resolve on a manifest written before the history
+    feature existed (prev_cells grace only): -1 ≡ "prev" (ADVICE r3
+    item 4); deeper offsets still raise."""
+    import json
+
+    engine3.insert(
+        embeddings.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 300))
+    )
+    assert engine3.compact() > 0
+    idx = engine3.index
+    p = idx._manifest_path()
+    with open(p) as f:
+        m = json.load(f)
+    m.pop("history", None)
+    with open(p, "w") as f:
+        json.dump(m, f)
+    assert idx.manifest_at(-1) == idx.manifest_at("prev")
+    with pytest.raises(ValueError, match="out of retained history"):
+        idx.manifest_at(-2)

@@ -284,11 +284,43 @@ def minhash_signatures(documents: DataFrame, num_perm: int = NUM_PERM) -> DataFr
     )
 
 
+# A single LSH bucket whose membership list exceeds this is a degenerate
+# key (empty-text cluster, boilerplate): its pair fan-out is quadratic and
+# lands in ONE task.  Buckets are truncated (deterministically: smallest
+# ids survive) and the drop count is observed + warned.  1024² pairs is
+# still a bounded ~0.5M-row task; the exact tier (ngram_jaccard_pairs /
+# ppjoin) is the recall backstop for keys this hot.
+MAX_LSH_BUCKET = 1024
+
+
+def _warn_truncated_buckets(obs, op: str, max_bucket: int) -> None:
+    """Surface LSH bucket truncation (the 100 TB skew guard) to the caller:
+    silent candidate loss is the one thing an approximate operator must
+    never do."""
+    import warnings
+
+    try:
+        m = obs.get
+    except Exception:  # metrics unavailable (plan branch never executed)
+        return
+    if m.get("n_truncated"):
+        warnings.warn(
+            f"{op}: {m['n_truncated']} of {m['n_buckets']} LSH buckets "
+            f"exceeded max_bucket={max_bucket} and were truncated to the "
+            f"{max_bucket} smallest ids — candidate recall may drop on "
+            "those keys (degenerate/boilerplate content); verify-tier "
+            "exact operators are unaffected",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     num_perm: int = NUM_PERM,
     band_size: int = BAND_SIZE,
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with true Jaccard.
 
@@ -303,34 +335,42 @@ def minhash_lsh_pairs(
     The verify stage reuses the postings-intersection trick from
     ngram_jaccard_pairs: candidate pairs join the (doc, shingle-hash)
     postings — 8-byte longs — and |A ∩ B| is a count, |A ∪ B| comes from
-    the pre-computed set sizes.  No shingle array ever crosses a shuffle
-    (the previous cand ⋈ sh_a ⋈ sh_b shape shipped full array<string>
-    shingle sets through two shuffles).  A candidate pair sharing zero
-    shingles simply never materializes — identical output for any
-    threshold > 0.
+    the pre-computed set sizes.  No shingle array ever crosses a shuffle.
+    A candidate pair sharing zero shingles simply never materializes —
+    identical output for any threshold > 0.
 
-    The corpus is scanned and shingled ONCE: signatures and the verify
-    postings both derive from a persisted (doc_id, n_sh, shingle)
-    postings table (MEMORY_AND_DISK — spills, never recomputes the
-    shingle pass; previously signatures and verify each paid their own
-    full scan + shingle).  Signature values are unchanged
-    (min over xxhash64(shingle, seed) of the same string shingles)."""
+    The corpus is scanned and shingled ONCE into a persisted
+    ``(doc_id, n_sh, xxhash64(shingle))`` postings table — longs only
+    (~16 B/row; the earlier cache of raw shingle *strings* paid more in
+    cache-write bandwidth than the re-scan it saved).  Signatures are
+    ``min(xxhash64(s, p))`` over the hashed shingles — composing a fixed
+    pre-hash with the seeded family is an equally valid MinHash family,
+    and hashing 8-byte longs beats re-hashing strings num_perm times.
+
+    100 TB guards (both observable, never silent):
+    * buckets are capped at ``max_bucket`` members (sorted, smallest ids
+      kept) so one degenerate band key can't become a single-task
+      quadratic hotspot; truncation is counted via ``observe`` and warned.
+    * the result is finalized eagerly (``localCheckpoint``) and the
+      corpus-sized postings cache unpersisted before returning — repeated
+      calls in one session can't accumulate executor storage."""
     from pyspark import StorageLevel
+    from pyspark.sql import Observation
 
     n_bands = num_perm // band_size
-    post_str = (
+    post = (
         with_shingles(documents, "_sh")
         .select(
             "doc_id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("s_str")
         )
+        .select("doc_id", "n_sh", F.xxhash64("s_str").alias("s"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     aggs = [
-        F.min(F.xxhash64("s_str", F.lit(p))).alias(f"_m{p}")
-        for p in range(num_perm)
+        F.min(F.xxhash64("s", F.lit(p))).alias(f"_m{p}") for p in range(num_perm)
     ]
     sig = (
-        post_str.groupBy("doc_id")
+        post.groupBy("doc_id")
         .agg(*aggs)
         .select(
             "doc_id",
@@ -353,16 +393,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    cand = (
+    obs = Observation()
+    buckets = (
         bands.groupBy("band", "key")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.size("ids") > max_bucket).cast("long")).alias(
+                "n_truncated"
+            ),
+        )
+    )
+    cand = (
+        buckets.withColumn("ids", F.slice("ids", 1, max_bucket))
         .select(F.explode("ids").alias("doc_a"), "ids")
         .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    post = post_str.select("doc_id", "n_sh", F.xxhash64("s_str").alias("s"))
     pa = post.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("nsh_a"), "s"
     )
@@ -376,11 +426,17 @@ def minhash_lsh_pairs(
         .agg(F.count("*").cast("double").alias("inter"))
     )
     union = F.col("nsh_a") + F.col("nsh_b") - F.col("inter")
-    return (
+    out = (
         inter.withColumn("jaccard", F.col("inter") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        # finalize: verified pairs are tiny vs the corpus — checkpoint them,
+        # sever lineage, free the postings cache deterministically
+        .localCheckpoint(eager=True)
     )
+    post.unpersist()
+    _warn_truncated_buckets(obs, "minhash_lsh_pairs", max_bucket)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -501,12 +557,23 @@ def simhash_signatures_jvm(documents: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(
-    documents: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+    documents: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """Pairs within Hamming distance <= max_hamming, blocked on 16-bit
     chunks (a pair within distance d<4 must agree on >=1 of 4 chunks —
-    pigeonhole guarantees full recall for d <= 3; wider d trades recall)."""
-    sig = simhash_signatures(documents).cache()
+    pigeonhole guarantees full recall for d <= 3; wider d trades recall).
+
+    Same 100 TB guards as ``minhash_lsh_pairs``: chunk buckets capped at
+    ``max_bucket`` members (sorted by doc_id, truncation observed +
+    warned, never silent) so a degenerate 16-bit key — all-identical
+    boilerplate hashes to identical chunks — can't quadratically blow up
+    one task; result finalized eagerly so no signature cache outlives the
+    call."""
+    from pyspark.sql import Observation
+
+    sig = simhash_signatures(documents)
     chunks = sig.select(
         "doc_id",
         "simhash",
@@ -524,10 +591,25 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("doc_id", "simhash", "ck.chunk", "ck.key")
-    cand = (
+    obs = Observation()
+    buckets = (
         chunks.groupBy("chunk", "key")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+                "ds"
+            )
+        )
         .filter(F.size("ds") > 1)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.size("ds") > max_bucket).cast("long")).alias(
+                "n_truncated"
+            ),
+        )
+    )
+    cand = (
+        buckets.withColumn("ds", F.slice("ds", 1, max_bucket))
         .select(F.explode("ds").alias("x"), "ds")
         .select("x", F.explode("ds").alias("y"))
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -540,11 +622,14 @@ def simhash_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .localCheckpoint(eager=True)
     )
+    _warn_truncated_buckets(obs, "simhash_pairs", max_bucket)
+    return out
 
 
 # ---------------------------------------------------------------------------

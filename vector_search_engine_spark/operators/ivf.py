@@ -383,12 +383,19 @@ class IVFIndex:
             else:
                 raise ValueError("no previous snapshot (nothing committed yet)")
         elif isinstance(snapshot, int) and snapshot < 0:
-            if len(hist) < 1 - snapshot:
+            if len(hist) >= 1 - snapshot:
+                entry = hist[snapshot - 1]
+            elif snapshot == -1 and m.get("prev_cells"):
+                # pre-history manifest: offset -1 ≡ "prev" — fall back to
+                # the one-cycle prev_cells grace entry, same as the "prev"
+                # branch above (offset/-alias parity)
+                entry = {"cells": m["prev_cells"],
+                         "centroids_file": m.get("centroids_file")}
+            else:
                 raise ValueError(
                     f"snapshot offset {snapshot} out of retained history "
                     f"({len(hist)} snapshots; raise retain= on commit)"
                 )
-            entry = hist[snapshot - 1]
         elif isinstance(snapshot, int):
             by_id = {e["snapshot_id"]: e for e in hist}
             if snapshot not in by_id:

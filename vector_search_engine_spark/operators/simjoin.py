@@ -37,6 +37,7 @@ def similarity_pairs(
     vec_col: str = "embedding",
     round_to: int = 4,
     max_broadcast_rows: int = 2_000_000,
+    allow_lsh_fallback: bool = True,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with similarity >= threshold (cosine) or
     squared distance <= threshold (l2_sq).  Broadcast-GEMM self-join.
@@ -46,8 +47,13 @@ def similarity_pairs(
     bound the call auto-dispatches to the both-sides-huge tier
     (``operators.dedup.embedding_lsh_pairs``, cosine only — same
     ``(id_a, id_b, sim)`` schema, approximate recall / exact precision)
-    instead of OOMing the driver.  ``l2_sq`` has no LSH tier; an oversize
-    l2_sq input raises with guidance rather than collecting anyway.
+    instead of OOMing the driver.  The dispatch is a CONTRACT CHANGE —
+    exact recall degrades to the LSH probability curve — so it is never
+    silent: it emits a ``RuntimeWarning`` naming both tiers, and callers
+    that require exactness can pass ``allow_lsh_fallback=False`` to get a
+    ``ValueError`` at the boundary instead.  ``l2_sq`` has no LSH tier;
+    an oversize l2_sq input raises with guidance rather than collecting
+    anyway.
     """
     if metric not in ("cosine", "l2_sq"):
         raise ValueError(metric)
@@ -58,7 +64,19 @@ def similarity_pairs(
         vectors.select(id_col, vec_col).limit(max_broadcast_rows + 1).collect()
     )
     if len(rows) > max_broadcast_rows:
-        if metric == "cosine" and round_to == 4:
+        if metric == "cosine" and round_to == 4 and allow_lsh_fallback:
+            import warnings
+
+            warnings.warn(
+                "similarity_pairs: input exceeds max_broadcast_rows="
+                f"{max_broadcast_rows}; dispatching to the approximate-"
+                "recall LSH tier (embedding_lsh_pairs). Precision stays "
+                "exact (pairs are verified); recall follows the LSH "
+                "probability curve. Pass allow_lsh_fallback=False to "
+                "raise instead, or raise max_broadcast_rows explicitly.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             from vector_search_engine_spark.operators.dedup import (
                 embedding_lsh_pairs,
             )
@@ -68,9 +86,15 @@ def similarity_pairs(
             )
         raise ValueError(
             f"similarity_pairs: input exceeds max_broadcast_rows="
-            f"{max_broadcast_rows} and metric={metric!r}/round_to={round_to} "
-            "has no LSH fallback; use metric='cosine' (routes to "
-            "embedding_lsh_pairs) or raise max_broadcast_rows explicitly."
+            f"{max_broadcast_rows} and "
+            + (
+                "allow_lsh_fallback=False forbids the approximate tier"
+                if metric == "cosine" and round_to == 4
+                else f"metric={metric!r}/round_to={round_to} has no LSH "
+                "fallback"
+            )
+            + "; use metric='cosine' (routes to embedding_lsh_pairs) or "
+            "raise max_broadcast_rows explicitly."
         )
     out_schema = "id_a long, id_b long, " + (
         "sim double" if metric == "cosine" else "dist_sq double"
