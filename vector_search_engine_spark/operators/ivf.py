@@ -87,6 +87,34 @@ def _train_quantizer(
     return C
 
 
+def _write_centroids_parquet(path: str, C, centroid_ids=None) -> None:
+    """Driver-side Arrow write of the (tiny — n_centroids ≤ 4096) centroid
+    table: one parquet file, no Spark job.  The index's metadata artifacts
+    are local-FS driver writes already (manifest/meta.json via
+    ``open()`` + ``os.rename``), and launching a 1-task Spark write for a
+    few-KB table costs ~150 ms of pure scheduling per build/rebalance.
+    Schema matches the previous Spark write exactly:
+    ``(centroid_id int, centroid array<double>)``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = (
+        np.arange(len(C), dtype=np.int32)
+        if centroid_ids is None
+        else np.asarray(centroid_ids, dtype=np.int32)
+    )
+    tbl = pa.table(
+        {
+            "centroid_id": pa.array(ids, type=pa.int32()),
+            "centroid": pa.array(
+                [[float(x) for x in c] for c in C], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(tbl, os.path.join(path, "part-00000.parquet"))
+
+
 class IVFIndex:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -223,17 +251,7 @@ class IVFIndex:
                 },
                 f,
             )
-        # pandas → Arrow path: createDataFrame from a Python list takes the
-        # pickle-RDD path (~8 s even for 44 rows); Arrow is ~10×
-        centers = pd.DataFrame(
-            {
-                "centroid_id": np.arange(len(C), dtype=np.int32),
-                "centroid": [[float(x) for x in c] for c in C],
-            }
-        )
-        spark.createDataFrame(centers).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(tmp, "centroids.parquet")
-        )
+        _write_centroids_parquet(os.path.join(tmp, "centroids.parquet"), C)
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(
                 {
@@ -456,13 +474,40 @@ class IVFIndex:
         )
 
     def stats(self) -> DataFrame:
-        """Per-centroid occupancy — the index's health check."""
-        return (
-            self.vectors()
-            .groupBy("centroid_id")
-            .agg(F.count("*").cast("long").alias("n_vectors"))
-            .orderBy("centroid_id")
+        """Per-centroid occupancy — the index's health check.
+
+        Counts come from parquet FOOTER metadata (``num_rows``) of exactly
+        the manifest's live cell files: no data page is read, nothing is
+        scanned or shuffled, so occupancy stays a metadata-only operation
+        at any index size (footers are KBs regardless of cell size — the
+        same trick table formats use for ``COUNT(*)``).  Falls back to the
+        full scan+groupBy only for a pre-manifest raw layout."""
+        import pyarrow.parquet as pq
+
+        m = self._read_manifest()
+        if m is None:
+            return (
+                self.vectors()
+                .groupBy("centroid_id")
+                .agg(F.count("*").cast("long").alias("n_vectors"))
+                .orderBy("centroid_id")
+            )
+        root = os.path.join(self.index_dir, "vectors")
+        counts = []
+        for c, g in sorted(m["cells"].items(), key=lambda kv: int(kv[0])):
+            d = os.path.join(root, f"gen={g}", f"centroid_id={c}")
+            n = sum(
+                pq.ParquetFile(fp).metadata.num_rows
+                for fp in glob.glob(os.path.join(d, "*.parquet"))
+            )
+            counts.append((int(c), n))
+        pdf = pd.DataFrame(
+            {
+                "centroid_id": np.array([c for c, _ in counts], dtype=np.int32),
+                "n_vectors": np.array([n for _, n in counts], dtype=np.int64),
+            }
         )
+        return self.spark.createDataFrame(pdf)
 
     # -- search --------------------------------------------------------------
 
@@ -788,15 +833,11 @@ class IVFIndex:
             (cid, [float(x) for x in vec]) for cid, vec in sub_centroids
         ]
         cfile = f"centroids_gen{gen}.parquet"
-        cdf = pd.DataFrame(
-            {
-                "centroid_id": np.array([c for c, _ in allc], dtype=np.int32),
-                "centroid": [v for _, v in allc],
-            }
+        _write_centroids_parquet(
+            os.path.join(self.index_dir, cfile),
+            [v for _, v in allc],
+            centroid_ids=[c for c, _ in allc],
         )
-        self.spark.createDataFrame(cdf).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.index_dir, cfile))
         self.commit_cells(
             gen,
             [i for ids in mapping.values() for i in ids],
