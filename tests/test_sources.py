@@ -123,3 +123,19 @@ def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     stats = jsonl.quarantine_stats(scanned).collect()[0]
     assert stats["n_corrupt"] == 2
     assert stats["n_lines"] == docs.count() + 3
+
+
+def test_load_table_normalizes_events_ts_to_timestamp(spark, sf_dir):
+    """events.ts physical type has drifted across driver generations
+    (TIMESTAMP(NANOS) -> long shim; timestamp[us] no-tz -> TIMESTAMP_NTZ
+    cast).  load_table is the single choke point: whatever parquet says,
+    downstream event-time code gets a session-tz TIMESTAMP it can cast to
+    long/double and unify with `timestamp` struct fields."""
+    from vector_search_engine_spark import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    assert dict(events.dtypes)["ts"] == "timestamp"
+    # the two casts the round-4 breakage hit must both analyze
+    events.select(F.col("ts").cast("double"), F.col("ts").cast("long")).limit(
+        1
+    ).collect()
