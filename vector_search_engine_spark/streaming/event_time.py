@@ -41,16 +41,9 @@ EVENTS_SCHEMA = (
 )
 
 
-def stage_event_files(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
-) -> str:
-    """Split the batch events table into ``n_files`` time-ordered parquet
-    files with increasing mtimes, so the file streaming source (ordered by
-    modification time, ``maxFilesPerTrigger=1``) replays them as real
-    consecutive micro-batches in event-time order — the shape a Kafka topic
-    with in-order partitions would produce."""
-    events = load_table(spark, sf_dir, "events")
-    bounds = [
+def _ts_bounds(events: DataFrame, n_files: int) -> list[float]:
+    """Approximate event-time quantile boundaries (one job)."""
+    return [
         r[0]
         for r in events.select(
             F.percentile_approx(
@@ -62,27 +55,65 @@ def stage_event_files(
         .select(F.explode("b"))
         .collect()
     ]
-    os.makedirs(out_dir, exist_ok=True)
-    lo = None
-    for i, hi in enumerate(list(bounds) + [None]):
-        part = events
-        if lo is not None:
-            part = part.filter(F.col("ts").cast("double") > lo)
-        if hi is not None:
-            part = part.filter(F.col("ts").cast("double") <= hi)
-        path = os.path.join(out_dir, f"slice-{i:03d}.parquet")
-        part.coalesce(1).write.mode("overwrite").parquet(path + ".tmp")
-        data_file = [
-            f for f in os.listdir(path + ".tmp") if f.endswith(".parquet")
-        ][0]
-        os.replace(os.path.join(path + ".tmp", data_file), path)
-        import shutil
 
-        shutil.rmtree(path + ".tmp", ignore_errors=True)
+
+def _stage_sliced(
+    events: DataFrame, bounds: list[float], out_dir: str, overlap_s: float = 0.0
+) -> str:
+    """ONE write job for all slices: each row computes its slice
+    membership set from the precomputed boundaries (slice ``i`` =
+    ``bounds[i-1] − overlap_s < ts <= bounds[i]`` — with ``overlap_s > 0``
+    a row near a boundary replays in the following slice(s), the
+    at-least-once re-delivery pattern), explodes, and is written
+    partitioned by slice; each slice's single data file is then promoted
+    to ``slice-XXX.parquet`` with strictly increasing mtimes (the file
+    source replays in mtime order).  Replaces the previous
+    one-filtered-write-per-slice loop: n_files+1 jobs → 2."""
+    import shutil
+
+    tsd = F.col("ts").cast("double")
+    n = len(bounds) + 1
+    conds = []
+    for i in range(n):
+        c = F.lit(True)
+        if i > 0:  # slice lower bound (widened by the replay overlap)
+            c = c & (tsd > F.lit(bounds[i - 1]) - overlap_s)
+        if i < n - 1:  # slice upper bound
+            c = c & (tsd <= F.lit(bounds[i]))
+        conds.append(F.when(c, F.lit(i)))
+    membership = F.array_compact(F.array(*conds))
+    tmp = out_dir + ".stage.tmp"
+    (
+        events.withColumn("_slice", F.explode(membership))
+        .repartition("_slice")
+        .write.mode("overwrite")
+        .partitionBy("_slice")
+        .parquet(tmp)
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n):
+        d = os.path.join(tmp, f"_slice={i}")
+        if not os.path.isdir(d):  # empty slice (degenerate tiny input)
+            continue
+        data_file = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        path = os.path.join(out_dir, f"slice-{i:03d}.parquet")
+        os.replace(os.path.join(d, data_file), path)
         t = time.time() + i  # strictly increasing mtimes = replay order
         os.utime(path, (t, t))
-        lo = hi
+    shutil.rmtree(tmp, ignore_errors=True)
     return out_dir
+
+
+def stage_event_files(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Split the batch events table into ``n_files`` time-ordered parquet
+    files with increasing mtimes, so the file streaming source (ordered by
+    modification time, ``maxFilesPerTrigger=1``) replays them as real
+    consecutive micro-batches in event-time order — the shape a Kafka topic
+    with in-order partitions would produce."""
+    events = load_table(spark, sf_dir, "events")
+    return _stage_sliced(events, _ts_bounds(events, n_files), out_dir)
 
 
 def stream_events(spark: SparkSession, staged_dir: str) -> DataFrame:
@@ -347,40 +378,12 @@ def stage_event_files_with_dups(
     appears in both files) — the duplicate pattern an at-least-once source
     (Kafka re-delivery, file-source retry) produces."""
     events = load_table(spark, sf_dir, "events")
-    bounds = [
-        r[0]
-        for r in events.select(
-            F.percentile_approx(
-                F.col("ts").cast("double"),
-                [i / n_files for i in range(1, n_files)],
-                10_000,
-            ).alias("b")
-        )
-        .select(F.explode("b"))
-        .collect()
-    ]
-    overlap_s = _interval_seconds(overlap)
-    os.makedirs(out_dir, exist_ok=True)
-    lo = None
-    for i, hi in enumerate(list(bounds) + [None]):
-        part = events
-        if lo is not None:
-            part = part.filter(F.col("ts").cast("double") > lo - overlap_s)
-        if hi is not None:
-            part = part.filter(F.col("ts").cast("double") <= hi)
-        path = os.path.join(out_dir, f"slice-{i:03d}.parquet")
-        part.coalesce(1).write.mode("overwrite").parquet(path + ".tmp")
-        data_file = [
-            f for f in os.listdir(path + ".tmp") if f.endswith(".parquet")
-        ][0]
-        os.replace(os.path.join(path + ".tmp", data_file), path)
-        import shutil
-
-        shutil.rmtree(path + ".tmp", ignore_errors=True)
-        t = time.time() + i
-        os.utime(path, (t, t))
-        lo = hi
-    return out_dir
+    return _stage_sliced(
+        events,
+        _ts_bounds(events, n_files),
+        out_dir,
+        overlap_s=_interval_seconds(overlap),
+    )
 
 
 def streaming_dedup(
