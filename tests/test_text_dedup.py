@@ -319,3 +319,31 @@ def test_simhash_bucket_cap_truncates_and_warns(spark):
         if issubclass(x.category, RuntimeWarning)
     )
     assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
+def test_repetition_stats_flags_planted_repetition(spark):
+    rows = [
+        (1, "a", "unique words only here now today friend"),
+        (2, "a", "spam spam spam spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in text_ops.repetition_stats(df).collect()}
+    assert not out[1].is_repetitive and out[1].gram2_rep_ratio == 0.0
+    # 8 tokens -> 7 2-grams, all "spam spam": ratio 1 - 1/7
+    assert out[2].is_repetitive
+    assert out[2].gram2_rep_ratio == pytest.approx(1 - 1 / 7, abs=1e-4)
+    assert out[2].n_uniq_2grams == 1 and out[2].n_2grams == 7
+
+
+def test_decontaminate_planted_overlap(spark):
+    # doc 7 (7 % 10 == 7) plays the eval set; doc 1 lifts a phrase from it
+    rows = [
+        (7, "the quick brown fox jumps over the lazy dog"),
+        (1, "note that the quick brown fox jumps high"),  # 3 shared 3-grams
+        (2, "completely different content with no shared trigrams at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.decontaminate(df).collect()}
+    assert 7 not in out  # eval docs are not scored as training docs
+    assert out[1].n_overlap == 3 and out[1].contaminated
+    assert out[2].n_overlap == 0 and not out[2].contaminated

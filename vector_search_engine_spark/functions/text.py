@@ -85,3 +85,8 @@ DD_SHINGLES3 = (
     "list_transform(range(1, greatest(len({t})-2, 0)+1), "
     "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
 )
+# word 2-grams, ALL occurrences (no distinct) — the repetition-ratio twin
+DD_SHINGLES2 = (
+    "list_transform(range(1, greatest(len({t})-1, 0)+1), "
+    "i -> {t}[i] || ' ' || {t}[i+1])"
+)

@@ -14,10 +14,12 @@ from pyspark.sql import functions as F
 
 from vector_search_engine_spark.functions.text import (
     DD_NORMALIZED,
+    DD_SHINGLES2,
     DD_SHINGLES3,
     DD_TOKENS,
     normalized,
     tokens,
+    with_shingles,
     word_shingles,
 )
 
@@ -395,4 +397,169 @@ p AS (
 SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(floor(CAST(prev_tokens AS DOUBLE) / {PACK_CAPACITY}) AS BIGINT) AS bin_id
 FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (C4/Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+REPETITION_THRESHOLD = 0.2  # rounded 2-gram repetition ratio above -> flag
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Within-document repetition ratios — the C4/Gopher-family quality
+    filter that catches keyword-stuffed / template / looping generations
+    exact dedup can't (the repetition is INSIDE one document).
+
+    ``token_rep_ratio``  = 1 − distinct/total over words;
+    ``gram2_rep_ratio``  = 1 − distinct/total over word 2-grams (ALL
+    occurrences, not the distinct shingle sets the dedup family uses);
+    ``is_repetitive``    = rounded 2-gram ratio > REPETITION_THRESHOLD.
+
+    Pure column expressions over per-row arrays (NGram is a JVM sliding
+    window): zero shuffle, embarrassingly parallel at any corpus size."""
+    from pyspark.ml.feature import NGram
+
+    df = documents.withColumn("_t", tokens(F.col("text")))
+    df = NGram(n=2, inputCol="_t", outputCol="_g2").transform(df)
+    n_tok = F.size("_t").cast("long")
+    u_tok = F.size(F.array_distinct("_t")).cast("long")
+    n_g2 = F.size("_g2").cast("long")
+    u_g2 = F.size(F.array_distinct("_g2")).cast("long")
+    tok_rep = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - u_tok.cast("double") / n_tok.cast("double")
+    )
+    g2_rep = F.round(
+        F.when(n_g2 == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - u_g2.cast("double") / n_g2.cast("double")
+        ),
+        4,
+    )
+    return df.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        u_tok.alias("n_uniq_tokens"),
+        n_g2.alias("n_2grams"),
+        u_g2.alias("n_uniq_2grams"),
+        F.round(tok_rep, 4).alias("token_rep_ratio"),
+        g2_rep.alias("gram2_rep_ratio"),
+        (g2_rep > REPETITION_THRESHOLD).alias("is_repetitive"),
+    )
+
+
+REPETITION_STATS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, source, t, {DD_SHINGLES2.format(t="t")} AS g2 FROM tok
+),
+m AS (
+  SELECT doc_id, source,
+         len(t)::BIGINT AS n_tokens,
+         len(list_distinct(t))::BIGINT AS n_uniq_tokens,
+         len(g2)::BIGINT AS n_2grams,
+         len(list_distinct(g2))::BIGINT AS n_uniq_2grams,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                         / CAST(len(t) AS DOUBLE) END AS tok_rep,
+         round(CASE WHEN len(g2) = 0 THEN 0.0
+               ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                          / CAST(len(g2) AS DOUBLE) END, 4) AS g2_rep
+  FROM g
+)
+SELECT doc_id, source, n_tokens, n_uniq_tokens, n_2grams, n_uniq_2grams,
+       round(tok_rep, 4) AS token_rep_ratio,
+       g2_rep AS gram2_rep_ratio,
+       g2_rep > {REPETITION_THRESHOLD} AS is_repetitive
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECON_EVAL_MOD = 10
+DECON_EVAL_REM = 7  # doc_id % 10 == 7 plays the held-out eval set
+DECON_MIN_OVERLAP = 3
+
+
+def decontaminate(
+    documents: DataFrame,
+    eval_mod: int = DECON_EVAL_MOD,
+    eval_rem: int = DECON_EVAL_REM,
+    min_overlap: int = DECON_MIN_OVERLAP,
+    n: int = 3,
+) -> DataFrame:
+    """Train/eval contamination check: for every training document, the
+    count of distinct word n-grams it shares with the held-out eval set,
+    and a ``contaminated`` flag at ``min_overlap`` — the decontamination
+    pass every LLM training pipeline runs before training (production uses
+    n≈13; n=3 here so the DuckDB oracle reuses the shared shingle twin).
+
+    The eval set is carved deterministically from the corpus
+    (``doc_id % eval_mod == eval_rem``) so the operator is self-contained
+    on the fixture tables; with a real benchmark table, substitute it for
+    the eval side unchanged.
+
+    Scale shape: the eval side (benchmarks are small by contract) reduces
+    to a distinct shingle-hash set and BROADCASTS; the corpus explodes
+    once and map-side joins it — no corpus self-join, one shuffle total
+    (the per-doc overlap count).  100 TB posture: corpus-side rows carry
+    only (doc_id, shingle) until the count."""
+    sh = with_shingles(documents.select("doc_id", "text"), "_sh", n=n)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % eval_mod == eval_rem)
+        .select(F.explode("_sh").alias("s"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % eval_mod != eval_rem)
+    overlap = (
+        corpus.select("doc_id", F.explode("_sh").alias("s"))
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct({DD_SHINGLES3.format(t="t")}) AS sh FROM tok
+),
+eval_sh AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest(sh) AS s FROM sh
+    WHERE doc_id % {DECON_EVAL_MOD} = {DECON_EVAL_REM}
+  )
+),
+corpus AS (
+  SELECT doc_id, sh FROM sh WHERE doc_id % {DECON_EVAL_MOD} != {DECON_EVAL_REM}
+),
+posts AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
+ov AS (
+  SELECT p.doc_id, count(*)::BIGINT AS n_overlap
+  FROM posts p JOIN eval_sh e USING (s)
+  GROUP BY p.doc_id
+)
+SELECT c.doc_id,
+       coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(o.n_overlap, 0) >= {DECON_MIN_OVERLAP} AS contaminated
+FROM corpus c LEFT JOIN ov o USING (doc_id)
 """

@@ -819,6 +819,19 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+@register("doc_repetition_stats", oracle=txt_ops.REPETITION_STATS_ORACLE)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratios (C4/Gopher-style quality filter)."""
+    return txt_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_decontaminate", oracle=txt_ops.DECONTAMINATE_ORACLE)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram overlap check: eval shingle set broadcast against
+    the corpus postings — the pre-training decontamination pass."""
+    return txt_ops.decontaminate(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "corpus_capped_sample", oracle=txt_ops.CAPPED_SOURCE_SAMPLE_ORACLE
 )
