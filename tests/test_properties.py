@@ -205,3 +205,66 @@ def test_connected_components_matches_union_find(spark, edges):
     }
     nodes = sorted({x for e in edges for x in e})
     assert got == _uf_components(nodes, edges)
+
+
+word = st.sampled_from(["a", "b", "c", "dd", "e"])
+
+
+@given(
+    docs=st.lists(
+        st.lists(word, min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SET
+def test_repetition_stats_matches_python(spark, docs):
+    from vector_search_engine_spark.operators import text_ops
+
+    rows = [(i, "s", " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id: r for r in text_ops.repetition_stats(df).collect()}
+    for i, toks in enumerate(docs):
+        g2 = [f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)]
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert r.n_uniq_tokens == len(set(toks))
+        assert r.n_2grams == len(g2)
+        assert r.n_uniq_2grams == len(set(g2))
+        want_tok = 0.0 if not toks else 1 - len(set(toks)) / len(toks)
+        want_g2 = 0.0 if not g2 else 1 - len(set(g2)) / len(g2)
+        assert r.token_rep_ratio == pytest.approx(want_tok, abs=1e-4)
+        assert r.gram2_rep_ratio == pytest.approx(want_g2, abs=1e-4)
+        assert r.is_repetitive == (round(want_g2, 4) > text_ops.REPETITION_THRESHOLD)
+
+
+@given(
+    docs=st.lists(
+        st.lists(word, min_size=0, max_size=10),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SET
+def test_decontaminate_matches_python(spark, docs):
+    from vector_search_engine_spark.operators import text_ops
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_overlap, r.contaminated)
+           for r in text_ops.decontaminate(df).collect()}
+
+    def sh3(toks):
+        return {" ".join(toks[j:j+3]) for j in range(len(toks) - 2)}
+
+    eval_sh = set()
+    for i, toks in enumerate(docs):
+        if i % text_ops.DECON_EVAL_MOD == text_ops.DECON_EVAL_REM:
+            eval_sh |= sh3(toks)
+    want = {}
+    for i, toks in enumerate(docs):
+        if i % text_ops.DECON_EVAL_MOD == text_ops.DECON_EVAL_REM:
+            continue
+        n = len(sh3(toks) & eval_sh)
+        want[i] = (n, n >= text_ops.DECON_MIN_OVERLAP)
+    assert got == want
