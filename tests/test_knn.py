@@ -157,3 +157,29 @@ def test_mass_duplicate_vectors_tie_break_exact(spark):
     # all duplicates are at distance 0; (dist, id) order = ids 0..9
     assert [r.neighbor_id for r in res] == list(range(10))
     assert all(r.dist_sq == 0.0 for r in res)
+
+
+def test_precollected_query_tuple_matches_dataframe(spark, embeddings):
+    """The serving-shape query form — a pre-collected (qids, matrix) tuple
+    (collect once, search many; reference holds queries in client RAM) —
+    must produce identical results to the DataFrame form on every search
+    entry point that accepts it."""
+    import pytest
+
+    q_df = knn_ops.make_queries(embeddings)
+    q_tup = knn_ops._query_arrays(q_df)
+    a = sorted(tuple(r) for r in knn_ops.knn_exact(embeddings, q_df, k=5).collect())
+    b = sorted(tuple(r) for r in knn_ops.knn_exact(embeddings, q_tup, k=5).collect())
+    assert a == b and len(a) > 0
+    ra = sorted(
+        tuple(r)
+        for r in knn_ops.radius_search(embeddings, q_df, radius_sq=2.0).collect()
+    )
+    rb = sorted(
+        tuple(r)
+        for r in knn_ops.radius_search(embeddings, q_tup, radius_sq=2.0).collect()
+    )
+    assert ra == rb
+    # the SQL path is Catalyst-only by design: tuple input must raise
+    with pytest.raises(ValueError, match="pandas path"):
+        knn_ops.knn_exact(embeddings, q_tup, k=5, method="sql")

@@ -48,7 +48,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_search_engine_spark.functions.vector import l2_sq_matrix
-from vector_search_engine_spark.operators.knn import _finalize_topk
+from vector_search_engine_spark.operators.knn import (
+    _finalize_topk,
+    _query_arrays as knn_query_arrays,
+)
 
 
 def _train_quantizer(
@@ -567,13 +570,11 @@ class IVFIndex:
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         spark = self.spark
-        qrows = queries.select(qid_col, qvec_col).collect()
-        if not qrows:
+        qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
+        if len(qids) == 0:
             return spark.createDataFrame(
                 [], "qid long, neighbor_id long, rank long, dist_sq double"
             )
-        qids = np.array([r[0] for r in qrows], dtype=np.int64)
-        Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
         # pin ONE (manifest, centroids) snapshot for the whole call — a
         # concurrent rebalance commit can drop the parent cells this call
         # probes from the live manifest; the pinned view stays readable for
@@ -899,13 +900,11 @@ class IVFIndex:
         vec_col = self.meta["vec_col"]
         dim = self.meta["dim"]
         spark = self.spark
-        qrows = queries.select(qid_col, qvec_col).collect()
-        if not qrows:
+        qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
+        if len(qids) == 0:
             return spark.createDataFrame(
                 [], "qid long, neighbor_id long, rank long, dist_sq double"
             )
-        qids = np.array([r[0] for r in qrows], dtype=np.int64)
-        Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
         # snapshot discipline as in search(); NB the sq8 sidecar itself is
         # unversioned (rebuilt after compaction/rebalance), so a rebalance
         # committing between here and ensure_sq8() below remains a narrow
@@ -1004,11 +1003,9 @@ class IVFIndex:
         spark = self.spark
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
-        qrows = queries.select(qid_col, qvec_col).collect()
-        if not qrows:
+        qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
+        if len(qids) == 0:
             return spark.createDataFrame([], "qid long, neighbor_id long, dist_sq double")
-        qids = np.array([r[0] for r in qrows], dtype=np.int64)
-        Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
 
         # pin one (manifest, centroids) view for radii, probes, and scan
         snap = self._read_manifest()

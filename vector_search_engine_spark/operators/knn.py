@@ -48,6 +48,31 @@ def make_queries(
     )
 
 
+def _query_arrays(
+    queries, qid_col: str = "qid", qvec_col: str = "query"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize a query set to driver arrays ``(qids int64, Q float32)``.
+
+    Accepts a ``(qid, query)`` DataFrame (collected here — the bulk-search
+    contract says the query set is small) or a pre-collected
+    ``(qids, matrix)`` tuple, the serving shape: a caller issuing many
+    searches against the same query set (the reference holds its queries
+    in client RAM, ``recall_bench.cpp:67``) collects ONCE instead of
+    paying one collect job per search."""
+    if isinstance(queries, tuple):
+        qids, Q = queries
+        return (
+            np.asarray(qids, dtype=np.int64),
+            np.asarray(Q, dtype=np.float32),
+        )
+    qrows = queries.select(qid_col, qvec_col).collect()
+    if not qrows:
+        return np.empty(0, dtype=np.int64), np.empty((0, 0), dtype=np.float32)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
+    return qids, Q
+
+
 def _rank_window(metric: str) -> Window:
     if metric == "l2_sq":
         return Window.partitionBy("qid").orderBy(
@@ -92,6 +117,11 @@ def knn_exact(
     if metric not in ("l2_sq", "cosine"):
         raise ValueError(f"unknown metric {metric!r}")
     if method == "sql":
+        if isinstance(queries, tuple):
+            raise ValueError(
+                "method='sql' needs a queries DataFrame; the pre-collected "
+                "tuple form is only for the pandas path"
+            )
         dist_expr: Column = (
             l2_sq(F.col(vec_col), F.col("query"))
             if metric == "l2_sq"
@@ -103,14 +133,12 @@ def knn_exact(
         return _finalize_topk(cand, k, metric)
 
     spark = vectors.sparkSession
-    qrows = queries.select("qid", "query").collect()
-    if not qrows:
+    qids, Q = _query_arrays(queries)
+    if len(qids) == 0:
         return spark.createDataFrame(
             [], "qid long, neighbor_id long, rank long, "
             + ("dist_sq double" if metric == "l2_sq" else "sim double"),
         )
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    Q = np.array([np.asarray(r["query"], dtype=np.float32) for r in qrows])
     bc = spark.sparkContext.broadcast((qids, Q))
     larger_is_better = metric == "cosine"
 
@@ -276,11 +304,9 @@ def radius_search(
     cut), so each partition emits exactly its hits and nothing shuffles
     but results."""
     spark = vectors.sparkSession
-    qrows = queries.select("qid", "query").collect()
-    if not qrows:
+    qids, Q = _query_arrays(queries)
+    if len(qids) == 0:
         return spark.createDataFrame([], "qid long, neighbor_id long, dist_sq double")
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    Q = np.array([np.asarray(r["query"], dtype=np.float32) for r in qrows])
     bc = spark.sparkContext.broadcast((qids, Q))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -87,15 +87,17 @@ def knn_sq8_rescore(
     """Two-stage search: uint8-approximate scan emits top-C candidates per
     partition; exact float re-score + global top-k.  Same output schema
     and distance convention as ``knn_exact``."""
+    from vector_search_engine_spark.operators.knn import (
+        _query_arrays as knn_query_arrays,
+    )
+
     spark = vectors.sparkSession
     C = candidates_per_partition or 4 * k
-    qrows = queries.select("qid", "query").collect()
-    if not qrows:
+    qids, Q = knn_query_arrays(queries)
+    if len(qids) == 0:
         return spark.createDataFrame(
             [], "qid long, neighbor_id long, rank long, dist_sq double"
         )
-    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
-    Q = np.array([np.asarray(r["query"], dtype=np.float32) for r in qrows])
     bc = spark.sparkContext.broadcast((qids, Q.astype(np.float64)))
 
     codes = sq8_encode(vectors, id_col=id_col, vec_col=vec_col)
