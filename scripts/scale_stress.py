@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Scale stress harness (SCALING.md's data source): run the headline
+dedup/ANN operators on a deterministic synthetic corpus 20-50x the bench
+fixture and print one JSON line of timings.
+
+Corpus (derived from sf0.1, fully deterministic):
+  * documents: every sf0.1 doc x N_VARIANTS near-identical variants
+    (one extra variant token appended) -> a worst-case dense-duplicate
+    corpus with ~|docs| * C(N_VARIANTS,2) true near-dup pairs;
+  * embeddings: N_VECS unit-normalized 64-dim vectors, seeded RNG (no
+    planted structure -> LSH verify stage sees pure noise).
+
+Usage:
+    python scripts/scale_stress.py [--ppjoin]   # ppjoin tier is ~4 min extra
+
+Treat ratios, not absolutes (box variance 2-5x run-to-run); compare
+against the table in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark import load_table
+from vector_search_engine_spark.operators import dedup as dedup_ops
+from vector_search_engine_spark.operators import knn as knn_ops
+from vector_search_engine_spark.operators.ivf import IVFIndex
+from vector_search_engine_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_VARIANTS = 20
+N_VECS = 100_000
+DIM = 64
+
+
+def timed(results: dict, name: str, fn):
+    t0 = time.time()
+    out = fn()
+    results[name] = {"sec": round(time.time() - t0, 2), "rows": out}
+    print(f"  {name}: {results[name]}", file=sys.stderr)
+
+
+def main() -> None:
+    spark = get_spark("vse-scale-stress")
+    results: dict = {}
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs = (
+        base.crossJoin(
+            spark.range(N_VARIANTS).select(F.col("id").alias("_v"))
+        )
+        .select(
+            (F.col("doc_id") * N_VARIANTS + F.col("_v")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" variant"), F.col("_v")).alias(
+                "text"
+            ),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .cache()
+    )
+    n_docs = docs.count()
+    print(f"stress corpus: {n_docs} documents", file=sys.stderr)
+
+    timed(results, "exact_dedup", lambda: dedup_ops.exact_dedup(docs).count())
+    timed(
+        results,
+        "minhash_lsh_pairs",
+        lambda: dedup_ops.minhash_lsh_pairs(docs).count(),
+    )
+    timed(
+        results, "simhash_pairs", lambda: dedup_ops.simhash_pairs(docs).count()
+    )
+    timed(
+        results,
+        "ngram_jaccard_pairs",
+        lambda: dedup_ops.ngram_jaccard_pairs(docs).count(),
+    )
+    if "--ppjoin" in sys.argv:
+        timed(
+            results,
+            "ngram_jaccard_pairs_ppjoin",
+            lambda: dedup_ops.ngram_jaccard_pairs_ppjoin(docs).count(),
+        )
+    docs.unpersist()
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(0, 1, (N_VECS, DIM)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(N_VECS, dtype=np.int64), "embedding": list(V)}
+        )
+    ).cache()
+    emb.count()
+
+    timed(
+        results,
+        "embedding_lsh_pairs",
+        lambda: dedup_ops.embedding_lsh_pairs(emb, threshold=0.9).count(),
+    )
+    q = (np.arange(20, dtype=np.int64), V[:20])
+    timed(
+        results,
+        "knn_exact_20q",
+        lambda: knn_ops.knn_exact(emb, q, k=10).count(),
+    )
+    idx_dir = tempfile.mkdtemp(prefix="vse_stress_ivf_")
+    holder: dict = {}
+
+    def build():
+        holder["idx"] = IVFIndex.build(emb, f"{idx_dir}/index")
+        return holder["idx"].stats().count()
+
+    timed(results, "ivf_build", build)
+    idx = holder["idx"]
+    nc = idx.meta["n_centroids"]
+    timed(
+        results,
+        "ivf_search_nprobe8",
+        lambda: idx.search(q, k=10, nprobe=8).count(),
+    )
+    timed(
+        results,
+        "ivf_search_full_probe",
+        lambda: idx.search(q, k=10, nprobe=nc).count(),
+    )
+
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "n_vecs": N_VECS,
+                "results": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

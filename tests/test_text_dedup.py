@@ -267,10 +267,24 @@ def test_pack_sequences_bin_invariants(documents):
             assert total <= 512 + max_doc
 
 
+def _await_warning(records, needle: str, timeout_s: float = 5.0) -> bool:
+    """The truncation warning fires from the observation watcher thread
+    once the caller's first action completes — poll briefly for it."""
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        if any(needle in str(x.message) for x in records):
+            return True
+        _time.sleep(0.05)
+    return False
+
+
 def test_minhash_bucket_cap_truncates_and_warns(spark):
     """Degenerate LSH keys (identical boilerplate) must not become an
     unbounded single-task pair explosion: buckets over max_bucket keep the
-    max_bucket smallest ids, and the truncation is warned, never silent."""
+    max_bucket smallest ids, and the truncation is observable (attached
+    Observation) + warned, never silent."""
     import warnings
 
     rows = [
@@ -280,23 +294,18 @@ def test_minhash_bucket_cap_truncates_and_warns(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        pairs = {
-            (r.doc_a, r.doc_b)
-            for r in dedup_ops.minhash_lsh_pairs(df, max_bucket=4).collect()
-        }
-    assert any(
-        "truncated" in str(x.message)
-        for x in w
-        if issubclass(x.category, RuntimeWarning)
-    )
+        out = dedup_ops.minhash_lsh_pairs(df, max_bucket=4)
+        pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+        m = out.lsh_bucket_observation.get
+        assert m["n_truncated"] and m["n_truncated"] > 0
+        assert _await_warning(w, "truncated")
     # deterministic survivors: the 4 smallest doc_ids, all C(4,2) pairs
     assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}
-    # the default cap leaves ordinary buckets alone — all pairs, no warning
-    with warnings.catch_warnings(record=True) as w2:
-        warnings.simplefilter("always")
-        allp = dedup_ops.minhash_lsh_pairs(df).collect()
-    assert len(allp) == 20 * 19 // 2
-    assert not any("truncated" in str(x.message) for x in w2)
+    # the default cap leaves ordinary buckets alone — all pairs, no truncation
+    out2 = dedup_ops.minhash_lsh_pairs(df)
+    assert len(out2.collect()) == 20 * 19 // 2
+    m2 = out2.lsh_bucket_observation.get
+    assert not m2["n_truncated"]
 
 
 def test_simhash_bucket_cap_truncates_and_warns(spark):
@@ -309,16 +318,34 @@ def test_simhash_bucket_cap_truncates_and_warns(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        pairs = {
-            (r.doc_a, r.doc_b)
-            for r in dedup_ops.simhash_pairs(df, max_bucket=4).collect()
-        }
-    assert any(
-        "truncated" in str(x.message)
-        for x in w
-        if issubclass(x.category, RuntimeWarning)
-    )
+        out = dedup_ops.simhash_pairs(df, max_bucket=4)
+        pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+        assert out.lsh_bucket_observation.get["n_truncated"] > 0
+        assert _await_warning(w, "truncated")
     assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}
+
+
+def test_minhash_optin_postings_cache_same_output(spark, documents):
+    """postings_storage opts into the persist + eager-finalize path for
+    expensive-scan storage; pair output must be identical to the default
+    recompute path, and the cache must not outlive the call."""
+    from pyspark import StorageLevel
+
+    default = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ops.minhash_lsh_pairs(documents).collect()
+    }
+    n_cached_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    cached = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ops.minhash_lsh_pairs(
+            documents, postings_storage=StorageLevel.MEMORY_AND_DISK
+        ).collect()
+    }
+    assert cached == default and len(default) > 0
+    # the postings cache must not outlive the call (no per-call leak)
+    n_cached_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached_after <= n_cached_before + 1  # localCheckpoint RDD only
 
 
 def test_repetition_stats_flags_planted_repetition(spark):

@@ -293,26 +293,40 @@ def minhash_signatures(documents: DataFrame, num_perm: int = NUM_PERM) -> DataFr
 MAX_LSH_BUCKET = 1024
 
 
-def _warn_truncated_buckets(obs, op: str, max_bucket: int) -> None:
+def _watch_truncated_buckets(obs, op: str, max_bucket: int) -> None:
     """Surface LSH bucket truncation (the 100 TB skew guard) to the caller:
     silent candidate loss is the one thing an approximate operator must
-    never do."""
+    never do.
+
+    The result DataFrame is returned LAZY (measured: eager finalization
+    cost ~13% at 1M pairs for nothing the caller asked for), so the
+    truncation count isn't known at return time.  A daemon thread blocks
+    on ``Observation.get`` — which resolves when the caller's first action
+    completes — and emits the ``RuntimeWarning`` then.  The observation is
+    also attached to the returned DataFrame (``lsh_bucket_observation``)
+    for deterministic programmatic access after an action."""
+    import threading
     import warnings
 
-    try:
-        m = obs.get
-    except Exception:  # metrics unavailable (plan branch never executed)
-        return
-    if m.get("n_truncated"):
-        warnings.warn(
-            f"{op}: {m['n_truncated']} of {m['n_buckets']} LSH buckets "
-            f"exceeded max_bucket={max_bucket} and were truncated to the "
-            f"{max_bucket} smallest ids — candidate recall may drop on "
-            "those keys (degenerate/boilerplate content); verify-tier "
-            "exact operators are unaffected",
-            RuntimeWarning,
-            stacklevel=3,
-        )
+    def watch() -> None:
+        try:
+            m = obs.get  # blocks until the caller executes the plan
+        except Exception:
+            return
+        if m.get("n_truncated"):
+            warnings.warn(
+                f"{op}: {m['n_truncated']} of {m['n_buckets']} LSH buckets "
+                f"exceeded max_bucket={max_bucket} and were truncated to "
+                f"the {max_bucket} smallest ids — candidate recall may "
+                "drop on those keys (degenerate/boilerplate content); "
+                "verify-tier exact operators are unaffected",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+    threading.Thread(
+        target=watch, daemon=True, name=f"{op}-bucket-watch"
+    ).start()
 
 
 def minhash_lsh_pairs(
@@ -321,6 +335,7 @@ def minhash_lsh_pairs(
     num_perm: int = NUM_PERM,
     band_size: int = BAND_SIZE,
     max_bucket: int = MAX_LSH_BUCKET,
+    postings_storage=None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with true Jaccard.
 
@@ -339,22 +354,29 @@ def minhash_lsh_pairs(
     A candidate pair sharing zero shingles simply never materializes —
     identical output for any threshold > 0.
 
-    The corpus is scanned and shingled ONCE into a persisted
-    ``(doc_id, n_sh, xxhash64(shingle))`` postings table — longs only
-    (~16 B/row; the earlier cache of raw shingle *strings* paid more in
-    cache-write bandwidth than the re-scan it saved).  Signatures are
-    ``min(xxhash64(s, p))`` over the hashed shingles — composing a fixed
-    pre-hash with the seeded family is an equally valid MinHash family,
-    and hashing 8-byte longs beats re-hashing strings num_perm times.
+    Postings are ``(doc_id, n_sh, xxhash64(shingle))`` — longs only.
+    Signatures are ``min(xxhash64(s, p))`` over the hashed shingles —
+    composing a fixed pre-hash with the seeded family is an equally valid
+    MinHash family, and hashing 8-byte longs beats re-hashing strings
+    num_perm times.
 
-    100 TB guards (both observable, never silent):
-    * buckets are capped at ``max_bucket`` members (sorted, smallest ids
-      kept) so one degenerate band key can't become a single-task
-      quadratic hotspot; truncation is counted via ``observe`` and warned.
-    * the result is finalized eagerly (``localCheckpoint``) and the
-      corpus-sized postings cache unpersisted before returning — repeated
-      calls in one session can't accumulate executor storage."""
-    from pyspark import StorageLevel
+    The postings pipeline is consumed three times (signatures + both
+    verify sides) and is NOT cached by default: interleaved A/B at 100k
+    docs (dense-duplicate stress corpus, local[32]) measures persist
+    32-36 s vs recompute 19-24 s — the cache-write bandwidth of the
+    exploded postings exceeds the re-scan+re-shingle+re-hash it saves; at
+    5k docs the two are within noise.  ``postings_storage`` opts into a
+    persist+eager-finalize path for deployments where re-reading the raw
+    text is genuinely expensive (cold object storage); the cache is
+    unpersisted before returning so repeated calls can't accumulate
+    executor storage.
+
+    100 TB guard: buckets are capped at ``max_bucket`` members (sorted,
+    smallest ids kept) so one degenerate band key can't become a
+    single-task quadratic hotspot.  Truncation is never silent — counted
+    via ``DataFrame.observe`` (attached to the result as
+    ``lsh_bucket_observation``) and warned once the caller's first action
+    completes."""
     from pyspark.sql import Observation
 
     n_bands = num_perm // band_size
@@ -364,8 +386,9 @@ def minhash_lsh_pairs(
             "doc_id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("s_str")
         )
         .select("doc_id", "n_sh", F.xxhash64("s_str").alias("s"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if postings_storage is not None:
+        post = post.persist(postings_storage)
     aggs = [
         F.min(F.xxhash64("s", F.lit(p))).alias(f"_m{p}") for p in range(num_perm)
     ]
@@ -430,12 +453,14 @@ def minhash_lsh_pairs(
         inter.withColumn("jaccard", F.col("inter") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-        # finalize: verified pairs are tiny vs the corpus — checkpoint them,
-        # sever lineage, free the postings cache deterministically
-        .localCheckpoint(eager=True)
     )
-    post.unpersist()
-    _warn_truncated_buckets(obs, "minhash_lsh_pairs", max_bucket)
+    if postings_storage is not None:
+        # opted-in cache: finalize eagerly (verified pairs are tiny vs the
+        # corpus), sever lineage, free the cache deterministically
+        out = out.localCheckpoint(eager=True)
+        post.unpersist()
+    _watch_truncated_buckets(obs, "minhash_lsh_pairs", max_bucket)
+    out.lsh_bucket_observation = obs
     return out
 
 
@@ -565,12 +590,11 @@ def simhash_pairs(
     chunks (a pair within distance d<4 must agree on >=1 of 4 chunks —
     pigeonhole guarantees full recall for d <= 3; wider d trades recall).
 
-    Same 100 TB guards as ``minhash_lsh_pairs``: chunk buckets capped at
-    ``max_bucket`` members (sorted by doc_id, truncation observed +
-    warned, never silent) so a degenerate 16-bit key — all-identical
-    boilerplate hashes to identical chunks — can't quadratically blow up
-    one task; result finalized eagerly so no signature cache outlives the
-    call."""
+    Same 100 TB guard as ``minhash_lsh_pairs``: chunk buckets capped at
+    ``max_bucket`` members (sorted by doc_id, truncation observed via the
+    attached ``lsh_bucket_observation`` + warned after the first action,
+    never silent) so a degenerate 16-bit key — all-identical boilerplate
+    hashes to identical chunks — can't quadratically blow up one task."""
     from pyspark.sql import Observation
 
     sig = simhash_signatures(documents)
@@ -626,9 +650,9 @@ def simhash_pairs(
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
-        .localCheckpoint(eager=True)
     )
-    _warn_truncated_buckets(obs, "simhash_pairs", max_bucket)
+    _watch_truncated_buckets(obs, "simhash_pairs", max_bucket)
+    out.lsh_bucket_observation = obs
     return out
 
 
