@@ -974,8 +974,19 @@ _set_graph_oracles()
 
 @register("dedup_minhash_lsh")  # LSH recall is probabilistic → rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, exact-verified."""
-    return dedup_ops.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    """MinHash+LSH near-dup candidates, exact-verified.
+
+    Opts into the postings cache: the sf corpora are bounded (≤ 5k docs)
+    — exactly the regime where sharing one shingle pass across the three
+    postings consumers wins (SCALING.md finding 3: cache wins small,
+    recompute wins at 100k+; the operator default is the scale-safe
+    recompute)."""
+    from pyspark import StorageLevel
+
+    return dedup_ops.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        postings_storage=StorageLevel.MEMORY_AND_DISK,
+    )
 
 
 @register("dedup_simhash")  # banded Hamming recall is heuristic → rows-only
