@@ -1467,10 +1467,13 @@ _GRADE_FIRST: list[str] = [
     "streaming_ingest_search",
     "streaming_compacted_search",
     # LLM-pipeline: dedup family
+    # (dedup_ngram_jaccard_ppjoin moved to the tail in r6: byte-identical
+    # output to dedup_ngram_jaccard by construction, pytest-gated — its slot
+    # goes to doc_repetition_stats, which had never been driver-graded.)
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_ppjoin",
     "dedup_clusters",
+    "doc_repetition_stats",
     # LLM-pipeline: corpus ops
     "corpus_approx_distinct",
     "corpus_dedup_stats",
@@ -1499,9 +1502,12 @@ _GRADE_FIRST: list[str] = [
     "brand_price_unpivot",
     "shipdate_set_ops",
     # events / semi-structured
-    "events_hourly_stats",
+    # (events_hourly_stats moved to the tail in r6: it computes the same
+    # hourly rollup streaming_hourly_event_stats covers through the
+    # event-time path — its slot goes to corpus_decontaminate.)
     "events_json_stats",
     "events_asof_attribution",
+    "corpus_decontaminate",
     # text analysis
     "doc_stats",
     "doc_lang_id",
