@@ -374,3 +374,24 @@ def test_decontaminate_planted_overlap(spark):
     assert 7 not in out  # eval docs are not scored as training docs
     assert out[1].n_overlap == 3 and out[1].contaminated
     assert out[2].n_overlap == 0 and not out[2].contaminated
+
+
+def test_decontaminate_external_eval_table(spark):
+    # a real benchmark table supplied as eval_docs: the whole corpus is
+    # scored (no modulo carve), including doc_ids that would have been
+    # carved out by the fixture default
+    corpus_rows = [
+        (7, "note that the quick brown fox jumps high"),  # 3 shared 3-grams
+        (2, "completely different content with no shared trigrams at all"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in text_ops.decontaminate(corpus, eval_docs=eval_docs).collect()
+    }
+    # doc 7 is scored as TRAINING data now (7 % 10 == 7 must not carve it)
+    assert out[7].n_overlap == 3 and out[7].contaminated
+    assert out[2].n_overlap == 0 and not out[2].contaminated

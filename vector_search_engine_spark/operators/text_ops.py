@@ -489,6 +489,7 @@ DECON_MIN_OVERLAP = 3
 
 def decontaminate(
     documents: DataFrame,
+    eval_docs: DataFrame | None = None,
     eval_mod: int = DECON_EVAL_MOD,
     eval_rem: int = DECON_EVAL_REM,
     min_overlap: int = DECON_MIN_OVERLAP,
@@ -500,10 +501,11 @@ def decontaminate(
     pass every LLM training pipeline runs before training (production uses
     n≈13; n=3 here so the DuckDB oracle reuses the shared shingle twin).
 
-    The eval set is carved deterministically from the corpus
-    (``doc_id % eval_mod == eval_rem``) so the operator is self-contained
-    on the fixture tables; with a real benchmark table, substitute it for
-    the eval side unchanged.
+    Pass the held-out benchmark as ``eval_docs`` (any DataFrame with a
+    ``text`` column); then ALL of ``documents`` is treated as the training
+    corpus.  When ``eval_docs`` is None the eval set is carved
+    deterministically from the corpus (``doc_id % eval_mod == eval_rem``)
+    so the operator stays self-contained on the fixture tables.
 
     Scale shape: the eval side (benchmarks are small by contract) reduces
     to a distinct shingle-hash set and BROADCASTS; the corpus explodes
@@ -511,12 +513,20 @@ def decontaminate(
     (the per-doc overlap count).  100 TB posture: corpus-side rows carry
     only (doc_id, shingle) until the count."""
     sh = with_shingles(documents.select("doc_id", "text"), "_sh", n=n)
-    eval_sh = (
-        sh.filter(F.col("doc_id") % eval_mod == eval_rem)
-        .select(F.explode("_sh").alias("s"))
-        .distinct()
-    )
-    corpus = sh.filter(F.col("doc_id") % eval_mod != eval_rem)
+    if eval_docs is not None:
+        eval_sh = (
+            with_shingles(eval_docs.select("text"), "_sh", n=n)
+            .select(F.explode("_sh").alias("s"))
+            .distinct()
+        )
+        corpus = sh
+    else:
+        eval_sh = (
+            sh.filter(F.col("doc_id") % eval_mod == eval_rem)
+            .select(F.explode("_sh").alias("s"))
+            .distinct()
+        )
+        corpus = sh.filter(F.col("doc_id") % eval_mod != eval_rem)
     overlap = (
         corpus.select("doc_id", F.explode("_sh").alias("s"))
         .join(F.broadcast(eval_sh), "s")
