@@ -325,6 +325,33 @@ def test_simhash_bucket_cap_truncates_and_warns(spark):
     assert pairs == {(a, b) for a in range(4) for b in range(4) if a < b}
 
 
+def test_bucket_watch_thread_bounded_on_abandoned_plan(spark):
+    """A plan that is built but never executed must release its watcher
+    thread after the poll deadline instead of leaking it blocked forever."""
+    import threading
+    import time as _time
+
+    from pyspark.sql.observation import Observation
+
+    def watchers() -> int:
+        return sum(
+            1 for t in threading.enumerate() if "bucket-watch" in t.name
+        )
+
+    base = watchers()
+    df = spark.createDataFrame([(1, "abandoned plan")], "doc_id long, text string")
+    for _ in range(3):
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n_buckets"),
+                   F.count(F.lit(1)).alias("n_truncated"))  # never executed
+        dedup_ops._watch_truncated_buckets(obs, "test-op", 4, timeout=1.0)
+    assert watchers() >= base + 1  # they do start
+    deadline = _time.time() + 10.0
+    while _time.time() < deadline and watchers() > base:
+        _time.sleep(0.2)
+    assert watchers() == base  # and they all exit once the window closes
+
+
 def test_minhash_optin_postings_cache_same_output(spark, documents):
     """postings_storage opts into the persist + eager-finalize path for
     expensive-scan storage; pair output must be identical to the default

@@ -293,24 +293,45 @@ def minhash_signatures(documents: DataFrame, num_perm: int = NUM_PERM) -> DataFr
 MAX_LSH_BUCKET = 1024
 
 
-def _watch_truncated_buckets(obs, op: str, max_bucket: int) -> None:
+# How long a bucket-truncation watcher waits for the caller to execute the
+# plan before giving up.  Bounded so sessions that compose-and-abandon many
+# plans don't accumulate forever-blocked daemon threads; after the window
+# closes, truncation is still observable via ``lsh_bucket_observation``.
+BUCKET_WATCH_TIMEOUT = 600.0
+
+
+def _watch_truncated_buckets(
+    obs, op: str, max_bucket: int, timeout: float = BUCKET_WATCH_TIMEOUT
+) -> None:
     """Surface LSH bucket truncation (the 100 TB skew guard) to the caller:
     silent candidate loss is the one thing an approximate operator must
     never do.
 
     The result DataFrame is returned LAZY (measured: eager finalization
     cost ~13% at 1M pairs for nothing the caller asked for), so the
-    truncation count isn't known at return time.  A daemon thread blocks
-    on ``Observation.get`` — which resolves when the caller's first action
-    completes — and emits the ``RuntimeWarning`` then.  The observation is
-    also attached to the returned DataFrame (``lsh_bucket_observation``)
-    for deterministic programmatic access after an action."""
+    truncation count isn't known at return time.  A daemon thread polls
+    the observation (non-blocking ``getRowOrEmpty``) until the caller's
+    first action resolves it, then emits the ``RuntimeWarning``.  The poll
+    is bounded by ``timeout`` seconds: a plan that is built but never
+    executed releases its watcher instead of leaking a forever-blocked
+    thread.  The observation is also attached to the returned DataFrame
+    (``lsh_bucket_observation``) for deterministic programmatic access
+    after an action — that path has no deadline."""
     import threading
+    import time
     import warnings
 
     def watch() -> None:
+        deadline = time.monotonic() + timeout
         try:
-            m = obs.get  # blocks until the caller executes the plan
+            while True:
+                row = obs._jo.getRowOrEmpty()  # waits ≤100 ms JVM-side
+                if not row.isEmpty():
+                    break
+                if time.monotonic() >= deadline:
+                    return  # plan abandoned (or slower than the window)
+                time.sleep(0.5)
+            m = obs.get  # resolved above — returns without blocking
         except Exception:
             return
         if m.get("n_truncated"):
