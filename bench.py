@@ -232,21 +232,21 @@ def main() -> None:
     # run continues (round-4 lesson: a single AnalysisException made the
     # entire bench rc=1 with no numbers at all).
     timings: dict[str, float | None] = {}
+    runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         setup = special_setup.get(name)
         if setup is None and registry.QUERIES.get(name) is None:
             continue
-        best = None
+        runs[name] = []
         try:
             for _ in range(2):
                 spark.catalog.clearCache()
                 fn = setup(spark, sf_dir) if setup else registry.QUERIES[name]
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                runs[name].append(round(time.time() - t0, 3))
+            timings[name] = min(runs[name])
         except Exception as exc:  # noqa: BLE001
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -258,17 +258,24 @@ def main() -> None:
         mixed = {"error": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"mixed_rw bench failed: {exc!r}", file=sys.stderr)
 
+    # A partial total (some queries red) must never masquerade as a full
+    # one in cross-round comparisons: value goes null when any query
+    # failed, with the sum of the surviving queries under value_partial.
     total = round(sum(v for v in timings.values() if v is not None), 3)
     out = {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
+        # All raw run timings (min is what "queries" reports): lets
+        # cross-round drift be adjudicated as noise vs regression.
+        "queries_runs": runs,
         "mixed_rw": mixed,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
+        out["value_partial"] = total
     print(json.dumps(out))
 
 
