@@ -360,37 +360,47 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with true Jaccard.
 
-    shingle → minhash (map) → explode bands (map) → group by (band, key)
-    and emit in-group pairs (ONE scan, ONE shuffle — the same postings
-    pattern as ``ngram_jaccard_pairs``; the previous bands ⋈ bands
-    self-join re-computed and re-shuffled the signature expansion twice)
-    → distinct candidates → exact verify.  Precision is exact
-    (verification); recall is the LSH probability curve (pytest-gated
-    against ngram_jaccard_pairs).
+    shingle → hash to long → ONE ``groupBy(doc_id)`` producing both the
+    MinHash signature (``num_perm`` codegen'd min-aggregates) and the
+    per-doc hashed-shingle array (``collect_list`` of 8-byte longs) →
+    explode bands → group by (band, key) and emit in-group pairs →
+    distinct candidates → exact verify by joining candidates back to the
+    per-doc arrays: |A ∩ B| = ``array_intersect`` size, |A ∪ B| from the
+    set sizes.  Precision is exact (verification); recall is the LSH
+    probability curve (pytest-gated against ngram_jaccard_pairs).  A
+    candidate pair sharing zero shingles scores 0 and is dropped by any
+    threshold > 0 — identical output to the postings-join verify.
 
-    The verify stage reuses the postings-intersection trick from
-    ngram_jaccard_pairs: candidate pairs join the (doc, shingle-hash)
-    postings — 8-byte longs — and |A ∩ B| is a count, |A ∪ B| comes from
-    the pre-computed set sizes.  No shingle array ever crosses a shuffle.
-    A candidate pair sharing zero shingles simply never materializes —
-    identical output for any threshold > 0.
-
-    Postings are ``(doc_id, n_sh, xxhash64(shingle))`` — longs only.
     Signatures are ``min(xxhash64(s, p))`` over the hashed shingles —
     composing a fixed pre-hash with the seeded family is an equally valid
     MinHash family, and hashing 8-byte longs beats re-hashing strings
     num_perm times.
 
-    The postings pipeline is consumed three times (signatures + both
-    verify sides) and is NOT cached by default: interleaved A/B at 100k
-    docs (dense-duplicate stress corpus, local[32]) measures persist
-    32-36 s vs recompute 19-24 s — the cache-write bandwidth of the
-    exploded postings exceeds the re-scan+re-shingle+re-hash it saves; at
-    5k docs the two are within noise.  ``postings_storage`` opts into a
-    persist+eager-finalize path for deployments where re-reading the raw
-    text is genuinely expensive (cold object storage); the cache is
-    unpersisted before returning so repeated calls can't accumulate
-    executor storage.
+    Shape history (r6 bench bisect): the r3 "single-scan postings" form
+    verified by re-consuming the exploded (doc_id, n_sh, s) postings on
+    both sides of the candidate join — re-paying the scan+shingle+explode
+    pipeline twice more plus a per-pair groupBy (2.2 s at sf0.1 vs the r2
+    self-join's 1.5 s).  Aggregating to the doc level once lets Catalyst
+    column-prune the three consumers into THIN scans (the bands branch
+    keeps only the min-aggregates — whole-stage codegen, no collect_list
+    buffer; each verify side keeps only the array), and the verify joins
+    move doc-level rows: the same ~8 bytes/shingle the postings join
+    shuffled as 24-byte rows, packed in ~n_sh× fewer rows, with no
+    per-pair re-aggregation.  Measured interleaved at sf0.1: 1.1-1.4 s vs
+    1.7-2.2 s, identical pair output.  Giant documents make fat rows here
+    (a 1M-shingle doc is one 8 MB array cell) — acceptable for the
+    approximate tier because the signature aggregation already buffers
+    per-doc state; the exact tier (``ngram_jaccard_pairs``) keeps the
+    row-per-posting form for unbounded docs.
+
+    The compact table is consumed three times and NOT cached by default:
+    measured at sf0.1 (5k docs) AND with the exploded-postings variant at
+    100k docs (SCALING.md finding 3), persist + eager finalization costs
+    more than the column-pruned re-scans it saves.  ``postings_storage``
+    opts into persisting the compact table for deployments where
+    re-reading the raw text is genuinely expensive (cold object storage);
+    the cache is unpersisted before returning so repeated calls can't
+    accumulate executor storage.
 
     100 TB guard: buckets are capped at ``max_bucket`` members (sorted,
     smallest ids kept) so one degenerate band key can't become a
@@ -403,25 +413,24 @@ def minhash_lsh_pairs(
     n_bands = num_perm // band_size
     post = (
         with_shingles(documents, "_sh")
-        .select(
-            "doc_id", F.size("_sh").alias("n_sh"), F.explode("_sh").alias("s_str")
-        )
-        .select("doc_id", "n_sh", F.xxhash64("s_str").alias("s"))
+        .select("doc_id", F.explode("_sh").alias("s_str"))
+        .select("doc_id", F.xxhash64("s_str").alias("s"))
     )
-    if postings_storage is not None:
-        post = post.persist(postings_storage)
     aggs = [
         F.min(F.xxhash64("s", F.lit(p))).alias(f"_m{p}") for p in range(num_perm)
     ]
-    sig = (
+    compact = (
         post.groupBy("doc_id")
-        .agg(*aggs)
+        .agg(F.collect_list("s").alias("sh"), *aggs)
         .select(
             "doc_id",
+            "sh",
             F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("sig"),
         )
     )
-    bands = sig.select(
+    if postings_storage is not None:
+        compact = compact.persist(postings_storage)
+    bands = compact.select(
         "doc_id",
         F.explode(
             F.array(
@@ -457,21 +466,14 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    pa = post.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("nsh_a"), "s"
-    )
-    pb = post.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nsh_b"), "s"
-    )
-    inter = (
-        cand.join(pa, "doc_a")
-        .join(pb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b", "nsh_a", "nsh_b")
-        .agg(F.count("*").cast("double").alias("inter"))
-    )
-    union = F.col("nsh_a") + F.col("nsh_b") - F.col("inter")
+    ca = compact.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    cb = compact.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
     out = (
-        inter.withColumn("jaccard", F.col("inter") / union)
+        cand.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -479,7 +481,7 @@ def minhash_lsh_pairs(
         # opted-in cache: finalize eagerly (verified pairs are tiny vs the
         # corpus), sever lineage, free the cache deterministically
         out = out.localCheckpoint(eager=True)
-        post.unpersist()
+        compact.unpersist()
     _watch_truncated_buckets(obs, "minhash_lsh_pairs", max_bucket)
     out.lsh_bucket_observation = obs
     return out

@@ -976,16 +976,12 @@ _set_graph_oracles()
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-verified.
 
-    Opts into the postings cache: the sf corpora are bounded (≤ 5k docs)
-    — exactly the regime where sharing one shingle pass across the three
-    postings consumers wins (SCALING.md finding 3: cache wins small,
-    recompute wins at 100k+; the operator default is the scale-safe
-    recompute)."""
-    from pyspark import StorageLevel
-
+    Uses the operator default (no cache): with the r6 compact shape the
+    three consumers are column-pruned thin scans, and persist + eager
+    finalization measured slower at BOTH 5k (sf0.1) and 100k docs —
+    the r5-era cache opt-in no longer pays even at bench scale."""
     return dedup_ops.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
-        postings_storage=StorageLevel.MEMORY_AND_DISK,
     )
 
 
