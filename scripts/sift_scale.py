@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""SIFT1M-shape end-to-end run: the reference's own workload scale.
+
+The reference engine's M1-M3 story is SIFT1M — 1,000,000 x 128-dim
+float32 descriptors loaded from .fvecs fixtures (server.cpp:75,
+benchmark/recall_bench.cpp:15-23).  The graded sf corpora top out at
+2,000 x 64-dim, so this script pins the missing scale point:
+
+  1. generate a deterministic SIFT-like corpus (1M x 128 float32,
+     cluster-structured like image descriptors: seeded centers + noise,
+     clipped to the 0..255 descriptor range) and write it as a raw
+     .fvecs file — the reference's on-disk format;
+  2. scan it back through scan_fvecs (S1 at ~516 MB);
+  3. exact brute-force top-100 for 1,000 queries via knn_exact — the
+     M1 analog AND the ground truth;
+  4. IVFIndex.build over the million vectors — the M2 analog;
+  5. probe at an nprobe ladder, recall@10 vs the exact ground truth —
+     the M3 analog (recall_bench.cpp:67-106 sweeps ef_search the same
+     way).
+
+Prints one JSON line; the committed copy lives in SIFT1M.json and the
+narrative in SCALING.md.  Runtime ~4-6 min on local[32].
+
+Usage:
+    python scripts/sift_scale.py [--n 1000000] [--out SIFT1M.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.operators import knn as knn_ops
+from vector_search_engine_spark.operators.ivf import IVFIndex
+from vector_search_engine_spark.session import get_spark
+from vector_search_engine_spark.sources.fvecs import scan_fvecs
+
+DIM = 128
+N_CENTERS = 1024  # latent cluster structure, like real image descriptors
+# Sigma tuned so clusters OVERLAP (noise diameter ~ inter-center distance):
+# at 24 the cells were separable enough that nprobe=1 scored recall 0.999,
+# which exercises nothing; at 75 true neighbors regularly straddle cell
+# boundaries — the regime the nprobe ladder exists for (and closer to real
+# SIFT, where coarse cells always overlap).
+NOISE_SIGMA = 75.0
+NQ = 1000
+K = 10
+GT_K = 100
+NPROBE_LADDER = (1, 2, 4, 8, 16, 32)
+TARGET_RECALL = 0.9
+
+
+def gen_fvecs(path: str, n: int, seed: int = 7) -> np.ndarray:
+    """Write a SIFT-like .fvecs file driver-side; returns the query block."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(0.0, 255.0, (N_CENTERS, DIM)).astype(np.float32)
+    dim_le = np.array([DIM], dtype="<i4").tobytes()
+    chunk = 100_000
+    queries = None
+    with open(path, "wb") as f:
+        for lo in range(0, n, chunk):
+            m = min(chunk, n - lo)
+            assign = rng.integers(0, N_CENTERS, m)
+            block = centers[assign] + rng.normal(0, NOISE_SIGMA, (m, DIM))
+            block = np.clip(block, 0.0, 255.0).astype("<f4")
+            if queries is None:
+                # queries drawn from the same distribution, NOT copied rows
+                qassign = rng.integers(0, N_CENTERS, NQ)
+                queries = np.clip(
+                    centers[qassign] + rng.normal(0, NOISE_SIGMA, (NQ, DIM)),
+                    0.0,
+                    255.0,
+                ).astype(np.float32)
+            rec = np.empty((m, DIM + 1), dtype="<f4")
+            rec[:, 0:1] = np.frombuffer(dim_le, dtype="<f4")
+            rec[:, 1:] = block
+            f.write(rec.tobytes())
+    return queries
+
+
+def main() -> None:
+    n = 1_000_000
+    out_path = "SIFT1M.json"
+    args = sys.argv[1:]
+    if "--n" in args:
+        n = int(args[args.index("--n") + 1])
+    if "--out" in args:
+        out_path = args[args.index("--out") + 1]
+
+    spark = get_spark("vse-sift-scale")
+    work = tempfile.mkdtemp(prefix="vse_sift_")
+    results: dict = {"n_vectors": n, "dim": DIM, "n_queries": NQ}
+    try:
+        t0 = time.time()
+        Q = gen_fvecs(f"{work}/base.fvecs", n)
+        results["gen_sec"] = round(time.time() - t0, 2)
+        results["fvecs_bytes"] = os.path.getsize(f"{work}/base.fvecs")
+        print(f"generated {results['fvecs_bytes']/1e6:.0f} MB fvecs "
+              f"in {results['gen_sec']}s", file=sys.stderr)
+
+        t0 = time.time()
+        vecs = scan_fvecs(spark, f"{work}/base.fvecs")
+        n_scanned = vecs.count()
+        results["fvecs_scan_sec"] = round(time.time() - t0, 2)
+        assert n_scanned == n, (n_scanned, n)
+        print(f"scan_fvecs: {n_scanned} rows in "
+              f"{results['fvecs_scan_sec']}s", file=sys.stderr)
+
+        qids = np.arange(NQ, dtype=np.int64)
+        queries = (qids, Q)
+
+        # M1 analog: exact brute-force — also the recall ground truth
+        t0 = time.time()
+        gt_rows = knn_ops.knn_exact(vecs, queries, k=GT_K)
+        gt = (
+            gt_rows.orderBy("qid", "rank")
+            .groupBy("qid")
+            .agg(F.collect_list("neighbor_id").alias("neighbor_ids"))
+            .cache()
+        )
+        n_gt = gt.count()
+        results["exact_search_sec"] = round(time.time() - t0, 2)
+        assert n_gt == NQ
+        print(f"exact top-{GT_K} for {NQ} queries in "
+              f"{results['exact_search_sec']}s", file=sys.stderr)
+
+        # M2 analog: bulk index build
+        t0 = time.time()
+        idx = IVFIndex.build(vecs, f"{work}/index")
+        results["ivf_build_sec"] = round(time.time() - t0, 2)
+        results["n_centroids"] = int(idx.meta["n_centroids"])
+        print(f"ivf_build ({results['n_centroids']} cells) in "
+              f"{results['ivf_build_sec']}s", file=sys.stderr)
+
+        # M3 analog: probe ladder, recall@10 vs exact
+        ladder = []
+        for nprobe in NPROBE_LADDER:
+            t0 = time.time()
+            res = idx.search(queries, k=K, nprobe=nprobe)
+            rec = knn_ops.recall_at_k(res, gt, K).collect()[0]
+            dt = round(time.time() - t0, 2)
+            ladder.append(
+                {
+                    "nprobe": nprobe,
+                    "search_plus_recall_sec": dt,
+                    "recall_at_10": float(rec["recall_at_k"]),
+                }
+            )
+            print(f"nprobe={nprobe}: recall@10="
+                  f"{rec['recall_at_k']:.4f} in {dt}s", file=sys.stderr)
+        results["probe_ladder"] = ladder
+        tuned = next(
+            (e for e in ladder if e["recall_at_10"] >= TARGET_RECALL), None
+        )
+        results["tuned"] = tuned
+        gt.unpersist()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    line = json.dumps(results)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,23 @@ def test_index_stats_cover_all_vectors(index, embeddings):
     assert total == embeddings.count()
 
 
+def test_stats_branches_interchangeable(monkeypatch, index):
+    """The footer-metadata path and the scan+groupBy fallback must stay
+    drop-in replacements: same schema, same rows, same ascending order,
+    no zero-count rows from either."""
+    footer = index.stats()
+    monkeypatch.setattr(type(index), "_read_manifest", lambda self: None)
+    scanned = index.stats()
+    assert [(f.name, f.dataType.simpleString()) for f in footer.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in scanned.schema.fields
+    ]
+    frows = [tuple(r) for r in footer.collect()]
+    srows = [tuple(r) for r in scanned.collect()]
+    assert frows == srows
+    assert frows == sorted(frows)  # ascending centroid_id
+    assert all(n > 0 for _, n in frows)  # empty cells appear in neither
+
+
 def test_search_empty_queries(spark, index):
     q = spark.createDataFrame([], "qid long, query array<float>")
     assert index.search(q, k=5).count() == 0

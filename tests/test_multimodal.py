@@ -87,9 +87,40 @@ def test_metadata_stats_groups_all_types(media):
     assert all(r.total_bytes > 0 for r in rows)
 
 
+_HAS_PIL = True
+try:
+    import PIL.Image  # noqa: F401
+except ImportError:
+    _HAS_PIL = False
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="PIL present: the gate opens")
 def test_real_decode_is_explicit_stub(media):
     with pytest.raises(NotImplementedError, match="PIL|decode"):
         decode_real(media)
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="container has no PIL")
+def test_real_decode_with_pil(spark):
+    """When PIL is importable, decode_real decodes actual image bytes and
+    emits the fake_decode_features schema with real pixel stats."""
+    import io
+
+    from PIL import Image
+
+    img = Image.new("L", (4, 4))
+    img.putdata(list(range(16)))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), (4, 4, 1, 16000, 1))],
+        "doc_id long, media_type string, payload binary, "
+        f"meta {__import__('vector_search_engine_spark.multimodal.payload', fromlist=['META_SCHEMA']).META_SCHEMA}",
+    )
+    row = decode_real(media).collect()[0]
+    assert row.n_samples == 16
+    assert row.min_val == 0 and row.max_val == 15
+    assert row.mean_val == 7.5
 
 
 def test_frame_dedup_finds_replayed_payloads(spark, sf_dir):

@@ -62,18 +62,84 @@ def attach_payload(documents: DataFrame) -> DataFrame:
 
 
 def decode_real(media: DataFrame, media_type: str = "image") -> DataFrame:
-    """REAL codec decode — stubbed: image/audio libraries are not available
-    in this container.  The import-gate makes the stub self-healing: if PIL
-    ever appears on executors, this path activates with the same signature
-    as ``fake_decode_features``."""
-    try:  # pragma: no cover - container has no PIL
+    """REAL codec decode: PIL is imported at CALL time and, when present,
+    image payloads are decoded to pixels and run through the same feature
+    extraction and output schema as ``fake_decode_features`` — the two
+    paths are drop-in replacements.  Without PIL (this container) the
+    import-gate raises ``NotImplementedError`` so the gap is explicit,
+    never a silent wrong answer; ``tests/test_multimodal.py`` exercises
+    the real path under ``skipif(no PIL)`` and the gate unconditionally.
+
+    Only ``media_type='image'`` has a real decoder wired; audio/video
+    need libav and stay gated."""
+    try:
         import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover
+    except ImportError as e:
         raise NotImplementedError(
             "real media decode needs PIL/libav, not present in this "
             "container; use fake_decode_features for the tested plumbing"
         ) from e
-    raise NotImplementedError("real decode path reserved")  # pragma: no cover
+    if media_type != "image":
+        raise NotImplementedError(
+            f"real decode for media_type={media_type!r} needs libav; "
+            "only 'image' is wired (PIL)"
+        )
+    import io
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from PIL import Image
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                buf = bytes(row.payload)
+                px = np.asarray(
+                    Image.open(io.BytesIO(buf)), dtype=np.uint8
+                ).ravel()
+                if not len(px):
+                    px = np.zeros(1, dtype=np.uint8)
+                counts = np.bincount(px, minlength=256).astype(np.float64)
+                p = counts[counts > 0] / len(px)
+                out.append(
+                    (
+                        row.doc_id,
+                        row.media_type,
+                        len(buf),
+                        int(len(px)),
+                        round(float(px.mean()), 4),
+                        round(float(px.std()), 4),
+                        int(px.min()),
+                        int(px.max()),
+                        round(float(-(p * np.log2(p)).sum()), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "n_bytes",
+                    "n_samples",
+                    "mean_val",
+                    "std_val",
+                    "min_val",
+                    "max_val",
+                    "entropy_bits",
+                ],
+            )
+
+    return (
+        media.filter(F.col("media_type") == media_type)
+        .select("doc_id", "media_type", "payload", "meta")
+        .mapInPandas(
+            extract,
+            schema=(
+                "doc_id long, media_type string, n_bytes long, "
+                "n_samples long, mean_val double, std_val double, "
+                "min_val int, max_val int, entropy_bits double"
+            ),
+        )
+    )
 
 
 def fake_decode_features(media: DataFrame) -> DataFrame:

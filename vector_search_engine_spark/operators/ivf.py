@@ -40,6 +40,7 @@ import glob
 import json
 import os
 import shutil
+import threading
 from typing import Iterator
 
 import numpy as np
@@ -520,14 +521,21 @@ class IVFIndex:
                 pq.ParquetFile(fp).metadata.num_rows
                 for fp in glob.glob(os.path.join(d, "*.parquet"))
             )
-            counts.append((int(c), n))
+            # zero-row / missing-dir cells are omitted to stay
+            # branch-interchangeable with the scan fallback (a groupBy
+            # never emits a group for rows that don't exist); the schema
+            # (int centroid_id — partition-column inference type — long
+            # n_vectors, ascending centroid_id) is pinned by
+            # tests/test_ivf.py::test_stats_branches_interchangeable
+            if n > 0:
+                counts.append((int(c), n))
         pdf = pd.DataFrame(
             {
                 "centroid_id": np.array([c for c, _ in counts], dtype=np.int32),
                 "n_vectors": np.array([n for _, n in counts], dtype=np.int64),
             }
         )
-        return self.spark.createDataFrame(pdf)
+        return self.spark.createDataFrame(pdf).orderBy("centroid_id")
 
     # -- search --------------------------------------------------------------
 
@@ -1111,6 +1119,11 @@ def _data_fingerprint(path: str) -> str:
     return h.hexdigest()[:10]
 
 
+# Guards the get/prune/set below; entries from stopped sessions are pruned
+# on every call (one live application per process in practice), so the
+# cache can't retain dead SparkSession/centroid references for the
+# process lifetime.
+_INSTANCE_LOCK = threading.Lock()
 _INSTANCE_CACHE: dict[tuple[str, str], "IVFIndex"] = {}
 
 
@@ -1130,8 +1143,12 @@ def build_or_load(
     # instance cache per (session, immutable fingerprint-keyed dir): a
     # fresh IVFIndex re-reads meta + centroids on every construction,
     # which is pure overhead for repeated queries against the same data
-    cache_key = (spark.sparkContext.applicationId, index_dir)
-    inst = _INSTANCE_CACHE.get(cache_key)
+    app_id = spark.sparkContext.applicationId
+    cache_key = (app_id, index_dir)
+    with _INSTANCE_LOCK:
+        for k in [k for k in _INSTANCE_CACHE if k[0] != app_id]:
+            del _INSTANCE_CACHE[k]
+        inst = _INSTANCE_CACHE.get(cache_key)
     if inst is not None:
         return inst
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
@@ -1141,5 +1158,6 @@ def build_or_load(
             vectors, index_dir, n_centroids=n_centroids, extra_cols=extra_cols
         )
     inst = IVFIndex(spark, index_dir)
-    _INSTANCE_CACHE[cache_key] = inst
+    with _INSTANCE_LOCK:
+        _INSTANCE_CACHE[cache_key] = inst
     return inst

@@ -95,9 +95,19 @@ def _stage_sliced(
         d = os.path.join(tmp, f"_slice={i}")
         if not os.path.isdir(d):  # empty slice (degenerate tiny input)
             continue
-        data_file = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        data_files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        # repartition("_slice") guarantees one file per slice dir; a task
+        # retry's stray part file (or a future change away from the
+        # repartition) must fail loudly, not silently drop rows from the
+        # staged replay
+        if len(data_files) != 1:
+            raise RuntimeError(
+                f"slice dir {d} has {len(data_files)} parquet files "
+                f"({data_files}); expected exactly 1 — staged replay "
+                "would silently lose events"
+            )
         path = os.path.join(out_dir, f"slice-{i:03d}.parquet")
-        os.replace(os.path.join(d, data_file), path)
+        os.replace(os.path.join(d, data_files[0]), path)
         t = time.time() + i  # strictly increasing mtimes = replay order
         os.utime(path, (t, t))
     shutil.rmtree(tmp, ignore_errors=True)
