@@ -1,0 +1,101 @@
+"""Product-quantization tests: the ADC bound cut must be provably lossless
+(bit-identical to the exact/float paths at every nprobe), codes must be
+m-byte-packed, and the stored residual must equal the true reconstruction
+error (the constant the triangle-inequality cut relies on)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vector_search_engine_spark.operators import knn as knn_ops
+from vector_search_engine_spark.operators import pq
+from vector_search_engine_spark.operators.ivf import IVFIndex
+
+M = 8
+
+
+@pytest.fixture(scope="module")
+def index(spark, embeddings, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ivf_pq") / "index")
+    return IVFIndex.build(embeddings, d, n_centroids=8, extra_cols=("label",))
+
+
+@pytest.fixture(scope="module")
+def codebooks(embeddings):
+    return pq.pq_train(embeddings, m=M)
+
+
+def test_codes_are_m_bytes(spark, embeddings, codebooks):
+    codes = pq.pq_encode(embeddings, codebooks)
+    row = codes.first()
+    assert len(bytes(row.code)) == M  # 32x under float32 at dim 64
+    assert row.resid >= 0.0
+
+
+def test_resid_is_reconstruction_error(spark, embeddings, codebooks):
+    """resid must equal ‖x − c(x)‖ exactly (float32 storage slop aside):
+    decode each vector's codeword from the codebooks and re-measure."""
+    rows = pq.pq_encode(embeddings, codebooks).collect()
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in embeddings.select("vec_id", "embedding").collect()
+    }
+    m, _, dsub = codebooks.shape
+    for r in rows[:100]:
+        code = np.frombuffer(bytes(r.code), dtype=np.uint8)
+        recon = np.concatenate([codebooks[j, code[j]] for j in range(m)])
+        true = float(np.linalg.norm(vecs[r.vec_id] - recon))
+        assert abs(true - float(r.resid)) <= 1e-5 * (1.0 + true)
+
+
+def test_train_deterministic_and_rectangular(embeddings):
+    b1 = pq.pq_train(embeddings, m=M, seed=7)
+    b2 = pq.pq_train(embeddings, m=M, seed=7)
+    assert b1.shape == b2.shape
+    assert np.array_equal(b1, b2)
+    assert b1.shape[0] == M
+    assert b1.shape[1] <= 256
+
+
+def test_train_collapses_on_degenerate_input(spark):
+    """Fewer distinct subvectors than ksub: the codebook shrinks to the
+    distinct rows (padded rows are +inf and can never win an argmin) and
+    encoding round-trips with zero residual."""
+    import pandas as pd
+
+    base = [[float(i % 4)] * 8 for i in range(64)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(64), "embedding": base})
+    )
+    books = pq.pq_train(df, m=2, vec_col="embedding")
+    assert books.shape[1] == 4  # 4 distinct subvectors per subspace
+    rows = pq.pq_encode(df, books).collect()
+    assert all(r.resid == 0.0 for r in rows)
+
+
+def test_flat_pq_equals_exact(spark, embeddings):
+    q = knn_ops.make_queries(embeddings, n=20)
+    exact = knn_ops.knn_exact(embeddings, q, k=10).orderBy("qid", "rank")
+    got = pq.knn_pq_adc(embeddings, q, k=10, m=M).orderBy("qid", "rank")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exact.collect()]
+
+
+def test_search_pq_identical_to_search_at_any_nprobe(spark, embeddings, index):
+    """The bound cut keeps a provable superset of the true top-k, so the
+    PQ probe must match the float probe bit-for-bit at the SAME nprobe."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    for nprobe in (2, 8):
+        fl = index.search(q, k=10, nprobe=nprobe).orderBy("qid", "rank")
+        pz = index.search_pq(q, k=10, nprobe=nprobe, m=M).orderBy("qid", "rank")
+        assert [tuple(r) for r in pz.collect()] == [tuple(r) for r in fl.collect()]
+
+
+def test_ensure_pq_idempotent_and_rebalance_invalidates(spark, embeddings, index):
+    import os
+
+    d1, b1 = index.ensure_pq(m=M)
+    mtime = os.path.getmtime(os.path.join(d1, "_SUCCESS"))
+    d2, b2 = index.ensure_pq(m=M)
+    assert d1 == d2 and np.array_equal(b1, b2)
+    assert os.path.getmtime(os.path.join(d2, "_SUCCESS")) == mtime  # no rewrite

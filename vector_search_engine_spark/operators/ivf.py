@@ -876,6 +876,7 @@ class IVFIndex:
             json.dump(self.meta, f)
         os.rename(tmp, os.path.join(self.index_dir, "meta.json"))
         shutil.rmtree(os.path.join(self.index_dir, "sq8"), ignore_errors=True)
+        shutil.rmtree(os.path.join(self.index_dir, "pq"), ignore_errors=True)
         self._load_centroids()
         return mapping
 
@@ -989,6 +990,107 @@ class IVFIndex:
         )
         # exact re-score: survivors rejoin the float vectors (same pruned
         # partitions), broadcast queries, standard (dist, id) top-k
+        base = self.vectors(snapshot=snap).filter(
+            F.col("centroid_id").isin(needed)
+        )
+        qdf = queries.select(qid_col, qvec_col)
+        from vector_search_engine_spark.functions.vector import l2_sq
+
+        rescored = (
+            cand.join(
+                base.select(F.col(id_col).alias("neighbor_id"), vec_col),
+                "neighbor_id",
+            )
+            .join(F.broadcast(qdf), "qid")
+            .select(
+                "qid",
+                "neighbor_id",
+                l2_sq(F.col(vec_col), F.col(qvec_col)).alias("dist"),
+            )
+        )
+        return _finalize_topk(rescored, k, "l2_sq")
+
+    def ensure_pq(self, m: int = 8) -> tuple[str, np.ndarray]:
+        """Write (once) the PQ sidecar: m-byte codes + residual norms,
+        partitioned by ``centroid_id`` like the float vectors, so probing
+        prunes the SAME partitions while scanning ~dim·4/m× fewer bytes
+        (32× at dim 64, m 8 — the deepest compression tier; see
+        operators/pq.py).  Codebooks land as an .npy beside the codes,
+        written BEFORE the parquet so a crash can't leave codes whose
+        codebooks were lost (the parquet _SUCCESS is the commit point;
+        the rebalance path removes the whole dir)."""
+        from vector_search_engine_spark.operators.pq import pq_encode, pq_train
+
+        pq_dir = os.path.join(self.index_dir, "pq")
+        books_path = os.path.join(pq_dir, "codebooks.npy")
+        codes_dir = os.path.join(pq_dir, "codes")
+        if os.path.exists(os.path.join(codes_dir, "_SUCCESS")):
+            return codes_dir, np.load(books_path)
+        os.makedirs(pq_dir, exist_ok=True)
+        books = pq_train(self.vectors(), m=m, vec_col=self.meta["vec_col"])
+        tmp = books_path + ".tmp.npy"
+        np.save(tmp, books)
+        os.rename(tmp, books_path)
+        codes = pq_encode(
+            self.vectors(),
+            books,
+            id_col=self.meta["id_col"],
+            vec_col=self.meta["vec_col"],
+            keep_cols=("centroid_id",),
+        )
+        codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
+            "centroid_id"
+        ).parquet(codes_dir)
+        return codes_dir, books
+
+    def search_pq(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        m: int = 8,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+    ) -> DataFrame:
+        """Probed search over the PQ sidecar: ADC byte-code scan of the
+        probed cells with the triangle-inequality bound cut (provably a
+        superset of the true top-k — operators/pq.py docstring), then an
+        exact float re-score of the survivors.  Identical to ``search()``
+        at the same nprobe and to exact kNN at full probe — the same
+        hash-gated oracle applies.  Snapshot caveats as ``search_sq8``
+        (the sidecar is unversioned; rebuilt after rebalance)."""
+        from vector_search_engine_spark.operators.pq import pq_bound_cut
+
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        spark = self.spark
+        qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
+        if len(qids) == 0:
+            return spark.createDataFrame(
+                [], "qid long, neighbor_id long, rank long, dist_sq double"
+            )
+        snap = self._read_manifest()
+        pairs = self.probe_pairs(
+            qids, Q, nprobe, centroid_set=self._centroids_for(snap)
+        )
+        pairs_df = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
+                {"qid": "int64", "centroid_id": "int32"}
+            )
+        )
+        needed = sorted({c for _, c in pairs})
+        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
+        qmap_bc = spark.sparkContext.broadcast(qmap)
+
+        codes_dir, books = self.ensure_pq(m=m)
+        books_bc = spark.sparkContext.broadcast(books)
+        codes = spark.read.parquet(codes_dir).filter(
+            F.col("centroid_id").isin(needed)
+        )
+        cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
+            "qid", id_col, "code", "resid"
+        )
+        cand = pq_bound_cut(cand_codes, qmap_bc, books_bc, k, id_col)
         base = self.vectors(snapshot=snap).filter(
             F.col("centroid_id").isin(needed)
         )

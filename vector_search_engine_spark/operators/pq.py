@@ -1,0 +1,282 @@
+"""Product quantization (PQ): m-subspace byte codes for ~dim·4/m-fold
+memory compression with provably lossless two-stage search.
+
+At 100 TB the candidate-generation scan is the cost that matters; PQ cuts
+it further than SQ8 (operators/sq.py): a dim-d float32 vector becomes m
+bytes (m=8 at dim 64 → 32× fewer scan bytes) plus one float32 residual
+norm.  Codebooks follow Jégou, Douze & Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011): the vector is split into m
+contiguous subspaces, each quantized independently against a 256-entry
+codebook, and query-to-code distances are looked up per subspace (ADC)
+instead of recomputed — sum of m table lookups per vector.
+
+The reference has no compression tier at all (it scans full float32,
+``write_buffer.h:54-70``); like SQ8 this is a north-star scale operator.
+
+Exactness contract (same shape as ``IVFIndex.search_sq8``): the ADC
+distance IS the exact distance from the query to the reconstructed
+codeword, so by the triangle inequality
+
+    |‖q−x‖ − ‖q−c(x)‖| ≤ ‖x−c(x)‖  (the stored per-vector residual)
+
+every vector whose lower bound ``sqrt(d_adc) − resid`` is ≤ the k-th
+smallest upper bound ``sqrt(d_adc) + resid`` is kept — a provable
+superset of the true top-k per batch, hence globally — and the exact
+float re-score of the survivors makes the output bit-identical to exact
+kNN.  No top-C margin, no recall knob: the same hash-gated SQL oracle
+that checks ``knn_exact`` checks this path.
+
+Layout: ``(id, code binary[m bytes], resid float)``; codebooks are a tiny
+(m, 256, dim/m) float array — a few hundred KB even at dim 1024 — trained
+on a bounded driver sample (same discipline as the IVF coarse quantizer)
+and broadcast to every scan task.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.functions.vector import l2_sq, l2_sq_matrix
+from vector_search_engine_spark.operators.knn import _finalize_topk
+
+
+def _kmeans_1d(
+    X: np.ndarray, k: int, iters: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Seeded Lloyd over one subspace: X (n, dsub) → centroids (k', dsub)
+    with k' = min(k, #distinct rows).  Dead centroids are re-seeded from
+    the farthest points so the codebook never collapses."""
+    uniq = np.unique(X, axis=0)
+    if len(uniq) <= k:
+        return uniq.astype(np.float64)
+    C = X[rng.choice(len(X), size=k, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        D = l2_sq_matrix(X, C)  # (n, k)
+        assign = D.argmin(axis=1)
+        hit = np.bincount(assign, minlength=k) > 0
+        for j in range(k):
+            if hit[j]:
+                C[j] = X[assign == j].mean(axis=0)
+        if not hit.all():
+            # re-seed dead entries from the worst-quantized points
+            far = D[np.arange(len(X)), assign].argsort()[::-1]
+            C[~hit] = X[far[: (~hit).sum()]]
+    return C
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    sample_size: int = 65536,
+    iters: int = 10,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train per-subspace codebooks on a bounded driver sample.
+
+    Returns a float64 array (m, k', dsub) with k' ≤ ksub.  The sample is
+    bounded (driver holds ≤ sample_size·dim floats — the same contract as
+    the IVF coarse-quantizer sample, ``ivf.py`` build), deterministic for
+    a fixed seed, and the only driver-side step in the PQ lifecycle."""
+    n_total = vectors.count()
+    frac = min(1.0, (sample_size * 1.1) / max(n_total, 1))
+    sample = (
+        vectors.select(vec_col).sample(frac, seed=seed).limit(sample_size)
+        if frac < 1.0
+        else vectors.select(vec_col)
+    )
+    X = np.array(
+        [r[0] for r in sample.collect()], dtype=np.float64
+    )
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = [
+        _kmeans_1d(X[:, j * dsub : (j + 1) * dsub], ksub, iters, rng)
+        for j in range(m)
+    ]
+    k_eff = max(len(b) for b in books)
+    if k_eff > 256:
+        raise ValueError("ksub > 256 does not fit uint8 codes")
+    # pad ragged books (distinct-row-limited subspaces) with +inf rows so
+    # the array is rectangular; padded rows can never win an argmin
+    out = np.full((m, k_eff, dsub), np.inf, dtype=np.float64)
+    for j, b in enumerate(books):
+        out[j, : len(b)] = b
+    return out
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode vectors to (id, code binary[m], resid float) + keep_cols.
+
+    ``resid`` is the L2 norm of the quantization error ‖x − c(x)‖ — the
+    exact constant the search-time bound cut needs (module docstring)."""
+    spark = vectors.sparkSession
+    m, _, dsub = codebooks.shape
+    bc = spark.sparkContext.broadcast(codebooks)
+    keep_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in vectors.schema.fields
+        if f.name in keep_cols
+    )
+    schema = f"{id_col} long, code binary, resid float" + (
+        f", {keep_schema}" if keep_schema else ""
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(V)
+            codes = np.empty((n, m), dtype=np.uint8)
+            resid_sq = np.zeros(n, dtype=np.float64)
+            for j in range(m):
+                D = l2_sq_matrix(V[:, j * dsub : (j + 1) * dsub], B[j])
+                codes[:, j] = D.argmin(axis=1)
+                resid_sq += D.min(axis=1)
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "code": [c.tobytes() for c in codes],
+                "resid": np.sqrt(resid_sq).astype(np.float32),
+            }
+            for c in keep_cols:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
+
+    return vectors.select(id_col, vec_col, *keep_cols).mapInPandas(
+        encode, schema=schema
+    )
+
+
+def _adc_lut(q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Per-subspace squared distances query → codebook entries: (m, k')."""
+    m, k_eff, dsub = codebooks.shape
+    lut = np.empty((m, k_eff), dtype=np.float64)
+    for j in range(m):
+        lut[j] = l2_sq_matrix(q[j * dsub : (j + 1) * dsub][None, :], codebooks[j])[0]
+    return lut
+
+
+def pq_bound_cut(
+    codes: DataFrame,
+    qmap_bc,
+    codebooks_bc,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """ADC scan + triangle-inequality cut over a (qid, id, code, resid)
+    DataFrame.  Emits the provable superset of each query's true top-k
+    (module docstring); callers re-score survivors exactly."""
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = codebooks_bc.value
+        m_, _, _ = B.shape
+        qm = qmap_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for qid, grp in pdf.groupby("qid"):
+                q = qm[int(qid)]
+                lut = _adc_lut(q, B)
+                ids = grp[id_col].to_numpy(dtype=np.int64)
+                raw = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8)
+                C = raw.reshape(len(ids), m_)
+                # ADC: d̂ = Σ_j lut[j, code_j] — m table lookups per vector
+                d_adc = lut[np.arange(m_)[None, :], C].sum(axis=1)
+                np.maximum(d_adc, 0.0, out=d_adc)
+                sd = np.sqrt(d_adc)
+                # float32 storage + float64 GEMM slop on top of the exact
+                # triangle bound (same epsilon discipline as search_sq8)
+                e = grp["resid"].to_numpy(dtype=np.float64) * (1 + 1e-5) + 1e-6
+                ub = sd + e
+                kth = np.partition(ub, min(k, len(ub)) - 1)[min(k, len(ub)) - 1]
+                keep = (sd - e) <= kth
+                yield pd.DataFrame({"qid": int(qid), "neighbor_id": ids[keep]})
+
+    return codes.mapInPandas(cut, schema="qid long, neighbor_id long")
+
+
+def knn_pq_adc(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search over a flat table: byte-code ADC scan with the
+    lossless bound cut, then exact float re-score + global top-k.  Output
+    schema and values identical to ``knn_exact`` — oracle-hash-gated."""
+    from vector_search_engine_spark.operators.knn import (
+        _query_arrays as knn_query_arrays,
+    )
+
+    spark = vectors.sparkSession
+    if codebooks is None:
+        codebooks = pq_train(vectors, m=m, vec_col=vec_col)
+    qids, Q = knn_query_arrays(queries)
+    if len(qids) == 0:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, rank long, dist_sq double"
+        )
+    qbc = spark.sparkContext.broadcast((qids, Q.astype(np.float64)))
+    books_bc = spark.sparkContext.broadcast(codebooks)
+
+    codes = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = books_bc.value
+        m_ = B.shape[0]
+        qids_, Qd = qbc.value
+        luts = np.stack([_adc_lut(q, B) for q in Qd])  # (|Q|, m, k')
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            raw = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8)
+            C = raw.reshape(len(ids), m_)
+            e = pdf["resid"].to_numpy(dtype=np.float64) * (1 + 1e-5) + 1e-6
+            # ADC for all queries at once: (|Q|, n) lookup-sum
+            d_adc = luts[:, np.arange(m_)[None, :], C].sum(axis=2)
+            np.maximum(d_adc, 0.0, out=d_adc)
+            sd = np.sqrt(d_adc)
+            for i, qid in enumerate(qids_):
+                ub = sd[i] + e
+                kth = np.partition(ub, min(k, len(ub)) - 1)[min(k, len(ub)) - 1]
+                keep = (sd[i] - e) <= kth
+                yield pd.DataFrame(
+                    {"qid": int(qid), "neighbor_id": ids[keep]}
+                )
+
+    cand = codes.mapInPandas(scan, schema="qid long, neighbor_id long")
+    qdf = queries.select("qid", "query")
+    rescored = (
+        cand.join(
+            vectors.select(F.col(id_col).alias("neighbor_id"), vec_col),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            l2_sq(F.col(vec_col), F.col("query")).alias("dist"),
+        )
+    )
+    return _finalize_topk(rescored, k, "l2_sq")

@@ -499,6 +499,30 @@ def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_pq_adc", oracle=ORACLES["knn_exact_l2"])
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization flat search: m-byte ADC code scan (32× fewer
+    scan bytes at dim 64) with a triangle-inequality bound cut that keeps
+    a provable superset of the true top-k, then exact float re-score —
+    hash-identical to exact kNN (operators/pq.py docstring)."""
+    from vector_search_engine_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq.knn_pq_adc(emb, knn_ops.make_queries(emb), k=10, m=8)
+
+
+@register("ann_ivf_pq", oracle=ORACLES["knn_exact_l2"])
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ composed WITHIN IVF cells — the deepest compression tier rides
+    the same partition pruning as the float scan; lossless bound cut +
+    exact re-score keeps full probe hash-identical to exact kNN."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_pq(
+        knn_ops.make_queries(emb), k=10, nprobe=index.meta["n_centroids"]
+    )
+
+
 @register("ann_ivf_distributed", oracle=ORACLES["knn_exact_l2"])
 def ann_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-|Q| tier: probe assignment inside the query table's
