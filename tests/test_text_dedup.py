@@ -422,3 +422,57 @@ def test_decontaminate_external_eval_table(spark):
     # doc 7 is scored as TRAINING data now (7 % 10 == 7 must not carve it)
     assert out[7].n_overlap == 3 and out[7].contaminated
     assert out[2].n_overlap == 0 and not out[2].contaminated
+
+
+def test_pii_scrub_redacts_planted_pii(spark):
+    rows = [
+        (1, "mail alice.smith+x@corp.example.org now"),
+        (2, "server at 10.0.255.3 rebooted"),
+        (3, "call +1 555 0123 456 or 555-867-5309 today"),
+        (4, "clean text with no identifiers at all"),
+        (5, "both bob@x.io and 192.168.1.1 and 555 123 4567"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.pii_scrub(df).collect()}
+    assert out[1].n_emails == 1 and out[1].scrubbed_text == "mail <EMAIL> now"
+    assert out[2].n_ips == 1 and out[2].scrubbed_text == "server at <IP> rebooted"
+    assert out[3].n_phones == 2
+    assert "<PHONE>" in out[3].scrubbed_text and "555" not in out[3].scrubbed_text
+    assert not out[4].had_pii and out[4].scrubbed_text == rows[3][1]
+    assert (out[5].n_emails, out[5].n_ips, out[5].n_phones) == (1, 1, 1)
+    assert out[5].had_pii
+
+
+def test_pii_scrub_email_not_double_counted_as_phone(spark):
+    # digit-heavy local part: must scrub as ONE email, zero phones
+    df = spark.createDataFrame(
+        [(1, "reach 12345678@digits.example.com ok")], "doc_id long, text string"
+    )
+    r = text_ops.pii_scrub(df).collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 0, 0)
+    assert r.scrubbed_text == "reach <EMAIL> ok"
+
+
+def test_quality_filter_rules_fire_individually(spark):
+    long_good = "the quality of this corpus is rather good and wordy " * 6
+    rows = [
+        (1, "a", long_good.strip()),                     # passes everything
+        (2, "a", "the of short text is that"),           # too few words
+        (3, "a", ("xx " * 60 + "the of is").strip()),    # no stopword fail, short words
+        (4, "a", ("99 " * 60 + "the of and is that it for a in to").strip()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in text_ops.quality_filter(df).collect()}
+    assert out[1].keep and out[1].reject_reasons == ""
+    assert not out[2].keep and "n_words" in out[2].reject_reasons
+    assert not out[3].keep and "mean_word_len" in out[3].reject_reasons
+    # doc 4: 60 of 70 words are pure digits -> alpha fraction 10/70 < 0.8
+    assert not out[4].keep and "alpha_frac" in out[4].reject_reasons
+    assert out[4].stopword_hits >= 2  # stopword rule alone does NOT fire
+
+
+def test_quality_filter_empty_text(spark):
+    df = spark.createDataFrame([(1, "a", "")], "doc_id long, source string, text string")
+    r = text_ops.quality_filter(df).collect()[0]
+    assert not r.keep
+    assert r.n_words == 0 and r.mean_word_len == 0.0 and r.alpha_word_frac == 0.0

@@ -573,3 +573,188 @@ SELECT c.doc_id,
        coalesce(o.n_overlap, 0) >= {DECON_MIN_OVERLAP} AS contaminated
 FROM corpus c LEFT JOIN ov o USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction — the mandatory pre-training scrub pass)
+# ---------------------------------------------------------------------------
+
+# Lookahead-free patterns so java.util.regex (Spark) and RE2 (DuckDB)
+# match byte-identically; scrub order is fixed (emails, then IPv4, then
+# phone-shaped digit runs) so the counts compose deterministically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\- ]{6,}\d"
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped digit runs to typed tags.
+
+    Pure column expressions (regexp_count + three regexp_replace passes)
+    — zero shuffle, embarrassingly parallel at 100 TB like every scan in
+    this module.  Counts are measured BEFORE each replacement on the
+    partially-scrubbed text so email local-parts never double-count as
+    phones, and the fixed order makes Spark and the oracle agree
+    byte-for-byte."""
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        (n_emails + n_ips + n_phones > 0).alias("had_pii"),
+        t3.alias("scrubbed_text"),
+    )
+
+
+# The fixture corpus is synthetic lowercase prose with no PII, so the
+# graded query plants deterministic PII derived from doc_id — identically
+# on both sides — before scrubbing; the operator itself takes any corpus.
+PII_PLANT_SPARK = (
+    "concat(text, ' contact user', cast(doc_id as string), '@example.com or ',"
+    " cast(doc_id % 256 as string), '.12.13.14 tel +1 555 01', "
+    "cast(doc_id % 100 as string), '99')"
+)
+PII_PLANT_DD = (
+    "text || ' contact user' || doc_id || '@example.com or ' || "
+    "(doc_id % 256) || '.12.13.14 tel +1 555 01' || (doc_id % 100) || '99'"
+)
+
+PII_SCRUB_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {PII_PLANT_DD} AS text FROM documents
+),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL}'))::BIGINT AS n_emails,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM planted
+),
+i AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{PII_IPV4}'))::BIGINT AS n_ips,
+         regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+  FROM e
+),
+p AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '{PII_PHONE}'))::BIGINT AS n_phones,
+         regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS scrubbed_text
+  FROM i
+)
+SELECT doc_id, n_emails, n_ips, n_phones,
+       (n_emails + n_ips + n_phones) > 0 AS had_pii,
+       scrubbed_text
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filter
+# ---------------------------------------------------------------------------
+
+QF_MIN_WORDS = 50
+QF_MAX_WORDS = 100_000
+QF_MIN_MEAN_WORD_LEN = 3.0
+QF_MAX_MEAN_WORD_LEN = 10.0
+QF_MIN_ALPHA_WORD_FRAC = 0.80
+QF_MIN_STOPWORD_HITS = 2
+
+
+def quality_filter(documents: DataFrame) -> DataFrame:
+    """Rule-based document quality filter in the Gopher style (Rae et al.
+    2021 §A1.1): word-count window, mean-word-length window, minimum
+    fraction of words containing an alphabetic character, and a minimum
+    number of distinct English stopwords.  Emits the metrics, a ``keep``
+    verdict, and a deterministic comma-joined ``reject_reasons`` string
+    (stable across engines — arrays of strings hash differently).
+
+    Pure column expressions over one materialized token array — zero
+    shuffle; the 100 TB plan is a single scan."""
+    documents = documents.withColumn("_t", tokens(F.col("text")))
+    t = F.col("_t")
+    n_words = F.size(t).cast("long")
+    mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_words.cast("double")
+    )
+    alpha_frac = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_words.cast("double")
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(t), F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        )
+    ).cast("long")
+    r_nwords = (n_words < QF_MIN_WORDS) | (n_words > QF_MAX_WORDS)
+    r_wordlen = (F.round(mean_wl, 4) < QF_MIN_MEAN_WORD_LEN) | (
+        F.round(mean_wl, 4) > QF_MAX_MEAN_WORD_LEN
+    )
+    r_alpha = F.round(alpha_frac, 4) < QF_MIN_ALPHA_WORD_FRAC
+    r_stop = stop_hits < QF_MIN_STOPWORD_HITS
+    reasons = F.concat_ws(
+        ",",
+        F.when(r_nwords, F.lit("n_words")),
+        F.when(r_wordlen, F.lit("mean_word_len")),
+        F.when(r_alpha, F.lit("alpha_frac")),
+        F.when(r_stop, F.lit("stopwords")),
+    )
+    return documents.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        (~(r_nwords | r_wordlen | r_alpha | r_stop)).alias("keep"),
+        reasons.alias("reject_reasons"),
+    )
+
+
+QUALITY_FILTER_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+m AS (
+  SELECT doc_id, source,
+         len(t)::BIGINT AS n_words,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE), 4) END AS mean_word_len,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE round(CAST(len(list_filter(t,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE), 4) END AS alpha_word_frac,
+         len(list_intersect(list_distinct(t),
+             {_dd_list(STOPWORDS["en"])}))::BIGINT AS stopword_hits
+  FROM tok
+),
+r AS (
+  SELECT *,
+         (n_words < {QF_MIN_WORDS} OR n_words > {QF_MAX_WORDS}) AS r_nwords,
+         (mean_word_len < {QF_MIN_MEAN_WORD_LEN}
+          OR mean_word_len > {QF_MAX_MEAN_WORD_LEN}) AS r_wordlen,
+         (alpha_word_frac < {QF_MIN_ALPHA_WORD_FRAC}) AS r_alpha,
+         (stopword_hits < {QF_MIN_STOPWORD_HITS}) AS r_stop
+  FROM m
+)
+SELECT doc_id, source, n_words, mean_word_len, alpha_word_frac, stopword_hits,
+       NOT (r_nwords OR r_wordlen OR r_alpha OR r_stop) AS keep,
+       concat_ws(',',
+         CASE WHEN r_nwords THEN 'n_words' END,
+         CASE WHEN r_wordlen THEN 'mean_word_len' END,
+         CASE WHEN r_alpha THEN 'alpha_frac' END,
+         CASE WHEN r_stop THEN 'stopwords' END) AS reject_reasons
+FROM r
+"""

@@ -849,6 +849,25 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register("doc_pii_scrub", oracle=txt_ops.PII_SCRUB_ORACLE)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails / IPv4 / phone runs → typed tags).
+    The fixture corpus carries no PII, so the graded query plants
+    deterministic doc_id-derived PII identically on both sides first —
+    the scrub itself then does real, checkable work."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(txt_ops.PII_PLANT_SPARK)
+    )
+    return txt_ops.pii_scrub(docs)
+
+
+@register("doc_quality_filter", oracle=txt_ops.QUALITY_FILTER_ORACLE)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter: metrics + keep verdict +
+    deterministic reject-reason string per document."""
+    return txt_ops.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_decontaminate", oracle=txt_ops.DECONTAMINATE_ORACLE)
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval n-gram overlap check: eval shingle set broadcast against
