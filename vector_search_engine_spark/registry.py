@@ -1483,22 +1483,29 @@ def streaming_engine_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # made room for the 7 oracle-backed queries that had never been graded.
 _GRADE_FIRST: list[str] = [
     # vector search core (reference Q1/Q3 exact semantics)
+    # (r6 rotations, same policy as r5's: knn_exact_distributed shares
+    # knn_exact_l2's oracle string byte-for-byte — alternate physical tier,
+    # pytest + canary gated; knn_filtered is the flat twin of the in-window
+    # ann_ivf_filtered (same oracle); jsonl_roundtrip is an extension
+    # source, not a reference format like fvecs/ivecs; pipeline_clean_corpus
+    # composes dedup_exact + doc_stats which both stay in-window.  Their
+    # slots go to the four new never-driver-graded oracle-backed ops:
+    # knn_pq_adc, ann_ivf_pq, doc_pii_scrub, doc_quality_filter.)
     "knn_exact_l2",
-    "knn_exact_distributed",
     "knn_radius_search",
     "knn_exact_cosine",
-    "knn_filtered",
     "vector_norms",
     "label_centroids",
     "knn_self_similarity_pairs",
+    "knn_pq_adc",
     # sources (reference S1/S2)
     "fvecs_roundtrip",
     "ivecs_roundtrip",
-    "jsonl_roundtrip",
     # IVF index family (reference Q2/Q3/B2)
     "ann_ivf_exact_when_full_probe",
     "ann_ivf_filtered",
     "ann_ivf_sq8",
+    "ann_ivf_pq",
     "ann_ivf_distributed",
     # streaming engine (reference Q4/S4/W1-W4 — the core merged-search contract)
     "streaming_merged_search",
@@ -1519,7 +1526,6 @@ _GRADE_FIRST: list[str] = [
     "corpus_capped_sample",
     "corpus_train_val_split",
     "corpus_pack_sequences",
-    "pipeline_clean_corpus",
     "pipeline_neardup_corpus",
     # LLM-pipeline: multimodal
     "multimodal_metadata_stats",
@@ -1550,6 +1556,8 @@ _GRADE_FIRST: list[str] = [
     # text analysis
     "doc_stats",
     "doc_lang_id",
+    "doc_pii_scrub",
+    "doc_quality_filter",
 ]
 
 
