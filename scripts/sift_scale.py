@@ -163,6 +163,87 @@ def main() -> None:
             (e for e in ladder if e["recall_at_10"] >= TARGET_RECALL), None
         )
         results["tuned"] = tuned
+
+        # PQ tier at SIFT shape: m=16 over dim 128 (dsub 8) = 32× fewer
+        # candidate-scan bytes.  Measures sidecar build, the bound-cut
+        # selectivity (the design's scale-relevant unknown: how tight is
+        # sd ± resid on realistically-noisy descriptors?), probe wall
+        # time, and recall parity vs the float probe at the same nprobe
+        # (identical by construction — asserted, not assumed).
+        pq_m = 16
+        t0 = time.time()
+        codes_dir, books = idx.ensure_pq(m=pq_m)
+        pq_res: dict = {
+            "m": pq_m,
+            "sidecar_build_sec": round(time.time() - t0, 2),
+            "codes_bytes": sum(
+                os.path.getsize(os.path.join(r, fn))
+                for r, _, fns in os.walk(codes_dir)
+                for fn in fns
+            ),
+        }
+        np_pq = tuned["nprobe"] if tuned else NPROBE_LADDER[0]
+        # bound-cut selectivity at the tuned nprobe: survivors / scanned
+        from vector_search_engine_spark.operators.pq import pq_bound_cut
+
+        qids_a = np.arange(NQ, dtype=np.int64)
+        pairs = idx.probe_pairs(qids_a, Q, np_pq)
+        import pandas as pd_
+
+        pairs_df = spark.createDataFrame(
+            pd_.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
+                {"qid": "int64", "centroid_id": "int32"}
+            )
+        )
+        needed = sorted({c for _, c in pairs})
+        codes = spark.read.parquet(codes_dir).filter(
+            F.col("centroid_id").isin(needed)
+        )
+        tagged = codes.join(F.broadcast(pairs_df), "centroid_id").select(
+            "qid", idx.meta["id_col"], "code", "resid"
+        )
+        scanned = tagged.count()
+        qmap_bc = spark.sparkContext.broadcast(
+            {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids_a)}
+        )
+        books_bc = spark.sparkContext.broadcast(books)
+        survivors = pq_bound_cut(
+            tagged, qmap_bc, books_bc, K, idx.meta["id_col"]
+        ).count()
+        pq_res["nprobe"] = np_pq
+        pq_res["pairs_scanned"] = int(scanned)
+        pq_res["cut_survivors"] = int(survivors)
+        pq_res["cut_selectivity"] = round(survivors / max(scanned, 1), 4)
+        t0 = time.time()
+        pq_search = idx.search_pq(queries, k=K, nprobe=np_pq, m=pq_m)
+        pq_rec = knn_ops.recall_at_k(pq_search, gt, K).collect()[0]
+        pq_res["search_plus_recall_sec"] = round(time.time() - t0, 2)
+        pq_res["recall_at_10"] = float(pq_rec["recall_at_k"])
+        float_rec = next(e for e in ladder if e["nprobe"] == np_pq)
+        assert abs(pq_res["recall_at_10"] - float_rec["recall_at_10"]) < 1e-9, (
+            "PQ bound cut must match the float probe exactly"
+        )
+        # classic top-C ADC mode: the scale path when residuals prune
+        # nothing — approximate recall, exact distances
+        for cpp in (4 * K, 16 * K):
+            t0 = time.time()
+            topc = idx.search_pq(
+                queries, k=K, nprobe=np_pq, m=pq_m,
+                candidates_per_partition=cpp,
+            )
+            topc_rec = knn_ops.recall_at_k(topc, gt, K).collect()[0]
+            pq_res[f"topc_{cpp}"] = {
+                "search_plus_recall_sec": round(time.time() - t0, 2),
+                "recall_at_10": float(topc_rec["recall_at_k"]),
+            }
+            print(f"pq top-C={cpp}: recall "
+                  f"{pq_res[f'topc_{cpp}']['recall_at_10']:.4f} in "
+                  f"{pq_res[f'topc_{cpp}']['search_plus_recall_sec']}s",
+                  file=sys.stderr)
+        results["pq"] = pq_res
+        print(f"pq m={pq_m}: selectivity {pq_res['cut_selectivity']}, "
+              f"recall {pq_res['recall_at_10']:.4f} in "
+              f"{pq_res['search_plus_recall_sec']}s", file=sys.stderr)
         gt.unpersist()
     finally:
         shutil.rmtree(work, ignore_errors=True)

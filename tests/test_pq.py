@@ -99,3 +99,23 @@ def test_ensure_pq_idempotent_and_rebalance_invalidates(spark, embeddings, index
     d2, b2 = index.ensure_pq(m=M)
     assert d1 == d2 and np.array_equal(b1, b2)
     assert os.path.getmtime(os.path.join(d2, "_SUCCESS")) == mtime  # no rewrite
+
+
+def test_search_pq_topc_mode_recall_and_exact_distances(spark, embeddings, index):
+    """Top-C ADC mode: approximate recall (gated), but every returned row
+    carries the EXACT re-scored distance."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    exact = {
+        (r.qid, r.neighbor_id): r.dist_sq
+        for r in index.search(q, k=10, nprobe=8).collect()
+    }
+    got = {
+        (r.qid, r.neighbor_id): r.dist_sq
+        for r in index.search_pq(
+            q, k=10, nprobe=8, m=M, candidates_per_partition=40
+        ).collect()
+    }
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.95
+    for key in set(got) & set(exact):
+        assert got[key] == exact[key]

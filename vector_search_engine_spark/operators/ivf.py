@@ -993,7 +993,9 @@ class IVFIndex:
         base = self.vectors(snapshot=snap).filter(
             F.col("centroid_id").isin(needed)
         )
-        qdf = queries.select(qid_col, qvec_col)
+        from vector_search_engine_spark.operators.knn import _queries_df
+
+        qdf = _queries_df(spark, queries, qids, Q, qid_col, qvec_col)
         from vector_search_engine_spark.functions.vector import l2_sq
 
         rescored = (
@@ -1051,6 +1053,7 @@ class IVFIndex:
         m: int = 8,
         qid_col: str = "qid",
         qvec_col: str = "query",
+        candidates_per_partition: int | None = None,
     ) -> DataFrame:
         """Probed search over the PQ sidecar: ADC byte-code scan of the
         probed cells with the triangle-inequality bound cut (provably a
@@ -1058,7 +1061,12 @@ class IVFIndex:
         exact float re-score of the survivors.  Identical to ``search()``
         at the same nprobe and to exact kNN at full probe — the same
         hash-gated oracle applies.  Snapshot caveats as ``search_sq8``
-        (the sidecar is unversioned; rebuilt after rebalance)."""
+        (the sidecar is unversioned; rebuilt after rebalance).
+
+        ``candidates_per_partition`` switches the cut to the classic
+        top-C ADC mode (approximate recall, exact distances) — the scale
+        path when residuals are too large to prune losslessly; see
+        ``pq_bound_cut``."""
         from vector_search_engine_spark.operators.pq import pq_bound_cut
 
         id_col = self.meta["id_col"]
@@ -1090,11 +1098,20 @@ class IVFIndex:
         cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
             "qid", id_col, "code", "resid"
         )
-        cand = pq_bound_cut(cand_codes, qmap_bc, books_bc, k, id_col)
+        cand = pq_bound_cut(
+            cand_codes,
+            qmap_bc,
+            books_bc,
+            k,
+            id_col,
+            candidates_per_partition=candidates_per_partition,
+        )
         base = self.vectors(snapshot=snap).filter(
             F.col("centroid_id").isin(needed)
         )
-        qdf = queries.select(qid_col, qvec_col)
+        from vector_search_engine_spark.operators.knn import _queries_df
+
+        qdf = _queries_df(spark, queries, qids, Q, qid_col, qvec_col)
         from vector_search_engine_spark.functions.vector import l2_sq
 
         rescored = (

@@ -73,6 +73,26 @@ def _query_arrays(
     return qids, Q
 
 
+def _queries_df(
+    spark,
+    queries,
+    qids: np.ndarray,
+    Q: np.ndarray,
+    qid_col: str = "qid",
+    qvec_col: str = "query",
+) -> DataFrame:
+    """The (qid, query) DataFrame for rescore joins: pass-through for a
+    DataFrame input, rebuilt from the already-normalized driver arrays for
+    the pre-collected serving shape (bounded by the bulk-search contract —
+    the same rows a DataFrame input would have collected)."""
+    if not isinstance(queries, tuple):
+        return queries.select(qid_col, qvec_col)
+    pdf = pd.DataFrame(
+        {qid_col: qids.astype("int64"), qvec_col: [q.tolist() for q in Q]}
+    )
+    return spark.createDataFrame(pdf, schema=f"{qid_col} long, {qvec_col} array<float>")
+
+
 def _rank_window(metric: str) -> Window:
     if metric == "l2_sq":
         return Window.partitionBy("qid").orderBy(

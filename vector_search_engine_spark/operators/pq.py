@@ -179,10 +179,20 @@ def pq_bound_cut(
     codebooks_bc,
     k: int,
     id_col: str,
+    candidates_per_partition: int | None = None,
 ) -> DataFrame:
-    """ADC scan + triangle-inequality cut over a (qid, id, code, resid)
-    DataFrame.  Emits the provable superset of each query's true top-k
-    (module docstring); callers re-score survivors exactly."""
+    """ADC scan over a (qid, id, code, resid) DataFrame.
+
+    Default mode is the lossless triangle-inequality cut: emit the
+    provable superset of each query's true top-k (module docstring) —
+    right when quantization residuals are small vs the neighbor-distance
+    spread.  When they are NOT (noisy data: SIFT-sigma descriptors keep
+    100% of candidates — measured, ``SIFT1M.json`` pq.cut_selectivity),
+    ``candidates_per_partition`` switches to the classic top-C ADC cut
+    (Jégou et al. §IV): keep the C best ADC distances per query per
+    Arrow batch, recall gated by tests instead of proved.  Callers
+    re-score survivors exactly in both modes, so returned distances are
+    always exact and the top-C mode degrades recall only, never values."""
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         B = codebooks_bc.value
@@ -200,6 +210,13 @@ def pq_bound_cut(
                 # ADC: d̂ = Σ_j lut[j, code_j] — m table lookups per vector
                 d_adc = lut[np.arange(m_)[None, :], C].sum(axis=1)
                 np.maximum(d_adc, 0.0, out=d_adc)
+                if candidates_per_partition is not None:
+                    keep_n = min(max(candidates_per_partition, k), len(ids))
+                    part = np.argpartition(d_adc, keep_n - 1)[:keep_n]
+                    yield pd.DataFrame(
+                        {"qid": int(qid), "neighbor_id": ids[part]}
+                    )
+                    continue
                 sd = np.sqrt(d_adc)
                 # float32 storage + float64 GEMM slop on top of the exact
                 # triangle bound (same epsilon discipline as search_sq8)
@@ -266,7 +283,9 @@ def knn_pq_adc(
                 )
 
     cand = codes.mapInPandas(scan, schema="qid long, neighbor_id long")
-    qdf = queries.select("qid", "query")
+    from vector_search_engine_spark.operators.knn import _queries_df
+
+    qdf = _queries_df(spark, queries, qids, Q)
     rescored = (
         cand.join(
             vectors.select(F.col(id_col).alias("neighbor_id"), vec_col),

@@ -134,7 +134,9 @@ def knn_sq8_rescore(
     cand = codes.mapInPandas(approx_scan, schema="qid long, neighbor_id long")
     # exact re-score: join candidates back to the float vectors (broadcast
     # queries), then the usual (dist, id) window top-k
-    qdf = queries.select("qid", "query")
+    from vector_search_engine_spark.operators.knn import _queries_df
+
+    qdf = _queries_df(spark, queries, qids, Q)
     rescored = (
         cand.join(
             vectors.select(F.col(id_col).alias("neighbor_id"), vec_col),
