@@ -476,3 +476,24 @@ def test_quality_filter_empty_text(spark):
     r = text_ops.quality_filter(df).collect()[0]
     assert not r.keep
     assert r.n_words == 0 and r.mean_word_len == 0.0 and r.alpha_word_frac == 0.0
+
+
+def test_ngram_stats_surfaces_planted_boilerplate(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [(i, "web", f"{boiler} article {i} body text") for i in range(10)]
+    rows += [(100, "web", "completely unrelated words here"),
+             (200, "books", "a quiet chapter about nothing much")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = text_ops.ngram_stats(df, top_k=3)
+    rows_out = out.collect()
+    web = sorted(
+        (r for r in rows_out if r.source == "web"), key=lambda r: r.rank
+    )
+    # all rank-1..3 bigrams are the 10-occurrence template grams, ordered
+    # by the deterministic (count desc, ngram asc) tie-break
+    assert [r.ngram for r in web] == [
+        "body text", "newsletter article", "our newsletter"
+    ]
+    assert all(r.n_occurrences == 10 and r.n_docs == 10 for r in web)
+    # per-source partitioning: books ranks independently of web
+    assert any(r.source == "books" and r.rank == 1 for r in rows_out)

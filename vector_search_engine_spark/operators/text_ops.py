@@ -758,3 +758,72 @@ SELECT doc_id, source, n_words, mean_word_len, alpha_word_frac, stopword_hits,
          CASE WHEN r_stop THEN 'stopwords' END) AS reject_reasons
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics (boilerplate / template detection)
+# ---------------------------------------------------------------------------
+
+NGRAM_TOP_K = 20
+
+
+def ngram_stats(documents: DataFrame, top_k: int = NGRAM_TOP_K) -> DataFrame:
+    """Top-k word bigrams per source with occurrence and document counts —
+    the corpus-statistics pass behind boilerplate detection (a 2-gram that
+    appears in most of a source's documents is template text, not prose).
+
+    Plan shape at 100 TB: NGram runs JVM-side per row, the explode feeds
+    ONE partial-aggregated shuffle on (source, ngram) — both counts
+    (occurrences via count(*), documents via count(distinct doc_id))
+    resolve in the same aggregation; the per-source top-k window then
+    operates on the already-tiny aggregate.  Deterministic tie-break
+    (count desc, ngram asc) keeps the cut stable across engines."""
+    from pyspark.ml.feature import NGram
+    from pyspark.sql import Window
+
+    df = documents.withColumn("_t", tokens(F.col("text")))
+    df = NGram(n=2, inputCol="_t", outputCol="_g2").transform(df)
+    pairs = df.select("doc_id", "source", F.explode("_g2").alias("ngram"))
+    agg = pairs.groupBy("source", "ngram").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_occurrences").desc(), F.col("ngram").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            "ngram",
+            "n_occurrences",
+            "n_docs",
+        )
+    )
+
+
+NGRAM_STATS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source, unnest({DD_SHINGLES2.format(t="t")}) AS ngram
+  FROM tok
+),
+agg AS (
+  SELECT source, ngram,
+         count(*)::BIGINT AS n_occurrences,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM grams GROUP BY source, ngram
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY source ORDER BY n_occurrences DESC, ngram ASC
+         )::BIGINT AS rank
+  FROM agg
+)
+SELECT source, rank, ngram, n_occurrences, n_docs
+FROM ranked WHERE rank <= {NGRAM_TOP_K}
+"""

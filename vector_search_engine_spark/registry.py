@@ -849,6 +849,13 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register("corpus_ngram_stats", oracle=txt_ops.NGRAM_STATS_ORACLE)
+def corpus_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigrams per source (occurrence + doc counts) — the corpus
+    statistics behind boilerplate/template detection."""
+    return txt_ops.ngram_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("doc_pii_scrub", oracle=txt_ops.PII_SCRUB_ORACLE)
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex PII redaction (emails / IPv4 / phone runs → typed tags).
