@@ -79,11 +79,15 @@ def l2_sq_matrix(V: np.ndarray, Q: np.ndarray) -> np.ndarray:
     """
     V = np.asarray(V, dtype=np.float64)
     Q = np.asarray(Q, dtype=np.float64)
-    d2 = (
-        (V * V).sum(axis=1)[:, None]
-        - 2.0 * (V @ Q.T)
-        + (Q * Q).sum(axis=1)[None, :]
-    )
+    # accumulate in place on the GEMM result: the naive broadcast
+    # expression allocates two (n, m) float64 intermediates and was
+    # measured memory-bound at ~7× the GEMM cost (50k×256); the in-place
+    # form is bit-identical (x − 2p ≡ (−2p) + x in IEEE — addition is
+    # commutative, negation/×2 exact), so oracle hashes are unchanged
+    d2 = V @ Q.T
+    d2 *= -2.0
+    d2 += (V * V).sum(axis=1)[:, None]
+    d2 += (Q * Q).sum(axis=1)[None, :]
     # GEMM form can go slightly negative for near-identical vectors
     np.maximum(d2, 0.0, out=d2)
     return d2

@@ -58,10 +58,13 @@ def _kmeans_1d(
     for _ in range(iters):
         D = l2_sq_matrix(X, C)  # (n, k)
         assign = D.argmin(axis=1)
-        hit = np.bincount(assign, minlength=k) > 0
-        for j in range(k):
-            if hit[j]:
-                C[j] = X[assign == j].mean(axis=0)
+        counts = np.bincount(assign, minlength=k)
+        hit = counts > 0
+        # scatter-add cluster sums in one pass (a 256-mask python loop
+        # was ~40× slower and dominated pq_train wall time)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        C[hit] = sums[hit] / counts[hit, None]
         if not hit.all():
             # re-seed dead entries from the worst-quantized points
             far = D[np.arange(len(X)), assign].argsort()[::-1]
