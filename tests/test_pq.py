@@ -119,3 +119,17 @@ def test_search_pq_topc_mode_recall_and_exact_distances(spark, embeddings, index
     assert recall >= 0.95
     for key in set(got) & set(exact):
         assert got[key] == exact[key]
+
+
+def test_pq_codes_scan_partition_pruned(spark, embeddings, index):
+    """The PQ sidecar is partitioned by centroid_id like the float cells;
+    probing must prune its scan the same way (PartitionFilters in the
+    executed plan), or the 32x scan-byte cut evaporates at 100 TB."""
+    import pyspark.sql.functions as F
+
+    codes_dir, _ = index.ensure_pq(m=M)
+    probed = spark.read.parquet(codes_dir).filter(
+        F.col("centroid_id").isin([0, 1])
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
