@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "knn_exact_cosine",
     "knn_self_similarity_pairs",
     "ann_ivf_probe",
-    "ann_ivf_pq",
+    "ann_ivf_pq_serving",
     "streaming_merged_search",
     "tpch_pricing_summary",
     "tpch_regional_revenue",

@@ -523,6 +523,22 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_pq_serving")  # probed top-C ADC: approximate → rows-only
+def ann_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ tier's SERVING shape (the M3 analog): probed cells, top-C
+    ADC candidate cut, exact re-score.  Recall is pytest-gated
+    (tests/test_pq.py); the hash-gated exactness contract lives in
+    ``ann_ivf_pq`` at full probe."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_pq(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=4,
+        candidates_per_partition=160,
+    )
+
+
 @register("ann_ivf_distributed", oracle=ORACLES["knn_exact_l2"])
 def ann_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-|Q| tier: probe assignment inside the query table's
