@@ -133,3 +133,50 @@ def test_pq_codes_scan_partition_pruned(spark, embeddings, index):
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_train_rejects_indivisible_dim(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[1.0] * 10, [2.0] * 10]})
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_train(df, m=3, vec_col="embedding")
+
+
+def test_ragged_codebooks_encode_without_nan(spark):
+    """One constant subspace (1 distinct subvector) + one rich subspace
+    (many): the rectangular-padding rows must never be selected by the
+    encoder argmin nor poison distances with inf/NaN (regression: +inf
+    padding produced NaN GEMM columns and argmin returned their index)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    vecs = np.hstack(
+        [np.ones((300, 4)), rng.normal(0, 1, (300, 4))]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(300), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    books = pq.pq_train(df, m=2, ksub=16, vec_col="embedding")
+    assert books.shape[0] == 2 and books.shape[1] == 16  # ragged: book0 has 1 real row
+    rows = pq.pq_encode(df, books).collect()
+    codes = np.stack(
+        [np.frombuffer(bytes(r.code), dtype=np.uint8) for r in rows]
+    )
+    assert (codes[:, 0] == 0).all()  # constant subspace -> the single real row
+    assert np.isfinite([r.resid for r in rows]).all()
+    # search end-to-end stays exact
+    q = df.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("query")).limit(5)
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    exact = [tuple(r) for r in knn_ops.knn_exact(df, q, k=5).orderBy("qid", "rank").collect()]
+    got = [
+        tuple(r)
+        for r in pq.knn_pq_adc(df, q, k=5, codebooks=books).orderBy("qid", "rank").collect()
+    ]
+    assert got == exact

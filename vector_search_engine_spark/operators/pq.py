@@ -109,9 +109,12 @@ def pq_train(
     k_eff = max(len(b) for b in books)
     if k_eff > 256:
         raise ValueError("ksub > 256 does not fit uint8 codes")
-    # pad ragged books (distinct-row-limited subspaces) with +inf rows so
-    # the array is rectangular; padded rows can never win an argmin
-    out = np.full((m, k_eff, dsub), np.inf, dtype=np.float64)
+    # pad ragged books (distinct-row-limited subspaces) so the array is
+    # rectangular.  The pad must be LARGE but FINITE: ±inf rows turn the
+    # GEMM expansion into inf − inf = NaN columns, and np.argmin returns
+    # the NaN position — corrupted codes.  1e30 keeps every pad distance
+    # ~1e60, far beyond any real one, with no NaN anywhere.
+    out = np.full((m, k_eff, dsub), 1e30, dtype=np.float64)
     for j, b in enumerate(books):
         out[j, : len(b)] = b
     return out
