@@ -200,15 +200,17 @@ def main() -> None:
             F.col("centroid_id").isin(needed)
         )
         tagged = codes.join(F.broadcast(pairs_df), "centroid_id").select(
-            "qid", idx.meta["id_col"], "code", "resid"
+            "qid", idx.meta["id_col"], "code", "resid", "centroid_id"
         )
         scanned = tagged.count()
         qmap_bc = spark.sparkContext.broadcast(
             {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids_a)}
         )
         books_bc = spark.sparkContext.broadcast(books)
+        cm_bc = spark.sparkContext.broadcast(idx.center_map())
         survivors = pq_bound_cut(
-            tagged, qmap_bc, books_bc, K, idx.meta["id_col"]
+            tagged, qmap_bc, books_bc, K, idx.meta["id_col"],
+            center_map_bc=cm_bc,
         ).count()
         pq_res["nprobe"] = np_pq
         pq_res["pairs_scanned"] = int(scanned)

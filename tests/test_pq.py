@@ -180,3 +180,71 @@ def test_ragged_codebooks_encode_without_nan(spark):
         for r in pq.knn_pq_adc(df, q, k=5, codebooks=books).orderBy("qid", "rank").collect()
     ]
     assert got == exact
+
+
+def test_residual_bound_cut_prunes_on_tight_clusters(spark, tmp_path):
+    """The lossless cut's regime claim, pinned with numbers: when cluster
+    noise is small relative to cluster separation (near-dup / embedding
+    geometry), residual (IVFADC) codes make sd ± resid tight and the cut
+    must discard most of each probed cell.  (On sigma-75 SIFT noise it
+    keeps 100% — SCALING.md finding 8; both behaviors are by design.)"""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    # 64 near-dup groups of 31 members; 8 coarse cells => each cell holds
+    # ~8 DISTANT groups, so per-query distances are bimodal (own group
+    # ~0.05, other groups ~100) — the gap the bound cut exploits.  One
+    # Gaussian blob per cell would concentrate distances and the cut
+    # could not (and should not) prune.
+    centers = rng.normal(0, 10.0, (64, 32))
+    rows = centers[np.repeat(np.arange(64), 31)] + rng.normal(
+        0, 0.01, (1984, 32)
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(len(rows)),
+                "embedding": [r.astype(np.float32).tolist() for r in rows],
+            }
+        )
+    )
+    d = str(tmp_path / "tight")
+    idx = IVFIndex.build(df, d, n_centroids=8, extra_cols=())
+    q = df.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+    ).limit(20)
+
+    from vector_search_engine_spark.operators.pq import pq_bound_cut
+
+    qrows = q.collect()
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.array([r.query for r in qrows], dtype=np.float64)
+    pairs = idx.probe_pairs(qids, Q.astype(np.float32), nprobe=1)
+    pairs_df = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
+            {"qid": "int64", "centroid_id": "int32"}
+        )
+    )
+    codes_dir, books = idx.ensure_pq(m=8)
+    codes = spark.read.parquet(codes_dir)
+    tagged = codes.join(F.broadcast(pairs_df), "centroid_id").select(
+        "qid", "vec_id", "code", "resid", "centroid_id"
+    )
+    scanned = tagged.count()
+    qmap_bc = spark.sparkContext.broadcast(
+        {int(qid): Q[i] for i, qid in enumerate(qids)}
+    )
+    books_bc = spark.sparkContext.broadcast(books)
+    cm_bc = spark.sparkContext.broadcast(idx.center_map())
+    survivors = pq_bound_cut(
+        tagged, qmap_bc, books_bc, 10, "vec_id", center_map_bc=cm_bc
+    ).count()
+    assert scanned > 0
+    # each probed cell holds ~250 vectors; a working cut keeps well under
+    # half (loose threshold: the claim is "prunes", not an exact rate)
+    assert survivors / scanned < 0.5, (survivors, scanned)
+    # and the search built on it stays exact vs the float probe
+    fl = idx.search(q, k=10, nprobe=1).orderBy("qid", "rank")
+    pz = idx.search_pq(q, k=10, nprobe=1, m=8).orderBy("qid", "rank")
+    assert [tuple(r) for r in pz.collect()] == [tuple(r) for r in fl.collect()]

@@ -876,7 +876,8 @@ class IVFIndex:
             json.dump(self.meta, f)
         os.rename(tmp, os.path.join(self.index_dir, "meta.json"))
         shutil.rmtree(os.path.join(self.index_dir, "sq8"), ignore_errors=True)
-        shutil.rmtree(os.path.join(self.index_dir, "pq"), ignore_errors=True)
+        for d in glob.glob(os.path.join(self.index_dir, "pq*")):
+            shutil.rmtree(d, ignore_errors=True)
         self._load_centroids()
         return mapping
 
@@ -1012,7 +1013,15 @@ class IVFIndex:
         )
         return _finalize_topk(rescored, k, "l2_sq")
 
-    def ensure_pq(self, m: int = 8) -> tuple[str, np.ndarray]:
+    def center_map(self) -> dict[int, np.ndarray]:
+        """centroid_id → float64 centroid vector (broadcastable; a few MB
+        even at thousands of cells)."""
+        return {
+            int(cid): self.centroids[i].astype(np.float64)
+            for i, cid in enumerate(self.centroid_ids)
+        }
+
+    def ensure_pq(self, m: int = 8, residual: bool = True) -> tuple[str, np.ndarray]:
         """Write (once) the PQ sidecar: m-byte codes + residual norms,
         partitioned by ``centroid_id`` like the float vectors, so probing
         prunes the SAME partitions while scanning ~dim·4/m× fewer bytes
@@ -1020,16 +1029,28 @@ class IVFIndex:
         operators/pq.py).  Codebooks land as an .npy beside the codes,
         written BEFORE the parquet so a crash can't leave codes whose
         codebooks were lost (the parquet _SUCCESS is the commit point;
-        the rebalance path removes the whole dir)."""
+        the rebalance path removes the whole dir).
+
+        ``residual=True`` (default) is IVFADC: codes quantize
+        x − centroid(x), whose norms shrink with coarse-quantizer quality
+        — measured as the difference between a no-op bound cut and a
+        working one (SCALING.md finding 8).  The sidecar dir is keyed by
+        (m, residual) so modes never alias each other's codes."""
         from vector_search_engine_spark.operators.pq import pq_encode, pq_train
 
-        pq_dir = os.path.join(self.index_dir, "pq")
+        pq_dir = os.path.join(self.index_dir, f"pq_m{m}_r{int(residual)}")
         books_path = os.path.join(pq_dir, "codebooks.npy")
         codes_dir = os.path.join(pq_dir, "codes")
         if os.path.exists(os.path.join(codes_dir, "_SUCCESS")):
             return codes_dir, np.load(books_path)
         os.makedirs(pq_dir, exist_ok=True)
-        books = pq_train(self.vectors(), m=m, vec_col=self.meta["vec_col"])
+        cm = self.center_map() if residual else None
+        books = pq_train(
+            self.vectors(),
+            m=m,
+            vec_col=self.meta["vec_col"],
+            center_map=cm,
+        )
         tmp = books_path + ".tmp.npy"
         np.save(tmp, books)
         os.rename(tmp, books_path)
@@ -1039,6 +1060,7 @@ class IVFIndex:
             id_col=self.meta["id_col"],
             vec_col=self.meta["vec_col"],
             keep_cols=("centroid_id",),
+            center_map=cm,
         )
         codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
             "centroid_id"
@@ -1054,6 +1076,7 @@ class IVFIndex:
         qid_col: str = "qid",
         qvec_col: str = "query",
         candidates_per_partition: int | None = None,
+        residual: bool = True,
     ) -> DataFrame:
         """Probed search over the PQ sidecar: ADC byte-code scan of the
         probed cells with the triangle-inequality bound cut (provably a
@@ -1062,6 +1085,10 @@ class IVFIndex:
         at the same nprobe and to exact kNN at full probe — the same
         hash-gated oracle applies.  Snapshot caveats as ``search_sq8``
         (the sidecar is unversioned; rebuilt after rebalance).
+
+        ``residual=True`` (IVFADC, the default) quantizes against the
+        cell centroid — tighter residuals, working bound cut; the ADC
+        lookup table becomes per (query, probed cell), still tiny.
 
         ``candidates_per_partition`` switches the cut to the classic
         top-C ADC mode (approximate recall, exact distances) — the scale
@@ -1090,13 +1117,18 @@ class IVFIndex:
         qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
         qmap_bc = spark.sparkContext.broadcast(qmap)
 
-        codes_dir, books = self.ensure_pq(m=m)
+        codes_dir, books = self.ensure_pq(m=m, residual=residual)
         books_bc = spark.sparkContext.broadcast(books)
+        cm_bc = (
+            spark.sparkContext.broadcast(self.center_map())
+            if residual
+            else None
+        )
         codes = spark.read.parquet(codes_dir).filter(
             F.col("centroid_id").isin(needed)
         )
         cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
-            "qid", id_col, "code", "resid"
+            "qid", id_col, "code", "resid", "centroid_id"
         )
         cand = pq_bound_cut(
             cand_codes,
@@ -1105,6 +1137,7 @@ class IVFIndex:
             k,
             id_col,
             candidates_per_partition=candidates_per_partition,
+            center_map_bc=cm_bc,
         )
         base = self.vectors(snapshot=snap).filter(
             F.col("centroid_id").isin(needed)

@@ -80,23 +80,32 @@ def pq_train(
     iters: int = 10,
     seed: int = 7,
     vec_col: str = "embedding",
+    center_map: dict[int, np.ndarray] | None = None,
+    centroid_col: str = "centroid_id",
 ) -> np.ndarray:
     """Train per-subspace codebooks on a bounded driver sample.
 
     Returns a float64 array (m, k', dsub) with k' ≤ ksub.  The sample is
     bounded (driver holds ≤ sample_size·dim floats — the same contract as
     the IVF coarse-quantizer sample, ``ivf.py`` build), deterministic for
-    a fixed seed, and the only driver-side step in the PQ lifecycle."""
+    a fixed seed, and the only driver-side step in the PQ lifecycle.
+
+    ``center_map`` switches to RESIDUAL training (IVFADC, Jégou et al.
+    §V): codebooks learn x − centroid(x), which is far smaller than x
+    after a good coarse quantizer — the lever that makes the lossless
+    bound cut actually prune (SCALING.md finding 8)."""
     n_total = vectors.count()
     frac = min(1.0, (sample_size * 1.1) / max(n_total, 1))
+    cols = [vec_col] + ([centroid_col] if center_map is not None else [])
     sample = (
-        vectors.select(vec_col).sample(frac, seed=seed).limit(sample_size)
+        vectors.select(*cols).sample(frac, seed=seed).limit(sample_size)
         if frac < 1.0
-        else vectors.select(vec_col)
+        else vectors.select(*cols)
     )
-    X = np.array(
-        [r[0] for r in sample.collect()], dtype=np.float64
-    )
+    rows = sample.collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    if center_map is not None and len(rows):
+        X -= np.stack([center_map[int(r[1])] for r in rows])
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -126,14 +135,28 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    center_map: dict[int, np.ndarray] | None = None,
+    centroid_col: str = "centroid_id",
 ) -> DataFrame:
     """Encode vectors to (id, code binary[m], resid float) + keep_cols.
 
     ``resid`` is the L2 norm of the quantization error ‖x − c(x)‖ — the
-    exact constant the search-time bound cut needs (module docstring)."""
+    exact constant the search-time bound cut needs (module docstring).
+    With ``center_map``, codes quantize the residual x − centroid(x)
+    (``centroid_col`` must be among the input columns); the stored
+    ``resid`` is then ‖x − (centroid + codeword)‖ — subtraction shifts
+    the reconstruction, not the error norm, so the bound is unchanged."""
     spark = vectors.sparkSession
     m, _, dsub = codebooks.shape
     bc = spark.sparkContext.broadcast(codebooks)
+    cm_bc = (
+        spark.sparkContext.broadcast(center_map)
+        if center_map is not None
+        else None
+    )
+    in_cols = [id_col, vec_col, *keep_cols]
+    if center_map is not None and centroid_col not in in_cols:
+        in_cols.append(centroid_col)
     keep_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in vectors.schema.fields
@@ -145,10 +168,15 @@ def pq_encode(
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         B = bc.value
+        CM = cm_bc.value if cm_bc is not None else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if CM is not None:
+                V -= np.stack(
+                    [CM[int(c)] for c in pdf[centroid_col].to_numpy()]
+                )
             n = len(V)
             codes = np.empty((n, m), dtype=np.uint8)
             resid_sq = np.zeros(n, dtype=np.float64)
@@ -165,9 +193,7 @@ def pq_encode(
                 out[c] = pdf[c].to_numpy()
             yield pd.DataFrame(out)
 
-    return vectors.select(id_col, vec_col, *keep_cols).mapInPandas(
-        encode, schema=schema
-    )
+    return vectors.select(*in_cols).mapInPandas(encode, schema=schema)
 
 
 def _adc_lut(q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
@@ -186,6 +212,8 @@ def pq_bound_cut(
     k: int,
     id_col: str,
     candidates_per_partition: int | None = None,
+    center_map_bc=None,
+    centroid_col: str = "centroid_id",
 ) -> DataFrame:
     """ADC scan over a (qid, id, code, resid) DataFrame.
 
@@ -204,11 +232,18 @@ def pq_bound_cut(
         B = codebooks_bc.value
         m_, _, _ = B.shape
         qm = qmap_bc.value
+        CM = center_map_bc.value if center_map_bc is not None else None
+        # residual codes: the LUT is per (query, cell) — built from
+        # q − centroid_cell, since codes quantize x − centroid_cell
+        keys = ["qid"] if CM is None else ["qid", centroid_col]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            for qid, grp in pdf.groupby("qid"):
+            for gkey, grp in pdf.groupby(keys):
+                qid = gkey[0] if isinstance(gkey, tuple) else gkey
                 q = qm[int(qid)]
+                if CM is not None:
+                    q = q - CM[int(gkey[1])]
                 lut = _adc_lut(q, B)
                 ids = grp[id_col].to_numpy(dtype=np.int64)
                 raw = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8)
