@@ -513,9 +513,10 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_ivf_pq", oracle=ORACLES["knn_exact_l2"])
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ composed WITHIN IVF cells — the deepest compression tier rides
-    the same partition pruning as the float scan; lossless bound cut +
-    exact re-score keeps full probe hash-identical to exact kNN."""
+    """PQ composed WITHIN IVF cells (IVFADC: codes quantize the residual
+    against the cell centroid) — the deepest compression tier rides the
+    same partition pruning as the float scan; lossless bound cut + exact
+    re-score keeps full probe hash-identical to exact kNN."""
     index = ivf.build_or_load(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     return index.search_pq(
