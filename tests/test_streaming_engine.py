@@ -363,3 +363,25 @@ def test_time_travel_read_of_previous_snapshot(spark, embeddings, engine):
     assert prev == before
     cur = engine.index.vectors().count()
     assert cur == embeddings.count()
+
+
+def test_compaction_invalidates_quantized_sidecars(spark, embeddings, engine):
+    """Sidecars are unversioned derived data; a compaction that folds new
+    vectors into cells must remove them, or quantized candidate
+    generation silently drops the newly-committed vectors."""
+    import os
+
+    codes_dir, _ = engine.index.ensure_pq(m=8)
+    sq_dir = engine.index.ensure_sq8()
+    assert os.path.exists(os.path.join(codes_dir, "_SUCCESS"))
+    engine.insert(embeddings.filter(F.col("vec_id") >= 400))
+    assert engine.compact() > 0
+    assert not os.path.exists(codes_dir)
+    assert not os.path.exists(sq_dir)
+    # a fresh sidecar build sees the folded vectors: PQ full probe must
+    # equal the float full probe over the compacted table
+    q = knn_ops.make_queries(embeddings, n=5)
+    np_full = engine.index.meta["n_centroids"]
+    fl = _sorted(engine.index.search(q, k=10, nprobe=np_full))
+    pz = _sorted(engine.index.search_pq(q, k=10, nprobe=np_full, m=8))
+    assert fl == pz

@@ -875,9 +875,7 @@ class IVFIndex:
         with open(tmp, "w") as f:
             json.dump(self.meta, f)
         os.rename(tmp, os.path.join(self.index_dir, "meta.json"))
-        shutil.rmtree(os.path.join(self.index_dir, "sq8"), ignore_errors=True)
-        for d in glob.glob(os.path.join(self.index_dir, "pq*")):
-            shutil.rmtree(d, ignore_errors=True)
+        self.invalidate_sidecars()
         self._load_centroids()
         return mapping
 
@@ -1012,6 +1010,18 @@ class IVFIndex:
             )
         )
         return _finalize_topk(rescored, k, "l2_sq")
+
+    def invalidate_sidecars(self) -> None:
+        """Remove every derived-code sidecar (sq8 + all pq_* dirs).
+
+        Must run after ANY commit that changes cell contents — rebalance
+        does it internally; external compactors (the streaming engine's
+        fold-delta) call it after ``commit_cells`` — because sidecars are
+        unversioned derived data: stale codes would silently drop
+        newly-committed vectors from quantized candidate generation."""
+        shutil.rmtree(os.path.join(self.index_dir, "sq8"), ignore_errors=True)
+        for d in glob.glob(os.path.join(self.index_dir, "pq_m*")):
+            shutil.rmtree(d, ignore_errors=True)
 
     def center_map(self) -> dict[int, np.ndarray]:
         """centroid_id → float64 centroid vector (broadcastable; a few MB

@@ -375,8 +375,8 @@ class VectorEngine:
         # ingest_stream over the same source re-read (and re-insert)
         # everything from scratch.
         self.index.commit_cells(gen, affected, retain=self.snapshot_retain)
-        # the SQ8 sidecar (if materialized) encodes the old generation
-        shutil.rmtree(os.path.join(self.root_dir, "index", "sq8"), ignore_errors=True)
+        # quantized sidecars (if materialized) encode the old generation
+        self.index.invalidate_sidecars()
         for s in self._existing_seqs():
             if s <= old_watermark:
                 shutil.rmtree(
