@@ -497,3 +497,22 @@ def test_ngram_stats_surfaces_planted_boilerplate(spark):
     assert all(r.n_occurrences == 10 and r.n_docs == 10 for r in web)
     # per-source partitioning: books ranks independently of web
     assert any(r.source == "books" and r.rank == 1 for r in rows_out)
+
+
+def test_dup_span_stats_planted_copy(spark):
+    base = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base),                                   # fully copied by 2
+        (2, base + " eleven twelve thirteen fourteen fifteen"),
+        (3, "totally different words with no overlap at all here"),
+        (4, "tiny"),                                 # < n tokens: zero spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.dup_span_stats(df, n=5).collect()}
+    # doc 1: all 6 of its 5-gram spans appear in doc 2
+    assert out[1].n_spans == 6 and out[1].n_dup_spans == 6
+    assert out[1].dup_span_frac == 1.0 and out[1].mostly_duplicated
+    # doc 2: 11 spans, the 6 copied ones are dup
+    assert out[2].n_spans == 11 and out[2].n_dup_spans == 6
+    assert not out[3].mostly_duplicated and out[3].n_dup_spans == 0
+    assert out[4].n_spans == 0 and out[4].dup_span_frac == 0.0

@@ -827,3 +827,104 @@ ranked AS (
 SELECT source, rank, ngram, n_occurrences, n_docs
 FROM ranked WHERE rank <= {NGRAM_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span statistics (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_N = 5
+DUP_SPAN_THRESHOLD = 0.5
+
+
+def dup_span_stats(
+    documents: DataFrame, n: int = DUP_SPAN_N, threshold: float = DUP_SPAN_THRESHOLD
+) -> DataFrame:
+    """Per-document fraction of word n-gram spans that also appear in at
+    least one OTHER document — the span-granularity approximation of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", 2022): a document made mostly of
+    spans seen elsewhere is boilerplate or a partial copy even when no
+    whole-document dup exists.
+
+    Plan shape at 100 TB: one shingle pass (JVM NGram), postings carry
+    a 32-hex md5 key (never the span text) through the two shuffles —
+    the doc-frequency aggregation and the postings⋈dup-keys join; both
+    partial-aggregate map-side.  Docs shorter than n words surface with
+    zero spans, not dropped."""
+    sh = with_shingles(documents.select("doc_id", "text"), out_col="_sh", n=n)
+    posts = sh.select("doc_id", F.explode("_sh").alias("_s")).select(
+        "doc_id", F.md5("_s").alias("h")
+    )
+    freq = posts.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    dup = freq.filter(F.col("df") >= 2).select("h", F.lit(1).alias("is_dup"))
+    per_doc = (
+        posts.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    out = (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .na.fill({"n_spans": 0, "n_dup_spans": 0})
+    )
+    frac = F.when(F.col("n_spans") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"),
+            4,
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        frac.alias("dup_span_frac"),
+        (frac >= F.lit(threshold)).alias("mostly_duplicated"),
+    )
+
+
+# word 5-grams over a token-array column {t} (all occurrences; the Spark
+# side dedups per doc via array_distinct inside with_shingles)
+DD_SHINGLES5 = (
+    "list_transform(range(1, greatest(len({t})-4, 0)+1), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3]"
+    " || ' ' || {t}[i+4])"
+)
+
+DUP_SPAN_STATS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct({DD_SHINGLES5.format(t="t")}) AS spans FROM tok
+),
+posts AS (
+  SELECT doc_id, md5(unnest(spans)) AS h FROM sh
+),
+freq AS (
+  SELECT h, count(*)::BIGINT AS df FROM posts GROUP BY h
+),
+per_doc AS (
+  SELECT p.doc_id,
+         count(*)::BIGINT AS n_spans,
+         sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+  FROM posts p JOIN freq f USING (h)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(pd.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       CASE WHEN coalesce(pd.n_spans, 0) = 0 THEN 0.0
+            ELSE round(CAST(pd.n_dup_spans AS DOUBLE)
+                 / CAST(pd.n_spans AS DOUBLE), 4) END AS dup_span_frac,
+       (CASE WHEN coalesce(pd.n_spans, 0) = 0 THEN 0.0
+             ELSE round(CAST(pd.n_dup_spans AS DOUBLE)
+                  / CAST(pd.n_spans AS DOUBLE), 4) END)
+           >= {DUP_SPAN_THRESHOLD} AS mostly_duplicated
+FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+"""

@@ -866,6 +866,13 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register("doc_dup_span_stats", oracle=txt_ops.DUP_SPAN_STATS_ORACLE)
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 5-gram spans shared with other documents —
+    the exact-substring-dedup signal at span granularity."""
+    return txt_ops.dup_span_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_ngram_stats", oracle=txt_ops.NGRAM_STATS_ORACLE)
 def corpus_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k bigrams per source (occurrence + doc counts) — the corpus
