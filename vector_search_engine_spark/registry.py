@@ -351,6 +351,59 @@ def fvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bvecs_roundtrip",
+    oracle="""
+WITH b AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(least(greatest((CAST(x AS DOUBLE) + 2.0) * 60.0,
+                                            0.0), 255.0)) AS INTEGER)) AS bv
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(bv) AS INTEGER) AS dim,
+       list_sum(bv)::BIGINT AS elem_sum,
+       CAST(list_max(bv) AS INTEGER) AS elem_max
+FROM b
+""",
+)
+def bvecs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize embeddings to deterministic 0..255 bytes (floor-clip —
+    exact in both engines), write a sharded positional .bvecs dataset,
+    ranged-scan it back, and prove byte-exact fidelity (dim + sum + max
+    per id).  The byte-vector sibling of S1 — the billion-scale SIFT
+    (bigann) interchange format."""
+    import tempfile
+
+    from vector_search_engine_spark.sources import scan_bvecs, write_bvecs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bv = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                F.least(
+                    F.greatest((x.cast("double") + 2.0) * 60.0, F.lit(0.0)),
+                    F.lit(255.0),
+                )
+            ).cast("int"),
+        ).alias("embedding"),
+    )
+    out = tempfile.mkdtemp(prefix="vse_bvecs_rt_")
+    write_bvecs(bv, out, num_shards=4)
+    back = scan_bvecs(spark, out)
+    e = F.col("embedding")
+    return back.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.aggregate(e, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long"))
+        .alias("elem_sum"),
+        F.array_max(e).cast("int").alias("elem_max"),
+    )
+
+
+@register(
     "ivecs_roundtrip",
     oracle=f"""
 WITH q AS ({_DD_QUERIES}),

@@ -4,6 +4,8 @@ The SIFT interchange formats are record streams::
 
     .fvecs record = int32 dim | dim * float32     (utils.h:11-39)
     .ivecs record = int32 dim | dim * int32       (utils.h:42-67)
+    .bvecs record = int32 dim | dim * uint8       (bigann billion-scale
+                    corpora; no reference loader — scale extension)
 
 The reference reads them single-threaded on one node into one flat array,
 inferring dim from record 0 and validating every record's dim field
@@ -107,10 +109,11 @@ def _scan(
     id_col: str,
     vec_col: str,
     split_bytes: int,
+    elem_bytes: int = 4,
 ) -> DataFrame:
     shards = _list_shards(path, suffix)
     dim = _peek_dim(shards[0])
-    record_bytes = 4 + 4 * dim
+    record_bytes = 4 + elem_bytes * dim
     chunks, total = _plan_chunks(shards, record_bytes, split_bytes)
     plan = spark.createDataFrame(
         pd.DataFrame(chunks, columns=["path", "byte_offset", "n_records", "id_start"])
@@ -124,14 +127,17 @@ def _scan(
                     raw = f.read(int(row.n_records) * record_bytes)
                 if len(raw) != int(row.n_records) * record_bytes:
                     raise IOError(f"{row.path}: short read at {row.byte_offset}")
-                mat = np.frombuffer(raw, dtype=np.int32).reshape(-1, dim + 1)
-                if not (mat[:, 0] == dim).all():
-                    bad = int(np.argmax(mat[:, 0] != dim))
+                # byte-matrix view works for ANY element width (records are
+                # not 4-aligned when elem_bytes == 1, so no int32 reshape)
+                rec = np.frombuffer(raw, dtype=np.uint8).reshape(-1, record_bytes)
+                dims = rec[:, :4].copy().view("<i4").ravel()
+                if not (dims == dim).all():
+                    bad = int(np.argmax(dims != dim))
                     raise ValueError(
                         f"{row.path}: record {int(row.id_start) + bad} has dim "
-                        f"{int(mat[bad, 0])}, expected {dim} (utils.h:24 semantics)"
+                        f"{int(dims[bad])}, expected {dim} (utils.h:24 semantics)"
                     )
-                vecs = mat[:, 1:].view(np_dtype).copy()
+                vecs = rec[:, 4:].copy().view(np_dtype)
                 ids = int(row.id_start) + np.arange(int(row.n_records), dtype=np.int64)
                 yield pd.DataFrame({id_col: ids, vec_col: list(vecs)})
 
@@ -185,6 +191,31 @@ def scan_ivecs(
     )
 
 
+def scan_bvecs(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    split_bytes: int = DEFAULT_SPLIT_BYTES,
+) -> DataFrame:
+    """Distributed ``.bvecs`` scan → ``(id long, vector array<int>)``.
+
+    The byte-vector sibling of fvecs (record = int32 dim | dim × uint8)
+    — the format of the billion-scale SIFT corpora (bigann).  Elements
+    surface as ints 0..255 (Spark has no unsigned byte type)."""
+    return _scan(
+        spark,
+        path,
+        suffix=".bvecs",
+        np_dtype="u1",
+        spark_elem="int",
+        id_col=id_col,
+        vec_col=vec_col,
+        split_bytes=split_bytes,
+        elem_bytes=1,
+    )
+
+
 def _write(
     df: DataFrame,
     out_dir: str,
@@ -222,9 +253,12 @@ def _write(
                 if len(pdf) == 0:
                     continue
                 vecs = np.stack(pdf["_vec"].to_numpy()).astype(np_dtype)
-                dims = np.full((len(vecs), 1), vecs.shape[1], dtype=np.int32)
+                dims = np.full((len(vecs), 1), vecs.shape[1], dtype="<i4")
+                # byte-level hstack works for any element width
                 f.write(
-                    np.hstack([dims, vecs.view(np.int32)]).astype("<i4").tobytes()
+                    np.hstack(
+                        [dims.view(np.uint8), vecs.view(np.uint8)]
+                    ).tobytes()
                 )
                 ids = pdf["_id"].to_numpy()
                 n_rec += len(vecs)
@@ -261,6 +295,26 @@ def write_fvecs(
         out_dir,
         suffix=".fvecs",
         np_dtype="<f4",
+        id_col=id_col,
+        vec_col=vec_col,
+        num_shards=num_shards,
+    )
+
+
+def write_bvecs(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Write ``(id, array<int> with values 0..255)`` as a sharded
+    positional ``.bvecs`` dataset; returns the shard manifest."""
+    return _write(
+        df,
+        out_dir,
+        suffix=".bvecs",
+        np_dtype="u1",
         id_col=id_col,
         vec_col=vec_col,
         num_shards=num_shards,
