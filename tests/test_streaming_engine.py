@@ -385,3 +385,29 @@ def test_compaction_invalidates_quantized_sidecars(spark, embeddings, engine):
     fl = _sorted(engine.index.search(q, k=10, nprobe=np_full))
     pz = _sorted(engine.index.search_pq(q, k=10, nprobe=np_full, m=8))
     assert fl == pz
+
+
+def test_merged_search_pq_tier_equals_exact(spark, embeddings, engine):
+    """tier='pq' swaps the indexed side's candidate scan for IVFADC byte
+    codes; at full probe the merged result must still equal exact kNN
+    over the logical union (shadow exclusion happens BEFORE the bound
+    cut, so upserted ids cannot distort the k-th upper bound)."""
+    tail = embeddings.filter(F.col("vec_id") >= 400)
+    moved = (
+        embeddings.filter(F.col("vec_id") < 5)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x + F.lit(10.0)).cast(
+                "array<float>"
+            ),
+        )
+    )
+    engine.insert(tail)
+    engine.insert(moved)  # shadows indexed versions of ids 0..4
+    q = knn_ops.make_queries(embeddings, n=10)
+    np_full = engine.index.meta["n_centroids"]
+    fl = _sorted(engine.search(q, k=10, nprobe=np_full))
+    pz = _sorted(engine.search(q, k=10, nprobe=np_full, tier="pq"))
+    assert fl == pz
+    with pytest.raises(ValueError, match="tier"):
+        engine.search(q, k=10, tier="sq4")

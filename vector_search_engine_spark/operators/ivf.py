@@ -1087,6 +1087,7 @@ class IVFIndex:
         qvec_col: str = "query",
         candidates_per_partition: int | None = None,
         residual: bool = True,
+        exclude_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Probed search over the PQ sidecar: ADC byte-code scan of the
         probed cells with the triangle-inequality bound cut (provably a
@@ -1140,6 +1141,16 @@ class IVFIndex:
         cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
             "qid", id_col, "code", "resid", "centroid_id"
         )
+        if exclude_ids is not None:
+            # exclusion must happen BEFORE the cut: an excluded vector's
+            # small upper bound would otherwise tighten the k-th ub and
+            # could evict a legitimate survivor (same reason search()
+            # anti-joins before its scan)
+            cand_codes = cand_codes.join(
+                exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)),
+                id_col,
+                "left_anti",
+            )
         cand = pq_bound_cut(
             cand_codes,
             qmap_bc,

@@ -194,10 +194,18 @@ class VectorEngine:
     # -- read path -----------------------------------------------------------
 
     def search(
-        self, queries: DataFrame, k: int = 10, nprobe: int = 4
+        self, queries: DataFrame, k: int = 10, nprobe: int = 4,
+        tier: str = "float",
     ) -> DataFrame:
         """Merged search (reference Q4): ANN over the indexed table with
-        shadowed ids excluded + exact scan of the delta, one global top-k."""
+        shadowed ids excluded + exact scan of the delta, one global top-k.
+
+        ``tier`` selects the indexed side's candidate scan: ``"float"``
+        (default) or ``"pq"`` (IVFADC byte codes + lossless bound cut +
+        exact re-score — same results, ~32× fewer candidate-scan bytes;
+        the delta side always scans exact floats, deltas are small)."""
+        if tier not in ("float", "pq"):
+            raise ValueError(f"unknown search tier {tier!r}")
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
         # pin the delta snapshot ONCE: the exclude anti-join and the delta
@@ -206,9 +214,17 @@ class VectorEngine:
         delta_latest = self.delta_latest(seqs=self._live_seqs())
         # shadowed ids exclude via anti-join — the delta can be arbitrarily
         # large under sustained ingest; ids never visit the driver
-        indexed_part = self.index.search(
-            queries, k=k, nprobe=nprobe, exclude_ids=delta_latest.select(id_col)
-        )
+        if tier == "pq":
+            indexed_part = self.index.search_pq(
+                queries,
+                k=k,
+                nprobe=nprobe,
+                exclude_ids=delta_latest.select(id_col),
+            )
+        else:
+            indexed_part = self.index.search(
+                queries, k=k, nprobe=nprobe, exclude_ids=delta_latest.select(id_col)
+            )
         delta_part = knn_exact(
             delta_latest, queries, k=k, id_col=id_col, vec_col=vec_col
         )
