@@ -516,3 +516,21 @@ def test_dup_span_stats_planted_copy(spark):
     assert out[2].n_spans == 11 and out[2].n_dup_spans == 6
     assert not out[3].mostly_duplicated and out[3].n_dup_spans == 0
     assert out[4].n_spans == 0 and out[4].dup_span_frac == 0.0
+
+
+def test_unigram_stats_flags_rare_token_docs(spark):
+    common = "the cat sat on the mat and the dog ran off today " * 3
+    rows = [
+        (1, common.strip()),
+        (2, common.strip()),
+        (3, "zqxj vvkw pplm qqrs ttuv"),  # all tokens unique corpus-wide
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.unigram_stats(df).collect()}
+    assert out[3].rare_frac == 1.0  # every token appears once
+    assert out[1].rare_frac < 0.2   # common docs share all their tokens
+    assert out[1].mean_token_freq_ppm > out[3].mean_token_freq_ppm
+    assert out[4].n_tokens == 0 and out[4].rare_frac == 0.0
+    # identical docs get identical stats
+    assert tuple(out[1])[1:] == tuple(out[2])[1:]

@@ -928,3 +928,98 @@ SELECT d.doc_id,
            >= {DUP_SPAN_THRESHOLD} AS mostly_duplicated
 FROM documents d LEFT JOIN per_doc pd USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-relative unigram statistics (LM-free quality proxy)
+# ---------------------------------------------------------------------------
+
+RARE_MAX_COUNT = 2  # a token seen <= this many times corpus-wide is "rare"
+
+
+def unigram_stats(documents: DataFrame, rare_max_count: int = RARE_MAX_COUNT) -> DataFrame:
+    """Per-document statistics against the corpus unigram distribution:
+    mean token frequency (ppm) and the fraction of rare tokens — the
+    language-model-free stand-in for perplexity filtering (docs full of
+    corpus-rare tokens are OCR junk, codes, or noise).
+
+    Determinism discipline for the oracle hash: every metric is exact
+    rational arithmetic (integer counts, one correctly-rounded IEEE
+    division per token) and the per-doc float sum runs over a SORTED
+    list on both engines, so no libm call or aggregation order can
+    diverge.  Plan: one token-count aggregation, one posting⋈counts
+    shuffle join, one per-doc aggregation — all partial-aggregated."""
+    posts = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    counts = posts.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    freqs = (
+        posts.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("f"),
+            (F.col("cnt") <= rare_max_count).cast("long").alias("is_rare"),
+        )
+    )
+    per_doc = freqs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("is_rare").cast("long").alias("n_rare"),
+        F.sort_array(F.collect_list("f")).alias("_fs"),
+    )
+    mean_ppm = F.round(
+        F.aggregate(F.col("_fs"), F.lit(0.0), lambda acc, x: acc + x)
+        / F.col("n_tokens").cast("double")
+        * 1_000_000.0,
+        4,
+    )
+    out = documents.select("doc_id").join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
+        F.coalesce(
+            F.when(F.col("n_tokens") > 0,
+                   F.round(F.col("n_rare").cast("double")
+                           / F.col("n_tokens").cast("double"), 4)),
+            F.lit(0.0),
+        ).alias("rare_frac"),
+        F.coalesce(F.when(F.col("n_tokens") > 0, mean_ppm), F.lit(0.0)).alias(
+            "mean_token_freq_ppm"
+        ),
+    )
+
+
+UNIGRAM_STATS_ORACLE = f"""
+WITH posts AS (
+  SELECT doc_id, unnest({DD_TOKENS.format(t="text")}) AS tok FROM documents
+),
+counts AS (
+  SELECT tok, count(*)::BIGINT AS cnt FROM posts GROUP BY tok
+),
+tot AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
+freqs AS (
+  SELECT p.doc_id,
+         CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS f,
+         CASE WHEN c.cnt <= {RARE_MAX_COUNT} THEN 1 ELSE 0 END AS is_rare
+  FROM posts p JOIN counts c USING (tok) CROSS JOIN tot t
+),
+per_doc AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_tokens,
+         sum(is_rare)::BIGINT AS n_rare,
+         list_sort(list(f)) AS fs
+  FROM freqs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(pd.n_rare, 0)::BIGINT AS n_rare,
+       CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
+            ELSE round(CAST(pd.n_rare AS DOUBLE)
+                 / CAST(pd.n_tokens AS DOUBLE), 4) END AS rare_frac,
+       CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
+            ELSE round(list_sum(pd.fs) / CAST(pd.n_tokens AS DOUBLE)
+                 * 1000000.0, 4) END AS mean_token_freq_ppm
+FROM documents d LEFT JOIN per_doc pd USING (doc_id)
+"""

@@ -919,6 +919,13 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register("doc_unigram_stats", oracle=txt_ops.UNIGRAM_STATS_ORACLE)
+def doc_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative unigram stats per doc (rare-token fraction, mean
+    token frequency) — the LM-free perplexity-filter stand-in."""
+    return txt_ops.unigram_stats(load_table(spark, sf_dir, "documents"))
+
+
 @register("doc_dup_span_stats", oracle=txt_ops.DUP_SPAN_STATS_ORACLE)
 def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc fraction of 5-gram spans shared with other documents —
