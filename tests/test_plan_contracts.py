@@ -32,6 +32,11 @@ AUDIT = [
     "events_sessionize",
     "events_user_funnel",
     "doc_stats",
+    "doc_pii_scrub",
+    "doc_quality_filter",
+    "doc_dup_span_stats",
+    "doc_unigram_stats",
+    "corpus_ngram_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
 ]
@@ -68,3 +73,13 @@ def test_tpch_dimension_joins_broadcast(spark, sf_dir):
     plan = _executed_plan(registry.QUERIES["tpch_regional_revenue"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+@pytest.mark.parametrize("name", ["doc_pii_scrub", "doc_quality_filter"])
+def test_pure_scan_text_ops_have_no_exchange(spark, sf_dir, name):
+    """The scrub/filter passes are single-scan column plans; any Exchange
+    appearing here means someone added a shuffle to an embarrassingly
+    parallel operator."""
+    plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
+    assert "Exchange" not in plan, name
+    assert "Python" not in plan, name  # no UDF in the hot path either
