@@ -534,3 +534,25 @@ def test_unigram_stats_flags_rare_token_docs(spark):
     assert out[4].n_tokens == 0 and out[4].rare_frac == 0.0
     # identical docs get identical stats
     assert tuple(out[1])[1:] == tuple(out[2])[1:]
+
+
+def test_mixture_sample_quotas_and_determinism(spark, documents):
+    out = text_ops.mixture_sample(documents)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # quota = weight * B, exactly filled, weight from the source suffix
+    bs = {s: rs[0].quota // rs[0].weight for s, rs in by_src.items()}
+    assert len(set(bs.values())) == 1  # one global batch multiplier
+    for s, rs in by_src.items():
+        w = 1 + int(s[3:]) % 4
+        assert rs[0].weight == w
+        assert len(rs) == rs[0].quota == w * next(iter(bs.values()))
+        assert max(r.sample_rank for r in rs) == len(rs)
+    # deterministic under repartitioning
+    again = {
+        (r.source, r.doc_id)
+        for r in text_ops.mixture_sample(documents.repartition(13)).collect()
+    }
+    assert {(r.source, r.doc_id) for r in rows} == again

@@ -1023,3 +1023,97 @@ SELECT d.doc_id,
                  * 1000000.0, 4) END AS mean_token_freq_ppm
 FROM documents d LEFT JOIN per_doc pd USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture sampling (per-source target weights)
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic data-mixture sampling — the pretraining mixing step:
+    each source gets a quota proportional to its target weight, scaled to
+    the largest batch multiplier every source can actually satisfy
+    (``B = min_s floor(n_s / w_s)``, quota_s = ``w_s · B``), and fills it
+    with the top-``quota`` docs by the same salted-md5 rank
+    ``capped_source_sample`` uses — reproducible across runs, engines and
+    partitionings.
+
+    Weights derive from the source name (1 + numeric-suffix mod 4) so
+    the oracle can recompute them without a side table; a production
+    caller joins its own weight table in the same shape.  Plan: one tiny
+    per-source aggregate (broadcast), one window rank — the corpus
+    never shuffles on anything except the rank's source partitioning."""
+    from pyspark.sql import Window
+
+    w_expr = (
+        1 + F.substring(F.col("source"), 4, 10).cast("int") % 4
+    ).cast("long")
+    stats = (
+        documents.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .withColumn("weight", w_expr)
+    )
+    b = stats.agg(
+        F.min(F.floor(F.col("n_docs") / F.col("weight")))
+        .cast("long")
+        .alias("b")
+    )
+    plan = stats.crossJoin(F.broadcast(b)).select(
+        "source",
+        "weight",
+        (F.col("weight") * F.col("b")).cast("long").alias("quota"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    win = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = (
+        documents.select("source", "doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(win))
+    )
+    return (
+        ranked.join(F.broadcast(plan), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select(
+            "source",
+            "doc_id",
+            F.col("rn").cast("long").alias("sample_rank"),
+            "weight",
+            "quota",
+        )
+    )
+
+
+MIXTURE_SAMPLE_ORACLE = f"""
+WITH stats AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         (1 + CAST(substr(source, 4) AS INTEGER) % 4)::BIGINT AS weight
+  FROM documents GROUP BY source
+),
+b AS (SELECT min(n_docs // weight)::BIGINT AS b FROM stats),
+plan AS (
+  SELECT source, weight, (weight * b.b)::BIGINT AS quota
+  FROM stats CROSS JOIN b
+),
+h AS (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM h
+)
+SELECT r.source, r.doc_id, r.rn AS sample_rank, p.weight, p.quota
+FROM r JOIN plan p USING (source)
+WHERE r.rn <= p.quota
+"""

@@ -966,6 +966,13 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.decontaminate(load_table(spark, sf_dir, "documents"))
 
 
+@register("corpus_mixture_sample", oracle=txt_ops.MIXTURE_SAMPLE_ORACLE)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional per-source sampling (the pretraining data-
+    mixture step), deterministic by salted-md5 rank."""
+    return txt_ops.mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "corpus_capped_sample", oracle=txt_ops.CAPPED_SOURCE_SAMPLE_ORACLE
 )
