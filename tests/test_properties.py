@@ -268,3 +268,35 @@ def test_decontaminate_matches_python(spark, docs):
         n = len(sh3(toks) & eval_sh)
         want[i] = (n, n >= text_ops.DECON_MIN_OVERLAP)
     assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(2, 64),
+    m=st.integers(1, 8),
+    k=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    scale=st.floats(1e-3, 1e3),
+)
+def test_pq_bound_cut_mask_covers_true_topk(n, m, k, seed, scale):
+    """Pure-math property of the lossless cut: for ANY vectors, ANY
+    codeword assignment (even adversarially bad ones) and any k, the
+    kept set must contain the true top-k by exact distance.  This is
+    the triangle-inequality claim the oracle-hash equality rides on,
+    exercised far beyond the trained-codebook geometries Spark tests
+    reach."""
+    from vector_search_engine_spark.operators.pq import bound_cut_mask
+
+    rng = np.random.default_rng(seed)
+    dim = 4 * m
+    X = rng.normal(0, scale, (n, dim))
+    q = rng.normal(0, scale, dim)
+    # arbitrary (not even nearest!) codewords: the bound only needs the
+    # residual to be measured against whatever codeword was stored
+    recon = X + rng.normal(0, scale * rng.uniform(0, 2), (n, dim))
+    d_adc = ((recon - q) ** 2).sum(axis=1)
+    resid = np.linalg.norm(X - recon, axis=1).astype(np.float32)  # storage dtype
+    keep = bound_cut_mask(d_adc, resid.astype(np.float64), k)
+    true_d = ((X - q) ** 2).sum(axis=1)
+    top = np.argsort(true_d, kind="stable")[: min(k, n)]
+    assert keep[top].all(), (keep.sum(), n)

@@ -205,6 +205,23 @@ def _adc_lut(q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     return lut
 
 
+def bound_cut_mask(
+    d_adc: np.ndarray, resid: np.ndarray, k: int
+) -> np.ndarray:
+    """The lossless-cut decision, isolated for direct testing: given ADC
+    squared distances and residual norms, keep every candidate whose
+    lower bound ``sqrt(d_adc) − e`` is ≤ the k-th smallest upper bound
+    ``sqrt(d_adc) + e`` (e = resid + float slop).  Returns a bool mask
+    that provably covers the true top-k of the scanned set."""
+    sd = np.sqrt(np.maximum(d_adc, 0.0))
+    # float32 storage + float64 GEMM slop on top of the exact
+    # triangle bound (same epsilon discipline as search_sq8)
+    e = np.asarray(resid, dtype=np.float64) * (1 + 1e-5) + 1e-6
+    ub = sd + e
+    kth = np.partition(ub, min(k, len(ub)) - 1)[min(k, len(ub)) - 1]
+    return (sd - e) <= kth
+
+
 def pq_bound_cut(
     codes: DataFrame,
     qmap_bc,
@@ -258,13 +275,9 @@ def pq_bound_cut(
                         {"qid": int(qid), "neighbor_id": ids[part]}
                     )
                     continue
-                sd = np.sqrt(d_adc)
-                # float32 storage + float64 GEMM slop on top of the exact
-                # triangle bound (same epsilon discipline as search_sq8)
-                e = grp["resid"].to_numpy(dtype=np.float64) * (1 + 1e-5) + 1e-6
-                ub = sd + e
-                kth = np.partition(ub, min(k, len(ub)) - 1)[min(k, len(ub)) - 1]
-                keep = (sd - e) <= kth
+                keep = bound_cut_mask(
+                    d_adc, grp["resid"].to_numpy(dtype=np.float64), k
+                )
                 yield pd.DataFrame({"qid": int(qid), "neighbor_id": ids[keep]})
 
     return codes.mapInPandas(cut, schema="qid long, neighbor_id long")
@@ -310,15 +323,11 @@ def knn_pq_adc(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             raw = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8)
             C = raw.reshape(len(ids), m_)
-            e = pdf["resid"].to_numpy(dtype=np.float64) * (1 + 1e-5) + 1e-6
+            resid = pdf["resid"].to_numpy(dtype=np.float64)
             # ADC for all queries at once: (|Q|, n) lookup-sum
             d_adc = luts[:, np.arange(m_)[None, :], C].sum(axis=2)
-            np.maximum(d_adc, 0.0, out=d_adc)
-            sd = np.sqrt(d_adc)
             for i, qid in enumerate(qids_):
-                ub = sd[i] + e
-                kth = np.partition(ub, min(k, len(ub)) - 1)[min(k, len(ub)) - 1]
-                keep = (sd[i] - e) <= kth
+                keep = bound_cut_mask(d_adc[i], resid, k)
                 yield pd.DataFrame(
                     {"qid": int(qid), "neighbor_id": ids[keep]}
                 )
