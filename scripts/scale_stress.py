@@ -67,6 +67,9 @@ def main() -> None:
             ),
         )
         .withColumn("n_chars", F.length("text").cast("long"))
+        .withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+        )
         .cache()
     )
     n_docs = docs.count()
@@ -92,6 +95,31 @@ def main() -> None:
             "ngram_jaccard_pairs_ppjoin",
             lambda: dedup_ops.ngram_jaccard_pairs_ppjoin(docs).count(),
         )
+
+    # round-6 text-pipeline passes: the zero-shuffle scans should scale
+    # linearly; the postings-join ops (dup spans, unigrams, ngram stats)
+    # carry one-to-two hash-key shuffles whose cost this pins at 100k
+    from vector_search_engine_spark.operators import text_ops
+
+    timed(
+        results,
+        "quality_filter",
+        lambda: text_ops.quality_filter(docs).count(),
+    )
+    timed(results, "pii_scrub", lambda: text_ops.pii_scrub(docs).count())
+    timed(
+        results,
+        "dup_span_stats",
+        lambda: text_ops.dup_span_stats(docs).count(),
+    )
+    timed(
+        results,
+        "unigram_stats",
+        lambda: text_ops.unigram_stats(docs).count(),
+    )
+    timed(
+        results, "ngram_stats", lambda: text_ops.ngram_stats(docs).count()
+    )
     docs.unpersist()
 
     rng = np.random.default_rng(7)
@@ -134,6 +162,23 @@ def main() -> None:
         results,
         "ivf_search_full_probe",
         lambda: idx.search(q, k=10, nprobe=nc).count(),
+    )
+    timed(
+        results,
+        "pq_sidecar_build",
+        lambda: 1 if idx.ensure_pq(m=8) else 0,
+    )
+    timed(
+        results,
+        "pq_search_nprobe8",
+        lambda: idx.search_pq(q, k=10, nprobe=8).count(),
+    )
+    timed(
+        results,
+        "pq_search_nprobe8_topc",
+        lambda: idx.search_pq(
+            q, k=10, nprobe=8, candidates_per_partition=160
+        ).count(),
     )
 
     print(
