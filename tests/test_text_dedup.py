@@ -556,3 +556,27 @@ def test_mixture_sample_quotas_and_determinism(spark, documents):
         for r in text_ops.mixture_sample(documents.repartition(13)).collect()
     }
     assert {(r.source, r.doc_id) for r in rows} == again
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    text40 = " ".join(f"w{i}" for i in range(1, 101))  # 100 tokens
+    rows = [(1, text40), (2, "a b c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.chunk_documents(df, chunk_tokens=40, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # starts advance by 32: 1, 33, 65 — the last window clips to 100
+    assert [(r.start_tok, r.end_tok) for r in c1] == [(1, 40), (33, 72), (65, 100)]
+    assert c1[0].chunk_text.startswith("w1 w2 ") and c1[0].n_chunk_tokens == 40
+    assert c1[2].n_chunk_tokens == 36
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert c1[0].chunk_text.split()[-8:] == c1[1].chunk_text.split()[:8]
+    # short doc -> one clipped chunk; empty doc -> no rows
+    assert [(r.start_tok, r.end_tok, r.chunk_text) for r in by_doc[2]] == [
+        (1, 3, "a b c")
+    ]
+    assert 3 not in by_doc
+    with pytest.raises(ValueError, match="overlap"):
+        text_ops.chunk_documents(df, chunk_tokens=8, overlap=8)

@@ -1117,3 +1117,75 @@ SELECT r.source, r.doc_id, r.rn AS sample_rank, p.weight, p.quota
 FROM r JOIN plan p USING (source)
 WHERE r.rn <= p.quota
 """
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed-size token windows with overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 40
+CHUNK_OVERLAP = 8
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the chunking pass every pretraining / retrieval pipeline runs before
+    embedding or packing.  Chunk starts advance by ``chunk_tokens −
+    overlap``; the final window is clipped to the document end; docs
+    with zero tokens emit no rows.
+
+    Pure per-row array expressions (sequence → posexplode → slice):
+    zero shuffle, and chunk identity (doc_id, chunk_id, start/end token
+    offsets) is deterministic — two runs or two engines produce the
+    identical chunk table."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    df = documents.withColumn("_t", tokens(F.col("text")))
+    n = F.size("_t")
+    starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(
+            F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(step)
+        )
+    )
+    df = df.select(
+        "doc_id", "_t", n.alias("_n"), F.posexplode(starts).alias("pos", "start")
+    )
+    end = F.least(F.col("start") + F.lit(chunk_tokens - 1), F.col("_n"))
+    return df.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - F.col("start") + 1).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice(F.col("_t"), F.col("start"), end - F.col("start") + 1)
+        ).alias("chunk_text"),
+    )
+
+
+CHUNK_DOCUMENTS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t, len(t) AS n,
+         unnest(range(1, greatest(len(t) - {CHUNK_OVERLAP}, 1) + 1,
+                      {CHUNK_TOKENS - CHUNK_OVERLAP})) AS start
+  FROM tok WHERE len(t) > 0
+)
+SELECT doc_id,
+       ((start - 1) / {CHUNK_TOKENS - CHUNK_OVERLAP} + 1)::BIGINT AS chunk_id,
+       start::BIGINT AS start_tok,
+       least(start + {CHUNK_TOKENS - 1}, n)::BIGINT AS end_tok,
+       (least(start + {CHUNK_TOKENS - 1}, n) - start + 1)::BIGINT
+           AS n_chunk_tokens,
+       array_to_string(
+           list_slice(t, start, least(start + {CHUNK_TOKENS - 1}, n)),
+           ' ') AS chunk_text
+FROM starts
+"""

@@ -919,6 +919,13 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register("doc_chunks", oracle=txt_ops.CHUNK_DOCUMENTS_ORACLE)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token-window chunking — the pass every
+    pretraining / retrieval pipeline runs before embedding or packing."""
+    return txt_ops.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 @register("doc_unigram_stats", oracle=txt_ops.UNIGRAM_STATS_ORACLE)
 def doc_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative unigram stats per doc (rare-token fraction, mean
