@@ -1628,8 +1628,14 @@ _GRADE_FIRST: list[str] = [
     # LLM-pipeline: corpus ops
     "corpus_approx_distinct",
     "corpus_dedup_stats",
-    "corpus_capped_sample",
-    "corpus_train_val_split",
+    # (r6 late rotations: corpus_mixture_sample strictly generalizes
+    # corpus_capped_sample's salted-md5 quota mechanism, and
+    # corpus_train_val_split shares that same hash-rank core — both
+    # rotated-out queries stay registered, canary-smoked and
+    # pytest-gated; their slots go to the never-driver-graded
+    # corpus_mixture_sample and doc_chunks.)
+    "corpus_mixture_sample",
+    "doc_chunks",
     "corpus_pack_sequences",
     "pipeline_neardup_corpus",
     # LLM-pipeline: multimodal
