@@ -580,3 +580,13 @@ def test_chunk_documents_windows_and_edges(spark):
     assert 3 not in by_doc
     with pytest.raises(ValueError, match="overlap"):
         text_ops.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_mixture_sample_non_numeric_source_defaults_weight_one(spark):
+    rows = [(i, "web", f"doc {i} text") for i in range(4)]
+    rows += [(10 + i, "src1", f"doc {10+i} text") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = text_ops.mixture_sample(df)
+    weights = {r.source: r.weight for r in out.collect()}
+    assert weights["web"] == 1  # non-numeric suffix -> default weight
+    assert weights["src1"] == 2

@@ -1046,9 +1046,16 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
     never shuffles on anything except the rank's source partitioning."""
     from pyspark.sql import Window
 
-    w_expr = (
-        1 + F.substring(F.col("source"), 4, 10).cast("int") % 4
-    ).cast("long")
+    # non-numeric suffixes weight 1 (try_cast: ANSI cast would throw on
+    # them, DuckDB's CAST errors too — coalescing keeps the
+    # fixture-default derivation total; production callers join a real
+    # weight table instead)
+    w_expr = F.coalesce(
+        (
+            1 + F.substring(F.col("source"), 4, 10).try_cast("int") % 4
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
     stats = (
         documents.groupBy("source")
         .agg(F.count("*").cast("long").alias("n_docs"))
