@@ -36,7 +36,9 @@ AUDIT = [
     "doc_quality_filter",
     "doc_dup_span_stats",
     "doc_unigram_stats",
+    "doc_chunks",
     "corpus_ngram_stats",
+    "corpus_mixture_sample",
     "dedup_exact",
     "dedup_ngram_jaccard",
 ]
