@@ -377,3 +377,31 @@ def test_search_distributed_identical_to_search(spark, embeddings, index):
         a = index.search(q, k=10, nprobe=nprobe).orderBy("qid", "rank")
         b = index.search_distributed(q, k=10, nprobe=nprobe).orderBy("qid", "rank")
         assert [tuple(r) for r in b.collect()] == [tuple(r) for r in a.collect()]
+
+
+def test_cosine_ivf_full_probe_equals_flat_cosine(spark, embeddings, tmp_path):
+    """Cosine via the normalized-vector L2 index + exact-cosine rescore
+    must equal the flat cosine path bit-for-bit at full probe."""
+    from vector_search_engine_spark.functions.vector import normalize
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    d = str(tmp_path / "cosidx")
+    normed = embeddings.select(
+        "vec_id",
+        normalize(F.col("embedding")).cast("array<float>").alias("embedding"),
+    )
+    idx = ivf_mod.IVFIndex.build(normed, d, n_centroids=8, extra_cols=())
+    q = knn_ops.make_queries(embeddings, n=10)
+    flat = knn_ops.knn_exact(embeddings, q, k=10, metric="cosine").orderBy(
+        "qid", "rank"
+    )
+    got = ivf_mod.search_cosine(
+        idx, embeddings, q, k=10, nprobe=idx.meta["n_centroids"]
+    ).orderBy("qid", "rank")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat.collect()]
+    # partial probe: self-match survives (query IS a corpus vector, its
+    # cell is always the nearest) and sims are exact for returned rows
+    part = ivf_mod.search_cosine(idx, embeddings, q, k=10, nprobe=2)
+    top1 = {r.qid: r for r in part.collect() if r.rank == 1}
+    for qid, r in top1.items():
+        assert r.neighbor_id == qid and r.sim == 1.0

@@ -1306,10 +1306,17 @@ def build_or_load(
     n_centroids: int | None = None,
     table: str = "embeddings",
     extra_cols: tuple[str, ...] = ("label",),
+    normalized: bool = False,
 ) -> IVFIndex:
+    """``normalized=True`` builds the index over L2-normalized copies of
+    the vectors — cosine geometry: squared L2 on unit vectors is
+    ``2 − 2·cos``, strictly monotone in cosine similarity, so probing
+    and candidate ranking order exactly as cosine would.  The cache key
+    carries the mode so the two geometries never alias."""
     fp = _data_fingerprint(f"{sf_dir}/{table}.parquet")
     key = (
         f"{sf_dir.strip('/').replace('/', '_')}_{table}_"
+        f"{'cos_' if normalized else ''}"
         f"{n_centroids or 'auto'}_{fp}_v3"
     )
     index_dir = os.path.join(_CACHE_ROOT, key)
@@ -1327,6 +1334,16 @@ def build_or_load(
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         os.makedirs(_CACHE_ROOT, exist_ok=True)
         vectors = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if normalized:
+            from vector_search_engine_spark.functions.vector import normalize
+
+            vectors = vectors.select(
+                "vec_id",
+                normalize(F.col("embedding")).cast("array<float>").alias(
+                    "embedding"
+                ),
+                *extra_cols,
+            )
         IVFIndex.build(
             vectors, index_dir, n_centroids=n_centroids, extra_cols=extra_cols
         )
@@ -1334,3 +1351,62 @@ def build_or_load(
     with _INSTANCE_LOCK:
         _INSTANCE_CACHE[cache_key] = inst
     return inst
+
+
+def search_cosine(
+    index: IVFIndex,
+    original_vectors: DataFrame,
+    queries,
+    k: int = 10,
+    nprobe: int = 4,
+    candidate_margin: int = 10,
+) -> DataFrame:
+    """Cosine ANN through an L2 index over normalized vectors.
+
+    Squared L2 on unit vectors is ``2 − 2·cos`` — strictly monotone in
+    cosine — so probing and candidate ranking on the normalized index
+    order exactly as cosine would.  Candidates (top ``k +
+    candidate_margin`` per query, absorbing float32-normalization
+    rounding among near-ties) are then re-scored with EXACT cosine on
+    the ORIGINAL vectors — the same ``cosine_sim`` expression the flat
+    path and the DuckDB oracle use — so at full probe the output is
+    hash-identical to ``knn_exact(metric='cosine')``.
+
+    The index must have been built with ``build_or_load(...,
+    normalized=True)`` (or equivalent); ``original_vectors`` is the
+    unnormalized table the similarities are reported against."""
+    from vector_search_engine_spark.functions.vector import cosine_sim
+    from vector_search_engine_spark.operators.knn import (
+        _finalize_topk,
+        _queries_df,
+        _query_arrays as knn_query_arrays,
+    )
+
+    spark = index.spark
+    qids, Q = knn_query_arrays(queries)
+    if len(qids) == 0:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, rank long, sim double"
+        )
+    norms = np.linalg.norm(Q.astype(np.float64), axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    Qn = (Q.astype(np.float64) / norms).astype(np.float32)
+    cand = index.search(
+        (qids, Qn), k=k + candidate_margin, nprobe=nprobe
+    ).select("qid", "neighbor_id")
+    qdf = _queries_df(spark, queries, qids, Q)
+    rescored = (
+        cand.join(
+            original_vectors.select(
+                F.col("vec_id").alias("neighbor_id"), "embedding"
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            cosine_sim(F.col("embedding"), F.col("query")).alias("dist"),
+        )
+    )
+    return _finalize_topk(rescored, k, "cosine")

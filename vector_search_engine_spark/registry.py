@@ -552,6 +552,21 @@ def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_cosine", oracle=ORACLES["knn_exact_cosine"])
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine ANN through an L2 index over NORMALIZED vectors (unit-
+    vector L2² = 2 − 2·cos, monotone), with candidates re-scored by the
+    exact cosine expression on the ORIGINAL vectors — at full probe
+    hash-identical to the flat cosine oracle.  Metric coverage the
+    L2-only reference lacks (``distance.cpp``)."""
+    index = ivf.build_or_load(spark, sf_dir, normalized=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_cosine(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"],
+    )
+
+
 @register("knn_pq_adc", oracle=ORACLES["knn_exact_l2"])
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization flat search: m-byte ADC code scan (32× fewer
