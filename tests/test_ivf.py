@@ -405,3 +405,40 @@ def test_cosine_ivf_full_probe_equals_flat_cosine(spark, embeddings, tmp_path):
     top1 = {r.qid: r for r in part.collect() if r.rank == 1}
     for qid, r in top1.items():
         assert r.neighbor_id == qid and r.sim == 1.0
+
+
+def test_mips_ivf_full_probe_equals_flat_ip(spark, embeddings, sf_dir):
+    """The inner-product→L2 reduction (constant-norm augmentation + zero-
+    padded queries) must rank exactly as MIPS; with the exact dot rescore
+    the full-probe output equals the flat metric='ip' path bit-for-bit."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx = ivf_mod.build_or_load(spark, sf_dir, geometry="mips")
+    q = knn_ops.make_queries(embeddings, n=10)
+    flat = knn_ops.knn_exact(embeddings, q, k=10, metric="ip").orderBy(
+        "qid", "rank"
+    )
+    got = ivf_mod.search_ip(
+        idx, embeddings, q, k=10, nprobe=idx.meta["n_centroids"]
+    ).orderBy("qid", "rank")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat.collect()]
+
+
+def test_knn_exact_ip_matches_numpy(spark, embeddings, embeddings_np):
+    ids, V = embeddings_np
+    q = knn_ops.make_queries(embeddings, n=5)
+    got = {
+        (r.qid, r.rank): (r.neighbor_id, r.sim)
+        for r in knn_ops.knn_exact(embeddings, q, k=5, metric="ip").collect()
+    }
+    Vd = V.astype(np.float64)
+    order = np.argsort(ids)
+    for qid in range(5):
+        qv = Vd[order][qid]
+        sims = Vd[order] @ qv
+        # rank desc by (sim, -id): lexsort on (id, -sim)
+        rank = np.lexsort((ids[order], -sims))
+        for r in range(5):
+            nid, sim = got[(qid, r + 1)]
+            assert nid == ids[order][rank[r]]
+            assert sim == round(float(sims[rank[r]]), 4)

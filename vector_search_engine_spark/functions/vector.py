@@ -114,6 +114,11 @@ def cosine_sim_pairs_udf():
     return pair_cosine
 
 
+def ip_matrix(V: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """All-pairs inner product: V (n,d) x Q (m,d) -> (n,m), float64."""
+    return np.asarray(V, dtype=np.float64) @ np.asarray(Q, dtype=np.float64).T
+
+
 def cosine_sim_matrix(V: np.ndarray, Q: np.ndarray) -> np.ndarray:
     """All-pairs cosine similarity: V (n,d) x Q (m,d) -> (n,m), float64."""
     V = np.asarray(V, dtype=np.float64)

@@ -1307,16 +1307,27 @@ def build_or_load(
     table: str = "embeddings",
     extra_cols: tuple[str, ...] = ("label",),
     normalized: bool = False,
+    geometry: str | None = None,
 ) -> IVFIndex:
-    """``normalized=True`` builds the index over L2-normalized copies of
-    the vectors — cosine geometry: squared L2 on unit vectors is
-    ``2 − 2·cos``, strictly monotone in cosine similarity, so probing
-    and candidate ranking order exactly as cosine would.  The cache key
-    carries the mode so the two geometries never alias."""
+    """``geometry`` selects the vector transform the index is built over
+    (cache-keyed so modes never alias):
+
+    * ``"l2"`` (default) — raw vectors, L2 search;
+    * ``"cosine"`` (or legacy ``normalized=True``) — L2-normalized
+      copies: unit-vector L2² is ``2 − 2·cos``, strictly monotone in
+      cosine, so probing and ranking order exactly as cosine would;
+    * ``"mips"`` — the inner-product→L2 reduction (Bachrach et al.,
+      RecSys 2014): augment each vector with ``sqrt(M² − ‖x‖²)`` (M =
+      max norm), making every row norm M; with queries padded by a zero
+      the augmented L2² is ``‖q‖² + M² − 2⟨q,x⟩`` — monotone decreasing
+      in the inner product, so L2 probing ranks exactly as MIPS."""
+    geometry = geometry or ("cosine" if normalized else "l2")
+    if geometry not in ("l2", "cosine", "mips"):
+        raise ValueError(f"unknown geometry {geometry!r}")
     fp = _data_fingerprint(f"{sf_dir}/{table}.parquet")
     key = (
         f"{sf_dir.strip('/').replace('/', '_')}_{table}_"
-        f"{'cos_' if normalized else ''}"
+        f"{'' if geometry == 'l2' else geometry + '_'}"
         f"{n_centroids or 'auto'}_{fp}_v3"
     )
     index_dir = os.path.join(_CACHE_ROOT, key)
@@ -1334,7 +1345,7 @@ def build_or_load(
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         os.makedirs(_CACHE_ROOT, exist_ok=True)
         vectors = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        if normalized:
+        if geometry == "cosine":
             from vector_search_engine_spark.functions.vector import normalize
 
             vectors = vectors.select(
@@ -1342,6 +1353,19 @@ def build_or_load(
                 normalize(F.col("embedding")).cast("array<float>").alias(
                     "embedding"
                 ),
+                *extra_cols,
+            )
+        elif geometry == "mips":
+            from vector_search_engine_spark.functions.vector import dot
+
+            sq_norm = dot(F.col("embedding"), F.col("embedding"))
+            m2 = vectors.agg(F.max(sq_norm).alias("m2")).collect()[0]["m2"]
+            vectors = vectors.select(
+                "vec_id",
+                F.concat(
+                    F.col("embedding").cast("array<double>"),
+                    F.array(F.sqrt(F.greatest(F.lit(float(m2)) - sq_norm, F.lit(0.0)))),
+                ).cast("array<float>").alias("embedding"),
                 *extra_cols,
             )
         IVFIndex.build(
@@ -1410,3 +1434,54 @@ def search_cosine(
         )
     )
     return _finalize_topk(rescored, k, "cosine")
+
+
+def search_ip(
+    index: IVFIndex,
+    original_vectors: DataFrame,
+    queries,
+    k: int = 10,
+    nprobe: int = 4,
+    candidate_margin: int = 10,
+) -> DataFrame:
+    """Maximum-inner-product ANN through a MIPS-augmented L2 index
+    (``build_or_load(..., geometry="mips")``): queries pad a zero
+    coordinate, so augmented L2² is ``‖q‖² + M² − 2⟨q,x⟩`` — monotone
+    decreasing in the inner product.  Candidates are re-scored with the
+    exact dot product on the ORIGINAL vectors; at full probe the output
+    is hash-identical to ``knn_exact(metric='ip')``."""
+    from vector_search_engine_spark.functions.vector import dot
+    from vector_search_engine_spark.operators.knn import (
+        _finalize_topk,
+        _queries_df,
+        _query_arrays as knn_query_arrays,
+    )
+
+    spark = index.spark
+    qids, Q = knn_query_arrays(queries)
+    if len(qids) == 0:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, rank long, sim double"
+        )
+    Qa = np.hstack(
+        [Q.astype(np.float32), np.zeros((len(Q), 1), dtype=np.float32)]
+    )
+    cand = index.search(
+        (qids, Qa), k=k + candidate_margin, nprobe=nprobe
+    ).select("qid", "neighbor_id")
+    qdf = _queries_df(spark, queries, qids, Q)
+    rescored = (
+        cand.join(
+            original_vectors.select(
+                F.col("vec_id").alias("neighbor_id"), "embedding"
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            dot(F.col("embedding"), F.col("query")).alias("dist"),
+        )
+    )
+    return _finalize_topk(rescored, k, "ip")

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from vector_search_engine_spark.functions.vector import (
     cosine_sim,
     cosine_sim_matrix,
+    dot,
+    ip_matrix,
     l2_sq,
     l2_sq_matrix,
 )
@@ -130,11 +132,12 @@ def knn_exact(
     """Exact top-k neighbors for every query.
 
     Returns ``(qid, neighbor_id, rank, dist_sq|sim)``; rank ascending by
-    (dist, id) for L2, (−sim, id) for cosine.  ``method='pandas'`` is the
-    GEMM fast path; ``method='sql'`` is the pure-Catalyst plan (same
-    results — used for plan audits and as the oracle twin).
+    (dist, id) for L2, (−sim, id) for cosine and inner product ('ip' —
+    the MIPS ranking).  ``method='pandas'`` is the GEMM fast path;
+    ``method='sql'`` is the pure-Catalyst plan (same results — used for
+    plan audits and as the oracle twin).
     """
-    if metric not in ("l2_sq", "cosine"):
+    if metric not in ("l2_sq", "cosine", "ip"):
         raise ValueError(f"unknown metric {metric!r}")
     if method == "sql":
         if isinstance(queries, tuple):
@@ -145,6 +148,8 @@ def knn_exact(
         dist_expr: Column = (
             l2_sq(F.col(vec_col), F.col("query"))
             if metric == "l2_sq"
+            else dot(F.col(vec_col), F.col("query"))
+            if metric == "ip"
             else cosine_sim(F.col(vec_col), F.col("query"))
         )
         cand = vectors.join(F.broadcast(queries)).select(
@@ -160,7 +165,7 @@ def knn_exact(
             + ("dist_sq double" if metric == "l2_sq" else "sim double"),
         )
     bc = spark.sparkContext.broadcast((qids, Q))
-    larger_is_better = metric == "cosine"
+    larger_is_better = metric in ("cosine", "ip")
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, Q_ = bc.value
@@ -174,9 +179,11 @@ def knn_exact(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             V = np.stack(pdf[vec_col].to_numpy())
             D = (
-                cosine_sim_matrix(V, Q_)
-                if larger_is_better
-                else l2_sq_matrix(V, Q_)
+                l2_sq_matrix(V, Q_)
+                if metric == "l2_sq"
+                else ip_matrix(V, Q_)
+                if metric == "ip"
+                else cosine_sim_matrix(V, Q_)
             )
             key = -D if larger_is_better else D
             cut = len(ids) > 4 * k

@@ -177,6 +177,31 @@ def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_exact_ip",
+    oracle=f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {_DD_DOT.format(a="e.embedding", b="q.query")} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist DESC, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, neighbor_id, "rank", round(dist, 4) AS sim
+FROM r WHERE "rank" <= 10
+""",
+)
+def knn_exact_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-product top-10 — the MIPS ranking recommender / retrieval
+    scorers use; third first-class metric beside L2 and cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.knn_exact(emb, knn_ops.make_queries(emb), k=10, metric="ip")
+
+
+@register(
     "knn_filtered",
     oracle=f"""
 WITH q AS ({_DD_QUERIES}),
@@ -559,9 +584,24 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine expression on the ORIGINAL vectors — at full probe
     hash-identical to the flat cosine oracle.  Metric coverage the
     L2-only reference lacks (``distance.cpp``)."""
-    index = ivf.build_or_load(spark, sf_dir, normalized=True)
+    index = ivf.build_or_load(spark, sf_dir, geometry="cosine")
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf.search_cosine(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"],
+    )
+
+
+@register("ann_ivf_ip", oracle=ORACLES["knn_exact_ip"])
+def ann_ivf_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS ANN via the inner-product→L2 reduction: the index stores
+    vectors augmented to constant norm M, queries pad a zero, and
+    augmented L2 ranks exactly as the inner product; candidates re-score
+    with the exact dot on the original vectors — full probe is
+    hash-identical to the flat MIPS oracle."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="mips")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_ip(
         index, emb, knn_ops.make_queries(emb), k=10,
         nprobe=index.meta["n_centroids"],
     )
