@@ -442,3 +442,20 @@ def test_knn_exact_ip_matches_numpy(spark, embeddings, embeddings_np):
             nid, sim = got[(qid, r + 1)]
             assert nid == ids[order][rank[r]]
             assert sim == round(float(sims[rank[r]]), 4)
+
+
+def test_filtered_cosine_ivf_full_probe(spark, embeddings, sf_dir):
+    """predicate composes with the cosine tier: full probe equals the
+    flat cosine top-k over the filtered subset."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx = ivf_mod.build_or_load(spark, sf_dir, geometry="cosine")
+    q = knn_ops.make_queries(embeddings, n=5)
+    flat = knn_ops.knn_exact(
+        embeddings.filter(F.col("label") < 5), q, k=10, metric="cosine"
+    ).orderBy("qid", "rank")
+    got = ivf_mod.search_cosine(
+        idx, embeddings, q, k=10, nprobe=idx.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+    ).orderBy("qid", "rank")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat.collect()]

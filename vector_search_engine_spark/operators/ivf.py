@@ -1384,6 +1384,7 @@ def search_cosine(
     k: int = 10,
     nprobe: int = 4,
     candidate_margin: int = 10,
+    predicate=None,
 ) -> DataFrame:
     """Cosine ANN through an L2 index over normalized vectors.
 
@@ -1416,7 +1417,7 @@ def search_cosine(
     norms[norms == 0.0] = 1.0
     Qn = (Q.astype(np.float64) / norms).astype(np.float32)
     cand = index.search(
-        (qids, Qn), k=k + candidate_margin, nprobe=nprobe
+        (qids, Qn), k=k + candidate_margin, nprobe=nprobe, predicate=predicate
     ).select("qid", "neighbor_id")
     qdf = _queries_df(spark, queries, qids, Q)
     rescored = (
@@ -1443,6 +1444,7 @@ def search_ip(
     k: int = 10,
     nprobe: int = 4,
     candidate_margin: int = 10,
+    predicate=None,
 ) -> DataFrame:
     """Maximum-inner-product ANN through a MIPS-augmented L2 index
     (``build_or_load(..., geometry="mips")``): queries pad a zero
@@ -1467,7 +1469,7 @@ def search_ip(
         [Q.astype(np.float32), np.zeros((len(Q), 1), dtype=np.float32)]
     )
     cand = index.search(
-        (qids, Qa), k=k + candidate_margin, nprobe=nprobe
+        (qids, Qa), k=k + candidate_margin, nprobe=nprobe, predicate=predicate
     ).select("qid", "neighbor_id")
     qdf = _queries_df(spark, queries, qids, Q)
     rescored = (
