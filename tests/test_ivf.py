@@ -459,3 +459,32 @@ def test_filtered_cosine_ivf_full_probe(spark, embeddings, sf_dir):
         predicate=F.col("label") < 5,
     ).orderBy("qid", "rank")
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat.collect()]
+
+
+def test_cosine_radius_pruned_equals_brute(spark, embeddings, sf_dir):
+    """Threshold-cosine search via unit-L2 radius pruning must equal the
+    brute-force cosine filter exactly, and a tight threshold returns
+    only the self-pairs (fixture geometry: no near-identical pairs)."""
+    from vector_search_engine_spark.functions.vector import cosine_sim_matrix
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx = ivf_mod.build_or_load(spark, sf_dir, geometry="cosine")
+    q = knn_ops.make_queries(embeddings, n=10)
+    got = {
+        (r.qid, r.neighbor_id): r.sim
+        for r in ivf_mod.cosine_radius_search(idx, embeddings, q, 0.3).collect()
+    }
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    S = cosine_sim_matrix(V[order][:10], V)
+    brute = {
+        (int(qi), int(ids[j])): round(float(S[qi, j]), 4)
+        for qi in range(10)
+        for j in range(len(ids))
+        if S[qi, j] >= 0.3
+    }
+    assert got == brute
+    tight = ivf_mod.cosine_radius_search(idx, embeddings, q, 0.999).collect()
+    assert {(r.qid, r.neighbor_id) for r in tight} == {(i, i) for i in range(10)}

@@ -1487,3 +1487,60 @@ def search_ip(
         )
     )
     return _finalize_topk(rescored, k, "ip")
+
+
+def cosine_radius_search(
+    index: IVFIndex,
+    original_vectors: DataFrame,
+    queries,
+    min_sim: float,
+) -> DataFrame:
+    """EXACT cosine threshold search with index pruning: every (query,
+    vector) pair with cosine ≥ ``min_sim``.
+
+    On the normalized index, ``cos ≥ t ⇔ unit-L2² ≤ 2 − 2t``, so the
+    L2 radius search's triangle-inequality cell pruning applies
+    unchanged; the probe radius carries a small slack absorbing float32
+    normalization rounding, and the final filter re-computes EXACT
+    cosine on the ORIGINAL vectors with the same expression the flat
+    path and the oracle use — pruning can only widen candidates, never
+    lose a qualifying pair."""
+    from vector_search_engine_spark.functions.vector import cosine_sim
+    from vector_search_engine_spark.operators.knn import (
+        DIST_DECIMALS,
+        _queries_df,
+        _query_arrays as knn_query_arrays,
+    )
+
+    spark = index.spark
+    qids, Q = knn_query_arrays(queries)
+    if len(qids) == 0:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, sim double"
+        )
+    norms = np.linalg.norm(Q.astype(np.float64), axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    Qn = (Q.astype(np.float64) / norms).astype(np.float32)
+    radius_sq = max(2.0 - 2.0 * min_sim, 0.0) + 1e-6
+    cand = index.radius_search((qids, Qn), radius_sq).select(
+        "qid", "neighbor_id"
+    )
+    qdf = _queries_df(spark, queries, qids, Q)
+    return (
+        cand.join(
+            original_vectors.select(
+                F.col("vec_id").alias("neighbor_id"), "embedding"
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            cosine_sim(F.col("embedding"), F.col("query")).alias("_sim"),
+        )
+        .filter(F.col("_sim") >= min_sim)
+        .select(
+            "qid", "neighbor_id", F.round("_sim", DIST_DECIMALS).alias("sim")
+        )
+    )

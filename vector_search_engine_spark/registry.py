@@ -607,6 +607,42 @@ def ann_ivf_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_RADIUS_MIN_SIM = 0.3
+
+_DD_COS = (
+    "CASE WHEN sqrt({dee}) * sqrt({dqq}) = 0 THEN 0.0 "
+    "ELSE {deq} / (sqrt({dee}) * sqrt({dqq})) END"
+).format(
+    dee=_DD_DOT.format(a="e.embedding", b="e.embedding"),
+    dqq=_DD_DOT.format(a="q.query", b="q.query"),
+    deq=_DD_DOT.format(a="e.embedding", b="q.query"),
+)
+
+
+@register(
+    "ann_ivf_cosine_radius",
+    oracle=f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id, {_DD_COS} AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT qid, neighbor_id, round(sim, 4) AS sim
+FROM d WHERE sim >= {COSINE_RADIUS_MIN_SIM}
+""",
+)
+def ann_ivf_cosine_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine THRESHOLD search with index pruning: cos ≥ t maps to a
+    unit-vector L2 radius, the triangle-inequality cell pruning applies
+    losslessly, and the exact-cosine filter on original vectors keeps
+    the result bit-identical to the brute-force form."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="cosine")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.cosine_radius_search(
+        index, emb, knn_ops.make_queries(emb), min_sim=COSINE_RADIUS_MIN_SIM
+    )
+
+
 @register("knn_pq_adc", oracle=ORACLES["knn_exact_l2"])
 def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization flat search: m-byte ADC code scan (32× fewer
