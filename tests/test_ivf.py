@@ -488,3 +488,17 @@ def test_cosine_radius_pruned_equals_brute(spark, embeddings, sf_dir):
     assert got == brute
     tight = ivf_mod.cosine_radius_search(idx, embeddings, q, 0.999).collect()
     assert {(r.qid, r.neighbor_id) for r in tight} == {(i, i) for i in range(10)}
+
+
+def test_cosine_distributed_full_probe_equals_flat(spark, embeddings, sf_dir):
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx = ivf_mod.build_or_load(spark, sf_dir, geometry="cosine")
+    q = knn_ops.make_queries(embeddings, n=10)
+    flat = knn_ops.knn_exact(embeddings, q, k=10, metric="cosine").orderBy(
+        "qid", "rank"
+    )
+    got = ivf_mod.search_cosine_distributed(
+        idx, embeddings, q, k=10, nprobe=idx.meta["n_centroids"]
+    ).orderBy("qid", "rank")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat.collect()]

@@ -1544,3 +1544,46 @@ def cosine_radius_search(
             "qid", "neighbor_id", F.round("_sim", DIST_DECIMALS).alias("sim")
         )
     )
+
+
+def search_cosine_distributed(
+    index: IVFIndex,
+    original_vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    candidate_margin: int = 10,
+) -> DataFrame:
+    """Cosine ANN for a LARGE query table: normalization is a column
+    expression inside the query table's partitions, candidates come from
+    ``search_distributed`` on the normalized geometry (queries never
+    visit the driver, no broadcast of |Q|), and the exact-cosine rescore
+    joins on (neighbor_id, qid) — both ordinary shuffle joins at large
+    |Q|.  Full probe equals the flat cosine path (pinned in tests)."""
+    from vector_search_engine_spark.functions.vector import (
+        cosine_sim,
+        normalize,
+    )
+    from vector_search_engine_spark.operators.knn import _finalize_topk
+
+    normq = queries.select(
+        "qid", normalize(F.col("query")).cast("array<float>").alias("query")
+    )
+    cand = index.search_distributed(
+        normq, k=k + candidate_margin, nprobe=nprobe
+    ).select("qid", "neighbor_id")
+    rescored = (
+        cand.join(
+            original_vectors.select(
+                F.col("vec_id").alias("neighbor_id"), "embedding"
+            ),
+            "neighbor_id",
+        )
+        .join(queries.select("qid", "query"), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            cosine_sim(F.col("embedding"), F.col("query")).alias("dist"),
+        )
+    )
+    return _finalize_topk(rescored, k, "cosine")

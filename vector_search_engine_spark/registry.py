@@ -592,6 +592,19 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_cosine_distributed", oracle=ORACLES["knn_exact_cosine"])
+def ann_ivf_cosine_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-|Q| cosine tier: in-partition normalization + distributed
+    probe assignment + shuffle-join rescore — no driver collect, no
+    query broadcast; exact at full probe, same cosine oracle."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="cosine")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_cosine_distributed(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"],
+    )
+
+
 @register("ann_ivf_ip", oracle=ORACLES["knn_exact_ip"])
 def ann_ivf_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIPS ANN via the inner-product→L2 reduction: the index stores
