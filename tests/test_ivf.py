@@ -502,3 +502,17 @@ def test_cosine_distributed_full_probe_equals_flat(spark, embeddings, sf_dir):
         idx, embeddings, q, k=10, nprobe=idx.meta["n_centroids"]
     ).orderBy("qid", "rank")
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat.collect()]
+
+
+def test_ip_distributed_full_probe_equals_flat(spark, embeddings, sf_dir):
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx = ivf_mod.build_or_load(spark, sf_dir, geometry="mips")
+    q = knn_ops.make_queries(embeddings, n=10)
+    flat = knn_ops.knn_exact(embeddings, q, k=10, metric="ip").orderBy(
+        "qid", "rank"
+    )
+    got = ivf_mod.search_ip_distributed(
+        idx, embeddings, q, k=10, nprobe=idx.meta["n_centroids"]
+    ).orderBy("qid", "rank")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat.collect()]

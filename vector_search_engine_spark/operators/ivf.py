@@ -1587,3 +1587,45 @@ def search_cosine_distributed(
         )
     )
     return _finalize_topk(rescored, k, "cosine")
+
+
+def search_ip_distributed(
+    index: IVFIndex,
+    original_vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    candidate_margin: int = 10,
+) -> DataFrame:
+    """Large-|Q| MIPS tier: queries pad their zero coordinate as a column
+    expression inside their partitions, probe the MIPS-augmented index
+    via ``search_distributed``, and re-score the exact dot product
+    through shuffle joins — no driver collect, no query broadcast.
+    Full probe equals the flat metric='ip' path."""
+    from vector_search_engine_spark.functions.vector import dot
+    from vector_search_engine_spark.operators.knn import _finalize_topk
+
+    augq = queries.select(
+        "qid",
+        F.concat(
+            F.col("query").cast("array<double>"), F.array(F.lit(0.0))
+        ).cast("array<float>").alias("query"),
+    )
+    cand = index.search_distributed(
+        augq, k=k + candidate_margin, nprobe=nprobe
+    ).select("qid", "neighbor_id")
+    rescored = (
+        cand.join(
+            original_vectors.select(
+                F.col("vec_id").alias("neighbor_id"), "embedding"
+            ),
+            "neighbor_id",
+        )
+        .join(queries.select("qid", "query"), "qid")
+        .select(
+            "qid",
+            "neighbor_id",
+            dot(F.col("embedding"), F.col("query")).alias("dist"),
+        )
+    )
+    return _finalize_topk(rescored, k, "ip")

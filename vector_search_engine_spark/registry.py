@@ -697,6 +697,18 @@ def ann_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_ip_distributed", oracle=ORACLES["knn_exact_ip"])
+def ann_ivf_ip_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-|Q| MIPS tier: in-partition zero-padding + distributed probe
+    + shuffle-join dot rescore; exact at full probe, same MIPS oracle."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="mips")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_ip_distributed(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"],
+    )
+
+
 @register("ann_ivf_distributed", oracle=ORACLES["knn_exact_l2"])
 def ann_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-|Q| tier: probe assignment inside the query table's
