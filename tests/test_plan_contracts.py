@@ -31,6 +31,8 @@ AUDIT = [
     "events_hourly_stats",
     "events_sessionize",
     "events_user_funnel",
+    "ann_ivf_cosine",
+    "ann_ivf_ip",
     "doc_stats",
     "doc_pii_scrub",
     "doc_quality_filter",
