@@ -411,3 +411,41 @@ def test_merged_search_pq_tier_equals_exact(spark, embeddings, engine):
     assert fl == pz
     with pytest.raises(ValueError, match="tier"):
         engine.search(q, k=10, tier="sq4")
+
+
+def test_delete_shadows_and_compacts_physically(spark, embeddings, engine):
+    """LSM tombstone deletes: a deleted id vanishes from merged search
+    (whether it lived in the index or the delta), a later re-insert
+    resurrects it, and compaction removes the rows physically."""
+    q_for = lambda vid: embeddings.filter(F.col("vec_id") == vid).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+    )
+    np_full = engine.index.meta["n_centroids"]
+
+    # delete an INDEXED id: its own top-1 is no longer itself
+    engine.delete([7])
+    top = engine.search(q_for(7), k=1, nprobe=np_full).collect()[0]
+    assert top.neighbor_id != 7
+    # delete a DELTA id: insert then delete
+    engine.insert(embeddings.filter(F.col("vec_id") == 450))
+    engine.delete([450])
+    top = engine.search(q_for(450), k=1, nprobe=np_full).collect()[0]
+    assert top.neighbor_id != 450
+    # re-insert after delete resurrects (latest version wins)
+    engine.insert(embeddings.filter(F.col("vec_id") == 7))
+    top = engine.search(q_for(7), k=1, nprobe=np_full).collect()[0]
+    assert top.neighbor_id == 7 and top.dist_sq == 0.0
+
+    # compaction applies tombstones physically and preserves results
+    engine.delete([7, 11])
+    before = _sorted(engine.search(q_for(11), k=5, nprobe=np_full))
+    n_before = int(engine.index.meta["n_vectors"])
+    assert engine.compact() > 0
+    after = _sorted(engine.search(q_for(11), k=5, nprobe=np_full))
+    assert before == after
+    left = engine.index.vectors()
+    assert left.filter(F.col("vec_id").isin([7, 11, 450])).count() == 0
+    assert engine.delta().count() == 0
+    # accounting: started with 400 indexed, net deletes of ids 7 and 11
+    assert int(engine.index.meta["n_vectors"]) == 398
+    assert left.count() == 398

@@ -1491,6 +1491,48 @@ def streaming_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELETE_MOD = 25  # delete every 25th id — indexed AND delta rows affected
+
+_DELETE_ORACLE = f"""
+WITH q AS ({_DD_QUERIES}),
+alive AS (SELECT * FROM embeddings WHERE vec_id % {_DELETE_MOD} != 0),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {_DD_L2SQ.format(a="e.embedding", b="q.query")} AS dist
+  FROM alive e CROSS JOIN q
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, neighbor_id, "rank", round(dist, 4) AS dist_sq
+FROM r WHERE "rank" <= 10
+"""
+
+
+@register("streaming_delete_search", oracle=_DELETE_ORACLE)
+def streaming_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM tombstone deletes: index 80% of the corpus, insert the rest as
+    delta, then DELETE every 25th id (hitting both indexed and delta
+    rows); the merged search must equal exact kNN over the survivors —
+    the oracle simply excludes the deleted ids.  A delete surface the
+    insert-only reference lacks entirely (``engine.h``)."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut = int(n * 0.8)
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < cut), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= cut))
+    eng.delete(emb.filter(F.col("vec_id") % _DELETE_MOD == 0).select("vec_id"))
+    return eng.search(
+        knn_ops.make_queries(emb), k=10, nprobe=eng.index.meta["n_centroids"]
+    )
+
+
 @register("streaming_ingest_search", oracle=ORACLES["knn_exact_l2"])
 def streaming_ingest_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Like streaming_merged_search, but the delta rows arrive through a

@@ -126,6 +126,36 @@ class VectorEngine:
         ).partitionBy("_seq").parquet(self.delta_dir)
         self.recorder.record("insert", time.time() - t0)
 
+    def delete(self, ids, seq: int | None = None) -> None:
+        """Delete by id — LSM tombstones: a delta row whose vector is NULL.
+
+        'Latest version per id' already defines the semantics: a
+        tombstone shadows every older version (indexed or delta) exactly
+        like an upsert does, a later re-insert resurrects the id, and
+        compaction applies tombstones physically (the id's rows leave
+        the indexed table and the tombstone itself is folded away).
+        The reference has no delete at all (``engine.h``); this is the
+        natural LSM completion of its insert-only write path.
+
+        ``ids``: a one-column DataFrame of ids or a Python list."""
+        t0 = time.time()
+        id_col = self.index.meta["id_col"]
+        vec_col = self.index.meta["vec_col"]
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(int(i),) for i in ids], f"{id_col} long"
+            )
+        seq = self._next_seq() if seq is None else seq
+        (
+            ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
+            .withColumn(vec_col, F.lit(None).cast("array<float>"))
+            .withColumn("_seq", F.lit(seq).cast("long"))
+            .write.mode("append")
+            .partitionBy("_seq")
+            .parquet(self.delta_dir)
+        )
+        self.recorder.record("delete", time.time() - t0)
+
     def ingest_stream(
         self,
         stream_df: DataFrame,
@@ -225,8 +255,15 @@ class VectorEngine:
             indexed_part = self.index.search(
                 queries, k=k, nprobe=nprobe, exclude_ids=delta_latest.select(id_col)
             )
+        # tombstones (NULL vector = deleted id) stay in delta_latest so
+        # their ids keep shadowing the indexed side via the anti-join
+        # above, but they carry nothing to scan
         delta_part = knn_exact(
-            delta_latest, queries, k=k, id_col=id_col, vec_col=vec_col
+            delta_latest.filter(F.col(vec_col).isNotNull()),
+            queries,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
         )
         merged = indexed_part.select("qid", "neighbor_id", F.col("dist_sq")).unionByName(
             delta_part.select("qid", "neighbor_id", F.col("dist_sq"))
@@ -320,10 +357,15 @@ class VectorEngine:
         n_delta = delta_latest.count()
         if n_delta == 0:
             return 0
-        assigned = self.assign_centroids(delta_latest).cache()
+        # tombstones (NULL vector) have no centroid to assign; their ids
+        # still flow into the shadowed/affected computation so the
+        # deleted rows leave the indexed table with this fold
+        live_rows = delta_latest.filter(F.col(vec_col).isNotNull())
+        all_ids = delta_latest.select(id_col)
+        assigned = self.assign_centroids(live_rows).cache()
         try:
             return self._compact_assigned(
-                assigned, t0, old_watermark, fold_high, n_delta
+                assigned, all_ids, t0, old_watermark, fold_high, n_delta
             )
         finally:
             # sustained ingest fires compact() repeatedly — without this the
@@ -334,6 +376,7 @@ class VectorEngine:
     def _compact_assigned(
         self,
         assigned: DataFrame,
+        delta_id_df: DataFrame,
         t0: float,
         old_watermark: int,
         fold_high: int,
@@ -342,7 +385,6 @@ class VectorEngine:
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
         indexed = self.index.vectors()
-        delta_id_df = assigned.select(id_col)
         n_shadowed = indexed.join(delta_id_df, id_col, "left_semi").count()
         # affected-cell list is bounded by n_centroids — safe to collect;
         # the id sets flow through semi/anti joins, never the driver
@@ -401,9 +443,11 @@ class VectorEngine:
                 )
         self._set_watermark(fold_high)
         # keep meta n_vectors current — the W3 trigger policy compares the
-        # delta against it
+        # delta against it.  Only live (non-tombstone) rows add back: a
+        # tombstone removes its shadowed row and contributes nothing.
+        n_live = assigned.count()
         self.index.meta["n_vectors"] = (
-            int(self.index.meta.get("n_vectors", 0)) - n_shadowed + n_delta
+            int(self.index.meta.get("n_vectors", 0)) - n_shadowed + n_live
         )
         # tmp + rename, same as rebalance(): a crash mid-write must never
         # leave a truncated meta.json (IVFIndex.__init__ loads it)
