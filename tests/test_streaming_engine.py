@@ -449,3 +449,16 @@ def test_delete_shadows_and_compacts_physically(spark, embeddings, engine):
     # accounting: started with 400 indexed, net deletes of ids 7 and 11
     assert int(engine.index.meta["n_vectors"]) == 398
     assert left.count() == 398
+
+
+def test_delete_composes_with_pq_tier(spark, embeddings, engine):
+    """Tombstoned ids must be excluded BEFORE the PQ bound cut (they ride
+    exclude_ids), so tier='pq' and tier='float' agree under deletes."""
+    engine.insert(embeddings.filter(F.col("vec_id") >= 400))
+    engine.delete([3, 401])
+    q = knn_ops.make_queries(embeddings, n=5)
+    np_full = engine.index.meta["n_centroids"]
+    fl = _sorted(engine.search(q, k=10, nprobe=np_full))
+    pz = _sorted(engine.search(q, k=10, nprobe=np_full, tier="pq"))
+    assert fl == pz
+    assert not any(r[1] in (3, 401) for r in fl)
