@@ -462,3 +462,11 @@ def test_delete_composes_with_pq_tier(spark, embeddings, engine):
     pz = _sorted(engine.search(q, k=10, nprobe=np_full, tier="pq"))
     assert fl == pz
     assert not any(r[1] in (3, 401) for r in fl)
+
+
+def test_delete_nonexistent_and_empty_are_harmless(spark, embeddings, engine):
+    engine.delete([999_999])
+    engine.delete([])
+    assert engine.compact() >= 1  # the tombstone folds away
+    assert int(engine.index.meta["n_vectors"]) == 400
+    assert engine.index.vectors().count() == 400
