@@ -1754,27 +1754,46 @@ _GRADE_FIRST: list[str] = [
     # composes dedup_exact + doc_stats which both stay in-window.  Their
     # slots go to the four new never-driver-graded oracle-backed ops:
     # knn_pq_adc, ann_ivf_pq, doc_pii_scrub, doc_quality_filter.)
+    # (r7 rotations — the round-6 flagships had never been driver-graded;
+    # swap-outs follow the established redundant-twin policy:
+    #   knn_pq_adc        → out: byte-shares ann_ivf_pq's oracle; the IVFADC
+    #                       composed form is the stronger claim and stays.
+    #   knn_radius_search → out: shares _RADIUS_ORACLE byte-for-byte with
+    #                       ann_ivf_radius; family keeps pytest + the shared
+    #                       oracle gate via ann_ivf_cosine_radius tests.
+    #   knn_exact_cosine  → out: flat twin of the incoming ann_ivf_cosine
+    #                       (identical oracle string — ORACLES["knn_exact_cosine"]).
+    #   knn_self_similarity_pairs → out: similarity join multiply covered by
+    #                       the LSH-gated dedup family + test_simjoin.py.
+    #   streaming_compacted_search → out: family keeps merged/upsert/ingest
+    #                       rows plus the incoming delete row (stronger LSM claim).
+    #   corpus_pack_sequences → out: packing family keeps doc_chunks.
+    #   events_json_stats → out: single-column JSON extraction, weakest row;
+    #                       JSON functions stay covered by events_* pytest.
+    # All seven rotated-out queries stay registered, canary-smoked and
+    # pytest-gated; each carries green rows from r1-r6.)
     "knn_exact_l2",
-    "knn_radius_search",
-    "knn_exact_cosine",
     "vector_norms",
     "label_centroids",
-    "knn_self_similarity_pairs",
-    "knn_pq_adc",
-    # sources (reference S1/S2)
+    # sources (reference S1/S2 + bigann byte-vector sibling)
     "fvecs_roundtrip",
     "ivecs_roundtrip",
-    # IVF index family (reference Q2/Q3/B2)
+    "bvecs_roundtrip",
+    # IVF index family (reference Q2/Q3/B2) — full metric surface
     "ann_ivf_exact_when_full_probe",
     "ann_ivf_filtered",
     "ann_ivf_sq8",
     "ann_ivf_pq",
     "ann_ivf_distributed",
-    # streaming engine (reference Q4/S4/W1-W4 — the core merged-search contract)
+    "ann_ivf_cosine",
+    "ann_ivf_ip",
+    # streaming engine (reference Q4/S4/W1-W4 — the core merged-search
+    # contract, plus LSM tombstone deletes and manifest time travel)
     "streaming_merged_search",
     "streaming_upsert_search",
     "streaming_ingest_search",
-    "streaming_compacted_search",
+    "streaming_delete_search",
+    "index_asof_search",
     # LLM-pipeline: dedup family
     # (dedup_ngram_jaccard_ppjoin moved to the tail in r6: byte-identical
     # output to dedup_ngram_jaccard by construction, pytest-gated — its slot
@@ -1794,7 +1813,6 @@ _GRADE_FIRST: list[str] = [
     # corpus_mixture_sample and doc_chunks.)
     "corpus_mixture_sample",
     "doc_chunks",
-    "corpus_pack_sequences",
     "pipeline_neardup_corpus",
     # LLM-pipeline: multimodal
     "multimodal_metadata_stats",
@@ -1819,14 +1837,16 @@ _GRADE_FIRST: list[str] = [
     # (events_hourly_stats moved to the tail in r6: it computes the same
     # hourly rollup streaming_hourly_event_stats covers through the
     # event-time path — its slot goes to corpus_decontaminate.)
-    "events_json_stats",
     "events_asof_attribution",
     "corpus_decontaminate",
-    # text analysis
+    # text analysis (r7: + the corpus-statistics pair that had only
+    # judge-run local oracle evidence)
     "doc_stats",
     "doc_lang_id",
     "doc_pii_scrub",
     "doc_quality_filter",
+    "doc_dup_span_stats",
+    "doc_unigram_stats",
 ]
 
 
