@@ -516,3 +516,53 @@ def test_ip_distributed_full_probe_equals_flat(spark, embeddings, sf_dir):
         idx, embeddings, q, k=10, nprobe=idx.meta["n_centroids"]
     ).orderBy("qid", "rank")
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in flat.collect()]
+
+
+def test_build_or_load_concurrent_callers_single_build(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Concurrent build_or_load callers racing on the same cache key must
+    produce exactly ONE disk build and share one IVFIndex instance — the
+    per-key lock serializes the build-or-construct section (a redundant
+    double build at 100 TB is hours of wasted cluster time, and two
+    interleaved writers into one index_dir could publish mixed files)."""
+    import os
+    import shutil
+    import threading
+    import time as _time
+
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    d = tmp_path / "sfcopy"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"), d / "embeddings.parquet"
+    )
+    calls: list[int] = []
+    real_build = ivf_mod.IVFIndex.build
+
+    def counting_build(*a, **kw):
+        calls.append(1)
+        _time.sleep(0.3)  # widen the race window
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(
+        ivf_mod.IVFIndex, "build", staticmethod(counting_build)
+    )
+    results: list = [None] * 4
+    errs: list = []
+
+    def run(i):
+        try:
+            results[i] = ivf_mod.build_or_load(spark, str(d), n_centroids=4)
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert len(calls) == 1
+    assert all(r is results[0] for r in results)

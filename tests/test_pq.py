@@ -248,3 +248,61 @@ def test_residual_bound_cut_prunes_on_tight_clusters(spark, tmp_path):
     fl = idx.search(q, k=10, nprobe=1).orderBy("qid", "rank")
     pz = idx.search_pq(q, k=10, nprobe=1, m=8).orderBy("qid", "rank")
     assert [tuple(r) for r in pz.collect()] == [tuple(r) for r in fl.collect()]
+
+
+def test_ensure_pq_concurrent_callers_single_build(spark, embeddings, tmp_path):
+    """Two callers missing _SUCCESS must not both train/write into the
+    same sidecar dir (interleaved writes could publish _SUCCESS over
+    mixed part files) — builds serialize behind the module lock and the
+    loser reuses the winner's codes."""
+    import threading
+
+    from vector_search_engine_spark.operators import pq as pq_mod
+
+    d = str(tmp_path / "index")
+    idx = IVFIndex.build(embeddings, d, n_centroids=8, extra_cols=("label",))
+    calls: list[int] = []
+    real_train = pq_mod.pq_train
+
+    def counting_train(*a, **kw):
+        calls.append(1)
+        return real_train(*a, **kw)
+
+    pq_mod.pq_train = counting_train
+    try:
+        out: list = [None] * 3
+        errs: list = []
+
+        def run(i):
+            try:
+                out[i] = idx.ensure_pq(m=M)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        assert len(calls) == 1
+        dirs = {o[0] for o in out}
+        assert len(dirs) == 1
+        for o in out:
+            assert np.array_equal(o[1], out[0][1])
+    finally:
+        pq_mod.pq_train = real_train
+
+
+def test_sidecar_dirs_are_generation_keyed(spark, embeddings, tmp_path):
+    """The sidecar dir name must carry the snapshot generation it was
+    built from — the EBR retention rule for derived codes hangs off it."""
+    import os
+
+    d = str(tmp_path / "index")
+    idx = IVFIndex.build(embeddings, d, n_centroids=8, extra_cols=("label",))
+    codes_dir, _ = idx.ensure_pq(m=M)
+    sq_dir = idx.ensure_sq8()
+    sid = str(int(idx._read_manifest()["latest_gen"]))
+    assert f"_gen{sid}" in os.path.dirname(codes_dir)
+    assert sq_dir.endswith(f"_gen{sid}")

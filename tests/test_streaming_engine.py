@@ -365,10 +365,14 @@ def test_time_travel_read_of_previous_snapshot(spark, embeddings, engine):
     assert cur == embeddings.count()
 
 
-def test_compaction_invalidates_quantized_sidecars(spark, embeddings, engine):
-    """Sidecars are unversioned derived data; a compaction that folds new
-    vectors into cells must remove them, or quantized candidate
-    generation silently drops the newly-committed vectors."""
+def test_compaction_generation_pins_quantized_sidecars(spark, embeddings, engine):
+    """Sidecars are keyed by the snapshot generation they encode.  A
+    compaction must (a) leave the superseded generation's codes on disk
+    for the EBR grace window — an in-flight pinned search may still be
+    scanning them — and (b) route NEW searches to a fresh sidecar built
+    from the new snapshot, so quantized candidate generation never drops
+    newly-committed vectors.  Once the old snapshot leaves retention, its
+    sidecar dirs are GC'd with the same rule as base cells."""
     import os
 
     codes_dir, _ = engine.index.ensure_pq(m=8)
@@ -376,15 +380,30 @@ def test_compaction_invalidates_quantized_sidecars(spark, embeddings, engine):
     assert os.path.exists(os.path.join(codes_dir, "_SUCCESS"))
     engine.insert(embeddings.filter(F.col("vec_id") >= 400))
     assert engine.compact() > 0
-    assert not os.path.exists(codes_dir)
-    assert not os.path.exists(sq_dir)
-    # a fresh sidecar build sees the folded vectors: PQ full probe must
-    # equal the float full probe over the compacted table
+    # (a) grace: the pre-compaction generation's codes survive the commit
+    assert os.path.exists(os.path.join(codes_dir, "_SUCCESS"))
+    assert os.path.exists(os.path.join(sq_dir, "_SUCCESS"))
+    # (b) a post-compaction search builds + uses the NEW generation's
+    # sidecar and sees the folded vectors: PQ full probe must equal the
+    # float full probe over the compacted table
     q = knn_ops.make_queries(embeddings, n=5)
     np_full = engine.index.meta["n_centroids"]
     fl = _sorted(engine.index.search(q, k=10, nprobe=np_full))
     pz = _sorted(engine.index.search_pq(q, k=10, nprobe=np_full, m=8))
     assert fl == pz
+    new_codes_dir, _ = engine.index.ensure_pq(m=8)
+    assert new_codes_dir != codes_dir
+    # (c) GC after retention: a second compaction evicts the original
+    # snapshot from history; its sidecars go with it
+    engine.insert(
+        embeddings.filter(F.col("vec_id") < 3).withColumn(
+            "vec_id", F.col("vec_id") + 10000
+        )
+    )
+    assert engine.compact() > 0
+    assert not os.path.exists(codes_dir)
+    assert not os.path.exists(sq_dir)
+    assert os.path.exists(new_codes_dir)  # still retained (prev snapshot)
 
 
 def test_merged_search_pq_tier_equals_exact(spark, embeddings, engine):

@@ -54,6 +54,11 @@ from vector_search_engine_spark.operators.knn import (
     _query_arrays as knn_query_arrays,
 )
 
+# Serializes derived-sidecar builds (ensure_sq8 / ensure_pq): two concurrent
+# callers missing _SUCCESS must not interleave codebook/parquet writes into
+# the same generation dir.  Same single-process scope as _INSTANCE_LOCK.
+_SIDECAR_LOCK = threading.Lock()
+
 
 def _train_quantizer(
     S: np.ndarray, k: int, seed: int = 42, max_iter: int = 10
@@ -879,26 +884,37 @@ class IVFIndex:
         self._load_centroids()
         return mapping
 
-    def ensure_sq8(self) -> str:
+    def ensure_sq8(self, snapshot: dict | None = None) -> str:
         """Write (once) the SQ8 code sidecar: per-vector uint8 codes
         partitioned by ``centroid_id`` exactly like the float vectors, so
         probing prunes the SAME partitions but scans ~4× fewer bytes —
         the true 100 TB layout (candidate generation reads int8 codes;
-        only survivors touch the float table)."""
+        only survivors touch the float table).
+
+        The dir is keyed by the pinned snapshot's generation and the
+        build is lock-serialized — same discipline (and reasons) as
+        ``ensure_pq``."""
         from vector_search_engine_spark.operators.sq import sq8_encode
 
-        sq_dir = os.path.join(self.index_dir, "sq8")
+        if snapshot is None:
+            snapshot = self._read_manifest()
+        sq_dir = os.path.join(
+            self.index_dir, f"sq8_gen{self._sidecar_gen(snapshot)}"
+        )
         if os.path.exists(os.path.join(sq_dir, "_SUCCESS")):
             return sq_dir
-        codes = sq8_encode(
-            self.vectors(),
-            id_col=self.meta["id_col"],
-            vec_col=self.meta["vec_col"],
-            keep_cols=("centroid_id",),
-        )
-        codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
-            "centroid_id"
-        ).parquet(sq_dir)
+        with _SIDECAR_LOCK:
+            if os.path.exists(os.path.join(sq_dir, "_SUCCESS")):
+                return sq_dir
+            codes = sq8_encode(
+                self.vectors(snapshot=snapshot),
+                id_col=self.meta["id_col"],
+                vec_col=self.meta["vec_col"],
+                keep_cols=("centroid_id",),
+            )
+            codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
+                "centroid_id"
+            ).parquet(sq_dir)
         return sq_dir
 
     def search_sq8(
@@ -930,10 +946,11 @@ class IVFIndex:
             return spark.createDataFrame(
                 [], "qid long, neighbor_id long, rank long, dist_sq double"
             )
-        # snapshot discipline as in search(); NB the sq8 sidecar itself is
-        # unversioned (rebuilt after compaction/rebalance), so a rebalance
-        # committing between here and ensure_sq8() below remains a narrow
-        # caveat for this path only — the float re-score stage is pinned
+        # snapshot discipline as in search(); the sq8 sidecar is keyed by
+        # this snapshot's generation and built from it (ensure_sq8(snap)),
+        # so codes and the float re-score base always agree — a rebalance
+        # committing mid-search can neither skew nor delete them (EBR
+        # retention covers sidecars like base cells)
         snap = self._read_manifest()
         pairs = self.probe_pairs(
             qids, Q, nprobe, centroid_set=self._centroids_for(snap)
@@ -947,7 +964,7 @@ class IVFIndex:
         qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
         bc = spark.sparkContext.broadcast(qmap)
 
-        sq_dir = self.ensure_sq8()
+        sq_dir = self.ensure_sq8(snapshot=snap)
         codes = spark.read.parquet(sq_dir).filter(
             F.col("centroid_id").isin(needed)
         )
@@ -1011,27 +1028,67 @@ class IVFIndex:
         )
         return _finalize_topk(rescored, k, "l2_sq")
 
+    def _sidecar_gen(self, snapshot: dict | None) -> str:
+        """Generation tag for a derived-code sidecar dir.
+
+        Sidecars are derived from exactly one manifest snapshot; keying
+        the dir by that snapshot's id (``sq8_gen{N}``, ``pq_m{m}_r{r}_gen{N}``)
+        gives them the same file-granularity EBR discipline as the base
+        cells: a compaction commit never deletes a generation a pinned
+        in-flight reader may still be scanning — ``invalidate_sidecars``
+        GCs only generations no RETAINED snapshot references.  Pre-manifest
+        raw layouts get a fixed tag."""
+        if snapshot is None:
+            snapshot = self._read_manifest()
+        sid = (snapshot or {}).get("latest_gen")
+        return "raw" if sid is None else str(int(sid))
+
     def invalidate_sidecars(self) -> None:
-        """Remove every derived-code sidecar (sq8 + all pq_* dirs).
+        """GC derived-code sidecars (sq8_gen* / pq_*_gen*) whose snapshot
+        is no longer retained by the manifest.
 
         Must run after ANY commit that changes cell contents — rebalance
         does it internally; external compactors (the streaming engine's
-        fold-delta) call it after ``commit_cells`` — because sidecars are
-        unversioned derived data: stale codes would silently drop
-        newly-committed vectors from quantized candidate generation."""
-        shutil.rmtree(os.path.join(self.index_dir, "sq8"), ignore_errors=True)
-        for d in glob.glob(os.path.join(self.index_dir, "pq_m*")):
+        fold-delta) call it after ``commit_cells``.  Sidecars are keyed by
+        the snapshot they encode, so this never deletes codes an in-flight
+        pinned search may still be scanning: the just-superseded snapshot
+        stays in the manifest ``history`` for the retention grace window
+        (exactly the base cells' EBR rule), and only sidecars of evicted
+        snapshots — plus legacy unversioned dirs — are removed."""
+        m = self._read_manifest() or {}
+        retained = {
+            str(int(e["snapshot_id"]))
+            for e in (m.get("history") or [])
+            if e.get("snapshot_id") is not None
+        }
+        if m.get("latest_gen") is not None:
+            retained.add(str(int(m["latest_gen"])))
+        for d in glob.glob(os.path.join(self.index_dir, "sq8*")) + glob.glob(
+            os.path.join(self.index_dir, "pq_m*")
+        ):
+            tag = os.path.basename(d).rsplit("_gen", 1)
+            if len(tag) == 2 and tag[1] in retained:
+                continue  # still referenced by a retained snapshot
             shutil.rmtree(d, ignore_errors=True)
 
-    def center_map(self) -> dict[int, np.ndarray]:
+    def center_map(self, manifest: dict | None = None) -> dict[int, np.ndarray]:
         """centroid_id → float64 centroid vector (broadcastable; a few MB
-        even at thousands of cells)."""
+        even at thousands of cells).  Pass a pinned manifest to get the
+        centroid geometry THAT snapshot's codes were trained against."""
+        if manifest is not None:
+            cids, cents = self._centroids_for(manifest)
+            return {int(c): cents[i].astype(np.float64) for i, c in enumerate(cids)}
         return {
             int(cid): self.centroids[i].astype(np.float64)
             for i, cid in enumerate(self.centroid_ids)
         }
 
-    def ensure_pq(self, m: int = 8, residual: bool = True) -> tuple[str, np.ndarray]:
+    def ensure_pq(
+        self,
+        m: int = 8,
+        residual: bool = True,
+        snapshot: dict | None = None,
+    ) -> tuple[str, np.ndarray]:
         """Write (once) the PQ sidecar: m-byte codes + residual norms,
         partitioned by ``centroid_id`` like the float vectors, so probing
         prunes the SAME partitions while scanning ~dim·4/m× fewer bytes
@@ -1045,36 +1102,52 @@ class IVFIndex:
         x − centroid(x), whose norms shrink with coarse-quantizer quality
         — measured as the difference between a no-op bound cut and a
         working one (SCALING.md finding 8).  The sidecar dir is keyed by
-        (m, residual) so modes never alias each other's codes."""
+        (m, residual, snapshot generation) so modes never alias each
+        other's codes AND a compaction commit can never invalidate codes
+        an in-flight pinned search still scans (``_sidecar_gen``).
+
+        ``snapshot``: the pinned manifest dict the caller's search uses —
+        codes, residual geometry, and the float re-score base then all
+        come from the SAME snapshot.  Builds are serialized behind a
+        module lock (double-checked ``_SUCCESS``) so concurrent callers
+        can't interleave partial writes into one dir."""
         from vector_search_engine_spark.operators.pq import pq_encode, pq_train
 
-        pq_dir = os.path.join(self.index_dir, f"pq_m{m}_r{int(residual)}")
+        if snapshot is None:
+            snapshot = self._read_manifest()
+        pq_dir = os.path.join(
+            self.index_dir,
+            f"pq_m{m}_r{int(residual)}_gen{self._sidecar_gen(snapshot)}",
+        )
         books_path = os.path.join(pq_dir, "codebooks.npy")
         codes_dir = os.path.join(pq_dir, "codes")
         if os.path.exists(os.path.join(codes_dir, "_SUCCESS")):
             return codes_dir, np.load(books_path)
-        os.makedirs(pq_dir, exist_ok=True)
-        cm = self.center_map() if residual else None
-        books = pq_train(
-            self.vectors(),
-            m=m,
-            vec_col=self.meta["vec_col"],
-            center_map=cm,
-        )
-        tmp = books_path + ".tmp.npy"
-        np.save(tmp, books)
-        os.rename(tmp, books_path)
-        codes = pq_encode(
-            self.vectors(),
-            books,
-            id_col=self.meta["id_col"],
-            vec_col=self.meta["vec_col"],
-            keep_cols=("centroid_id",),
-            center_map=cm,
-        )
-        codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
-            "centroid_id"
-        ).parquet(codes_dir)
+        with _SIDECAR_LOCK:
+            if os.path.exists(os.path.join(codes_dir, "_SUCCESS")):
+                return codes_dir, np.load(books_path)
+            os.makedirs(pq_dir, exist_ok=True)
+            cm = self.center_map(snapshot) if residual else None
+            books = pq_train(
+                self.vectors(snapshot=snapshot),
+                m=m,
+                vec_col=self.meta["vec_col"],
+                center_map=cm,
+            )
+            tmp = books_path + ".tmp.npy"
+            np.save(tmp, books)
+            os.rename(tmp, books_path)
+            codes = pq_encode(
+                self.vectors(snapshot=snapshot),
+                books,
+                id_col=self.meta["id_col"],
+                vec_col=self.meta["vec_col"],
+                keep_cols=("centroid_id",),
+                center_map=cm,
+            )
+            codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
+                "centroid_id"
+            ).parquet(codes_dir)
         return codes_dir, books
 
     def search_pq(
@@ -1094,8 +1167,9 @@ class IVFIndex:
         superset of the true top-k — operators/pq.py docstring), then an
         exact float re-score of the survivors.  Identical to ``search()``
         at the same nprobe and to exact kNN at full probe — the same
-        hash-gated oracle applies.  Snapshot caveats as ``search_sq8``
-        (the sidecar is unversioned; rebuilt after rebalance).
+        hash-gated oracle applies.  The code sidecar is keyed by (and
+        built from) the pinned snapshot, so a concurrent compaction can
+        neither skew nor delete it mid-search (``_sidecar_gen``).
 
         ``residual=True`` (IVFADC, the default) quantizes against the
         cell centroid — tighter residuals, working bound cut; the ADC
@@ -1128,10 +1202,10 @@ class IVFIndex:
         qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
         qmap_bc = spark.sparkContext.broadcast(qmap)
 
-        codes_dir, books = self.ensure_pq(m=m, residual=residual)
+        codes_dir, books = self.ensure_pq(m=m, residual=residual, snapshot=snap)
         books_bc = spark.sparkContext.broadcast(books)
         cm_bc = (
-            spark.sparkContext.broadcast(self.center_map())
+            spark.sparkContext.broadcast(self.center_map(snap))
             if residual
             else None
         )
@@ -1295,9 +1369,13 @@ def _data_fingerprint(path: str) -> str:
 # Guards the get/prune/set below; entries from stopped sessions are pruned
 # on every call (one live application per process in practice), so the
 # cache can't retain dead SparkSession/centroid references for the
-# process lifetime.
+# process lifetime.  _KEY_LOCKS serializes the build-or-construct section
+# per index_dir (held OUTSIDE _INSTANCE_LOCK, which stays dict-ops-only):
+# concurrent callers racing on the same key get exactly one disk build and
+# one IVFIndex instance instead of redundant double work.
 _INSTANCE_LOCK = threading.Lock()
 _INSTANCE_CACHE: dict[tuple[str, str], "IVFIndex"] = {}
+_KEY_LOCKS: dict[str, threading.Lock] = {}
 
 
 def build_or_load(
@@ -1340,8 +1418,32 @@ def build_or_load(
         for k in [k for k in _INSTANCE_CACHE if k[0] != app_id]:
             del _INSTANCE_CACHE[k]
         inst = _INSTANCE_CACHE.get(cache_key)
+        klock = _KEY_LOCKS.setdefault(index_dir, threading.Lock())
     if inst is not None:
         return inst
+    with klock:
+        # double-check under the per-key lock: a racing caller may have
+        # finished the build while this one waited
+        with _INSTANCE_LOCK:
+            inst = _INSTANCE_CACHE.get(cache_key)
+        if inst is not None:
+            return inst
+        return _build_or_construct(
+            spark, sf_dir, table, extra_cols, geometry,
+            n_centroids, index_dir, cache_key,
+        )
+
+
+def _build_or_construct(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    extra_cols: tuple[str, ...],
+    geometry: str,
+    n_centroids: int | None,
+    index_dir: str,
+    cache_key: tuple[str, str],
+) -> IVFIndex:
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         os.makedirs(_CACHE_ROOT, exist_ok=True)
         vectors = spark.read.parquet(f"{sf_dir}/{table}.parquet")

@@ -433,7 +433,10 @@ class VectorEngine:
         # ingest_stream over the same source re-read (and re-insert)
         # everything from scratch.
         self.index.commit_cells(gen, affected, retain=self.snapshot_retain)
-        # quantized sidecars (if materialized) encode the old generation
+        # GC quantized sidecars of snapshots that just left retention;
+        # generation-keyed dirs for still-retained snapshots stay (an
+        # in-flight pinned search may be scanning them — same EBR grace
+        # as the base cells)
         self.index.invalidate_sidecars()
         for s in self._existing_seqs():
             if s <= old_watermark:
