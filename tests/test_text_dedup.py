@@ -590,3 +590,35 @@ def test_mixture_sample_non_numeric_source_defaults_weight_one(spark):
     weights = {r.source: r.weight for r in out.collect()}
     assert weights["web"] == 1  # non-numeric suffix -> default weight
     assert weights["src1"] == 2
+
+def test_mixture_sample_explicit_weight_table(spark, documents):
+    """The production path: a (source, weight) config DataFrame overrides
+    the fixture's suffix derivation; omitted sources default to weight 1;
+    the sample stays deterministic and exactly quota-filled."""
+    srcs = sorted(r.source for r in documents.select("source").distinct().collect())
+    named = srcs[:2]
+    wtab = spark.createDataFrame(
+        [(named[0], 3), (named[1], 1)], "source string, weight long"
+    )
+    out = text_ops.mixture_sample(documents, weights=wtab).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src[named[0]][0].weight == 3
+    assert by_src[named[1]][0].weight == 1
+    for s in srcs[2:]:
+        assert by_src[s][0].weight == 1  # omitted -> default
+    bs = {s: rs[0].quota // rs[0].weight for s, rs in by_src.items()}
+    assert len(set(bs.values())) == 1
+    for s, rs in by_src.items():
+        assert len(rs) == rs[0].quota == rs[0].weight * next(iter(bs.values()))
+    # passing the derived weights explicitly reproduces the default output
+    derived = spark.createDataFrame(
+        [(s, 1 + int(s[3:]) % 4) for s in srcs], "source string, weight long"
+    )
+    a = {(r.source, r.doc_id) for r in text_ops.mixture_sample(documents).collect()}
+    b = {
+        (r.source, r.doc_id)
+        for r in text_ops.mixture_sample(documents, weights=derived).collect()
+    }
+    assert a == b

@@ -1030,7 +1030,9 @@ FROM documents d LEFT JOIN per_doc pd USING (doc_id)
 # ---------------------------------------------------------------------------
 
 
-def mixture_sample(documents: DataFrame) -> DataFrame:
+def mixture_sample(
+    documents: DataFrame, weights: DataFrame | None = None
+) -> DataFrame:
     """Deterministic data-mixture sampling — the pretraining mixing step:
     each source gets a quota proportional to its target weight, scaled to
     the largest batch multiplier every source can actually satisfy
@@ -1039,28 +1041,42 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
     ``capped_source_sample`` uses — reproducible across runs, engines and
     partitionings.
 
-    Weights derive from the source name (1 + numeric-suffix mod 4) so
-    the oracle can recompute them without a side table; a production
-    caller joins its own weight table in the same shape.  Plan: one tiny
-    per-source aggregate (broadcast), one window rank — the corpus
+    ``weights``: an optional ``(source, weight)`` DataFrame — the
+    production path: a mixture config joins in as a tiny broadcast
+    table; sources it omits default to weight 1 (and sources it names
+    but the corpus lacks contribute nothing).  When absent, weights
+    derive from the source name (1 + numeric-suffix mod 4) so the
+    fixture oracle can recompute them without a side table.  Plan: one
+    tiny per-source aggregate (broadcast), one window rank — the corpus
     never shuffles on anything except the rank's source partitioning."""
     from pyspark.sql import Window
 
-    # non-numeric suffixes weight 1 (try_cast: ANSI cast would throw on
-    # them, DuckDB's CAST errors too — coalescing keeps the
-    # fixture-default derivation total; production callers join a real
-    # weight table instead)
-    w_expr = F.coalesce(
-        (
-            1 + F.substring(F.col("source"), 4, 10).try_cast("int") % 4
-        ).cast("long"),
-        F.lit(1).cast("long"),
+    stats = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
     )
-    stats = (
-        documents.groupBy("source")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-        .withColumn("weight", w_expr)
-    )
+    if weights is not None:
+        stats = stats.join(
+            F.broadcast(
+                weights.select(
+                    "source", F.col("weight").cast("long").alias("weight")
+                )
+            ),
+            "source",
+            "left",
+        ).withColumn("weight", F.coalesce(F.col("weight"), F.lit(1).cast("long")))
+    else:
+        # non-numeric suffixes weight 1 (try_cast: ANSI cast would throw
+        # on them — coalescing keeps the fixture-default derivation
+        # total; the oracle mirrors this with DuckDB's TRY_CAST)
+        stats = stats.withColumn(
+            "weight",
+            F.coalesce(
+                (
+                    1 + F.substring(F.col("source"), 4, 10).try_cast("int") % 4
+                ).cast("long"),
+                F.lit(1).cast("long"),
+            ),
+        )
     b = stats.agg(
         F.min(F.floor(F.col("n_docs") / F.col("weight")))
         .cast("long")
@@ -1101,7 +1117,8 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
 MIXTURE_SAMPLE_ORACLE = f"""
 WITH stats AS (
   SELECT source, count(*)::BIGINT AS n_docs,
-         (1 + CAST(substr(source, 4) AS INTEGER) % 4)::BIGINT AS weight
+         COALESCE(1 + TRY_CAST(substr(source, 4) AS INTEGER) % 4, 1)::BIGINT
+           AS weight
   FROM documents GROUP BY source
 ),
 b AS (SELECT min(n_docs // weight)::BIGINT AS b FROM stats),
