@@ -1623,7 +1623,15 @@ def cosine_radius_search(
     norms = np.linalg.norm(Q.astype(np.float64), axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     Qn = (Q.astype(np.float64) / norms).astype(np.float32)
-    radius_sq = max(2.0 - 2.0 * min_sim, 0.0) + 1e-6
+    # Slack scales with dimension: float32 normalization of the STORED
+    # vectors plus GEMM accumulation can perturb unit-L2² by
+    # ~O(dim · 2⁻²⁴) (≈2e-6 already at dim 64), so a fixed 1e-6 could
+    # prune a pair whose exact cosine sits within rounding of min_sim.
+    # Widening candidates is cheap — the exact-cosine filter below
+    # removes every false positive — so take a generous envelope.
+    dim = int(Q.shape[1])
+    slack = max(1e-4, 16.0 * dim * 2.0 ** -24)
+    radius_sq = max(2.0 - 2.0 * min_sim, 0.0) + slack
     cand = index.radius_search((qids, Qn), radius_sq).select(
         "qid", "neighbor_id"
     )
