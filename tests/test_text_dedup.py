@@ -622,3 +622,26 @@ def test_mixture_sample_explicit_weight_table(spark, documents):
         for r in text_ops.mixture_sample(documents, weights=derived).collect()
     }
     assert a == b
+
+def test_unigram_stats_long_doc_exact_and_bounded(spark):
+    """Aggregation state per doc is a handful of counters, not a
+    per-token array — a long document must stream through, and its mean
+    token frequency must equal the exact rational value (sum of corpus
+    counts over total*n, computed here with Python ints)."""
+    from collections import Counter
+
+    long_tokens = [f"t{i % 997}" for i in range(200_000)]  # 200k-token doc
+    rows = [(1, " ".join(long_tokens)), (2, "alpha beta alpha"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.unigram_stats(df).collect()}
+
+    corpus = long_tokens + ["alpha", "beta", "alpha"]
+    cnt = Counter(corpus)
+    total = sum(cnt.values())
+    for doc_id, toks in ((1, long_tokens), (2, ["alpha", "beta", "alpha"])):
+        n = len(toks)
+        sum_cnt = sum(cnt[t] for t in toks)
+        expected = round(sum_cnt / total / n * 1_000_000.0, 4)
+        assert out[doc_id].n_tokens == n
+        assert out[doc_id].mean_token_freq_ppm == expected
+    assert out[3].n_tokens == 0 and out[3].mean_token_freq_ppm == 0.0

@@ -943,12 +943,17 @@ def unigram_stats(documents: DataFrame, rare_max_count: int = RARE_MAX_COUNT) ->
     language-model-free stand-in for perplexity filtering (docs full of
     corpus-rare tokens are OCR junk, codes, or noise).
 
-    Determinism discipline for the oracle hash: every metric is exact
-    rational arithmetic (integer counts, one correctly-rounded IEEE
-    division per token) and the per-doc float sum runs over a SORTED
-    list on both engines, so no libm call or aggregation order can
-    diverge.  Plan: one token-count aggregation, one posting⋈counts
-    shuffle join, one per-doc aggregation — all partial-aggregated."""
+    Determinism discipline for the oracle hash: the per-doc mean token
+    frequency is ``Σ_t cnt_t / (total · n_tokens)`` — the numerator is
+    an INTEGER sum (order-insensitive by construction), so the whole
+    metric reduces to exact integer aggregation plus two final IEEE
+    divisions in a fixed order; no float accumulation anywhere, hence
+    nothing for aggregation order or libm to diverge on.  This also
+    bounds per-group aggregation state to a few counters regardless of
+    document length (an earlier formulation buffered one float per
+    token per doc — an ~80 MB cell for a pathological 10M-token doc).
+    Plan: one token-count aggregation, one posting⋈counts shuffle join,
+    one per-doc aggregation — all partial-aggregated."""
     posts = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
@@ -959,17 +964,20 @@ def unigram_stats(documents: DataFrame, rare_max_count: int = RARE_MAX_COUNT) ->
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
-            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("f"),
+            "cnt",
+            "total",
             (F.col("cnt") <= rare_max_count).cast("long").alias("is_rare"),
         )
     )
     per_doc = freqs.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.sum("is_rare").cast("long").alias("n_rare"),
-        F.sort_array(F.collect_list("f")).alias("_fs"),
+        F.sum("cnt").cast("long").alias("sum_cnt"),
+        F.max("total").cast("long").alias("total"),  # constant per group
     )
     mean_ppm = F.round(
-        F.aggregate(F.col("_fs"), F.lit(0.0), lambda acc, x: acc + x)
+        F.col("sum_cnt").cast("double")
+        / F.col("total").cast("double")
         / F.col("n_tokens").cast("double")
         * 1_000_000.0,
         4,
@@ -1000,8 +1008,7 @@ counts AS (
 ),
 tot AS (SELECT sum(cnt)::BIGINT AS total FROM counts),
 freqs AS (
-  SELECT p.doc_id,
-         CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS f,
+  SELECT p.doc_id, c.cnt, t.total,
          CASE WHEN c.cnt <= {RARE_MAX_COUNT} THEN 1 ELSE 0 END AS is_rare
   FROM posts p JOIN counts c USING (tok) CROSS JOIN tot t
 ),
@@ -1009,7 +1016,8 @@ per_doc AS (
   SELECT doc_id,
          count(*)::BIGINT AS n_tokens,
          sum(is_rare)::BIGINT AS n_rare,
-         list_sort(list(f)) AS fs
+         sum(cnt)::BIGINT AS sum_cnt,
+         max(total)::BIGINT AS total
   FROM freqs GROUP BY doc_id
 )
 SELECT d.doc_id,
@@ -1019,8 +1027,9 @@ SELECT d.doc_id,
             ELSE round(CAST(pd.n_rare AS DOUBLE)
                  / CAST(pd.n_tokens AS DOUBLE), 4) END AS rare_frac,
        CASE WHEN coalesce(pd.n_tokens, 0) = 0 THEN 0.0
-            ELSE round(list_sum(pd.fs) / CAST(pd.n_tokens AS DOUBLE)
-                 * 1000000.0, 4) END AS mean_token_freq_ppm
+            ELSE round(CAST(pd.sum_cnt AS DOUBLE) / CAST(pd.total AS DOUBLE)
+                 / CAST(pd.n_tokens AS DOUBLE) * 1000000.0, 4)
+       END AS mean_token_freq_ppm
 FROM documents d LEFT JOIN per_doc pd USING (doc_id)
 """
 
