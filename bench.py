@@ -76,10 +76,14 @@ def _setup_merged_search(spark, sf_dir: str):
 def _bench_mixed_rw(spark, sf_dir: str) -> dict:
     """Mixed read/write serving bench (reference M4-M6,
     client_bench.cpp:39-49,135-160): merged searches issued CONCURRENTLY
-    with a streaming ingest that triggers W3 compactions mid-run.  Emits
-    search/insert throughput and p50/p99 per-search latency — the
-    reference's isolation-under-load measurement, which single-query wall
-    times can't capture."""
+    with a streaming ingest that triggers W3 compactions mid-run, plus a
+    mid-ingest tombstone-delete wave and a post-ingest PQ-tier serving
+    phase.  Emits search/insert/delete throughput and p50/p99 latency —
+    the reference's isolation-under-load measurement, which single-query
+    wall times can't capture.  Recall is measured against the SURVIVOR
+    universe (final rows minus deleted ids): early searches may return
+    not-yet-deleted ids and score below 1.0; the final search must hit
+    1.0 exactly by the merged-search + tombstone contract."""
     import shutil
     import tempfile
 
@@ -108,22 +112,36 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
         # search many — no per-search collect job
         q = knn_ops._query_arrays(knn_ops.make_queries(emb))
         nprobe = eng.index.meta["n_centroids"]
-        # ground truth over the FINAL universe (reference M5 measures
-        # recall against full GT while inserts land): concurrent searches
-        # climb toward 1.0 as the delta fills — by the merged-search
-        # exactness contract they can only miss not-yet-visible rows
+        # tombstone wave: delete a deterministic slice of INDEXED ids
+        # mid-ingest (disjoint from the ingested id range, so a racing
+        # insert batch sharing a _seq can never contend on an id)
+        del_ids = [
+            int(r["vec_id"])
+            for r in emb.filter(
+                (F.col("vec_id") < cut) & (F.col("vec_id") % 17 == 3)
+            )
+            .select("vec_id")
+            .orderBy("vec_id")
+            .limit(60)
+            .collect()
+        ]
+        del_batches = [del_ids[i::3] for i in range(3)]
+        # ground truth over the FINAL SURVIVOR universe (reference M5
+        # measures recall against full GT while inserts land): concurrent
+        # searches climb toward 1.0 as the delta fills and tombstones land
+        survivors = emb.filter(~F.col("vec_id").isin(del_ids))
         gt = {
             r["qid"]: set(r["ids"])
-            for r in knn_ops.knn_exact(emb, q, k=10)
+            for r in knn_ops.knn_exact(survivors, q, k=10)
             .groupBy("qid")
             .agg(F.collect_set("neighbor_id").alias("ids"))
             .collect()
         }
         recalls = []
 
-        def one_search() -> float:
+        def one_search(tier: str = "float") -> float:
             s0 = time.time()
-            res = eng.search(q, k=10, nprobe=nprobe).collect()
+            res = eng.search(q, k=10, nprobe=nprobe, tier=tier).collect()
             dt = time.time() - s0
             eng.recorder.record("search", dt)
             got: dict = {}
@@ -144,19 +162,36 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
         qh = eng.ingest_stream(stream, max_delta_fraction=0.1)
         latencies = []
         # searches overlap the micro-batch ingest + compactions; the
-        # streaming query runs its own jobs on the shared scheduler
+        # streaming query runs its own jobs on the shared scheduler.
+        # One tombstone batch lands after each of the first 3 searches
+        # (the M4 shape with the write mix the reference lacks: deletes).
         while qh.isActive and len(latencies) < 40:
             latencies.append(one_search())
+            if len(latencies) <= len(del_batches):
+                eng.delete(del_batches[len(latencies) - 1])
         qh.awaitTermination(300)
         ingest_wall = time.time() - t0
         concurrent_searches = len(latencies)
+        for b in del_batches[len(latencies):]:  # if ingest beat the searches
+            eng.delete(b)
         while len(latencies) < 12:  # floor the percentile sample size
             latencies.append(one_search())
         rows_ingested = n - emb.filter(F.col("vec_id") < cut).count()
         lat_ms = np.sort(np.array(latencies) * 1000.0)
+        # PQ serving tier over the same engine state: first call builds
+        # the generation-keyed sidecar (reported separately), then warm
+        # ADC-scan searches — same survivor recall contract at full probe
+        pq_build0 = time.time()
+        pq_latencies = [one_search(tier="pq")]
+        pq_build_sec = time.time() - pq_build0
+        for _ in range(4):
+            pq_latencies.append(one_search(tier="pq"))
+        pq_recalls = recalls[-len(pq_latencies):]
+        pq_ms = np.sort(np.array(pq_latencies[1:]) * 1000.0)
         # per-op percentiles from the engine's own S6 metrics sink
         ops = {m["op"]: m for m in eng.recorder.snapshot()}
         ins = ops.get("insert", {})
+        dels = ops.get("delete", {})
         return {
             "rows_ingested": int(rows_ingested),
             "ingest_wall_sec": round(ingest_wall, 3),
@@ -164,12 +199,20 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             "insert_batches": ins.get("count", 0),
             "insert_p50_ms": ins.get("p50_ms"),
             "insert_p99_ms": ins.get("p99_ms"),
+            "rows_deleted": len(del_ids),
+            "delete_batches": dels.get("count", 0),
+            "delete_p50_ms": dels.get("p50_ms"),
+            "delete_p99_ms": dels.get("p99_ms"),
             "compactions": ops.get("compact", {}).get("count", 0),
             "n_searches": len(latencies),
             "n_searches_during_ingest": concurrent_searches,
             "search_qps": round(len(latencies) / float(np.sum(lat_ms) / 1000.0), 3),
             "search_p50_ms": round(float(np.percentile(lat_ms, 50)), 1),
             "search_p99_ms": round(float(np.percentile(lat_ms, 99)), 1),
+            "search_pq_build_sec": round(pq_build_sec, 3),
+            "search_pq_p50_ms": round(float(np.percentile(pq_ms, 50)), 1),
+            "search_pq_p99_ms": round(float(np.percentile(pq_ms, 99)), 1),
+            "search_pq_recall_at_10": round(float(np.mean(pq_recalls)), 4),
             "recall_at_10_mean": round(float(np.mean(recalls)), 4),
             "recall_at_10_final": round(float(recalls[-1]), 4),
         }
