@@ -120,6 +120,52 @@ def main() -> None:
     timed(
         results, "ngram_stats", lambda: text_ops.ngram_stats(docs).count()
     )
+
+    # Composed end-to-end pipeline (registry pipeline_neardup_corpus shape):
+    # shingle -> Jaccard pairs -> iterative connected components -> quality
+    # gate, all over the same cached scan.  Components are individually
+    # stressed above; the composition (two joins + CC rounds sharing the
+    # corpus) is where memory pressure would actually surface at scale.
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    cc_stats: dict = {}
+
+    def neardup_pipeline() -> int:
+        pdocs = docs.withColumn(
+            "lang",
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        )
+        stats = text_ops.doc_stats(pdocs)
+        pairs = dedup_ops.ngram_jaccard_pairs(pdocs)
+        comp = graph_ops.connected_components(
+            pairs.select(
+                F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+            ),
+            stats_out=cc_stats,
+        )
+        labeled = (
+            pdocs.select("doc_id")
+            .join(comp, pdocs["doc_id"] == comp["node"], "left")
+            .select(
+                "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+            )
+        )
+        kept = stats.join(
+            labeled.filter(F.col("doc_id") == F.col("cluster_id")).select(
+                "doc_id"
+            ),
+            "doc_id",
+        ).filter(F.col("quality_score") >= 0.5)
+        out = kept.groupBy("lang").agg(
+            F.count("*").alias("n_docs_kept"), F.sum("n_tokens").alias("toks")
+        )
+        return out.count()
+
+    timed(results, "pipeline_neardup_corpus", neardup_pipeline)
+    results["pipeline_neardup_corpus"]["cc_rounds"] = cc_stats.get("rounds")
     docs.unpersist()
 
     rng = np.random.default_rng(7)

@@ -88,6 +88,113 @@ def gen_fvecs(path: str, n: int, seed: int = 7) -> np.ndarray:
     return queries
 
 
+STREAM_BASE = 180_000
+STREAM_TAIL = 20_000
+STREAM_NQ = 200
+STREAM_NPROBE = 8
+N_DELETES = 1_000
+
+
+def stream_phase(spark, vecs, Q: np.ndarray, work: str, n: int) -> dict:
+    """Ingest-while-searching at 2·10^5 vectors (the M4/M5 mixed-RW shape
+    at SIFT dimensionality): build an engine over a 180k base, stream a
+    20k tail in while merged searches run, fire a 1,000-id tombstone wave
+    mid-ingest, and measure search latency under load, compaction wall
+    time, and the final survivor recall.  Scales down proportionally for
+    small ``--n`` smoke runs."""
+    from vector_search_engine_spark.operators import knn as knn_ops
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    base_n = min(STREAM_BASE, int(n * 0.9))
+    tail_n = min(STREAM_TAIL, n - base_n)
+    n_del = min(N_DELETES, base_n // 20)
+    out: dict = {
+        "base_rows": base_n,
+        "tail_rows": tail_n,
+        "n_queries": STREAM_NQ,
+        "nprobe": STREAM_NPROBE,
+    }
+    universe = vecs.filter(F.col("vec_id") < base_n + tail_n).cache()
+    universe.count()
+    t0 = time.time()
+    eng = VectorEngine.create(
+        universe.filter(F.col("vec_id") < base_n),
+        os.path.join(work, "stream_engine"),
+    )
+    out["engine_build_sec"] = round(time.time() - t0, 2)
+    stage = os.path.join(work, "stream_stage")
+    universe.filter(F.col("vec_id") >= base_n).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    # deterministic tombstone wave over indexed ids
+    del_ids = [i * 17 % base_n for i in range(n_del)]
+    del_ids = sorted(set(del_ids))[:n_del]
+    del_batches = [del_ids[i::2] for i in range(2)]
+    qids = np.arange(STREAM_NQ, dtype=np.int64)
+    queries = (qids, Q[:STREAM_NQ])
+    survivors = universe.filter(~F.col("vec_id").isin(del_ids))
+    gt = (
+        knn_ops.knn_exact(survivors, queries, k=K)
+        .groupBy("qid")
+        .agg(F.collect_list("neighbor_id").alias("neighbor_ids"))
+        .cache()
+    )
+    gt.count()
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    lat: list[float] = []
+    t0 = time.time()
+    qh = eng.ingest_stream(stream, max_delta_fraction=0.05)
+    while qh.isActive and len(lat) < 30:
+        s0 = time.time()
+        eng.search(queries, k=K, nprobe=STREAM_NPROBE).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        lat.append(time.time() - s0)
+        if len(lat) <= len(del_batches):
+            eng.delete(del_batches[len(lat) - 1])
+    qh.awaitTermination(600)
+    out["ingest_wall_sec"] = round(time.time() - t0, 2)
+    out["searches_during_ingest"] = len(lat)
+    for b in del_batches[len(lat):]:
+        eng.delete(b)
+    while len(lat) < 8:
+        s0 = time.time()
+        eng.search(queries, k=K, nprobe=STREAM_NPROBE).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        lat.append(time.time() - s0)
+    lat_ms = np.sort(np.array(lat) * 1000.0)
+    ops = {m["op"]: m for m in eng.recorder.snapshot()}
+    out["insert_rows_per_sec"] = round(tail_n / out["ingest_wall_sec"], 1)
+    out["search_p50_ms"] = round(float(np.percentile(lat_ms, 50)), 1)
+    out["search_p99_ms"] = round(float(np.percentile(lat_ms, 99)), 1)
+    out["compactions"] = ops.get("compact", {}).get("count", 0)
+    out["compact_p50_ms"] = ops.get("compact", {}).get("p50_ms")
+    out["rows_deleted"] = len(del_ids)
+    out["delete_p50_ms"] = ops.get("delete", {}).get("p50_ms")
+    # post-ingest recall vs SURVIVORS at the serving nprobe, then the
+    # exactness check at full probe (merged-search + tombstone contract)
+    res = eng.search(queries, k=K, nprobe=STREAM_NPROBE)
+    out["recall_at_10_final"] = float(
+        knn_ops.recall_at_k(res, gt, K).collect()[0]["recall_at_k"]
+    )
+    res_full = eng.search(
+        queries, k=K, nprobe=eng.index.meta["n_centroids"]
+    )
+    out["recall_at_10_full_probe"] = float(
+        knn_ops.recall_at_k(res_full, gt, K).collect()[0]["recall_at_k"]
+    )
+    gt.unpersist()
+    universe.unpersist()
+    print(f"stream phase: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     n = 1_000_000
     out_path = "SIFT1M.json"
@@ -247,6 +354,13 @@ def main() -> None:
               f"recall {pq_res['recall_at_10']:.4f} in "
               f"{pq_res['search_plus_recall_sec']}s", file=sys.stderr)
         gt.unpersist()
+
+        # M4/M5 analog beyond sf0.1: ingest-while-searching at SIFT shape
+        # (client_bench.cpp:39-49 runs 6R/6W against the live server) with
+        # a tombstone-delete wave — pins merged-search overhead, compaction
+        # wall time, and delete-visibility at 10^5-vector scale.
+        if "--no-stream" not in args:
+            results["stream"] = stream_phase(spark, vecs, Q, work, n)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

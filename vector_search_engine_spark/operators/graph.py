@@ -69,13 +69,16 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_rounds: int = 20
+    edges: DataFrame, max_rounds: int = 20, stats_out: dict | None = None
 ) -> DataFrame:
     """Component label per node: ``(node long, component long)`` where
     component = min node id reachable.  ``edges`` needs columns (u, v).
 
     Iterates alternating star rounds until the edge-set fingerprint is
-    stable; the driver sees only (count, hash-sum) per round."""
+    stable; the driver sees only (count, hash-sum) per round.
+
+    ``stats_out``: optional dict that receives ``{"rounds": N}`` — the
+    scale-stress harness pins convergence round counts with it."""
     cur = (
         edges.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
@@ -84,13 +87,17 @@ def connected_components(
         .distinct()
     )
     prev_fp = None
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         cur = _star_round(cur, large=True)
         cur = _star_round(cur, large=False).localCheckpoint(eager=True)
         fp = _edge_fingerprint(cur)
         if fp == prev_fp:
             break
         prev_fp = fp
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
     # converged: stars centered at component minima — every non-center
     # node appears exactly once as v with u = its component min
     members = cur.select(F.col("v").alias("node"), F.col("u").alias("component"))
