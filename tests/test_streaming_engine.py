@@ -489,3 +489,48 @@ def test_delete_nonexistent_and_empty_are_harmless(spark, embeddings, engine):
     assert engine.compact() >= 1  # the tombstone folds away
     assert int(engine.index.meta["n_vectors"]) == 400
     assert engine.index.vectors().count() == 400
+
+
+def test_concurrent_insert_and_delete_writers(spark, embeddings, engine):
+    """Concurrent delta writers (a streaming-insert thread and delete
+    batches, as in the mixed-RW bench) must never corrupt each other:
+    the old append-into-shared-dir path let two Spark jobs share one
+    _temporary staging dir and fail with TASK_WRITE_FAILED; the private
+    staging + atomic-rename path gives every batch its own _seq and an
+    all-or-nothing publish.  Afterward, merged search must equal exact
+    kNN over the survivor universe."""
+    import threading
+
+    tail = embeddings.filter(F.col("vec_id") >= 400)
+    batches = [tail.filter(F.col("vec_id") % 4 == i) for i in range(4)]
+    del_batches = [[i * 16 + 3 for i in range(12)], [i * 16 + 7 for i in range(12)]]
+    errs: list = []
+
+    def do_inserts():
+        try:
+            for b in batches:
+                engine.insert(b)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def do_deletes():
+        try:
+            for d in del_batches:
+                engine.delete(d)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=do_inserts), threading.Thread(target=do_deletes)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    # every batch claimed its own _seq partition
+    assert len(engine._existing_seqs()) == len(batches) + len(del_batches)
+    deleted = {i for d in del_batches for i in d}
+    survivors = embeddings.filter(~F.col("vec_id").isin(list(deleted)))
+    q = knn_ops.make_queries(embeddings, n=5)
+    got = _sorted(engine.search(q, k=10, nprobe=engine.index.meta["n_centroids"]))
+    want = _sorted(knn_ops.knn_exact(survivors, q, k=10))
+    assert got == want

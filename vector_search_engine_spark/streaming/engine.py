@@ -32,6 +32,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -113,17 +114,51 @@ class VectorEngine:
         seqs = self._existing_seqs() + [self._watermark()]
         return max(seqs) + 1
 
+    def _publish_delta_batch(self, rows: DataFrame, seq: int | None) -> int:
+        """Write a delta batch to a PRIVATE staging dir, then atomically
+        rename it into place as ``_seq=K``.
+
+        Why not ``write.mode("append").partitionBy("_seq")`` straight into
+        the delta: two concurrent writers (a streaming insert thread and a
+        delete batch, or two clients) then share ONE Spark staging dir
+        (``<delta>/_temporary/0``), and the first job's commit/cleanup
+        deletes the other's in-flight attempt dirs — a real
+        TASK_WRITE_FAILED race caught by the mixed-RW bench.  With private
+        staging, the only shared step is the directory rename, which the
+        filesystem makes atomic; a seq collision (both writers computed
+        the same ``_next_seq``) surfaces as a failed rename (dest exists)
+        and is retried with a fresh seq — never as interleaved files.
+        This is also the honest W1/W2 mapping: the rename IS the
+        buffer-rotation commit point (``engine.h:89-93``), all-or-nothing
+        at directory granularity."""
+        staging = os.path.join(
+            self.root_dir, f"_staging-{uuid.uuid4().hex[:12]}"
+        )
+        rows.write.mode("overwrite").parquet(staging)
+        try:
+            for _ in range(100):
+                s = self._next_seq() if seq is None else seq
+                dest = os.path.join(self.delta_dir, f"_seq={s}")
+                try:
+                    os.rename(staging, dest)
+                    return s
+                except OSError:
+                    if seq is not None:
+                        raise  # caller pinned the seq; collision is an error
+                    # lost the claim race — another writer published this
+                    # seq between our _next_seq() and rename; recompute
+            raise RuntimeError("could not claim a delta _seq in 100 attempts")
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
     def insert(self, rows: DataFrame, seq: int | None = None) -> None:
         """Append a batch to the unindexed delta (the foreachBatch body).
         Wait-free analog: appends never touch the indexed table.  ``_seq``
         (monotone batch number) makes 'latest version of an id' well-defined
         — the reference has no such notion and returns duplicates."""
         t0 = time.time()
-        seq = self._next_seq() if seq is None else seq
         cols = [self.index.meta["id_col"], self.index.meta["vec_col"]]
-        rows.select(*cols).withColumn("_seq", F.lit(seq).cast("long")).write.mode(
-            "append"
-        ).partitionBy("_seq").parquet(self.delta_dir)
+        self._publish_delta_batch(rows.select(*cols), seq)
         self.recorder.record("insert", time.time() - t0)
 
     def delete(self, ids, seq: int | None = None) -> None:
@@ -145,14 +180,10 @@ class VectorEngine:
             ids = self.spark.createDataFrame(
                 [(int(i),) for i in ids], f"{id_col} long"
             )
-        seq = self._next_seq() if seq is None else seq
-        (
+        self._publish_delta_batch(
             ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
-            .withColumn(vec_col, F.lit(None).cast("array<float>"))
-            .withColumn("_seq", F.lit(seq).cast("long"))
-            .write.mode("append")
-            .partitionBy("_seq")
-            .parquet(self.delta_dir)
+            .withColumn(vec_col, F.lit(None).cast("array<float>")),
+            seq,
         )
         self.recorder.record("delete", time.time() - t0)
 
@@ -200,11 +231,13 @@ class VectorEngine:
                 [], f"{id_col} long, {vec_col} array<float>, _seq long"
             )
         # isin on the partition column: logically-dead partitions awaiting
-        # GC and seqs appended after the snapshot are pruned, not scanned
+        # GC and seqs appended after the snapshot are pruned, not scanned.
+        # _seq is directory-inferred (int by default) — cast to long so the
+        # schema matches the empty-delta branch above exactly
         return (
             self.spark.read.parquet(self.delta_dir)
             .filter(F.col("_seq").isin(seqs))
-            .select(id_col, vec_col, "_seq")
+            .select(id_col, vec_col, F.col("_seq").cast("long").alias("_seq"))
         )
 
     def delta_latest(self, seqs: list[int] | None = None) -> DataFrame:
