@@ -1152,6 +1152,47 @@ WHERE r.rn <= p.quota
 """
 
 
+# Fixture weight table for the explicit-weights path (registry
+# corpus_mixture_sample_weighted): named sources override, the rest
+# default to 1 — mirrored verbatim in the oracle's VALUES CTE.
+MIXTURE_WEIGHTS_FIXTURE: tuple[tuple[str, int], ...] = (
+    ("src0", 5),
+    ("src1", 3),
+    ("src2", 2),
+)
+
+MIXTURE_SAMPLE_WEIGHTED_ORACLE = f"""
+WITH wt(source, weight) AS (
+  VALUES {", ".join(f"('{s}', {w})" for s, w in MIXTURE_WEIGHTS_FIXTURE)}
+),
+stats AS (
+  SELECT d.source, count(*)::BIGINT AS n_docs,
+         COALESCE(max(w.weight), 1)::BIGINT AS weight
+  FROM documents d LEFT JOIN wt w ON d.source = w.source
+  GROUP BY d.source
+),
+b AS (SELECT min(n_docs // weight)::BIGINT AS b FROM stats),
+plan AS (
+  SELECT source, weight, (weight * b.b)::BIGINT AS quota
+  FROM stats CROSS JOIN b
+),
+h AS (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM h
+)
+SELECT r.source, r.doc_id, r.rn AS sample_rank, p.weight, p.quota
+FROM r JOIN plan p USING (source)
+WHERE r.rn <= p.quota
+"""
+
+
 # ---------------------------------------------------------------------------
 # Document chunking (fixed-size token windows with overlap)
 # ---------------------------------------------------------------------------

@@ -1097,6 +1097,23 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_sample_weighted",
+    oracle=txt_ops.MIXTURE_SAMPLE_WEIGHTED_ORACLE,
+)
+def corpus_mixture_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture_sample through the EXPLICIT (source, weight) config path
+    (r7): a broadcast weight table overrides the suffix derivation, with
+    omitted sources defaulting to weight 1 — the production mixing-config
+    shape, oracle-mirrored via a VALUES CTE."""
+    wtab = spark.createDataFrame(
+        list(txt_ops.MIXTURE_WEIGHTS_FIXTURE), "source string, weight long"
+    )
+    return txt_ops.mixture_sample(
+        load_table(spark, sf_dir, "documents"), weights=wtab
+    )
+
+
+@register(
     "corpus_capped_sample", oracle=txt_ops.CAPPED_SOURCE_SAMPLE_ORACLE
 )
 def corpus_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
