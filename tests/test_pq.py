@@ -306,3 +306,29 @@ def test_sidecar_dirs_are_generation_keyed(spark, embeddings, tmp_path):
     sid = str(int(idx._read_manifest()["latest_gen"]))
     assert f"_gen{sid}" in os.path.dirname(codes_dir)
     assert sq_dir.endswith(f"_gen{sid}")
+
+
+def test_search_pq_with_predicate_equals_filtered_float(spark, embeddings, index):
+    """Filtered search at the PQ tier: the predicate must apply BEFORE
+    the bound cut (a disqualified vector's small ub could evict a
+    legitimate survivor), so the PQ output equals the float filtered
+    probe bit-for-bit at every nprobe."""
+    import pyspark.sql.functions as F
+
+    q = knn_ops.make_queries(embeddings, n=10)
+    pred = F.col("label") < 5
+    for nprobe in (2, 8):
+        fl = index.search(q, k=10, nprobe=nprobe, predicate=pred).orderBy(
+            "qid", "rank"
+        )
+        pz = index.search_pq(
+            q, k=10, nprobe=nprobe, m=M, predicate=pred
+        ).orderBy("qid", "rank")
+        assert [tuple(r) for r in pz.collect()] == [tuple(r) for r in fl.collect()]
+    # predicate composes with exclude_ids (both pre-cut)
+    excl = embeddings.filter(F.col("vec_id") < 3).select("vec_id")
+    fl = index.search(q, k=10, nprobe=8, predicate=pred, exclude_ids=excl)
+    pz = index.search_pq(
+        q, k=10, nprobe=8, m=M, predicate=pred, exclude_ids=excl
+    )
+    assert sorted(map(tuple, pz.collect())) == sorted(map(tuple, fl.collect()))

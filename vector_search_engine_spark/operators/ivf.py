@@ -1161,6 +1161,7 @@ class IVFIndex:
         candidates_per_partition: int | None = None,
         residual: bool = True,
         exclude_ids: DataFrame | None = None,
+        predicate=None,
     ) -> DataFrame:
         """Probed search over the PQ sidecar: ADC byte-code scan of the
         probed cells with the triangle-inequality bound cut (provably a
@@ -1178,7 +1179,18 @@ class IVFIndex:
         ``candidates_per_partition`` switches the cut to the classic
         top-C ADC mode (approximate recall, exact distances) — the scale
         path when residuals are too large to prune losslessly; see
-        ``pq_bound_cut``."""
+        ``pq_bound_cut``.
+
+        ``predicate``: optional metadata Column over the index's extra
+        columns (filtered search at the PQ tier — the filtered × quantized
+        cell of the capability matrix).  Like ``exclude_ids``, it must
+        apply BEFORE the bound cut: a disqualified vector's small upper
+        bound would otherwise tighten the k-th ub and evict a legitimate
+        survivor.  Predicate columns live in the float table, not the
+        codes sidecar, so qualifying ids come from a column-pruned
+        metadata read of the probed cells (id + predicate columns only —
+        no vector bytes) semi-joined against the codes; the PQ tier's
+        scan-byte win is untouched."""
         from vector_search_engine_spark.operators.pq import pq_bound_cut
 
         id_col = self.meta["id_col"]
@@ -1225,6 +1237,17 @@ class IVFIndex:
                 id_col,
                 "left_anti",
             )
+        if predicate is not None:
+            # qualifying ids from a metadata-only read of the SAME pruned
+            # cells (column pruning drops the vector bytes); semi-join
+            # before the cut for the same losslessness reason as above
+            keep_ids = (
+                self.vectors(snapshot=snap)
+                .filter(F.col("centroid_id").isin(needed))
+                .filter(predicate)
+                .select(id_col)
+            )
+            cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
         cand = pq_bound_cut(
             cand_codes,
             qmap_bc,

@@ -681,6 +681,22 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_pq_filtered", oracle=ORACLES["knn_filtered"])
+def ann_ivf_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search at the PQ tier (r7: the filtered × quantized cell
+    of the capability matrix): metadata predicate applied before the ADC
+    bound cut via a column-pruned metadata semi-join — at full probe the
+    output equals the exact filtered oracle, hash-gated."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_pq(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+    )
+
+
 @register("ann_ivf_pq_serving")  # probed top-C ADC: approximate → rows-only
 def ann_ivf_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ tier's SERVING shape (the M3 analog): probed cells, top-C
