@@ -566,3 +566,18 @@ def test_build_or_load_concurrent_callers_single_build(
     assert not errs
     assert len(calls) == 1
     assert all(r is results[0] for r in results)
+
+
+def test_search_sq8_with_predicate_equals_filtered_float(spark, embeddings, index):
+    """Filtered x SQ8: predicate applies before the bound cut, so output
+    equals the float filtered probe bit-for-bit at every nprobe."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    pred = F.col("label") < 5
+    for nprobe in (2, 8):
+        fl = index.search(q, k=10, nprobe=nprobe, predicate=pred).orderBy(
+            "qid", "rank"
+        )
+        sq = index.search_sq8(q, k=10, nprobe=nprobe, predicate=pred).orderBy(
+            "qid", "rank"
+        )
+        assert [tuple(r) for r in sq.collect()] == [tuple(r) for r in fl.collect()]

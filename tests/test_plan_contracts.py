@@ -87,3 +87,32 @@ def test_pure_scan_text_ops_have_no_exchange(spark, sf_dir, name):
     plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
     assert "Exchange" not in plan, name
     assert "Python" not in plan, name  # no UDF in the hot path either
+
+
+def test_filtered_pq_metadata_read_prunes_vector_column(spark, sf_dir):
+    """Filtered search at a quantized tier evaluates the predicate on a
+    METADATA-ONLY read of the probed cells: if the vector column leaks
+    into that scan's ReadSchema, the tier's scan-byte win is gone at
+    100 TB.  Assert at least one parquet scan in the executed plan reads
+    (id, predicate columns) without the embedding column."""
+    from vector_search_engine_spark.operators import ivf
+
+    spark.catalog.clearCache()
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = index.search_pq(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+    )
+    plan = _executed_plan(df)
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "label" in ln.split("ReadSchema")[-1]
+    ]
+    assert scans, "no scan reading the predicate column found"
+    assert any(
+        "embedding" not in ln.split("ReadSchema")[-1] for ln in scans
+    ), f"predicate scan also reads vector bytes: {scans}"

@@ -924,6 +924,7 @@ class IVFIndex:
         nprobe: int = 4,
         qid_col: str = "qid",
         qvec_col: str = "query",
+        predicate=None,
     ) -> DataFrame:
         """Two-stage probed search: quantized scan of the probed cells'
         int8 sidecar + exact float re-score of the survivors — composes the
@@ -936,7 +937,12 @@ class IVFIndex:
         bound retains a superset of the true top-k (per Arrow batch, hence
         per partition, hence globally).  Output is therefore identical to
         ``search()`` at the same nprobe, and identical to exact kNN at
-        full probe — the same hash-gated oracle applies."""
+        full probe — the same hash-gated oracle applies.
+
+        ``predicate``: optional metadata Column (filtered × SQ8 cell of
+        the capability matrix), applied BEFORE the bound cut via a
+        column-pruned metadata semi-join — same discipline and reasoning
+        as ``search_pq``."""
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         dim = self.meta["dim"]
@@ -971,6 +977,17 @@ class IVFIndex:
         cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
             "qid", id_col, "code", "lo", "hi"
         )
+        if predicate is not None:
+            # pre-cut filtering (losslessness: a disqualified vector's
+            # small ub must not tighten the k-th bound); metadata-only
+            # read — column pruning drops the vector bytes
+            keep_ids = (
+                self.vectors(snapshot=snap)
+                .filter(F.col("centroid_id").isin(needed))
+                .filter(predicate)
+                .select(id_col)
+            )
+            cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
 
         def approx_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qm = bc.value

@@ -681,6 +681,21 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_sq8_filtered", oracle=ORACLES["knn_filtered"])
+def ann_ivf_sq8_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search at the SQ8 tier (r7): same pre-cut metadata
+    semi-join discipline as the PQ tier; full probe == the exact
+    filtered oracle."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_sq8(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+    )
+
+
 @register("ann_ivf_pq_filtered", oracle=ORACLES["knn_filtered"])
 def ann_ivf_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED search at the PQ tier (r7: the filtered × quantized cell
