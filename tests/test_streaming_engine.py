@@ -428,6 +428,8 @@ def test_merged_search_pq_tier_equals_exact(spark, embeddings, engine):
     fl = _sorted(engine.search(q, k=10, nprobe=np_full))
     pz = _sorted(engine.search(q, k=10, nprobe=np_full, tier="pq"))
     assert fl == pz
+    sq = _sorted(engine.search(q, k=10, nprobe=np_full, tier="sq8"))
+    assert fl == sq
     with pytest.raises(ValueError, match="tier"):
         engine.search(q, k=10, tier="sq4")
 

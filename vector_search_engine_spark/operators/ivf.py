@@ -925,6 +925,7 @@ class IVFIndex:
         qid_col: str = "qid",
         qvec_col: str = "query",
         predicate=None,
+        exclude_ids: DataFrame | None = None,
     ) -> DataFrame:
         """Two-stage probed search: quantized scan of the probed cells'
         int8 sidecar + exact float re-score of the survivors — composes the
@@ -942,7 +943,9 @@ class IVFIndex:
         ``predicate``: optional metadata Column (filtered × SQ8 cell of
         the capability matrix), applied BEFORE the bound cut via a
         column-pruned metadata semi-join — same discipline and reasoning
-        as ``search_pq``."""
+        as ``search_pq``.  ``exclude_ids``: optional one-column DataFrame
+        of shadowed ids (the streaming engine's tier="sq8"), anti-joined
+        before the cut for the same losslessness reason."""
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         dim = self.meta["dim"]
@@ -977,6 +980,12 @@ class IVFIndex:
         cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
             "qid", id_col, "code", "lo", "hi"
         )
+        if exclude_ids is not None:
+            cand_codes = cand_codes.join(
+                exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)),
+                id_col,
+                "left_anti",
+            )
         if predicate is not None:
             # pre-cut filtering (losslessness: a disqualified vector's
             # small ub must not tighten the k-th bound); metadata-only

@@ -264,10 +264,12 @@ class VectorEngine:
         shadowed ids excluded + exact scan of the delta, one global top-k.
 
         ``tier`` selects the indexed side's candidate scan: ``"float"``
-        (default) or ``"pq"`` (IVFADC byte codes + lossless bound cut +
-        exact re-score — same results, ~32× fewer candidate-scan bytes;
-        the delta side always scans exact floats, deltas are small)."""
-        if tier not in ("float", "pq"):
+        (default), ``"sq8"`` (int8 codes, ~4× fewer scan bytes), or
+        ``"pq"`` (IVFADC byte codes, ~32× fewer).  Both quantized tiers
+        run a lossless bound cut + exact re-score — same results as the
+        float tier; the delta side always scans exact floats, deltas are
+        small."""
+        if tier not in ("float", "sq8", "pq"):
             raise ValueError(f"unknown search tier {tier!r}")
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
@@ -279,6 +281,13 @@ class VectorEngine:
         # large under sustained ingest; ids never visit the driver
         if tier == "pq":
             indexed_part = self.index.search_pq(
+                queries,
+                k=k,
+                nprobe=nprobe,
+                exclude_ids=delta_latest.select(id_col),
+            )
+        elif tier == "sq8":
+            indexed_part = self.index.search_sq8(
                 queries,
                 k=k,
                 nprobe=nprobe,
