@@ -1492,6 +1492,27 @@ def streaming_merged_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_merged_search_pq", oracle=ORACLES["knn_exact_l2"])
+def streaming_merged_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged-search contract served through the QUANTIZED tier
+    (r7): tier="pq" swaps the indexed side's candidate scan for IVFADC
+    byte codes (shadow exclusion before the bound cut) — same oracle,
+    hash-identical to the float tier at full probe."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    return eng.search(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        tier="pq",
+    )
+
+
 _UPSERT_ORACLE = """
 WITH cur AS (
   SELECT vec_id,
