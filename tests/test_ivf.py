@@ -581,3 +581,22 @@ def test_search_sq8_with_predicate_equals_filtered_float(spark, embeddings, inde
             "qid", "rank"
         )
         assert [tuple(r) for r in sq.collect()] == [tuple(r) for r in fl.collect()]
+
+
+def test_radius_search_with_predicate(spark, embeddings, index):
+    """Filtered range search: equals the brute-force radius scan over the
+    predicate-filtered table (pre-filtering is trivially lossless for an
+    absolute radius)."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    pred = F.col("label") < 5
+    brute = {
+        (r.qid, r.neighbor_id, r.dist_sq)
+        for r in knn_ops.radius_search(
+            embeddings.filter(pred), q, 1.5
+        ).collect()
+    }
+    pruned = {
+        (r.qid, r.neighbor_id, r.dist_sq)
+        for r in index.radius_search(q, 1.5, predicate=pred).collect()
+    }
+    assert pruned == brute

@@ -1311,6 +1311,7 @@ class IVFIndex:
         radius_sq: float,
         qid_col: str = "qid",
         qvec_col: str = "query",
+        predicate=None,
     ) -> DataFrame:
         """EXACT range search with index pruning: all (query, vector) pairs
         with squared L2 <= radius_sq, scanning only cells that can contain
@@ -1320,6 +1321,10 @@ class IVFIndex:
         cell is probed iff sqrt(d(q,c)) <= r + R_c.  Unlike top-k probing
         this prunes with zero recall loss — results are bit-identical to
         the brute-force scan (the same oracle SQL gates both).
+
+        ``predicate``: optional metadata Column — pre-filtering is
+        trivially lossless here (the radius is absolute; no k-th-bound
+        interplay), so it simply narrows the scan.
         """
         spark = self.spark
         id_col = self.meta["id_col"]
@@ -1361,6 +1366,8 @@ class IVFIndex:
         base = self.vectors(snapshot=snap).filter(
             F.col("centroid_id").isin(needed)
         )
+        if predicate is not None:
+            base = base.filter(predicate)
         cand = base.join(F.broadcast(pairs_df), "centroid_id").select(
             F.col("qid"), F.col(id_col), F.col(vec_col)
         )
