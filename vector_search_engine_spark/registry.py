@@ -592,6 +592,44 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_cosine_filtered",
+    oracle=f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         CASE WHEN sqrt({_DD_DOT.format(a="e.embedding", b="e.embedding")})
+                   * sqrt({_DD_DOT.format(a="q.query", b="q.query")}) = 0 THEN 0.0
+              ELSE {_DD_DOT.format(a="e.embedding", b="q.query")}
+                   / (sqrt({_DD_DOT.format(a="e.embedding", b="e.embedding")})
+                      * sqrt({_DD_DOT.format(a="q.query", b="q.query")}))
+         END AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label < 5
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist DESC, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, neighbor_id, "rank", round(dist, 4) AS sim
+FROM r WHERE "rank" <= 10
+""",
+)
+def ann_ivf_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED cosine ANN (r7: the filtered × metric cell): the
+    predicate rides the normalized index's pruned scan, candidates are
+    re-scored with exact cosine on the original vectors — at full probe
+    hash-identical to the filtered flat cosine oracle."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="cosine")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_cosine(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+    )
+
+
 @register("ann_ivf_cosine_distributed", oracle=ORACLES["knn_exact_cosine"])
 def ann_ivf_cosine_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-|Q| cosine tier: in-partition normalization + distributed
