@@ -658,6 +658,39 @@ def ann_ivf_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_ip_filtered",
+    oracle=f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {_DD_DOT.format(a="e.embedding", b="q.query")} AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label < 5
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist DESC, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, neighbor_id, "rank", round(dist, 4) AS sim
+FROM r WHERE "rank" <= 10
+""",
+)
+def ann_ivf_ip_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED MIPS ANN (r7): predicate + the inner-product→L2
+    reduction; exact-dot rescore, full probe hash-identical to the
+    label-filtered flat MIPS oracle.  With cosine and L2 this completes
+    filtered search across the whole metric surface."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="mips")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_ip(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+    )
+
+
 COSINE_RADIUS_MIN_SIM = 0.3
 
 _DD_COS = (
