@@ -146,3 +146,34 @@ def test_prehistory_manifest_offset_minus_one_matches_prev(
     assert idx.manifest_at(-1) == idx.manifest_at("prev")
     with pytest.raises(ValueError, match="out of retained history"):
         idx.manifest_at(-2)
+
+
+def test_asof_search_through_quantized_tiers(spark, embeddings, engine3):
+    """AS-OF search composes with the quantized tiers: generation-keyed
+    sidecars are built from the historical snapshot's own files, so
+    search_sq8/search_pq(snapshot="prev") must equal search(snapshot=
+    "prev") bit-for-bit at full probe — and differ from the current
+    state's result (the folded rows prove the pin is real)."""
+    idx = engine3.index
+    q = knn_ops.make_queries(embeddings.filter(F.col("vec_id") < 200), n=5)
+    np_full = idx.meta["n_centroids"]
+    engine3.insert(
+        embeddings.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 350))
+    )
+    assert engine3.compact() > 0
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy("qid", "rank").collect()]
+
+    asof_float = rows(idx.search(q, k=10, nprobe=np_full, snapshot="prev"))
+    asof_sq8 = rows(idx.search_sq8(q, k=10, nprobe=np_full, snapshot="prev"))
+    asof_pq = rows(idx.search_pq(q, k=10, nprobe=np_full, snapshot="prev"))
+    assert asof_sq8 == asof_float
+    assert asof_pq == asof_float
+    # the pinned view excludes every folded row
+    assert all(t[1] < 200 for t in asof_float)
+    # current-state quantized search sees the folded rows (fresh sidecar
+    # for the new generation, not the historical one)
+    cur_pq = rows(idx.search_pq(q, k=10, nprobe=np_full))
+    assert cur_pq == rows(idx.search(q, k=10, nprobe=np_full))
+    assert any(t[1] >= 200 for t in cur_pq) or cur_pq != asof_pq

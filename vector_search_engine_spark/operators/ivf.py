@@ -417,7 +417,11 @@ class IVFIndex:
             raise ValueError("index has no manifest (nothing committed yet)")
         hist = m.get("history") or []
         if snapshot == "current":
-            entry = {"cells": m["cells"], "centroids_file": m.get("centroids_file")}
+            entry = {
+                "cells": m["cells"],
+                "centroids_file": m.get("centroids_file"),
+                "snapshot_id": m.get("latest_gen"),
+            }
         elif snapshot == "prev":
             if len(hist) >= 2:
                 entry = hist[-2]
@@ -450,8 +454,12 @@ class IVFIndex:
             entry = by_id[snapshot]
         else:
             raise ValueError(f"unknown snapshot {snapshot!r}")
+        # latest_gen: the snapshot's own id — lets _sidecar_gen key a
+        # derived-code sidecar to the HISTORICAL snapshot (as-of search
+        # through the quantized tiers), not alias it to a raw tag
         return {"cells": entry["cells"],
-                "centroids_file": entry.get("centroids_file")}
+                "centroids_file": entry.get("centroids_file"),
+                "latest_gen": entry.get("snapshot_id")}
 
     # -- read ----------------------------------------------------------------
 
@@ -926,6 +934,7 @@ class IVFIndex:
         qvec_col: str = "query",
         predicate=None,
         exclude_ids: DataFrame | None = None,
+        snapshot: int | str | None = None,
     ) -> DataFrame:
         """Two-stage probed search: quantized scan of the probed cells'
         int8 sidecar + exact float re-score of the survivors — composes the
@@ -945,7 +954,13 @@ class IVFIndex:
         column-pruned metadata semi-join — same discipline and reasoning
         as ``search_pq``.  ``exclude_ids``: optional one-column DataFrame
         of shadowed ids (the streaming engine's tier="sq8"), anti-joined
-        before the cut for the same losslessness reason."""
+        before the cut for the same losslessness reason.
+
+        ``snapshot``: a retained snapshot id / ``"prev"`` / negative
+        offset (as in ``search``) — AS-OF search through the quantized
+        tier.  Generation-keyed sidecars make this sound: codes for the
+        historical snapshot are built from (and GC-protected with) that
+        snapshot's own files."""
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         dim = self.meta["dim"]
@@ -960,7 +975,11 @@ class IVFIndex:
         # so codes and the float re-score base always agree — a rebalance
         # committing mid-search can neither skew nor delete them (EBR
         # retention covers sidecars like base cells)
-        snap = self._read_manifest()
+        snap = (
+            self.manifest_at(snapshot)
+            if snapshot is not None
+            else self._read_manifest()
+        )
         pairs = self.probe_pairs(
             qids, Q, nprobe, centroid_set=self._centroids_for(snap)
         )
@@ -1188,6 +1207,7 @@ class IVFIndex:
         residual: bool = True,
         exclude_ids: DataFrame | None = None,
         predicate=None,
+        snapshot: int | str | None = None,
     ) -> DataFrame:
         """Probed search over the PQ sidecar: ADC byte-code scan of the
         probed cells with the triangle-inequality bound cut (provably a
@@ -1196,7 +1216,9 @@ class IVFIndex:
         at the same nprobe and to exact kNN at full probe — the same
         hash-gated oracle applies.  The code sidecar is keyed by (and
         built from) the pinned snapshot, so a concurrent compaction can
-        neither skew nor delete it mid-search (``_sidecar_gen``).
+        neither skew nor delete it mid-search (``_sidecar_gen``); the
+        same keying makes ``snapshot`` (retained id / ``"prev"`` /
+        negative offset) an AS-OF search through the quantized tier.
 
         ``residual=True`` (IVFADC, the default) quantizes against the
         cell centroid — tighter residuals, working bound cut; the ADC
@@ -1227,7 +1249,11 @@ class IVFIndex:
             return spark.createDataFrame(
                 [], "qid long, neighbor_id long, rank long, dist_sq double"
             )
-        snap = self._read_manifest()
+        snap = (
+            self.manifest_at(snapshot)
+            if snapshot is not None
+            else self._read_manifest()
+        )
         pairs = self.probe_pairs(
             qids, Q, nprobe, centroid_set=self._centroids_for(snap)
         )
