@@ -1761,6 +1761,29 @@ def index_asof_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("index_asof_search_pq", oracle=_ASOF_ORACLE)
+def index_asof_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel THROUGH the quantized tier (r7): as-of search over
+    IVFADC byte codes — the generation-keyed sidecar is built from the
+    historical snapshot's own files, so the pre-compaction state is
+    served from codes that never saw the folded rows.  Same oracle as
+    the float as-of search."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    eng.compact()
+    return eng.index.search_pq(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        snapshot=-1,
+    )
+
+
 _STREAMING_DEDUP_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
