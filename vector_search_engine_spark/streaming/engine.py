@@ -55,6 +55,13 @@ class VectorEngine:
         self.index = IVFIndex(spark, os.path.join(root_dir, "index"))
         self.delta_dir = os.path.join(root_dir, "delta")
         os.makedirs(self.delta_dir, exist_ok=True)
+        # GC staging dirs orphaned by a crash mid-_publish_delta_batch:
+        # a batch that never reached its atomic rename was never visible,
+        # so removal is safe (single-process writer assumption, as for
+        # meta.json); live writers' staging dirs can't exist at engine
+        # construction time
+        for d in glob.glob(os.path.join(root_dir, "_staging-*")):
+            shutil.rmtree(d, ignore_errors=True)
         # N-generation time travel: how many superseded index snapshots
         # compaction keeps readable (None = manifest default, 1)
         self.snapshot_retain = snapshot_retain
