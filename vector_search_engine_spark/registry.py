@@ -1934,7 +1934,11 @@ _GRADE_FIRST: list[str] = [
     #   events_json_stats → out: single-column JSON extraction, weakest row;
     #                       JSON functions stay covered by events_* pytest.
     # All seven rotated-out queries stay registered, canary-smoked and
-    # pytest-gated; each carries green rows from r1-r6.)
+    # pytest-gated; each carries green rows from r1-r6.
+    # r8 rotation candidates (oracle-backed, added r7, never driver-graded):
+    #   corpus_mixture_sample_weighted, ann_ivf_pq_filtered,
+    #   ann_ivf_sq8_filtered, ann_ivf_cosine_filtered, ann_ivf_ip_filtered,
+    #   streaming_merged_search_pq, index_asof_search_pq.)
     "knn_exact_l2",
     "vector_norms",
     "label_centroids",
