@@ -600,3 +600,15 @@ def test_radius_search_with_predicate(spark, embeddings, index):
         for r in index.radius_search(q, 1.5, predicate=pred).collect()
     }
     assert pruned == brute
+
+
+def test_search_distributed_with_predicate(spark, embeddings, index):
+    """Filtered large-|Q| tier: index side filtered before the shuffle
+    join; full probe equals the flat filtered search bit-for-bit."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    pred = F.col("label") < 5
+    fl = index.search(q, k=10, nprobe=8, predicate=pred).orderBy("qid", "rank")
+    ds = index.search_distributed(
+        q, k=10, nprobe=8, predicate=pred
+    ).orderBy("qid", "rank")
+    assert [tuple(r) for r in ds.collect()] == [tuple(r) for r in fl.collect()]

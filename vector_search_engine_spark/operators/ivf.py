@@ -695,6 +695,7 @@ class IVFIndex:
         qid_col: str = "qid",
         qvec_col: str = "query",
         snapshot: int | str | None = None,
+        predicate=None,
     ) -> DataFrame:
         """ANN top-k for a LARGE query table — the tier for when ``|Q|``
         itself is a dataset (bulk re-embedding joins, all-corpus retrieval
@@ -710,7 +711,9 @@ class IVFIndex:
           (batch, qid) group), then the usual global window top-k.
 
         Identical results to ``search()`` at the same nprobe (same stable
-        centroid ordering; pinned in tests)."""
+        centroid ordering; pinned in tests).  ``predicate``: optional
+        metadata Column over the index side, applied before the shuffle
+        join (pushed to the scan) — the large-|Q| filtered tier."""
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         # same snapshot discipline as search(): centroids and cells from
@@ -751,7 +754,10 @@ class IVFIndex:
             assign_probes,
             schema="qid long, query array<float>, centroid_id int",
         )
-        cand = probes.join(self.vectors(snapshot=snap), "centroid_id").select(
+        base = self.vectors(snapshot=snap)
+        if predicate is not None:
+            base = base.filter(predicate)
+        cand = probes.join(base, "centroid_id").select(
             "qid", "query", F.col(id_col), F.col(vec_col)
         )
 
