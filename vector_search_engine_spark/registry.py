@@ -823,6 +823,21 @@ def ann_ivf_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_distributed_filtered", oracle=ORACLES["knn_filtered"])
+def ann_ivf_distributed_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search through the large-|Q| distributed tier (r7): the
+    predicate filters the index side before the shuffle join (pushed to
+    the scan); full probe == the exact filtered oracle."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_distributed(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+    )
+
+
 @register("ann_lsh_search")  # approximate by nature → rows-only
 def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second ANN family: BucketedRandomProjectionLSH bucket join + exact
