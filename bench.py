@@ -178,6 +178,11 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             latencies.append(one_search())
         rows_ingested = n - emb.filter(F.col("vec_id") < cut).count()
         lat_ms = np.sort(np.array(latencies) * 1000.0)
+        # Snapshot float-tier recalls BEFORE the PQ phase: one_search
+        # appends into the shared recalls list, so recall_at_10_mean/final
+        # must be computed from this snapshot or they'd silently mix
+        # float- and PQ-tier searches.
+        float_recalls = list(recalls)
         # PQ serving tier over the same engine state: first call builds
         # the generation-keyed sidecar (reported separately), then warm
         # ADC-scan searches — same survivor recall contract at full probe
@@ -186,7 +191,7 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
         pq_build_sec = time.time() - pq_build0
         for _ in range(4):
             pq_latencies.append(one_search(tier="pq"))
-        pq_recalls = recalls[-len(pq_latencies):]
+        pq_recalls = recalls[len(float_recalls):]
         pq_ms = np.sort(np.array(pq_latencies[1:]) * 1000.0)
         # per-op percentiles from the engine's own S6 metrics sink
         ops = {m["op"]: m for m in eng.recorder.snapshot()}
@@ -213,8 +218,8 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             "search_pq_p50_ms": round(float(np.percentile(pq_ms, 50)), 1),
             "search_pq_p99_ms": round(float(np.percentile(pq_ms, 99)), 1),
             "search_pq_recall_at_10": round(float(np.mean(pq_recalls)), 4),
-            "recall_at_10_mean": round(float(np.mean(recalls)), 4),
-            "recall_at_10_final": round(float(recalls[-1]), 4),
+            "recall_at_10_mean": round(float(np.mean(float_recalls)), 4),
+            "recall_at_10_final": round(float(float_recalls[-1]), 4),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -568,6 +568,31 @@ def test_build_or_load_concurrent_callers_single_build(
     assert all(r is results[0] for r in results)
 
 
+def test_key_locks_pruned_with_dead_app_entries(spark, sf_dir):
+    """_KEY_LOCKS must not leak one lock per index_dir for the process
+    lifetime: when dead-app instance-cache entries are evicted, locks for
+    index_dirs with no cached instance (and uncontended) go with them."""
+    import threading
+
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx = ivf_mod.build_or_load(spark, sf_dir)  # ensures a live entry
+    with ivf_mod._INSTANCE_LOCK:
+        ivf_mod._INSTANCE_CACHE[("dead-app-id", "/tmp/dead_dir_a")] = idx
+        ivf_mod._KEY_LOCKS["/tmp/dead_dir_a"] = threading.Lock()
+        ivf_mod._KEY_LOCKS["/tmp/dead_dir_b"] = threading.Lock()
+        held = threading.Lock()
+        held.acquire()
+        ivf_mod._KEY_LOCKS["/tmp/dead_dir_held"] = held
+    ivf_mod.build_or_load(spark, sf_dir)  # triggers dead-app eviction
+    with ivf_mod._INSTANCE_LOCK:
+        assert "/tmp/dead_dir_a" not in ivf_mod._KEY_LOCKS
+        assert "/tmp/dead_dir_b" not in ivf_mod._KEY_LOCKS
+        # a held (contended) lock is never dropped out from under its owner
+        assert "/tmp/dead_dir_held" in ivf_mod._KEY_LOCKS
+        del ivf_mod._KEY_LOCKS["/tmp/dead_dir_held"]
+
+
 def test_search_sq8_with_predicate_equals_filtered_float(spark, embeddings, index):
     """Filtered x SQ8: predicate applies before the bound cut, so output
     equals the float filtered probe bit-for-bit at every nprobe."""

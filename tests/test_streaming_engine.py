@@ -536,3 +536,46 @@ def test_concurrent_insert_and_delete_writers(spark, embeddings, engine):
     got = _sorted(engine.search(q, k=10, nprobe=engine.index.meta["n_centroids"]))
     want = _sorted(knn_ops.knn_exact(survivors, q, k=10))
     assert got == want
+
+
+def test_staging_gc_spares_young_dirs_removes_old(spark, embeddings, engine):
+    """Constructor staging GC must only sweep crash orphans (old mtime) —
+    a young staging dir may belong to a writer mid-_publish_delta_batch in
+    another engine over the same root, and constructing a reader engine
+    must not destroy its in-flight batch."""
+    import os
+    import time as _time
+
+    young = os.path.join(engine.root_dir, "_staging-aaaaaaaaaaaa")
+    old = os.path.join(engine.root_dir, "_staging-bbbbbbbbbbbb")
+    os.makedirs(young)
+    os.makedirs(old)
+    past = _time.time() - 2 * VectorEngine._STAGING_GC_AGE_SEC
+    os.utime(old, (past, past))
+    VectorEngine(spark, engine.root_dir)  # reader over a live root
+    assert os.path.isdir(young), "young (possibly live) staging swept"
+    assert not os.path.exists(old), "crash orphan not collected"
+
+
+def test_publish_raises_noncollision_rename_errors(spark, embeddings, engine, monkeypatch):
+    """A non-collision OSError from os.rename (EACCES, EXDEV, read-only fs)
+    must surface immediately — not be retried 100 times and masked as the
+    generic claim-race RuntimeError."""
+    import errno as _errno
+    import os
+
+    calls = {"n": 0}
+    real_rename = os.rename
+
+    def failing_rename(src, dst, **kw):
+        if "_staging-" in str(src):
+            calls["n"] += 1
+            raise OSError(_errno.EXDEV, "Invalid cross-device link")
+        return real_rename(src, dst, **kw)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    rows = embeddings.filter(F.col("vec_id") >= 400).limit(3)
+    with pytest.raises(OSError) as exc:
+        engine.insert(rows)
+    assert exc.value.errno == _errno.EXDEV
+    assert calls["n"] == 1, "non-collision error was retried"

@@ -623,6 +623,37 @@ def test_mixture_sample_explicit_weight_table(spark, documents):
     }
     assert a == b
 
+def test_mixture_sample_duplicate_and_invalid_weight_rows(spark, documents):
+    """A sloppy config with duplicate source rows must not fan out the
+    per-source stats row (resolved as max(weight), matching the oracle),
+    and weight <= 0 must clamp to 1 instead of producing a null/negative
+    batch multiplier."""
+    srcs = sorted(r.source for r in documents.select("source").distinct().collect())
+    dup = spark.createDataFrame(
+        [(srcs[0], 2), (srcs[0], 3), (srcs[1], 0), (srcs[1], -5)],
+        "source string, weight long",
+    )
+    out = text_ops.mixture_sample(documents, weights=dup).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # duplicates resolved to max, not fanned out
+    assert by_src[srcs[0]][0].weight == 3
+    assert len(by_src[srcs[0]]) == by_src[srcs[0]][0].quota
+    assert len({r.doc_id for r in by_src[srcs[0]]}) == len(by_src[srcs[0]])
+    # invalid weights clamped to 1
+    assert by_src[srcs[1]][0].weight == 1
+    # equivalent clean config produces the identical sample
+    clean = spark.createDataFrame(
+        [(srcs[0], 3), (srcs[1], 1)], "source string, weight long"
+    )
+    a = {(r.source, r.doc_id) for r in out}
+    b = {
+        (r.source, r.doc_id)
+        for r in text_ops.mixture_sample(documents, weights=clean).collect()
+    }
+    assert a == b
+
 def test_unigram_stats_long_doc_exact_and_bounded(spark):
     """Aggregation state per doc is a handful of counters, not a
     per-token array — a long document must stream through, and its mean

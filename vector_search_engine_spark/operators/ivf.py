@@ -1503,8 +1503,22 @@ def build_or_load(
     app_id = spark.sparkContext.applicationId
     cache_key = (app_id, index_dir)
     with _INSTANCE_LOCK:
-        for k in [k for k in _INSTANCE_CACHE if k[0] != app_id]:
+        stale = [k for k in _INSTANCE_CACHE if k[0] != app_id]
+        for k in stale:
             del _INSTANCE_CACHE[k]
+        if stale:
+            # Prune _KEY_LOCKS alongside the dead-app eviction: a lock
+            # whose index_dir backs no cached instance and is uncontended
+            # belongs to finished (dead-session) work — dropping it keeps
+            # the dict from growing one entry per fingerprint-keyed dir
+            # for the process lifetime.
+            live_dirs = {k[1] for k in _INSTANCE_CACHE}
+            for d in [
+                d
+                for d, lk in _KEY_LOCKS.items()
+                if d not in live_dirs and d != index_dir and not lk.locked()
+            ]:
+                del _KEY_LOCKS[d]
         inst = _INSTANCE_CACHE.get(cache_key)
         klock = _KEY_LOCKS.setdefault(index_dir, threading.Lock())
     if inst is not None:

@@ -1064,15 +1064,27 @@ def mixture_sample(
         F.count("*").cast("long").alias("n_docs")
     )
     if weights is not None:
+        # Aggregate the config first: duplicate source rows must not fan
+        # out the per-source stats row (the oracle resolves duplicates the
+        # same way — COALESCE(max(w.weight), 1)); weight < 1 would make a
+        # null/negative batch multiplier, so clamp to >= 1.
         stats = stats.join(
             F.broadcast(
                 weights.select(
                     "source", F.col("weight").cast("long").alias("weight")
                 )
+                .groupBy("source")
+                .agg(F.max("weight").alias("weight"))
             ),
             "source",
             "left",
-        ).withColumn("weight", F.coalesce(F.col("weight"), F.lit(1).cast("long")))
+        ).withColumn(
+            "weight",
+            F.greatest(
+                F.coalesce(F.col("weight"), F.lit(1).cast("long")),
+                F.lit(1).cast("long"),
+            ),
+        )
     else:
         # non-numeric suffixes weight 1 (try_cast: ANSI cast would throw
         # on them — coalescing keeps the fixture-default derivation

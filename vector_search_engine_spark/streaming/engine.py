@@ -27,6 +27,7 @@ compaction commit.
 
 from __future__ import annotations
 
+import errno
 import glob
 import json
 import os
@@ -44,6 +45,11 @@ from vector_search_engine_spark.streaming.metrics import MetricsRecorder
 
 
 class VectorEngine:
+    # Staging dirs older than this at engine construction are crash
+    # orphans; younger ones may belong to a concurrently-publishing
+    # writer and are left alone (see __init__).
+    _STAGING_GC_AGE_SEC = 600.0
+
     def __init__(
         self,
         spark: SparkSession,
@@ -57,11 +63,19 @@ class VectorEngine:
         os.makedirs(self.delta_dir, exist_ok=True)
         # GC staging dirs orphaned by a crash mid-_publish_delta_batch:
         # a batch that never reached its atomic rename was never visible,
-        # so removal is safe (single-process writer assumption, as for
-        # meta.json); live writers' staging dirs can't exist at engine
-        # construction time
+        # so removal is safe.  Guarded by an mtime age threshold so that
+        # opening a second engine (e.g. a reader) over a root where another
+        # process is mid-publish cannot destroy that writer's in-flight
+        # staging — a live publish finishes in seconds, while a crash
+        # orphan sits unmodified forever.
+        now = time.time()
         for d in glob.glob(os.path.join(root_dir, "_staging-*")):
-            shutil.rmtree(d, ignore_errors=True)
+            try:
+                age = now - os.path.getmtime(d)
+            except OSError:
+                continue  # vanished: its writer just renamed or removed it
+            if age > self._STAGING_GC_AGE_SEC:
+                shutil.rmtree(d, ignore_errors=True)
         # N-generation time travel: how many superseded index snapshots
         # compaction keeps readable (None = manifest default, 1)
         self.snapshot_retain = snapshot_retain
@@ -149,7 +163,14 @@ class VectorEngine:
                 try:
                     os.rename(staging, dest)
                     return s
-                except OSError:
+                except OSError as e:
+                    # Only a seq collision (dest already claimed by another
+                    # writer) is retryable; EACCES/EXDEV/read-only-fs etc.
+                    # would fail identically on every attempt — surface them
+                    # immediately instead of masking them behind the
+                    # claim-race RuntimeError.
+                    if e.errno not in (errno.EEXIST, errno.ENOTEMPTY, errno.EISDIR):
+                        raise
                     if seq is not None:
                         raise  # caller pinned the seq; collision is an error
                     # lost the claim race — another writer published this
