@@ -1950,10 +1950,26 @@ _GRADE_FIRST: list[str] = [
     #                       JSON functions stay covered by events_* pytest.
     # All seven rotated-out queries stay registered, canary-smoked and
     # pytest-gated; each carries green rows from r1-r6.
-    # r8 rotation candidates (oracle-backed, added r7, never driver-graded):
-    #   corpus_mixture_sample_weighted, ann_ivf_pq_filtered,
-    #   ann_ivf_sq8_filtered, ann_ivf_cosine_filtered, ann_ivf_ip_filtered,
-    #   streaming_merged_search_pq, index_asof_search_pq.)
+    # r8 rotations — the round-7 additions had never been driver-graded;
+    # swap-outs follow the same stronger-composed-claim policy:
+    #   ann_ivf_sq8 / ann_ivf_pq / ann_ivf_cosine / ann_ivf_ip → out: each
+    #       is replaced by its *filtered* sibling, which gates the identical
+    #       full-probe exactness PLUS metadata-predicate pushdown through
+    #       the same tier (the unfiltered forms share the tier's code path
+    #       and stay pytest-gated with green rows from r6-r7; unfiltered
+    #       L2 exactness itself stays in-window via
+    #       ann_ivf_exact_when_full_probe and ann_ivf_distributed).
+    #   streaming_upsert_search → out: id-shadowing is the same anti-join
+    #       mechanism streaming_delete_search gates (tombstone = NULL-vec
+    #       upsert); the incoming streaming_merged_search_pq adds the
+    #       quantized serving tier to the merged-search family instead.
+    #   index_asof_search → out: index_asof_search_pq composes the same
+    #       manifest snapshot pinning WITH generation-keyed sidecar reads —
+    #       strictly more of the time-travel contract under one oracle
+    #       family; the plain form keeps its r7 green row + pytest.
+    #   corpus_mixture_sample → out: corpus_mixture_sample_weighted is the
+    #       production path (explicit weight table) over the same salted-md5
+    #       rank core; the suffix-derived default keeps its r6-r7 rows.)
     "knn_exact_l2",
     "vector_norms",
     "label_centroids",
@@ -1964,18 +1980,18 @@ _GRADE_FIRST: list[str] = [
     # IVF index family (reference Q2/Q3/B2) — full metric surface
     "ann_ivf_exact_when_full_probe",
     "ann_ivf_filtered",
-    "ann_ivf_sq8",
-    "ann_ivf_pq",
+    "ann_ivf_sq8_filtered",
+    "ann_ivf_pq_filtered",
     "ann_ivf_distributed",
-    "ann_ivf_cosine",
-    "ann_ivf_ip",
+    "ann_ivf_cosine_filtered",
+    "ann_ivf_ip_filtered",
     # streaming engine (reference Q4/S4/W1-W4 — the core merged-search
     # contract, plus LSM tombstone deletes and manifest time travel)
     "streaming_merged_search",
-    "streaming_upsert_search",
+    "streaming_merged_search_pq",
     "streaming_ingest_search",
     "streaming_delete_search",
-    "index_asof_search",
+    "index_asof_search_pq",
     # LLM-pipeline: dedup family
     # (dedup_ngram_jaccard_ppjoin moved to the tail in r6: byte-identical
     # output to dedup_ngram_jaccard by construction, pytest-gated — its slot
@@ -1993,7 +2009,7 @@ _GRADE_FIRST: list[str] = [
     # rotated-out queries stay registered, canary-smoked and
     # pytest-gated; their slots go to the never-driver-graded
     # corpus_mixture_sample and doc_chunks.)
-    "corpus_mixture_sample",
+    "corpus_mixture_sample_weighted",
     "doc_chunks",
     "pipeline_neardup_corpus",
     # LLM-pipeline: multimodal
