@@ -1,0 +1,211 @@
+"""BM25 / hybrid-RRF retrieval and the exact prefix-bound kNN tier.
+
+BM25 is checked against a from-scratch NumPy computation on a hand-built
+corpus (not just self-consistency); RRF against a hand-computed fusion;
+the prefix tier against knn_exact bit-for-bit, including the pathological
+all-duplicates corpus where a naive bound cut loses tie-group members.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark import load_table
+from vector_search_engine_spark.operators import knn as knn_ops
+from vector_search_engine_spark.operators import retrieval
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_numpy_reference(spark):
+    """Engine BM25 equals a from-first-principles computation on a tiny
+    corpus with known tf/df/dl."""
+    corpus = [
+        (0, "cat dog cat"),
+        (1, "cat fish"),
+        (2, "dog dog dog dog"),
+        (3, "bird"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    q = spark.createDataFrame([(0, "cat"), (1, "dog"), (1, "cat")],
+                              "query_id long, term string")
+    out = {
+        (r.query_id, r.doc_id): (r.rank, r.bm25)
+        for r in retrieval.bm25_topk(docs, q, k=10).collect()
+    }
+
+    k1, b = retrieval.BM25_K1, retrieval.BM25_B
+    dls = {0: 3, 1: 2, 2: 4, 3: 1}
+    n_docs, avgdl = 4, (3 + 2 + 4 + 1) / 4.0
+    tfs = {("cat", 0): 2, ("cat", 1): 1, ("dog", 0): 1, ("dog", 2): 4}
+    dfs = {"cat": 2, "dog": 2}
+
+    def score(terms, d):
+        s = 0.0
+        for t in terms:
+            tf = tfs.get((t, d), 0)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dls[d] / avgdl)
+            )
+        return round(s, retrieval.SCORE_DECIMALS)
+
+    expect = {}
+    for qid, terms in ((0, ["cat"]), (1, ["dog", "cat"])):
+        scored = sorted(
+            ((score(terms, d), d) for d in dls if score(terms, d) > 0.0),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rank, (s, d) in enumerate(scored, 1):
+            expect[(qid, d)] = (rank, s)
+    assert out == expect
+
+
+def test_bm25_only_matching_docs_and_contiguous_ranks(spark, documents):
+    out = retrieval.bm25_topk(
+        documents, retrieval.make_term_queries(spark), k=10
+    )
+    rows = out.collect()
+    assert rows, "fixture queries must match documents"
+    by_q = {}
+    for r in rows:
+        assert r.bm25 > 0.0
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # deterministic under repartition
+    again = retrieval.bm25_topk(
+        documents.repartition(7), retrieval.make_term_queries(spark), k=10
+    )
+    assert _rows(out, "query_id", "rank") == _rows(again, "query_id", "rank")
+
+
+def test_bm25_duplicate_query_terms_count_once(spark):
+    docs = spark.createDataFrame(
+        [(0, "cat dog"), (1, "cat cat")], "doc_id long, text string"
+    )
+    q1 = spark.createDataFrame([(0, "cat")], "query_id long, term string")
+    q2 = spark.createDataFrame(
+        [(0, "cat"), (0, "cat")], "query_id long, term string"
+    )
+    assert _rows(
+        retrieval.bm25_topk(docs, q1), "query_id", "rank"
+    ) == _rows(retrieval.bm25_topk(docs, q2), "query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_hand_computed_fusion(spark):
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "qid long, neighbor_id long, rank long"
+    )
+    out = {
+        r.doc_id: (r.rank, r.rrf)
+        for r in retrieval.hybrid_rrf(lex, vec, k=10).collect()
+    }
+    K = retrieval.RRF_K
+    exp = {
+        11: round(1.0 / (K + 2) + 1.0 / (K + 1), 6),  # in both lists
+        10: round(1.0 / (K + 1), 6),
+        12: round(1.0 / (K + 2), 6),
+    }
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    assert out == {d: (i + 1, exp[d]) for i, d in enumerate(order)}
+    # the doc present in both lists outranks single-list docs here
+    assert out[11][0] == 1
+
+
+def test_hybrid_rrf_registry_query_shape(spark, documents, sf_dir):
+    from vector_search_engine_spark import registry
+
+    out = registry.QUERIES["hybrid_search_rrf"](spark, sf_dir)
+    rows = out.collect()
+    nq = len(retrieval.QUERY_TERMS_FIXTURE)
+    assert {r.query_id for r in rows} == set(range(nq))
+    for r in rows:
+        assert 1 <= r.rank <= 10 and r.rrf > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Prefix-bound exact kNN (Matryoshka tier)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_rescore_equals_exact_all_widths(spark, embeddings):
+    q = knn_ops.make_queries(embeddings)
+    exact = _rows(knn_ops.knn_exact(embeddings, q, k=10), "qid", "rank")
+    for dp in (1, 4, 16, 64, 999):
+        got = _rows(
+            knn_ops.knn_prefix_rescore(embeddings, q, k=10, prefix_dims=dp),
+            "qid",
+            "rank",
+        )
+        assert got == exact, f"prefix_dims={dp}"
+
+
+def test_prefix_rescore_duplicate_vectors_tie_exact(spark):
+    """All-duplicate corpus: T seeds at 0 and fp noise in the GEMM bound
+    must not evict tied rows — the slack guard keeps the cut lossless."""
+    base = [0.5] * 8
+    rows = [(i, base) for i in range(30)] + [
+        (100 + i, [float(i + 1)] * 8) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(0, base)], "qid long, query array<float>")
+    got = _rows(
+        knn_ops.knn_prefix_rescore(df, q, k=10, prefix_dims=2), "qid", "rank"
+    )
+    exact = _rows(knn_ops.knn_exact(df, q, k=10), "qid", "rank")
+    assert got == exact
+    # ties break by ascending id: the 10 lowest duplicate ids, dist 0
+    assert [r[1] for r in got] == list(range(10))
+    assert all(r[3] == 0.0 for r in got)
+
+
+def _survivor_frac(V, q, dp, k=10):
+    """NumPy replica of the per-partition bound cut (same seed/cut rule)."""
+    Dp = ((V[:, :dp] - q[:dp]) ** 2).sum(axis=1)
+    seed = np.argpartition(Dp, k - 1)[:k]
+    T = (((V[seed] - q) ** 2).sum(axis=1)).max()
+    return float((Dp <= T + 1e-9 * (1 + T)).mean())
+
+
+def test_prefix_rescore_prunes_on_decaying_spectrum():
+    """The cut's pruning RATE is governed by spectral decay (its
+    exactness never is).  On a trained-embedding-like decaying spectrum
+    a 16-of-64 prefix must prune almost everything; the isotropic
+    synthetic fixture is the documented degenerate regime (flat
+    spectrum -> distance concentration -> ~all rows survive, matching
+    the PQ tier's measured boundary in SCALING.md)."""
+    rng = np.random.default_rng(7)
+    n, d = 5000, 64
+    V = rng.normal(0, 1, (n, d)) * np.exp(-np.arange(d) / 6.0)
+    fr = np.mean([_survivor_frac(V, V[i], 16) for i in range(10)])
+    assert fr < 0.02, f"survivor fraction {fr} on decaying spectrum"
+    iso = rng.normal(0, 1, (n, d))
+    fr_iso = np.mean([_survivor_frac(iso, iso[i], 16) for i in range(10)])
+    assert fr_iso > 0.5  # the boundary is real: isotropic data won't prune

@@ -676,3 +676,83 @@ def test_unigram_stats_long_doc_exact_and_bounded(spark):
         assert out[doc_id].n_tokens == n
         assert out[doc_id].mean_token_freq_ppm == expected
     assert out[3].n_tokens == 0 and out[3].mean_token_freq_ppm == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_hand_built_clusters(spark):
+    """Known geometry: v1 duplicates v0 (same cluster), v2 is orthogonal;
+    in cluster 1, v4 near-duplicates v3; v5 duplicates v0's direction but
+    sits in ANOTHER cluster so blocking must keep it."""
+    from vector_search_engine_spark.operators import dedup as dedup_ops
+
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0]),
+        (1, 0, [0.999, 0.01, 0.0]),   # cos ~0.9999 with v0 -> dup_of 0
+        (2, 0, [0.0, 1.0, 0.0]),      # orthogonal -> keep
+        (3, 1, [0.0, 0.0, 1.0]),
+        (4, 1, [0.0, 0.02, 0.998]),   # near-dup of v3 -> dup_of 3
+        (5, 1, [1.0, 0.0, 0.0]),      # = v0 but other cluster -> keep
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {
+        r.vec_id: (r.keep, r.dup_of)
+        for r in dedup_ops.semantic_dedup(df, threshold=0.95).collect()
+    }
+    assert out == {
+        0: (True, None),
+        1: (False, 0),
+        2: (True, None),
+        3: (True, None),
+        4: (False, 3),
+        5: (True, None),
+    }
+
+
+def test_semantic_dedup_chain_semantics_and_determinism(spark):
+    """SemDeDup neighborhood (not transitive-closure) semantics: v2 is
+    near v1 but not near v0; it is still dropped (lower-id neighbor v1
+    matches) with dup_of = 1 even though v1 itself was dropped.  Output
+    is stable under repartitioning."""
+    import math
+
+    from vector_search_engine_spark.operators import dedup as dedup_ops
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0]
+
+    # angles 0, 18, 36 deg; cos(18deg)=0.951 > tau=0.94, cos(36deg)=0.809 < tau
+    rows = [(i, 0, unit(math.radians(18 * i))) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {
+        r.vec_id: (r.keep, r.dup_of)
+        for r in dedup_ops.semantic_dedup(df, threshold=0.94).collect()
+    }
+    assert out == {0: (True, None), 1: (False, 0), 2: (False, 1)}
+    again = {
+        r.vec_id: (r.keep, r.dup_of)
+        for r in dedup_ops.semantic_dedup(
+            df.repartition(5), threshold=0.94
+        ).collect()
+    }
+    assert again == out
+
+
+def test_semantic_dedup_fixture_has_work_and_row_parity(spark, embeddings):
+    """At the fixture threshold the corpus contains real dups (the
+    constant was gap-chosen, not vacuous), every input row appears
+    exactly once, and keepers never cite a dup_of."""
+    from vector_search_engine_spark.operators import dedup as dedup_ops
+
+    out = dedup_ops.semantic_dedup(embeddings).collect()
+    assert len(out) == embeddings.count()
+    assert len({r.vec_id for r in out}) == len(out)
+    dropped = [r for r in out if not r.keep]
+    assert dropped, "fixture threshold should produce some dups"
+    for r in out:
+        assert r.keep == (r.dup_of is None)
+        if r.dup_of is not None:
+            assert r.dup_of < r.vec_id

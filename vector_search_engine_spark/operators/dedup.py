@@ -767,6 +767,118 @@ def embedding_lsh_pairs(
     )
 
 
+# Fixture threshold for the registry query: sits in a ≥1e-4-wide gap of the
+# within-label cosine distribution at every SF (measured sf0.001/0.01/0.1),
+# so engine/oracle float64 deltas (~1e-13) can never flip a membership.
+# Production embedding spaces use ~0.95+; the synthetic fixture's max
+# within-label cosine is ~0.47.
+SEMANTIC_DEDUP_THRESHOLD = 0.36
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = SEMANTIC_DEDUP_THRESHOLD,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — cluster the space, then inside
+    each cluster drop every vector that has a near-identical neighbor,
+    keeping one representative per duplicate group.
+
+    Deterministic keeper rule (the paper keeps an arbitrary one; an
+    engine needs a stable choice): a row is dropped iff some LOWER-id row
+    in its cluster has cosine ≥ threshold; ``dup_of`` records the lowest
+    such id (NULL for keepers).  Lowest-id-wins makes output identical
+    across runs, partitionings and engines.
+
+    ``cluster_col`` is any blocking key: the fixture uses the embeddings
+    table's ``label``; at scale pass the IVF coarse-quantizer cell id
+    (the paper's k-means step IS an IVF build — ``IVFIndex.build`` +
+    assignment provides it for free).  Plan: ONE shuffle grouping by
+    cluster, then a per-cluster normalized GEMM in ``applyInPandas`` —
+    pairs are never materialized as rows.  Memory per task is
+    O(|cluster|·d) for vectors plus a blocked |cluster|×block score
+    strip; SemDeDup sizes k so clusters stay ~10⁴-10⁵ rows, which is the
+    same contract the IVF cell layout already maintains.  Zero-norm
+    vectors take cosine 0 to everything (the ``cosine_sim`` convention).
+    """
+    spark = vectors.sparkSession
+    tau = float(threshold)
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids_s = ids[order]
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[order]
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0  # zero vectors -> cosine 0 vs anything
+        Vn = V / norms
+        dup_of = np.full(n, -1, dtype=np.int64)
+        # blocked score strip: rows [i0:i1) against all STRICTLY EARLIER
+        # ids — never the full |c|x|c| matrix at once
+        block = 1024
+        for i0 in range(1, n, block):
+            i1 = min(i0 + block, n)
+            S = Vn[i0:i1] @ Vn.T  # (b, n)
+            for r in range(i0, i1):
+                hits = np.flatnonzero(S[r - i0, :r] >= tau)
+                if len(hits):
+                    dup_of[r] = ids_s[hits[0]]  # lowest id: ids_s ascending
+        out = pd.DataFrame(
+            {
+                id_col: ids_s,
+                "cluster": pdf[cluster_col].to_numpy(dtype=np.int64)[order],
+                "keep": dup_of < 0,
+                "dup_of": pd.array(
+                    [None if d < 0 else int(d) for d in dup_of], dtype="Int64"
+                ),
+            }
+        )
+        return out
+
+    return (
+        vectors.select(id_col, cluster_col, vec_col)
+        .groupBy(cluster_col)
+        .applyInPandas(
+            per_cluster,
+            schema=f"{id_col} long, cluster long, keep boolean, dup_of long",
+        )
+    )
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH m AS (
+  SELECT a.vec_id AS vid, min(b.vec_id) AS dup_of
+  FROM embeddings a
+  JOIN embeddings b
+    ON a.label = b.label AND b.vec_id < a.vec_id
+  WHERE {{dot}} / (sqrt({{na}}) * sqrt({{nb}})) >= {SEMANTIC_DEDUP_THRESHOLD}
+  GROUP BY a.vec_id
+)
+SELECT e.vec_id,
+       CAST(e.label AS BIGINT) AS cluster,
+       (m.vid IS NULL) AS keep,
+       m.dup_of
+FROM embeddings e LEFT JOIN m ON e.vec_id = m.vid
+""".format(
+    dot=(
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    ),
+    na=(
+        "list_sum(list_transform(a.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    ),
+    nb=(
+        "list_sum(list_transform(b.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    ),
+)
+
+
 def corpus_dedup_stats(documents: DataFrame) -> DataFrame:
     """Per-source corpus dedup statistics (exact distinct text hashes —
     the dedup accounting a training-data pipeline reports)."""

@@ -316,6 +316,115 @@ def knn_exact_distributed(
     return _finalize_topk(cand, k, metric)
 
 
+def knn_prefix_rescore(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k under squared L2 via a prefix-dimension bound cut —
+    Matryoshka-style progressive filtering (Kusupati et al., NeurIPS 2022:
+    truncated-dim representations rank well enough to shortlist; here the
+    shortlist is made *provably lossless*).
+
+    The squared L2 over the first ``prefix_dims`` coordinates is a LOWER
+    BOUND of the full distance (remaining terms are non-negative), so per
+    partition and query:
+
+    1. compute prefix distances for every row (a (n × prefix_dims) GEMM —
+       the scan's FLOPs drop by ``d / prefix_dims``);
+    2. seed a threshold T = worst full distance among the k best rows *by
+       prefix* (k full-distance evaluations);
+    3. drop rows with ``prefix_dist > T`` — their full distance is > T ≥
+       the partition's k-th best, so they cannot place (a row tied at
+       exactly the k-th distance always survives: its prefix ≤ its full
+       = T);
+    4. rescore only the survivors over all dims; per-partition (dist, id)
+       top-k, then the usual global window merge.
+
+    Exactness never depends on the embedding's spectrum — only the
+    pruning RATE does (worst case rescores everything and equals
+    ``knn_exact`` output exactly).  Measured regime boundary, the same
+    shape as the PQ tier's (SCALING.md finding 8): on a decaying
+    spectrum (trained embeddings; e.g. eigenvalue decay exp(−i/6)) a
+    16-of-64 prefix leaves ~0.06% survivors (≈1600× rescore cut); on the
+    deliberately isotropic synthetic fixture distances concentrate and
+    ~100% survive — exact either way, fast where real data lives.  This
+    is the compute-side sibling of the SQ8/PQ tiers: they cut scan
+    *bytes* with a quantization bound, this cuts scan *FLOPs* with a
+    dimensional bound, and both fall back to exact work only for
+    candidates that survive.  At 100 TB with d = 1024 and a 64-dim
+    prefix the bulk of the corpus is touched at 1/16th the arithmetic.
+    Reference anchor: brute-force scan semantics of
+    ``write_buffer.h:54-70`` (Q1), unchanged results."""
+    spark = vectors.sparkSession
+    qids, Q = _query_arrays(queries)
+    if len(qids) == 0:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, rank long, dist_sq double"
+        )
+    dp = max(1, min(int(prefix_dims), Q.shape[1]))
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bc.value
+        Qf = Q_.astype(np.float64)
+        Qp = Qf[:, :dp]
+        nq = len(qids_)
+        cand_qid: list[np.ndarray] = []
+        cand_ids: list[np.ndarray] = []
+        cand_dist: list[np.ndarray] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(ids)
+            Dp = l2_sq_matrix(V[:, :dp], Qp)  # (n, nq) lower bounds
+            kk = min(k, n)
+            for j in range(nq):
+                q = Qf[j]
+                # seed: full distance of the k best-by-prefix rows
+                if n > kk:
+                    seed = np.argpartition(Dp[:, j], kk - 1)[:kk]
+                else:
+                    seed = np.arange(n)
+                diff = V[seed] - q
+                seed_full = (diff * diff).sum(axis=1)
+                T = seed_full.max()
+                # GEMM-form prefix distances carry ~1e-13 relative fp
+                # error and may slightly EXCEED the true bound (e.g. a
+                # duplicate row's true 0 computed as +1e-13 > T = 0);
+                # widen the cut by a relative slack far above that error
+                # but far below any real distance gap — extra survivors
+                # are merely rescored, so exactness is preserved
+                eps = 1e-9 * (1.0 + T)
+                surv = np.flatnonzero(Dp[:, j] <= T + eps)
+                diff = V[surv] - q
+                full = (diff * diff).sum(axis=1)
+                order = np.lexsort((ids[surv], full))[:kk]
+                sel = surv[order]
+                cand_qid.append(np.full(len(sel), qids_[j], dtype=np.int64))
+                cand_ids.append(ids[sel])
+                cand_dist.append(full[order])
+        if not cand_ids:
+            return
+        yield pd.DataFrame(
+            {
+                "qid": np.concatenate(cand_qid),
+                "neighbor_id": np.concatenate(cand_ids),
+                "dist": np.concatenate(cand_dist),
+            }
+        )
+
+    cand = vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        local_topk, schema="qid long, neighbor_id long, dist double"
+    )
+    return _finalize_topk(cand, k, "l2_sq")
+
+
 def radius_search(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,295 @@
+"""Lexical (BM25) and hybrid lexical+vector retrieval.
+
+The reference is a pure-vector search server (``server.cpp`` exposes only
+Search/Insert RPCs over embeddings); every production deployment of such
+an engine pairs it with a lexical ranker and a fusion step — the
+"hybrid search" mode.  This module adds that surface Spark-first:
+
+* ``bm25_topk`` — Okapi BM25 (Robertson/Spärck Jones probabilistic
+  relevance weighting, the k1/b form) as a pure DataFrame plan: the
+  corpus explodes to postings ONCE, is filtered to query terms BEFORE
+  the term-frequency aggregation (the broadcast term set reaches the
+  scan), and document statistics are two tiny broadcast aggregates.
+* ``hybrid_rrf`` — reciprocal-rank fusion (Cormack, Clarke & Büttcher,
+  SIGIR 2009): ``score(d) = Σ_lists 1/(K + rank_list(d))`` over the
+  lexical and vector rankings.  Rank-based, so no score calibration
+  between BM25 and L2/cosine is needed — the reason RRF is the default
+  fusion in practice.
+
+Determinism contract (oracle parity): scores are rounded to
+``SCORE_DECIMALS`` and ranking orders by ``(rounded score DESC, doc_id)``
+— both engines compute the same float64 arithmetic from the same integer
+tf/df/dl inputs, so rounded scores and hence ranks hash-match.
+
+Scale posture (100 TB): the corpus is touched twice, both column-pruned
+scans (once for per-doc token lengths, once for postings filtered to the
+broadcast query-term set — at most ``|terms|`` distinct join keys, so the
+posting shuffle is a tiny fraction of the corpus); per-(query, doc)
+scoring joins are against broadcast-sized stats; the final top-k is one
+window over ``|Q| × matched-docs`` rows.  No all-pairs anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_search_engine_spark.functions.text import DD_TOKENS, tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+SCORE_DECIMALS = 4
+RRF_K = 60  # the SIGIR'09 paper's constant
+HYBRID_DEPTH = 20  # per-list candidate depth fed into fusion
+
+# Fixture query set (query_id, terms) — mirrored verbatim in the oracle
+# VALUES CTE, like MIXTURE_WEIGHTS_FIXTURE.  Terms come from the synthetic
+# corpus vocabulary (stable across all SFs, TESTDATA.md).
+QUERY_TERMS_FIXTURE: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("hash", "join")),
+    (1, ("window", "agg", "spark")),
+    (2, ("vector", "scan")),
+    (3, ("slow", "query", "filter")),
+    (4, ("batch", "stream")),
+    (5, ("table", "merge", "sort")),
+)
+
+
+def make_term_queries(spark: SparkSession) -> DataFrame:
+    """The fixture term-query set as an exploded (query_id, term) frame."""
+    rows = [(qid, t) for qid, terms in QUERY_TERMS_FIXTURE for t in terms]
+    return spark.createDataFrame(rows, "query_id long, term string")
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents per query under Okapi BM25.
+
+    ``queries``: an exploded ``(query_id, term)`` DataFrame (duplicate
+    terms within a query are deduplicated — each distinct term
+    contributes once, the standard bag-of-distinct-terms form).
+
+    ``score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` — all inputs
+    (tf, df, dl, N) exact integers, avgdl an exact ratio, so both engines
+    evaluate the identical float64 expression.
+
+    Returns ``(query_id, doc_id, rank, bm25)``; only documents containing
+    at least one query term appear (BM25 of a no-overlap doc is 0 and
+    unranked)."""
+    q = queries.select("query_id", "term").distinct()
+    qterm_set = q.select("term").distinct()
+
+    # per-doc token length + corpus stats: one column-pruned scan
+    lens = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("dl")
+    )
+    stats = lens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    # postings, filtered to query terms BEFORE the tf aggregation: the
+    # broadcast semi-join keeps the shuffle at |matching postings|, not
+    # the corpus token count
+    postings = (
+        documents.select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("dl"),
+            F.explode(tokens(F.col("text"))).alias("term"),
+        )
+        .join(F.broadcast(qterm_set), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl")
+    )
+    contrib = idf * tf * F.lit(k1 + 1.0) / denom
+
+    scored = (
+        postings.join(F.broadcast(q), "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib.alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("bm25"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "bm25")
+    )
+
+
+def hybrid_rrf(
+    lexical: DataFrame,
+    vector: DataFrame,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Fuse a lexical ranking ``(query_id, doc_id, rank)`` and a vector
+    ranking ``(qid, neighbor_id, rank)`` by reciprocal-rank fusion.
+
+    ``rrf(d) = Σ 1/(rrf_k + rank)`` over the lists containing ``d`` —
+    a document missing from one list simply contributes nothing for it
+    (the standard convention).  Output ``(query_id, doc_id, rank,
+    rrf)``, rank by (rounded rrf DESC, doc_id).  Each input is already a
+    per-query top-``depth`` list, so fusion is a full outer join of two
+    ``|Q|·depth``-row frames — driver-free and trivially scalable."""
+    lex = lexical.select(
+        "query_id", "doc_id", F.col("rank").alias("lrank")
+    )
+    vec = vector.select(
+        F.col("qid").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vrank"),
+    )
+    fused = (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lrank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vrank")),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "rrf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+_DD_QUERY_TERMS = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in QUERY_TERMS_FIXTURE for t in terms
+)
+
+# Shared CTE body computing the full BM25 ranking (unlimited depth);
+# callers append their own rank cutoff.
+_DD_BM25_RANKED = f"""
+q(query_id, term) AS (VALUES {_DD_QUERY_TERMS}),
+lens AS (
+  SELECT doc_id, len({DD_TOKENS.format(t="text")})::BIGINT AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM lens),
+posts AS (
+  SELECT l.doc_id, l.dl, p.term, count(*)::BIGINT AS tf
+  FROM (
+    SELECT doc_id, unnest({DD_TOKENS.format(t="text")}) AS term
+    FROM documents
+  ) p
+  JOIN lens l USING (doc_id)
+  WHERE p.term IN (SELECT DISTINCT term FROM q)
+  GROUP BY l.doc_id, l.dl, p.term
+),
+dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM posts GROUP BY term),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * p.tf * {BM25_K1 + 1.0}
+           / (p.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * p.dl / s.avgdl))
+         ), {SCORE_DECIMALS}) AS bm25
+  FROM posts p
+  JOIN q ON p.term = q.term
+  JOIN dfs d ON p.term = d.term
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, bm25,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY bm25 DESC, doc_id
+         ) AS "rank"
+  FROM scored
+)
+"""
+
+BM25_TOPK_ORACLE = f"""
+WITH {_DD_BM25_RANKED}
+SELECT query_id, doc_id, "rank", bm25 FROM ranked WHERE "rank" <= 10
+"""
+
+# DuckDB float64 squared-L2 (the registry's _DD_L2SQ twin, inlined here to
+# keep module dependencies acyclic — registry imports operators).
+_DD_L2SQ_LOCAL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))**2))"
+)
+
+_N_HYBRID_QUERIES = len(QUERY_TERMS_FIXTURE)
+
+HYBRID_RRF_ORACLE = f"""
+WITH {_DD_BM25_RANKED},
+ltop AS (
+  SELECT query_id, doc_id, "rank" AS lrank FROM ranked
+  WHERE "rank" <= {HYBRID_DEPTH}
+),
+vecq AS (
+  SELECT vec_id AS query_id, embedding AS query FROM embeddings
+  WHERE vec_id < {_N_HYBRID_QUERIES}
+),
+vd AS (
+  SELECT vq.query_id, e.vec_id AS doc_id,
+         row_number() OVER (
+           PARTITION BY vq.query_id
+           ORDER BY {_DD_L2SQ_LOCAL.format(a="e.embedding", b="vq.query")},
+                    e.vec_id
+         ) AS vrank
+  FROM embeddings e CROSS JOIN vecq vq
+),
+vtop AS (SELECT query_id, doc_id, vrank FROM vd WHERE vrank <= {HYBRID_DEPTH}),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({RRF_K}.0 + l.lrank), 0.0)
+               + coalesce(1.0 / ({RRF_K}.0 + v.vrank), 0.0), 6) AS rrf
+  FROM ltop l
+  FULL OUTER JOIN vtop v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+),
+rr AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, doc_id
+         ) AS "rank"
+  FROM fused
+)
+SELECT query_id, doc_id, "rank", rrf FROM rr WHERE "rank" <= 10
+"""

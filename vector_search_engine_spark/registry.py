@@ -30,6 +30,7 @@ from vector_search_engine_spark.operators import events as ev_ops
 from vector_search_engine_spark.operators import ivf
 from vector_search_engine_spark.operators import knn as knn_ops
 from vector_search_engine_spark.operators import relational as rel_ops
+from vector_search_engine_spark.operators import retrieval
 from vector_search_engine_spark.operators import simjoin
 from vector_search_engine_spark.operators import dedup as dedup_ops
 from vector_search_engine_spark.operators import text_ops as txt_ops
@@ -1854,6 +1855,59 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic doc order — the pre-serialization step of a training
     pipeline, as one window aggregation."""
     return txt_ops.pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# r8: exact prefix-bound search, lexical/hybrid retrieval, semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@register("knn_truncated_rescore", oracle=ORACLES["knn_exact_l2"])
+def knn_truncated_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 through the Matryoshka prefix-dimension bound cut
+    (prefix L2 lower-bounds full L2, so the cut is provably lossless) —
+    the FLOPs-side sibling of the SQ8/PQ byte-side tiers.  Same oracle as
+    knn_exact_l2: the tier changes arithmetic done, never results."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.knn_prefix_rescore(
+        emb, knn_ops.make_queries(emb), k=10, prefix_dims=16
+    )
+
+
+@register("doc_bm25_topk", oracle=retrieval.BM25_TOPK_ORACLE)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per fixture term-query — the lexical ranker of
+    the hybrid-search surface (postings filtered to the broadcast query
+    terms before the tf aggregation; stats are tiny broadcast aggs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, retrieval.make_term_queries(spark), k=10)
+
+
+@register("hybrid_search_rrf", oracle=retrieval.HYBRID_RRF_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with exact vector
+    kNN by reciprocal-rank fusion (1/(60+rank), SIGIR'09) — doc_id and
+    vec_id align in the fixture corpus, the production shape of a
+    documents-plus-embeddings store."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    nq = len(retrieval.QUERY_TERMS_FIXTURE)
+    lex = retrieval.bm25_topk(
+        docs, retrieval.make_term_queries(spark), k=retrieval.HYBRID_DEPTH
+    )
+    vec = knn_ops.knn_exact(
+        emb, knn_ops.make_queries(emb, n=nq), k=retrieval.HYBRID_DEPTH
+    )
+    return retrieval.hybrid_rrf(lex, vec, k=10)
+
+
+@register("dedup_semantic", oracle=dedup_ops.SEMANTIC_DEDUP_ORACLE)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: within-cluster cosine near-dups
+    dropped to a lowest-id representative, per-cluster GEMM — pairs never
+    materialize as rows.  Fixture clusters = the label column; at scale
+    the IVF cell id plays that role."""
+    return dedup_ops.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
 @register("multimodal_frame_dedup")  # embedding stub is non-SQL — rows-only
