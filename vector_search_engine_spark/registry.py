@@ -1901,6 +1901,21 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.hybrid_rrf(lex, vec, k=10)
 
 
+@register("knn_bq_rescore")  # 1-bit codes: recall is measured, not bounded — rows-only
+def knn_bq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization tier: packed sign-bit scan (32× fewer scan
+    bytes than float32), asymmetric q·sign(v) candidate ranking, exact
+    float rescore — the extreme-compression point of the SQ8/PQ ladder.
+    Recall is pytest-gated (tests/test_bq.py); every returned row carries
+    the true exact distance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from vector_search_engine_spark.operators import bq as bq_ops
+
+    return bq_ops.knn_bq_rescore(
+        emb, knn_ops.make_queries(emb), k=10, candidates_per_partition=160
+    )
+
+
 @register("dedup_semantic", oracle=dedup_ops.SEMANTIC_DEDUP_ORACLE)
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication: within-cluster cosine near-dups
