@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    # r8 surface: lexical + hybrid retrieval and semantic dedup
+    "doc_bm25_topk",
+    "hybrid_search_rrf",
+    "dedup_semantic",
 ]
 
 

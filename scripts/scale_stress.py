@@ -12,6 +12,8 @@ Corpus (derived from sf0.1, fully deterministic):
 
 Usage:
     python scripts/scale_stress.py [--ppjoin]   # ppjoin tier is ~4 min extra
+    python scripts/scale_stress.py --only-docs  # document-op section only
+    python scripts/scale_stress.py --only-vecs  # vector-op section only
 
 Treat ratios, not absolutes (box variance 2-5x run-to-run); compare
 against the table in SCALING.md.
@@ -54,6 +56,11 @@ def timed(results: dict, name: str, fn):
 def main() -> None:
     spark = get_spark("vse-scale-stress")
     results: dict = {}
+    only_docs = "--only-docs" in sys.argv
+    only_vecs = "--only-vecs" in sys.argv
+    if only_vecs:
+        _vector_section(spark, results, n_docs=0)
+        return
 
     base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     docs = (
@@ -164,9 +171,31 @@ def main() -> None:
         )
         return out.count()
 
+    # r8: lexical retrieval over the stress corpus — the postings shuffle
+    # is pre-filtered to the broadcast query-term set, so cost should
+    # track matched postings, not corpus tokens
+    from vector_search_engine_spark.operators import retrieval
+
+    timed(
+        results,
+        "bm25_topk",
+        lambda: retrieval.bm25_topk(
+            docs, retrieval.make_term_queries(spark), k=10
+        ).count(),
+    )
+
     timed(results, "pipeline_neardup_corpus", neardup_pipeline)
     results["pipeline_neardup_corpus"]["cc_rounds"] = cc_stats.get("rounds")
     docs.unpersist()
+
+    if only_docs:
+        print(json.dumps({"n_docs": n_docs, "results": results}))
+        return
+    _vector_section(spark, results, n_docs)
+
+
+def _vector_section(spark, results: dict, n_docs: int) -> None:
+    from vector_search_engine_spark.operators import dedup as dedup_ops
 
     rng = np.random.default_rng(7)
     V = rng.normal(0, 1, (N_VECS, DIM)).astype(np.float32)
@@ -225,6 +254,59 @@ def main() -> None:
         lambda: idx.search_pq(
             q, k=10, nprobe=8, candidates_per_partition=160
         ).count(),
+    )
+
+    # r8 tiers.  BQ: 1-bit scan + exact rescore (isotropic = worst-case
+    # recall geometry; timing is the point here).  Prefix-bound tier:
+    # measured in BOTH regimes — isotropic (degenerate: ~all survive,
+    # should cost ~knn_exact) and a decaying spectrum (trained-embedding
+    # shape: the bound prunes almost everything).
+    from vector_search_engine_spark.operators import bq as bq_ops
+
+    timed(
+        results,
+        "bq_rescore_20q",
+        lambda: bq_ops.knn_bq_rescore(
+            emb, q, k=10, candidates_per_partition=160
+        ).count(),
+    )
+    timed(
+        results,
+        "prefix_rescore_isotropic_20q",
+        lambda: knn_ops.knn_prefix_rescore(
+            emb, q, k=10, prefix_dims=16
+        ).count(),
+    )
+    Vd = (
+        rng.normal(0, 1, (N_VECS, DIM)) * np.exp(-np.arange(DIM) / 6.0)
+    ).astype(np.float32)
+    embd = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(N_VECS, dtype=np.int64), "embedding": list(Vd)}
+        )
+    ).cache()
+    embd.count()
+    qd = (np.arange(20, dtype=np.int64), Vd[:20])
+    timed(
+        results,
+        "knn_exact_decay_20q",
+        lambda: knn_ops.knn_exact(embd, qd, k=10).count(),
+    )
+    timed(
+        results,
+        "prefix_rescore_decay_20q",
+        lambda: knn_ops.knn_prefix_rescore(
+            embd, qd, k=10, prefix_dims=16
+        ).count(),
+    )
+    # SemDeDup at 100k: blocked by a synthetic ~316-cluster key (the IVF
+    # cell id plays this role in production); one shuffle + per-cluster
+    # GEMMs of ~316x316
+    emb_lab = emb.withColumn("label", (F.col("vec_id") % 316).cast("int"))
+    timed(
+        results,
+        "semantic_dedup_100k",
+        lambda: dedup_ops.semantic_dedup(emb_lab, threshold=0.9).count(),
     )
 
     print(

@@ -61,3 +61,90 @@ def test_bq_rescore_reports_true_distances_and_recall(spark, embeddings):
         if (r.qid, r.neighbor_id) in exact:
             hits += 1
     assert hits / len(exact) >= 0.85
+
+
+def test_ivf_search_bq_exact_at_full_probe_full_candidates(spark, sf_dir, embeddings):
+    """At full probe with candidates_per_cell >= cell size every row
+    survives the cut and the exact rescore makes the output identical to
+    the float probe — the BQ analog of the SQ8/PQ exactness gates."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx = ivf_mod.build_or_load(spark, sf_dir)
+    q = knn_ops.make_queries(embeddings)
+    nc = idx.meta["n_centroids"]
+    exact = [
+        tuple(r)
+        for r in idx.search(q, k=10, nprobe=nc).orderBy("qid", "rank").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in idx.search_bq(
+            q, k=10, nprobe=nc, candidates_per_cell=10**6
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == exact
+
+
+def test_ivf_search_bq_recall_and_predicate(spark, sf_dir, embeddings):
+    """Serving shape: modest C at full probe keeps recall high (measured
+    gate), and a metadata predicate composes (results ⊆ predicate set,
+    exact distances)."""
+    from pyspark.sql import functions as F
+
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx = ivf_mod.build_or_load(spark, sf_dir)
+    q = knn_ops.make_queries(embeddings)
+    nc = idx.meta["n_centroids"]
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in idx.search(q, k=10, nprobe=nc).collect()
+    }
+    got = idx.search_bq(q, k=10, nprobe=nc, candidates_per_cell=80).collect()
+    hits = sum(1 for r in got if (r.qid, r.neighbor_id) in exact)
+    assert hits / len(exact) >= 0.8
+    # filtered x BQ
+    pred = F.col("label") < 5
+    fl = idx.search_bq(
+        q, k=10, nprobe=nc, candidates_per_cell=10**6, predicate=pred
+    )
+    flt = idx.search(q, k=10, nprobe=nc, predicate=pred)
+    assert [tuple(r) for r in fl.orderBy("qid", "rank").collect()] == [
+        tuple(r) for r in flt.orderBy("qid", "rank").collect()
+    ]
+
+
+def test_engine_merged_search_bq_tier(spark, embeddings, tmp_path):
+    """Merged search through the BQ tier: upserted/deleted ids shadow the
+    indexed side exactly as in the float tier, and with an effectively
+    unbounded C the merged result equals the float-tier merged search."""
+    from pyspark.sql import functions as F
+
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    eng = VectorEngine.create(
+        embeddings.filter(F.col("vec_id") < 400),
+        str(tmp_path / "eng"),
+        n_centroids=8,
+    )
+    eng.insert(embeddings.filter(F.col("vec_id") >= 400))
+    eng.delete([7, 8])
+    q = knn_ops.make_queries(embeddings)
+    nc = eng.index.meta["n_centroids"]
+    want = [
+        tuple(r)
+        for r in eng.search(q, k=10, nprobe=nc).orderBy("qid", "rank").collect()
+    ]
+    # engine path (tier="bq") with default C: recall-checked
+    got = [
+        tuple(r)
+        for r in eng.search(q, k=10, nprobe=nc, tier="bq")
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    hits = sum(1 for t in got if t in set(want))
+    assert hits / len(want) >= 0.8
+    # deleted ids never appear
+    assert all(t[1] not in (7, 8) for t in got)

@@ -43,6 +43,12 @@ AUDIT = [
     "corpus_mixture_sample",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    # r8 surface
+    "knn_truncated_rescore",
+    "doc_bm25_topk",
+    "hybrid_search_rrf",
+    "dedup_semantic",
+    "knn_bq_rescore",
 ]
 
 
@@ -87,6 +93,37 @@ def test_pure_scan_text_ops_have_no_exchange(spark, sf_dir, name):
     plan = _executed_plan(registry.QUERIES[name](spark, sf_dir))
     assert "Exchange" not in plan, name
     assert "Python" not in plan, name  # no UDF in the hot path either
+
+
+def test_bm25_small_sides_broadcast(spark, sf_dir):
+    """BM25's query-term set, df table and corpus stats are all tiny and
+    must broadcast; a shuffle join keyed on term would co-partition the
+    whole postings table against a handful of rows."""
+    plan = _executed_plan(registry.QUERIES["doc_bm25_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "posting-side shuffle join crept in"
+
+
+def test_semantic_dedup_single_shuffle_no_pair_join(spark, sf_dir):
+    """SemDeDup's plan contract: ONE exchange (the cluster grouping) into
+    a grouped-pandas GEMM — candidate pairs must never materialize as a
+    join (a pair join is |cluster|^2 rows of shuffled vector payload)."""
+    plan = _executed_plan(registry.QUERIES["dedup_semantic"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan, "pairs materialized as a join"
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_prefix_rescore_scan_prunes_columns(spark, sf_dir):
+    """The prefix tier reads exactly (id, vector): extra columns in the
+    scan would pay real bytes at 100 TB for nothing."""
+    spark.catalog.clearCache()
+    plan = _executed_plan(
+        registry.QUERIES["knn_truncated_rescore"](spark, sf_dir)
+    )
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans
+    assert all("label" not in ln.split("ReadSchema")[-1] for ln in scans)
 
 
 def test_filtered_pq_metadata_read_prunes_vector_column(spark, sf_dir):

@@ -1079,6 +1079,156 @@ class IVFIndex:
         )
         return _finalize_topk(rescored, k, "l2_sq")
 
+    def ensure_bq(self, snapshot: dict | None = None) -> str:
+        """Write (once) the binary-quantization sidecar: packed sign-bit
+        codes (1 bit/dim — 32× fewer scan bytes than float32) partitioned
+        by ``centroid_id`` like the float vectors.  Same generation-keyed
+        dir + lock-serialized build discipline as ``ensure_sq8``."""
+        from vector_search_engine_spark.operators.bq import bq_encode
+
+        if snapshot is None:
+            snapshot = self._read_manifest()
+        bq_dir = os.path.join(
+            self.index_dir, f"bq_gen{self._sidecar_gen(snapshot)}"
+        )
+        if os.path.exists(os.path.join(bq_dir, "_SUCCESS")):
+            return bq_dir
+        with _SIDECAR_LOCK:
+            if os.path.exists(os.path.join(bq_dir, "_SUCCESS")):
+                return bq_dir
+            codes = bq_encode(
+                self.vectors(snapshot=snapshot),
+                id_col=self.meta["id_col"],
+                vec_col=self.meta["vec_col"],
+                keep_cols=("centroid_id",),
+            )
+            codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
+                "centroid_id"
+            ).parquet(bq_dir)
+        return bq_dir
+
+    def search_bq(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        candidates_per_cell: int | None = None,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+        predicate=None,
+        exclude_ids: DataFrame | None = None,
+        snapshot: int | str | None = None,
+    ) -> DataFrame:
+        """Probed search through the 1-bit sidecar: the extreme point of
+        the quantization ladder (float → SQ8 4× → PQ ~m/4d → BQ 32×).
+
+        Candidates rank by the ASYMMETRIC score ``q · sign(v)`` (one GEMM
+        of the unpacked ±1 block per Arrow batch; the query keeps its
+        magnitudes) and the top ``candidates_per_cell`` per (query, cell
+        batch) survive to an exact float rescore, so every returned row
+        carries the true distance.  Unlike SQ8/PQ there is NO lossless
+        bound — sign codes discard magnitude, recall is a measured
+        property (tests/test_bq.py, SCALING.md) and the tier is the
+        right choice only when scan bytes dominate and a small recall
+        slack is acceptable.  ``predicate`` / ``exclude_ids`` /
+        ``snapshot`` compose exactly as in ``search_sq8`` (pre-cut
+        metadata semi-join / anti-join; generation-keyed sidecar)."""
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        spark = self.spark
+        C = candidates_per_cell or 8 * k
+        qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
+        if len(qids) == 0:
+            return spark.createDataFrame(
+                [], "qid long, neighbor_id long, rank long, dist_sq double"
+            )
+        snap = (
+            self.manifest_at(snapshot)
+            if snapshot is not None
+            else self._read_manifest()
+        )
+        pairs = self.probe_pairs(
+            qids, Q, nprobe, centroid_set=self._centroids_for(snap)
+        )
+        pairs_df = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
+                {"qid": "int64", "centroid_id": "int32"}
+            )
+        )
+        needed = sorted({c for _, c in pairs})
+        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
+        bc = spark.sparkContext.broadcast(qmap)
+
+        bq_dir = self.ensure_bq(snapshot=snap)
+        codes = spark.read.parquet(bq_dir).filter(
+            F.col("centroid_id").isin(needed)
+        )
+        cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
+            "qid", id_col, "code", "dim"
+        )
+        if exclude_ids is not None:
+            cand_codes = cand_codes.join(
+                exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)),
+                id_col,
+                "left_anti",
+            )
+        if predicate is not None:
+            keep_ids = (
+                self.vectors(snapshot=snap)
+                .filter(F.col("centroid_id").isin(needed))
+                .filter(predicate)
+                .select(id_col)
+            )
+            cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
+
+        def approx_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for qid, grp in pdf.groupby("qid"):
+                    q = qm[int(qid)]
+                    ids = grp[id_col].to_numpy(dtype=np.int64)
+                    d = int(grp["dim"].iloc[0])
+                    raw = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8)
+                    bits = np.unpackbits(raw.reshape(len(ids), -1), axis=1)[
+                        :, :d
+                    ]
+                    s = (2.0 * bits - 1.0) @ q
+                    keep = min(C, len(ids))
+                    sel = (
+                        np.argpartition(-s, keep - 1)[:keep]
+                        if len(ids) > keep
+                        else np.arange(len(ids))
+                    )
+                    yield pd.DataFrame(
+                        {"qid": int(qid), "neighbor_id": ids[sel]}
+                    )
+
+        cand = cand_codes.mapInPandas(
+            approx_cut, schema="qid long, neighbor_id long"
+        )
+        base = self.vectors(snapshot=snap).filter(
+            F.col("centroid_id").isin(needed)
+        )
+        from vector_search_engine_spark.functions.vector import l2_sq
+        from vector_search_engine_spark.operators.knn import _queries_df
+
+        qdf = _queries_df(spark, queries, qids, Q, qid_col, qvec_col)
+        rescored = (
+            cand.join(
+                base.select(F.col(id_col).alias("neighbor_id"), vec_col),
+                "neighbor_id",
+            )
+            .join(F.broadcast(qdf), "qid")
+            .select(
+                "qid",
+                "neighbor_id",
+                l2_sq(F.col(vec_col), F.col(qvec_col)).alias("dist"),
+            )
+        )
+        return _finalize_topk(rescored, k, "l2_sq")
+
     def _sidecar_gen(self, snapshot: dict | None) -> str:
         """Generation tag for a derived-code sidecar dir.
 
@@ -1095,8 +1245,8 @@ class IVFIndex:
         return "raw" if sid is None else str(int(sid))
 
     def invalidate_sidecars(self) -> None:
-        """GC derived-code sidecars (sq8_gen* / pq_*_gen*) whose snapshot
-        is no longer retained by the manifest.
+        """GC derived-code sidecars (sq8_gen* / pq_*_gen* / bq_gen*)
+        whose snapshot is no longer retained by the manifest.
 
         Must run after ANY commit that changes cell contents — rebalance
         does it internally; external compactors (the streaming engine's
@@ -1114,8 +1264,10 @@ class IVFIndex:
         }
         if m.get("latest_gen") is not None:
             retained.add(str(int(m["latest_gen"])))
-        for d in glob.glob(os.path.join(self.index_dir, "sq8*")) + glob.glob(
-            os.path.join(self.index_dir, "pq_m*")
+        for d in (
+            glob.glob(os.path.join(self.index_dir, "sq8*"))
+            + glob.glob(os.path.join(self.index_dir, "pq_m*"))
+            + glob.glob(os.path.join(self.index_dir, "bq_gen*"))
         ):
             tag = os.path.basename(d).rsplit("_gen", 1)
             if len(tag) == 2 and tag[1] in retained:

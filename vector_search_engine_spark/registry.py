@@ -1901,6 +1901,27 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.hybrid_rrf(lex, vec, k=10)
 
 
+@register("ann_ivf_bq", oracle=ORACLES["knn_exact_l2"])
+def ann_ivf_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ composed inside IVF cells: probed partitions → packed sign-bit
+    scan (generation-keyed sidecar, 32× fewer candidate bytes) →
+    asymmetric top-C → exact rescore.  Graded at full probe with an
+    unbounded candidate cut, where the output is hash-identical to exact
+    (the correctness gate); the serving shape (finite C) is recall-gated
+    in tests/test_bq.py — unlike SQ8/PQ, sign codes admit no lossless
+    bound, so BQ's exactness claim is conditional and documented."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_mod.build_or_load(spark, sf_dir)
+    return idx.search_bq(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=idx.meta["n_centroids"],
+        candidates_per_cell=10**9,
+    )
+
+
 @register("knn_bq_rescore")  # 1-bit codes: recall is measured, not bounded — rows-only
 def knn_bq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantization tier: packed sign-bit scan (32× fewer scan

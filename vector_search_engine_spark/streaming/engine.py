@@ -292,12 +292,14 @@ class VectorEngine:
         shadowed ids excluded + exact scan of the delta, one global top-k.
 
         ``tier`` selects the indexed side's candidate scan: ``"float"``
-        (default), ``"sq8"`` (int8 codes, ~4× fewer scan bytes), or
-        ``"pq"`` (IVFADC byte codes, ~32× fewer).  Both quantized tiers
-        run a lossless bound cut + exact re-score — same results as the
-        float tier; the delta side always scans exact floats, deltas are
-        small."""
-        if tier not in ("float", "sq8", "pq"):
+        (default), ``"sq8"`` (int8 codes, ~4× fewer scan bytes), ``"pq"``
+        (IVFADC byte codes, ~32× fewer), or ``"bq"`` (packed sign bits,
+        32× fewer).  SQ8/PQ run a lossless bound cut + exact re-score —
+        same results as the float tier; BQ's top-C cut has no lossless
+        bound (recall measured, tests/test_bq.py) though returned
+        distances are always exact.  The delta side always scans exact
+        floats, deltas are small."""
+        if tier not in ("float", "sq8", "pq", "bq"):
             raise ValueError(f"unknown search tier {tier!r}")
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
@@ -316,6 +318,13 @@ class VectorEngine:
             )
         elif tier == "sq8":
             indexed_part = self.index.search_sq8(
+                queries,
+                k=k,
+                nprobe=nprobe,
+                exclude_ids=delta_latest.select(id_col),
+            )
+        elif tier == "bq":
+            indexed_part = self.index.search_bq(
                 queries,
                 k=k,
                 nprobe=nprobe,
