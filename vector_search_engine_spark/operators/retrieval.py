@@ -107,8 +107,17 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    # df = count(*) over the aggregated postings (one row per (doc, term)
+    # already, so no countDistinct needed).  Plan-audit note: this branch
+    # re-derives postings — column pruning makes the two subtrees
+    # non-identical, so ReuseExchange cannot share the scan, and the
+    # skew-safe alternative (df as a window over term) would colocate
+    # every posting of a common term in one partition.  Two filtered,
+    # map-side-partial-aggregated corpus scans beat one skewed shuffle;
+    # a production deployment materializes the filtered postings once
+    # (an inverted-index slice) and both branches read that.
     df_t = postings.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("long").alias("df")
+        F.count("*").cast("long").alias("df")
     )
 
     tf = F.col("tf").cast("double")
