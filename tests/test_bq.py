@@ -148,3 +148,39 @@ def test_engine_merged_search_bq_tier(spark, embeddings, tmp_path):
     assert hits / len(want) >= 0.8
     # deleted ids never appear
     assert all(t[1] not in (7, 8) for t in got)
+
+
+def test_bq_centering_rescues_nonnegative_data(spark):
+    """On an all-positive embedding family (SIFT-like), sign-at-zero
+    codes are all ones — candidate ranking is noise.  Mean-centered
+    codes (center=True) must recover high recall on the same data."""
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(2.0, 8.0, (10, 32))
+    V = (centers[rng.integers(0, 10, 2000)] + rng.normal(0, 0.3, (2000, 32))).astype(
+        np.float32
+    )
+    V = np.abs(V)  # strictly non-negative
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(2000, dtype=np.int64), "embedding": list(V)})
+    )
+    q = (np.arange(10, dtype=np.int64), V[:10])
+    exact = {
+        (r.qid, r.neighbor_id)
+        for r in knn_ops.knn_exact(df, q, k=10).collect()
+    }
+
+    def recall(center):
+        got = bq_ops.knn_bq_rescore(
+            df, q, k=10, candidates_per_partition=80, center=center
+        ).collect()
+        return sum(1 for r in got if (r.qid, r.neighbor_id) in exact) / len(exact)
+
+    r_centered = recall(True)
+    assert r_centered >= 0.85, r_centered
+    # encode really is all-ones without centering (information-free)
+    codes = bq_ops.bq_encode(df).limit(50).collect()
+    for r in codes:
+        bits = np.unpackbits(np.frombuffer(r.code, dtype=np.uint8))[:32]
+        assert bits.all()

@@ -40,15 +40,44 @@ from vector_search_engine_spark.operators.knn import (
 )
 
 
+def dim_thresholds(
+    vectors: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> np.ndarray:
+    """Per-dimension binarization thresholds = per-dimension means, one
+    JVM-side aggregation pass (d scalar avg expressions — d is bounded
+    by the embedding width, so the single result row is tiny).
+
+    Sign-at-zero is meaningless for non-negative embedding families
+    (e.g. SIFT-like histogram features: every bit would be 1); centering
+    each dimension on its mean is the standard fix and degenerates to
+    plain sign codes on zero-mean data."""
+    if dim is None:
+        first = vectors.select(vec_col).first()
+        if first is None:
+            return np.zeros(0, dtype=np.float64)
+        dim = len(first[0])
+    row = vectors.agg(
+        *[
+            F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).collect()[0]
+    return np.array([row[i] or 0.0 for i in range(dim)], dtype=np.float64)
+
+
 def bq_encode(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    thresholds: np.ndarray | None = None,
 ) -> DataFrame:
-    """Encode float vectors to packed sign-bit codes: bit i = (x_i > 0),
-    ``np.packbits`` big-endian bit order, ceil(d/8) bytes per vector.
-    ``keep_cols`` ride along (e.g. ``centroid_id`` for an IVF sidecar)."""
+    """Encode float vectors to packed sign-bit codes: bit i =
+    (x_i > t_i), ``np.packbits`` big-endian bit order, ceil(d/8) bytes
+    per vector.  ``thresholds`` defaults to zeros (plain sign codes);
+    pass ``dim_thresholds(vectors)`` for mean-centered codes (required
+    for non-negative embedding families).  ``keep_cols`` ride along
+    (e.g. ``centroid_id`` for an IVF sidecar)."""
     keep_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in vectors.schema.fields
@@ -57,13 +86,19 @@ def bq_encode(
     schema = f"{id_col} long, code binary, dim int" + (
         f", {keep_schema}" if keep_schema else ""
     )
+    spark = vectors.sparkSession
+    bc_t = spark.sparkContext.broadcast(
+        None if thresholds is None else np.asarray(thresholds, dtype=np.float32)
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = bc_t.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
-            bits = (V > 0.0).astype(np.uint8)
+            thr = np.zeros(V.shape[1], dtype=np.float32) if t is None else t
+            bits = (V > thr[None, :]).astype(np.uint8)
             codes = np.packbits(bits, axis=1)
             out = {
                 id_col: pdf[id_col].to_numpy(),
@@ -99,12 +134,18 @@ def knn_bq_rescore(
     candidates_per_partition: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    center: bool = False,
 ) -> DataFrame:
     """Two-stage BQ search: the packed-code scan ranks by the asymmetric
-    score ``q · sign(v)`` and emits top-C candidates per partition; exact
-    float rescore + global (dist, id) top-k.  Output schema and distance
-    convention identical to ``knn_exact`` — only recall, never reported
-    values, depends on the code quality."""
+    score ``(q − t) · sign(v − t)`` and emits top-C candidates per
+    partition; exact float rescore + global (dist, id) top-k.  Output
+    schema and distance convention identical to ``knn_exact`` — only
+    recall, never reported values, depends on the code quality.
+
+    ``center=True`` binarizes around per-dimension means (one extra
+    aggregation pass) — required for non-negative embedding families
+    where sign-at-zero stores no information; a no-op in expectation on
+    zero-mean data."""
     spark = vectors.sparkSession
     C = candidates_per_partition or 8 * k
     qids, Q = _query_arrays(queries)
@@ -112,9 +153,19 @@ def knn_bq_rescore(
         return spark.createDataFrame(
             [], "qid long, neighbor_id long, rank long, dist_sq double"
         )
-    bc = spark.sparkContext.broadcast((qids, Q.astype(np.float64)))
+    t = (
+        dim_thresholds(vectors, vec_col=vec_col, dim=Q.shape[1])
+        if center
+        else np.zeros(Q.shape[1], dtype=np.float64)
+    )
+    bc = spark.sparkContext.broadcast(
+        (qids, Q.astype(np.float64) - t[None, :])
+    )
 
-    codes = bq_encode(vectors, id_col=id_col, vec_col=vec_col)
+    codes = bq_encode(
+        vectors, id_col=id_col, vec_col=vec_col,
+        thresholds=t if center else None,
+    )
 
     def approx_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, Qd = bc.value

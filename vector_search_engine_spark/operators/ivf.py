@@ -1084,27 +1084,48 @@ class IVFIndex:
         codes (1 bit/dim — 32× fewer scan bytes than float32) partitioned
         by ``centroid_id`` like the float vectors.  Same generation-keyed
         dir + lock-serialized build discipline as ``ensure_sq8``."""
-        from vector_search_engine_spark.operators.bq import bq_encode
+        from vector_search_engine_spark.operators.bq import (
+            bq_encode,
+            dim_thresholds,
+        )
 
         if snapshot is None:
             snapshot = self._read_manifest()
         bq_dir = os.path.join(
             self.index_dir, f"bq_gen{self._sidecar_gen(snapshot)}"
         )
-        if os.path.exists(os.path.join(bq_dir, "_SUCCESS")):
+        tpath = os.path.join(bq_dir, "thresholds.json")
+        if os.path.exists(os.path.join(bq_dir, "_SUCCESS")) and os.path.exists(
+            tpath
+        ):
             return bq_dir
         with _SIDECAR_LOCK:
-            if os.path.exists(os.path.join(bq_dir, "_SUCCESS")):
+            if os.path.exists(
+                os.path.join(bq_dir, "_SUCCESS")
+            ) and os.path.exists(tpath):
                 return bq_dir
+            base = self.vectors(snapshot=snapshot)
+            # mean-centered bits: sign-at-zero stores nothing for
+            # non-negative embedding families (e.g. SIFT-like features);
+            # thresholds are computed from — and stored beside — this
+            # snapshot's codes so scan and codes always agree
+            t = dim_thresholds(
+                base, vec_col=self.meta["vec_col"], dim=self.meta["dim"]
+            )
             codes = bq_encode(
-                self.vectors(snapshot=snapshot),
+                base,
                 id_col=self.meta["id_col"],
                 vec_col=self.meta["vec_col"],
                 keep_cols=("centroid_id",),
+                thresholds=t,
             )
             codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
                 "centroid_id"
             ).parquet(bq_dir)
+            tmp = tpath + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"thresholds": [float(x) for x in t]}, f)
+            os.rename(tmp, tpath)
         return bq_dir
 
     def search_bq(
@@ -1156,10 +1177,17 @@ class IVFIndex:
             )
         )
         needed = sorted({c for _, c in pairs})
-        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
+        bq_dir = self.ensure_bq(snapshot=snap)
+        with open(os.path.join(bq_dir, "thresholds.json")) as f:
+            thr = np.array(json.load(f)["thresholds"], dtype=np.float64)
+        # the asymmetric score works in centered space: bits encode
+        # sign(v − t), so the scan side ranks by (q − t) · sign(v − t);
+        # the exact rescore below uses the UNcentered queries
+        qmap = {
+            int(q): Q[i].astype(np.float64) - thr for i, q in enumerate(qids)
+        }
         bc = spark.sparkContext.broadcast(qmap)
 
-        bq_dir = self.ensure_bq(snapshot=snap)
         codes = spark.read.parquet(bq_dir).filter(
             F.col("centroid_id").isin(needed)
         )
