@@ -353,6 +353,40 @@ def main() -> None:
         print(f"pq m={pq_m}: selectivity {pq_res['cut_selectivity']}, "
               f"recall {pq_res['recall_at_10']:.4f} in "
               f"{pq_res['search_plus_recall_sec']}s", file=sys.stderr)
+
+        # BQ tier at SIFT shape: the descriptors are non-negative, so
+        # this exercises the mean-centered code path (sign-at-zero would
+        # be all-ones) end-to-end at 10^5-10^6 scale.  1 bit/dim =
+        # dim/8 bytes/vector vs 4*dim float32 — 32× fewer candidate-scan
+        # bytes; recall ladder over candidates_per_cell at the tuned
+        # nprobe (no lossless bound exists for sign codes — the ladder IS
+        # the evidence).
+        t0 = time.time()
+        bq_dir = idx.ensure_bq()
+        bq_res: dict = {
+            "sidecar_build_sec": round(time.time() - t0, 2),
+            "codes_bytes": sum(
+                os.path.getsize(os.path.join(r, fn))
+                for r, _, fns in os.walk(bq_dir)
+                for fn in fns
+            ),
+            "nprobe": np_pq,
+        }
+        for cpc in (4 * K, 16 * K, 64 * K):
+            t0 = time.time()
+            bq_search = idx.search_bq(
+                queries, k=K, nprobe=np_pq, candidates_per_cell=cpc
+            )
+            bq_rec = knn_ops.recall_at_k(bq_search, gt, K).collect()[0]
+            bq_res[f"c_{cpc}"] = {
+                "search_plus_recall_sec": round(time.time() - t0, 2),
+                "recall_at_10": float(bq_rec["recall_at_k"]),
+            }
+            print(f"bq C={cpc}: recall "
+                  f"{bq_res[f'c_{cpc}']['recall_at_10']:.4f} in "
+                  f"{bq_res[f'c_{cpc}']['search_plus_recall_sec']}s",
+                  file=sys.stderr)
+        results["bq"] = bq_res
         gt.unpersist()
 
         # M4/M5 analog beyond sf0.1: ingest-while-searching at SIFT shape

@@ -209,3 +209,31 @@ def test_prefix_rescore_prunes_on_decaying_spectrum():
     iso = rng.normal(0, 1, (n, d))
     fr_iso = np.mean([_survivor_frac(iso, iso[i], 16) for i in range(10)])
     assert fr_iso > 0.5  # the boundary is real: isotropic data won't prune
+
+
+def test_ivf_search_prefix_equals_float_probe(spark, sf_dir, embeddings):
+    """The prefix cut composed inside IVF cells is lossless at EVERY
+    nprobe: output identical to search() — and to exact kNN at full
+    probe — for any prefix width; predicate composes."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx = ivf_mod.build_or_load(spark, sf_dir)
+    q = knn_ops.make_queries(embeddings)
+    nc = idx.meta["n_centroids"]
+    for nprobe in (2, nc):
+        want = _rows(idx.search(q, k=10, nprobe=nprobe), "qid", "rank")
+        for dpv in (4, 16):
+            got = _rows(
+                idx.search_prefix(q, k=10, nprobe=nprobe, prefix_dims=dpv),
+                "qid",
+                "rank",
+            )
+            assert got == want, (nprobe, dpv)
+    pred = F.col("label") < 5
+    want = _rows(idx.search(q, k=10, nprobe=nc, predicate=pred), "qid", "rank")
+    got = _rows(
+        idx.search_prefix(q, k=10, nprobe=nc, prefix_dims=16, predicate=pred),
+        "qid",
+        "rank",
+    )
+    assert got == want

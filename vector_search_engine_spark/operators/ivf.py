@@ -687,6 +687,121 @@ class IVFIndex:
         )
         return _finalize_topk(cand_topk, k, "l2_sq")
 
+    def search_prefix(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        prefix_dims: int = 16,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+        exclude_ids=None,
+        predicate=None,
+        snapshot: int | str | None = None,
+    ) -> DataFrame:
+        """Probed search through the prefix-dimension lossless bound cut
+        (``knn.knn_prefix_rescore``'s kernel inside the probed cells):
+        prefix L2 lower-bounds full L2, so rows whose prefix distance
+        exceeds the per-group seed threshold are dropped without touching
+        their remaining dims — FLOPs fall by ~d/d′ on the pruned share,
+        bytes and results are identical to ``search()`` at every nprobe
+        (exact at full probe; no sidecar, the cut is pure compute).
+        Composes with partition pruning, ``predicate`` (applied before
+        the cut — harmless here since the cut is lossless, kept for plan
+        parity with the quantized tiers), ``exclude_ids`` and as-of
+        ``snapshot`` exactly as ``search()`` does."""
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        spark = self.spark
+        qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
+        if len(qids) == 0:
+            return spark.createDataFrame(
+                [], "qid long, neighbor_id long, rank long, dist_sq double"
+            )
+        dp = max(1, min(int(prefix_dims), Q.shape[1]))
+        snap = (
+            self.manifest_at(snapshot)
+            if snapshot is not None
+            else self._read_manifest()
+        )
+        pairs = self.probe_pairs(
+            qids, Q, nprobe, centroid_set=self._centroids_for(snap)
+        )
+        pairs_df = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
+                {"qid": "int64", "centroid_id": "int32"}
+            )
+        )
+        needed = sorted({c for _, c in pairs})
+        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
+        bc = spark.sparkContext.broadcast(qmap)
+        base = self.vectors(snapshot=snap).filter(
+            F.col("centroid_id").isin(needed)
+        )
+        if exclude_ids is not None:
+            if isinstance(exclude_ids, DataFrame):
+                base = base.join(
+                    exclude_ids.select(
+                        F.col(exclude_ids.columns[0]).alias(id_col)
+                    ),
+                    on=id_col,
+                    how="left_anti",
+                )
+            elif exclude_ids:
+                base = base.filter(~F.col(id_col).isin(list(exclude_ids)))
+        if predicate is not None:
+            base = base.filter(predicate)
+        cand = base.join(F.broadcast(pairs_df), "centroid_id").select(
+            F.col("qid"), F.col(id_col), F.col(vec_col)
+        )
+
+        def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qm = bc.value
+            best: dict[int, list] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for qid, grp in pdf.groupby("qid"):
+                    q = qm[int(qid)]
+                    qp = q[:dp]
+                    ids = grp[id_col].to_numpy(dtype=np.int64)
+                    V = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                    n = len(ids)
+                    Vp = V[:, :dp]
+                    dpd = (Vp * Vp).sum(axis=1) - 2.0 * (Vp @ qp) + float(
+                        qp @ qp
+                    )
+                    np.maximum(dpd, 0.0, out=dpd)
+                    kk = min(k, n)
+                    seed = (
+                        np.argpartition(dpd, kk - 1)[:kk]
+                        if n > kk
+                        else np.arange(n)
+                    )
+                    diff = V[seed] - q
+                    T = (diff * diff).sum(axis=1).max()
+                    # same fp-slack guard as knn_prefix_rescore: the GEMM
+                    # bound may exceed the true one by ~1e-13
+                    surv = np.flatnonzero(dpd <= T + 1e-9 * (1.0 + T))
+                    diff = V[surv] - q
+                    full = (diff * diff).sum(axis=1)
+                    order = np.lexsort((ids[surv], full))[:kk]
+                    best.setdefault(int(qid), []).append(
+                        (ids[surv][order], full[order])
+                    )
+            for qid, parts in best.items():
+                ids = np.concatenate([p[0] for p in parts])
+                d = np.concatenate([p[1] for p in parts])
+                order = np.lexsort((ids, d))[:k]
+                yield pd.DataFrame(
+                    {"qid": qid, "neighbor_id": ids[order], "dist": d[order]}
+                )
+
+        cand_topk = cand.mapInPandas(
+            local_topk, schema="qid long, neighbor_id long, dist double"
+        )
+        return _finalize_topk(cand_topk, k, "l2_sq")
+
     def search_distributed(
         self,
         queries: DataFrame,
