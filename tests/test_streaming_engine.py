@@ -579,3 +579,16 @@ def test_publish_raises_noncollision_rename_errors(spark, embeddings, engine, mo
         engine.insert(rows)
     assert exc.value.errno == _errno.EXDEV
     assert calls["n"] == 1, "non-collision error was retried"
+
+
+def test_merged_search_prefix_tier_equals_float(spark, embeddings, engine):
+    """tier="prefix" is a lossless cut: the merged result (upserts,
+    deletes, delta union) must equal the float tier bit-for-bit."""
+    engine.insert(embeddings.filter(F.col("vec_id") >= 400))
+    engine.delete([3, 4])
+    q = knn_ops.make_queries(embeddings)
+    nc = engine.index.meta["n_centroids"]
+    want = _sorted(engine.search(q, k=10, nprobe=nc))
+    got = _sorted(engine.search(q, k=10, nprobe=nc, tier="prefix"))
+    assert got == want
+    assert all(r[1] not in (3, 4) for r in got)

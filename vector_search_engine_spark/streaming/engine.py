@@ -293,13 +293,14 @@ class VectorEngine:
 
         ``tier`` selects the indexed side's candidate scan: ``"float"``
         (default), ``"sq8"`` (int8 codes, ~4× fewer scan bytes), ``"pq"``
-        (IVFADC byte codes, ~32× fewer), or ``"bq"`` (packed sign bits,
-        32× fewer).  SQ8/PQ run a lossless bound cut + exact re-score —
-        same results as the float tier; BQ's top-C cut has no lossless
-        bound (recall measured, tests/test_bq.py) though returned
-        distances are always exact.  The delta side always scans exact
-        floats, deltas are small."""
-        if tier not in ("float", "sq8", "pq", "bq"):
+        (IVFADC byte codes, ~32× fewer), ``"bq"`` (packed sign bits, 32×
+        fewer), or ``"prefix"`` (full bytes, ~d/d′× fewer FLOPs via the
+        lossless prefix-dimension cut).  SQ8/PQ/prefix run lossless cuts
+        + exact re-score — same results as the float tier; BQ's top-C
+        cut has no lossless bound (recall measured, tests/test_bq.py)
+        though returned distances are always exact.  The delta side
+        always scans exact floats, deltas are small."""
+        if tier not in ("float", "sq8", "pq", "bq", "prefix"):
             raise ValueError(f"unknown search tier {tier!r}")
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
@@ -325,6 +326,13 @@ class VectorEngine:
             )
         elif tier == "bq":
             indexed_part = self.index.search_bq(
+                queries,
+                k=k,
+                nprobe=nprobe,
+                exclude_ids=delta_latest.select(id_col),
+            )
+        elif tier == "prefix":
+            indexed_part = self.index.search_prefix(
                 queries,
                 k=k,
                 nprobe=nprobe,
