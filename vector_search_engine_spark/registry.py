@@ -2094,8 +2094,9 @@ _GRADE_FIRST: list[str] = [
     #       sort/limit is gated by every top-k query.  Slot:
     #       dedup_semantic.
     # r9 rotation candidates (oracle-backed, never driver-graded):
-    #   knn_truncated_rescore and ann_ivf_bq (both share
-    #   ORACLES["knn_exact_l2"] — rotate in if a tier slot frees).)
+    #   knn_truncated_rescore, ann_ivf_prefix and ann_ivf_bq (all three
+    #   share ORACLES["knn_exact_l2"] — rotate in if a tier slot frees;
+    #   the IVF-composed forms are the stronger claims).)
     "knn_exact_l2",
     "hybrid_search_rrf",
     "label_centroids",
