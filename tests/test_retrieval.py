@@ -237,3 +237,25 @@ def test_ivf_search_prefix_equals_float_probe(spark, sf_dir, embeddings):
         "rank",
     )
     assert got == want
+
+
+def test_ivf_search_prefix_composes_with_cosine_geometry(spark, sf_dir):
+    """The prefix cut is metric-blind (it bounds the L2 the index is
+    built over), so on a cosine-geometry index (L2 over normalized
+    copies) search_prefix must reproduce the cosine probe bit-for-bit."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx = ivf_mod.build_or_load(spark, sf_dir, geometry="cosine")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from vector_search_engine_spark.functions.vector import normalize
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        normalize(F.col("embedding")).cast("array<float>").alias("query"),
+    )
+    nc = idx.meta["n_centroids"]
+    want = _rows(idx.search(q, k=10, nprobe=nc), "qid", "rank")
+    got = _rows(
+        idx.search_prefix(q, k=10, nprobe=nc, prefix_dims=16), "qid", "rank"
+    )
+    assert got == want
