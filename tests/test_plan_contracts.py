@@ -47,6 +47,8 @@ AUDIT = [
     "knn_truncated_rescore",
     "doc_bm25_topk",
     "hybrid_search_rrf",
+    "hybrid_search_rrf_weighted",
+    "hybrid_search_mmr",
     "dedup_semantic",
     "knn_bq_rescore",
 ]

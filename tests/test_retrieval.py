@@ -259,3 +259,102 @@ def test_ivf_search_prefix_composes_with_cosine_geometry(spark, sf_dir):
         idx.search_prefix(q, k=10, nprobe=nc, prefix_dims=16), "qid", "rank"
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Weighted RRF + MMR diversification
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_rrf_biases_fusion(spark):
+    lex = spark.createDataFrame(
+        [(0, 10, 1)], "query_id long, doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [(0, 20, 1)], "qid long, neighbor_id long, rank long"
+    )
+    K = retrieval.RRF_K
+    # unweighted: tie on score -> doc_id breaks it (10 first)
+    out = {r.doc_id: r.rank for r in retrieval.hybrid_rrf(lex, vec).collect()}
+    assert out == {10: 1, 20: 2}
+    # vector-heavy weights flip the order
+    out = {
+        r.doc_id: r.rank
+        for r in retrieval.hybrid_rrf(lex, vec, w_lex=1.0, w_vec=3.0).collect()
+    }
+    assert out == {20: 1, 10: 2}
+
+
+def test_mmr_matches_numpy_reference(spark):
+    """Engine MMR equals a from-scratch greedy reference on a shortlist
+    with a planted near-duplicate pair."""
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.999, 0.04, 0.0],   # near-dup of 1
+        3: [0.0, 1.0, 0.0],
+        4: [0.0, 0.0, 1.0],
+    }
+    rel = {1: 0.9, 2: 0.85, 3: 0.5, 4: 0.4}
+    cand = spark.createDataFrame(
+        [(0, d, rel[d]) for d in vecs], "query_id long, doc_id long, rrf double"
+    )
+    emb = spark.createDataFrame(
+        [(d, v) for d, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    lam = 0.6
+    got = [
+        (r.doc_id, r.rank)
+        for r in retrieval.mmr_diversify(cand, emb, k=4, lam=lam)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    # NumPy reference
+    ids = sorted(vecs)
+    V = np.array([vecs[d] for d in ids], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    r = np.array([rel[d] for d in ids])
+    sel, max_sim, remaining = [], np.zeros(4), np.ones(4, bool)
+    for _ in range(4):
+        mmr = lam * r - (1 - lam) * max_sim
+        mmr[~remaining] = -np.inf
+        best = min(
+            ((-mmr[i], ids[i], i) for i in range(4) if remaining[i])
+        )[2]
+        sel.append(ids[best])
+        remaining[best] = False
+        np.maximum(max_sim, Vn @ Vn[best], out=max_sim)
+    assert [d for d, _ in got] == sel
+    # the near-dup (2) must NOT be picked second despite rel rank 2
+    assert got[1][0] != 2
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark, embeddings, documents):
+    from vector_search_engine_spark import registry
+
+    nq = len(retrieval.QUERY_TERMS_FIXTURE)
+    lex = retrieval.bm25_topk(
+        documents, retrieval.make_term_queries(spark), k=retrieval.HYBRID_DEPTH
+    )
+    vec = knn_ops.knn_exact(
+        embeddings, knn_ops.make_queries(embeddings, n=nq),
+        k=retrieval.HYBRID_DEPTH,
+    )
+    fused = retrieval.hybrid_rrf(lex, vec, k=retrieval.HYBRID_DEPTH)
+    out = retrieval.mmr_diversify(fused, embeddings, k=10, lam=1.0)
+    got = {
+        (r.query_id, r.rank): r.doc_id for r in out.collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.doc_id
+        for r in fused.filter(F.col("rank") <= 10).collect()
+    }
+    assert got == want
+    # determinism under repartition
+    again = {
+        (r.query_id, r.rank): r.doc_id
+        for r in retrieval.mmr_diversify(
+            fused.repartition(7), embeddings, k=10, lam=1.0
+        ).collect()
+    }
+    assert again == got

@@ -31,6 +31,8 @@ window over ``|Q| × matched-docs`` rows.  No all-pairs anything.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -155,16 +157,21 @@ def hybrid_rrf(
     vector: DataFrame,
     k: int = 10,
     rrf_k: int = RRF_K,
+    w_lex: float = 1.0,
+    w_vec: float = 1.0,
 ) -> DataFrame:
     """Fuse a lexical ranking ``(query_id, doc_id, rank)`` and a vector
     ranking ``(qid, neighbor_id, rank)`` by reciprocal-rank fusion.
 
-    ``rrf(d) = Σ 1/(rrf_k + rank)`` over the lists containing ``d`` —
-    a document missing from one list simply contributes nothing for it
-    (the standard convention).  Output ``(query_id, doc_id, rank,
-    rrf)``, rank by (rounded rrf DESC, doc_id).  Each input is already a
-    per-query top-``depth`` list, so fusion is a full outer join of two
-    ``|Q|·depth``-row frames — driver-free and trivially scalable."""
+    ``rrf(d) = Σ w_list/(rrf_k + rank)`` over the lists containing
+    ``d`` — a document missing from one list simply contributes nothing
+    for it (the standard convention); ``w_lex``/``w_vec`` bias the
+    fusion toward one modality (the weighted-RRF knob every hybrid API
+    exposes; 1/1 is the classic unweighted form).  Output ``(query_id,
+    doc_id, rank, rrf)``, rank by (rounded rrf DESC, doc_id).  Each
+    input is already a per-query top-``depth`` list, so fusion is a
+    full outer join of two ``|Q|·depth``-row frames — driver-free and
+    trivially scalable."""
     lex = lexical.select(
         "query_id", "doc_id", F.col("rank").alias("lrank")
     )
@@ -179,11 +186,11 @@ def hybrid_rrf(
             "rrf",
             F.round(
                 F.coalesce(
-                    F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lrank")),
+                    F.lit(float(w_lex)) / (F.lit(float(rrf_k)) + F.col("lrank")),
                     F.lit(0.0),
                 )
                 + F.coalesce(
-                    F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vrank")),
+                    F.lit(float(w_vec)) / (F.lit(float(rrf_k)) + F.col("vrank")),
                     F.lit(0.0),
                 ),
                 6,
@@ -197,6 +204,86 @@ def hybrid_rrf(
         fused.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "rrf")
+    )
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    score_col: str = "rrf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the standard diversification pass over a retrieval
+    shortlist: greedily pick ``argmax λ·rel(d) − (1−λ)·max_{s∈S}
+    cos(d, s)`` so near-duplicate hits don't crowd the top-k.
+
+    ``candidates``: a per-query ranked shortlist ``(query_id, doc_id,
+    <score_col>)`` (e.g. ``hybrid_rrf`` output); ``vectors`` supplies
+    the doc embeddings for the diversity term.  Ties break on
+    (value DESC, doc_id ASC) so output is deterministic across runs,
+    partitionings and engines.
+
+    Plan: one broadcast-ready join to attach embeddings, ONE shuffle
+    grouping by query, then a per-query greedy NumPy loop over the
+    shortlist (|shortlist| ≤ depth ≈ 10-100 rows — the loop is O(k·n·d)
+    on a tiny n; the corpus-sized work already happened upstream).
+    Returns ``(query_id, doc_id, rank, mmr_score)``; zero-norm vectors
+    contribute cosine 0 (the ``cosine_sim`` convention)."""
+    lam = float(lam)
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        order = np.lexsort(
+            (pdf["doc_id"].to_numpy(), -pdf[score_col].to_numpy())
+        )
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+        rel = pdf[score_col].to_numpy(dtype=np.float64)[order]
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)[order]
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        Vn = V / norms
+        n = len(ids)
+        kk = min(k, n)
+        selected: list[int] = []
+        max_sim = np.zeros(n)
+        remaining = np.ones(n, dtype=bool)
+        out_ids, out_scores = [], []
+        for _ in range(kk):
+            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr_masked = np.where(remaining, mmr, -np.inf)
+            # deterministic argmax: highest score, lowest doc_id on ties
+            best = np.lexsort((ids, -mmr_masked))[0]
+            selected.append(best)
+            remaining[best] = False
+            out_ids.append(ids[best])
+            out_scores.append(mmr_masked[best])
+            sims = Vn @ Vn[best]
+            np.maximum(max_sim, sims, out=max_sim)
+        return pd.DataFrame(
+            {
+                "query_id": np.full(kk, qid, dtype=np.int64),
+                "doc_id": np.array(out_ids, dtype=np.int64),
+                "rank": np.arange(1, kk + 1, dtype=np.int64),
+                "mmr_score": np.round(np.array(out_scores), 6),
+            }
+        )
+
+    enriched = candidates.join(
+        vectors.select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias(vec_col)
+        ),
+        "doc_id",
+    )
+    return (
+        enriched.groupBy("query_id")
+        .applyInPandas(
+            per_query,
+            schema="query_id long, doc_id long, rank long, mmr_score double",
+        )
     )
 
 
@@ -264,7 +351,14 @@ _DD_L2SQ_LOCAL = (
 
 _N_HYBRID_QUERIES = len(QUERY_TERMS_FIXTURE)
 
-HYBRID_RRF_ORACLE = f"""
+# Fixture weights for the weighted-fusion oracle query (exact binary
+# doubles so engine/oracle literals are bit-identical).
+HYBRID_W_LEX = 2.0
+HYBRID_W_VEC = 1.0
+
+
+def _hybrid_rrf_oracle(w_lex: float, w_vec: float) -> str:
+    return f"""
 WITH {_DD_BM25_RANKED},
 ltop AS (
   SELECT query_id, doc_id, "rank" AS lrank FROM ranked
@@ -287,8 +381,8 @@ vtop AS (SELECT query_id, doc_id, vrank FROM vd WHERE vrank <= {HYBRID_DEPTH}),
 fused AS (
   SELECT coalesce(l.query_id, v.query_id) AS query_id,
          coalesce(l.doc_id, v.doc_id) AS doc_id,
-         round(coalesce(1.0 / ({RRF_K}.0 + l.lrank), 0.0)
-               + coalesce(1.0 / ({RRF_K}.0 + v.vrank), 0.0), 6) AS rrf
+         round(coalesce({w_lex!r} / ({RRF_K}.0 + l.lrank), 0.0)
+               + coalesce({w_vec!r} / ({RRF_K}.0 + v.vrank), 0.0), 6) AS rrf
   FROM ltop l
   FULL OUTER JOIN vtop v
     ON l.query_id = v.query_id AND l.doc_id = v.doc_id
@@ -302,3 +396,7 @@ rr AS (
 )
 SELECT query_id, doc_id, "rank", rrf FROM rr WHERE "rank" <= 10
 """
+
+
+HYBRID_RRF_ORACLE = _hybrid_rrf_oracle(1.0, 1.0)
+HYBRID_RRF_WEIGHTED_ORACLE = _hybrid_rrf_oracle(HYBRID_W_LEX, HYBRID_W_VEC)

@@ -1958,6 +1958,48 @@ def knn_bq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hybrid_search_rrf_weighted", oracle=retrieval.HYBRID_RRF_WEIGHTED_ORACLE
+)
+def hybrid_search_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reciprocal-rank fusion (w_lex=2, w_vec=1) — the
+    modality-bias knob every hybrid API exposes, over the same two
+    ranked lists as hybrid_search_rrf."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    nq = len(retrieval.QUERY_TERMS_FIXTURE)
+    lex = retrieval.bm25_topk(
+        docs, retrieval.make_term_queries(spark), k=retrieval.HYBRID_DEPTH
+    )
+    vec = knn_ops.knn_exact(
+        emb, knn_ops.make_queries(emb, n=nq), k=retrieval.HYBRID_DEPTH
+    )
+    return retrieval.hybrid_rrf(
+        lex, vec, k=10,
+        w_lex=retrieval.HYBRID_W_LEX, w_vec=retrieval.HYBRID_W_VEC,
+    )
+
+
+@register("hybrid_search_mmr")  # greedy iterative selection — rows-only
+def hybrid_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification over the hybrid shortlist (SIGIR'98): the
+    standard near-duplicate-suppression pass a retrieval API runs after
+    fusion.  Greedy argmax selection is iterative, not SQL-expressible —
+    pinned against a from-scratch NumPy reference in
+    tests/test_retrieval.py instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    nq = len(retrieval.QUERY_TERMS_FIXTURE)
+    lex = retrieval.bm25_topk(
+        docs, retrieval.make_term_queries(spark), k=retrieval.HYBRID_DEPTH
+    )
+    vec = knn_ops.knn_exact(
+        emb, knn_ops.make_queries(emb, n=nq), k=retrieval.HYBRID_DEPTH
+    )
+    fused = retrieval.hybrid_rrf(lex, vec, k=retrieval.HYBRID_DEPTH)
+    return retrieval.mmr_diversify(fused, emb, k=10, lam=0.7)
+
+
 @register("dedup_semantic", oracle=dedup_ops.SEMANTIC_DEDUP_ORACLE)
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication: within-cluster cosine near-dups
