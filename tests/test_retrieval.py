@@ -358,3 +358,33 @@ def test_mmr_lambda_one_is_pure_relevance(spark, embeddings, documents):
         ).collect()
     }
     assert again == got
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """Metrics against a worked example: q0 run = [1,2,3], qrels {1,3,9};
+    q1 retrieved nothing relevant; q2 absent from the run entirely."""
+    run = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3), (1, 7, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1), (0, 3), (0, 9), (1, 8), (2, 5)],
+        "query_id long, doc_id long",
+    )
+    out = {
+        r.query_id: r for r in retrieval.retrieval_eval(run, qrels, k=10).collect()
+    }
+    import math
+
+    # q0: hits at ranks 1 and 3 of 3 rel docs
+    assert out[0].precision_at_k == round(2 / 10, 6)
+    assert out[0].recall_at_k == round(2 / 3, 6)
+    assert out[0].mrr == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert out[0].ndcg_at_k == round(dcg / idcg, 6)
+    # q1: nothing relevant retrieved
+    assert (out[1].precision_at_k, out[1].recall_at_k, out[1].mrr,
+            out[1].ndcg_at_k) == (0.0, 0.0, 0.0, 0.0)
+    # q2: in qrels but absent from the run — still gets an all-zero row
+    assert out[2].ndcg_at_k == 0.0 and out[2].mrr == 0.0

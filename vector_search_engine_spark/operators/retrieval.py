@@ -287,6 +287,72 @@ def mmr_diversify(
     )
 
 
+def retrieval_eval(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Standard ranking-quality metrics of a retrieval run against a
+    binary relevance set — the eval harness every retrieval stack runs
+    (TREC conventions):
+
+    * ``precision_at_k`` = |relevant in top-k| / k
+    * ``recall_at_k``    = |relevant in top-k| / |qrels(q)|
+    * ``mrr``            = 1 / rank of the first relevant hit (0 if none)
+    * ``ndcg_at_k``      = Σ_hits 1/log2(rank+1), normalized by the
+      ideal DCG of min(k, |qrels(q)|) relevant docs at the top.
+
+    ``ranking``: ``(query_id, doc_id, rank)``; ``qrels``: ``(query_id,
+    doc_id)`` binary relevance.  Queries present in ``qrels`` always get
+    a row (all-zero metrics when nothing was retrieved).  Plan: one
+    equi-join of two per-query-bounded frames + one aggregation — both
+    sides are top-k/qrel-sized, never corpus-sized."""
+    kk = int(k)
+    hits = (
+        qrels.select("query_id", "doc_id")
+        .distinct()
+        .join(
+            ranking.select("query_id", "doc_id", "rank"),
+            ["query_id", "doc_id"],
+            "left",
+        )
+    )
+    n_rel = F.count("*").cast("long")
+    in_k = F.sum(
+        F.when(F.col("rank").isNotNull() & (F.col("rank") <= kk), 1).otherwise(0)
+    ).cast("long")
+    first_rank = F.min(F.when(F.col("rank").isNotNull(), F.col("rank")))
+    dcg = F.sum(
+        F.when(
+            F.col("rank").isNotNull() & (F.col("rank") <= kk),
+            F.lit(1.0) / F.log2(F.col("rank") + F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+    )
+    per_q = hits.groupBy("query_id").agg(
+        n_rel.alias("n_rel"),
+        in_k.alias("hits_at_k"),
+        first_rank.alias("first_rank"),
+        dcg.alias("dcg"),
+    )
+    # ideal DCG for m = min(k, n_rel) relevant docs ranked 1..m
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(kk)).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+    )
+    return per_q.select(
+        "query_id",
+        F.round(F.col("hits_at_k") / F.lit(float(kk)), 6).alias(
+            "precision_at_k"
+        ),
+        F.round(F.col("hits_at_k") / F.col("n_rel"), 6).alias("recall_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rank"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(F.col("dcg") / idcg, 6).alias("ndcg_at_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
@@ -357,9 +423,10 @@ HYBRID_W_LEX = 2.0
 HYBRID_W_VEC = 1.0
 
 
-def _hybrid_rrf_oracle(w_lex: float, w_vec: float) -> str:
-    return f"""
-WITH {_DD_BM25_RANKED},
+def _hybrid_ctes(w_lex: float, w_vec: float) -> str:
+    """The shared CTE chain computing the fused hybrid ranking (rr) —
+    composed into the fusion oracles and the retrieval-eval oracle."""
+    return f"""{_DD_BM25_RANKED},
 ltop AS (
   SELECT query_id, doc_id, "rank" AS lrank FROM ranked
   WHERE "rank" <= {HYBRID_DEPTH}
@@ -393,10 +460,46 @@ rr AS (
            PARTITION BY query_id ORDER BY rrf DESC, doc_id
          ) AS "rank"
   FROM fused
-)
+)"""
+
+
+def _hybrid_rrf_oracle(w_lex: float, w_vec: float) -> str:
+    return f"""
+WITH {_hybrid_ctes(w_lex, w_vec)}
 SELECT query_id, doc_id, "rank", rrf FROM rr WHERE "rank" <= 10
 """
 
 
 HYBRID_RRF_ORACLE = _hybrid_rrf_oracle(1.0, 1.0)
 HYBRID_RRF_WEIGHTED_ORACLE = _hybrid_rrf_oracle(HYBRID_W_LEX, HYBRID_W_VEC)
+
+# Eval of the (unweighted) hybrid run against vector-exact top-10 qrels:
+# run and qrels reuse the same CTE chain the fusion oracle uses.
+RETRIEVAL_EVAL_ORACLE = f"""
+WITH {_hybrid_ctes(1.0, 1.0)},
+run AS (SELECT query_id, doc_id, "rank" AS rnk FROM rr WHERE "rank" <= 10),
+qrels AS (SELECT query_id, doc_id FROM vd WHERE vrank <= 10),
+h AS (
+  SELECT q.query_id, q.doc_id, r.rnk
+  FROM qrels q LEFT JOIN run r
+    ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+),
+perq AS (
+  SELECT query_id,
+         count(*)::BIGINT AS n_rel,
+         sum(CASE WHEN rnk IS NOT NULL AND rnk <= 10 THEN 1 ELSE 0 END)::BIGINT
+           AS hits_at_k,
+         min(CASE WHEN rnk IS NOT NULL THEN rnk END) AS first_rank,
+         sum(CASE WHEN rnk IS NOT NULL AND rnk <= 10
+                  THEN 1.0 / log2(rnk + 1.0) ELSE 0.0 END) AS dcg
+  FROM h GROUP BY query_id
+)
+SELECT query_id,
+       round(hits_at_k / 10.0, 6) AS precision_at_k,
+       round(hits_at_k / CAST(n_rel AS DOUBLE), 6) AS recall_at_k,
+       round(coalesce(1.0 / first_rank, 0.0), 6) AS mrr,
+       round(dcg / list_sum(list_transform(
+               range(1, least(n_rel, 10) + 1),
+               i -> 1.0 / log2(i + 1.0))), 6) AS ndcg_at_k
+FROM perq
+"""

@@ -1980,6 +1980,28 @@ def hybrid_search_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("hybrid_retrieval_eval", oracle=retrieval.RETRIEVAL_EVAL_ORACLE)
+def hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval (precision/recall@10, MRR, NDCG@10 — TREC
+    conventions) of the hybrid run against vector-exact top-10 qrels:
+    the harness every retrieval deployment runs, as two bounded joins +
+    one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    nq = len(retrieval.QUERY_TERMS_FIXTURE)
+    lex = retrieval.bm25_topk(
+        docs, retrieval.make_term_queries(spark), k=retrieval.HYBRID_DEPTH
+    )
+    vec = knn_ops.knn_exact(
+        emb, knn_ops.make_queries(emb, n=nq), k=retrieval.HYBRID_DEPTH
+    )
+    run = retrieval.hybrid_rrf(lex, vec, k=10)
+    qrels = vec.filter(F.col("rank") <= 10).select(
+        F.col("qid").alias("query_id"), F.col("neighbor_id").alias("doc_id")
+    )
+    return retrieval.retrieval_eval(run, qrels, k=10)
+
+
 @register("hybrid_search_mmr")  # greedy iterative selection — rows-only
 def hybrid_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification over the hybrid shortlist (SIGIR'98): the
