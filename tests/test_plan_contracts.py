@@ -49,6 +49,8 @@ AUDIT = [
     "hybrid_search_rrf",
     "hybrid_search_rrf_weighted",
     "hybrid_search_mmr",
+    "hybrid_retrieval_eval",
+    "doc_tfidf_vectors",
     "dedup_semantic",
     "knn_bq_rescore",
 ]

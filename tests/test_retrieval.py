@@ -388,3 +388,28 @@ def test_retrieval_eval_hand_computed(spark):
             out[1].ndcg_at_k) == (0.0, 0.0, 0.0, 0.0)
     # q2: in qrels but absent from the run — still gets an all-zero row
     assert out[2].ndcg_at_k == 0.0 and out[2].mrr == 0.0
+
+
+def test_doc_tfidf_vectors_properties(spark, documents):
+    """Unit norm per doc, bucket range, determinism under repartition,
+    and a hand-check of the tf component on a controlled corpus."""
+    out = retrieval.doc_tfidf_vectors(documents).collect()
+    by_doc = {}
+    for r in out:
+        assert 0 <= r.bucket < retrieval.TFIDF_BUCKETS
+        by_doc.setdefault(r.doc_id, []).append(r.weight)
+    for doc, ws in by_doc.items():
+        assert abs(sum(w * w for w in ws) - 1.0) < 1e-3, doc
+    again = {
+        (r.doc_id, r.bucket): r.weight
+        for r in retrieval.doc_tfidf_vectors(documents.repartition(9)).collect()
+    }
+    assert {(r.doc_id, r.bucket): r.weight for r in out} == again
+    # controlled corpus: one doc repeating a single token gets a single
+    # bucket with weight 1.0 after normalization
+    one = spark.createDataFrame(
+        [(0, "zzz zzz zzz"), (1, "qqq")], "doc_id long, text string"
+    )
+    rows = retrieval.doc_tfidf_vectors(one).collect()
+    d0 = [r for r in rows if r.doc_id == 0]
+    assert len(d0) == 1 and d0[0].weight == 1.0

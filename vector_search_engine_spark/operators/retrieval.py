@@ -353,6 +353,102 @@ def retrieval_eval(
     )
 
 
+TFIDF_BUCKETS = 64
+
+
+def doc_tfidf_vectors(
+    documents: DataFrame, n_buckets: int = TFIDF_BUCKETS
+) -> DataFrame:
+    """Hashing-trick TF-IDF document vectors (Weinberger et al., ICML
+    2009 feature hashing) — the model-free featurizer that bridges raw
+    text into a vector space: token → bucket via md5 mod ``n_buckets``,
+    ``weight(doc, b) = tf(doc, b) · ln(1 + N/df(b))``, L2-normalized per
+    document.
+
+    Output is the SPARSE row form ``(doc_id, bucket, weight)`` — the
+    layout a downstream GEMM/join consumes directly and the one an
+    order-insensitive oracle can hash (an array column would pin an
+    ordering for no gain).  Plan: one corpus explode → (doc, bucket)
+    count [one shuffle], bucket dfs as a ≤``n_buckets``-row broadcast
+    aggregate, per-doc norm as a window over ≤``n_buckets`` rows per
+    doc.  md5-based bucketing is engine-portable (same convention as
+    the salted-md5 sampling ops), so two engines build bit-identical
+    vectors."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+        .cast("long")
+        % n_buckets
+    ).alias("bucket")
+    tf = (
+        documents.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .select("doc_id", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n_docs = documents.select(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    dfs = tf.groupBy("bucket").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    weighted = (
+        tf.join(F.broadcast(dfs), "bucket")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "bucket",
+            (
+                F.col("tf")
+                * F.log(F.lit(1.0) + F.col("n_docs") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    norm = Window.partitionBy("doc_id")
+    return (
+        weighted.withColumn(
+            "w", F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(norm))
+        )
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round("w", 6).alias("weight"),
+        )
+    )
+
+
+DOC_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t.term), 1, 15)) AS BIGINT)
+           % {TFIDF_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, unnest({DD_TOKENS.format(t="text")}) AS term
+    FROM documents
+  ) t
+),
+tf AS (
+  SELECT doc_id, bucket, count(*)::BIGINT AS tf
+  FROM toks GROUP BY doc_id, bucket
+),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+dfs AS (
+  SELECT bucket, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY bucket
+),
+w AS (
+  SELECT t.doc_id, t.bucket,
+         t.tf * ln(1.0 + n.n_docs / d.df) AS w
+  FROM tf t JOIN dfs d USING (bucket) CROSS JOIN n
+),
+nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY doc_id
+)
+SELECT w.doc_id, w.bucket, round(w.w / nrm.nn, 6) AS weight
+FROM w JOIN nrm USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------

@@ -1980,6 +1980,14 @@ def hybrid_search_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_tfidf_vectors", oracle=retrieval.DOC_TFIDF_ORACLE)
+def doc_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF-IDF document vectors in sparse row form — the
+    model-free text→vector featurizer (md5 buckets, ln(1+N/df) weights,
+    per-doc L2 norm); bit-identical across engines by construction."""
+    return retrieval.doc_tfidf_vectors(load_table(spark, sf_dir, "documents"))
+
+
 @register("hybrid_retrieval_eval", oracle=retrieval.RETRIEVAL_EVAL_ORACLE)
 def hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality eval (precision/recall@10, MRR, NDCG@10 — TREC
