@@ -518,6 +518,44 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_bq_filtered", oracle=ORACLES["knn_filtered"])
+def ann_ivf_bq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered × BQ cell of the capability matrix: the metadata
+    predicate applies BEFORE the sign-code cut (column-pruned semi-join,
+    same discipline as the SQ8/PQ filtered tiers); graded at full probe
+    with an unbounded cut, where output is hash-identical to the exact
+    filtered oracle."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    index = ivf_mod.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_bq(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        candidates_per_cell=10**9,
+        predicate=F.col("label") < 5,
+    )
+
+
+@register("ann_ivf_prefix_filtered", oracle=ORACLES["knn_filtered"])
+def ann_ivf_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered × prefix-bound cell: predicate before the lossless
+    prefix cut; exact at full probe against the same filtered oracle —
+    with zero sidecar storage (the cut is pure compute)."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    index = ivf_mod.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_prefix(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        prefix_dims=16,
+        predicate=F.col("label") < 5,
+    )
+
+
 @register("ann_ivf_recall_curve")  # recall vs exact oracle — rows-only
 def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of IVF at nprobe ∈ {1,2,4,8} vs the exact result — the
@@ -1796,6 +1834,29 @@ def index_asof_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_ops.make_queries(emb),
         k=10,
         nprobe=eng.index.meta["n_centroids"],
+        snapshot=-1,
+    )
+
+
+@register("index_asof_search_prefix", oracle=_ASOF_ORACLE)
+def index_asof_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the prefix-bound tier: the cut runs over the
+    pinned historical snapshot's own cells (no sidecar to key — the
+    bound is pure compute), so as-of results equal the float as-of
+    search exactly.  Same oracle as the float/PQ as-of rows."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    eng.compact()
+    return eng.index.search_prefix(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        prefix_dims=16,
         snapshot=-1,
     )
 
