@@ -300,3 +300,69 @@ def test_pq_bound_cut_mask_covers_true_topk(n, m, k, seed, scale):
     true_d = ((X - q) ** 2).sum(axis=1)
     top = np.argsort(true_d, kind="stable")[: min(k, n)]
     assert keep[top].all(), (keep.sum(), n)
+
+
+@given(
+    data=st.lists(vec4, min_size=1, max_size=30),
+    queries=st.lists(vec4, min_size=1, max_size=3),
+    k=st.integers(min_value=1, max_value=12),
+    dp=st.integers(min_value=1, max_value=6),
+)
+@SET
+def test_prefix_rescore_always_equals_exact(spark, data, queries, k, dp):
+    """The prefix bound cut is lossless for ANY corpus, query set, k and
+    prefix width — including the quantized-coordinate tie storms this
+    strategy generates (where a off-by-one-ulp cut would misrank)."""
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in q]) for i, q in enumerate(queries)],
+        "qid long, query array<float>",
+    )
+    exact = sorted(
+        (r.qid, r.rank, r.neighbor_id, r.dist_sq)
+        for r in knn_ops.knn_exact(vdf, qdf, k=k).collect()
+    )
+    got = sorted(
+        (r.qid, r.rank, r.neighbor_id, r.dist_sq)
+        for r in knn_ops.knn_prefix_rescore(
+            vdf, qdf, k=k, prefix_dims=dp
+        ).collect()
+    )
+    assert got == exact
+
+
+@given(
+    ranks_l=st.lists(st.integers(1, 8), min_size=0, max_size=5, unique=True),
+    ranks_v=st.lists(st.integers(1, 8), min_size=0, max_size=5, unique=True),
+)
+@SET
+def test_retrieval_eval_metric_bounds(spark, ranks_l, ranks_v):
+    """All four metrics stay in [0, 1] for arbitrary run/qrel overlap,
+    and a run whose top-|qrels| prefix is exactly the qrel set scores
+    ndcg = recall = 1."""
+    from vector_search_engine_spark.operators import retrieval
+
+    run = spark.createDataFrame(
+        [(0, 100 + r, r) for r in sorted(ranks_l)] or [(9, 1, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 100 + r) for r in sorted(ranks_v)] or [(9, 1)],
+        "query_id long, doc_id long",
+    )
+    for r in retrieval.retrieval_eval(run, qrels, k=10).collect():
+        for m in (r.precision_at_k, r.recall_at_k, r.mrr, r.ndcg_at_k):
+            assert -1e-9 <= m <= 1.0 + 1e-9, r
+    # perfect-prefix identity
+    perfect_run = spark.createDataFrame(
+        [(1, d, i + 1) for i, d in enumerate((5, 6, 7))],
+        "query_id long, doc_id long, rank long",
+    )
+    perfect_qrels = spark.createDataFrame(
+        [(1, 5), (1, 6), (1, 7)], "query_id long, doc_id long"
+    )
+    row = retrieval.retrieval_eval(perfect_run, perfect_qrels, k=10).collect()[0]
+    assert row.recall_at_k == 1.0 and row.ndcg_at_k == 1.0 and row.mrr == 1.0
