@@ -51,6 +51,8 @@ AUDIT = [
     "hybrid_search_mmr",
     "hybrid_retrieval_eval",
     "doc_tfidf_vectors",
+    "lineitem_column_profile",
+    "ann_ivf_prefix_filtered",
     "dedup_semantic",
     "knn_bq_rescore",
 ]

@@ -524,3 +524,65 @@ SELECT o_custkey, o_orderkey,
            AS price_quartile
 FROM orders
 """
+
+
+def column_profile(df, numeric_cols: tuple[str, ...]):
+    """Data-profiling pass — the hygiene step every training-data
+    pipeline runs before ingesting a new table: one row per column with
+    count / null count / exact distinct / min / max / mean.
+
+    One aggregation pass computes every column's stats (map-side
+    partial, no per-column scans), then a constant-width unpivot emits
+    the row form.  Exact countDistinct keeps the oracle engine-portable;
+    at 100 TB swap in approx_count_distinct and accept the sketch's
+    engine-specific estimates (documented trade, like the HLL ops)."""
+    aggs = []
+    for c in numeric_cols:
+        aggs += [
+            F.count(F.col(c)).cast("long").alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).cast("long").alias(f"{c}__dist"),
+            F.round(F.min(F.col(c)).cast("double"), 4).alias(f"{c}__min"),
+            F.round(F.max(F.col(c)).cast("double"), 4).alias(f"{c}__max"),
+            F.round(F.avg(F.col(c)), 4).alias(f"{c}__avg"),
+        ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__dist, {c}__min, {c}__max, {c}__avg"
+        for c in numeric_cols
+    )
+    return wide.selectExpr(
+        f"stack({len(numeric_cols)}, {stack_expr}) AS "
+        "(column_name, n_values, n_nulls, n_distinct, min_value, "
+        "max_value, avg_value)"
+    )
+
+
+LINEITEM_PROFILE_ORACLE = """
+WITH w AS (
+  SELECT
+    count(l_quantity)::BIGINT qn, sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT qz,
+    count(DISTINCT l_quantity)::BIGINT qd, round(CAST(min(l_quantity) AS DOUBLE),4) qmin,
+    round(CAST(max(l_quantity) AS DOUBLE),4) qmax, round(avg(l_quantity),4) qavg,
+    count(l_extendedprice)::BIGINT en, sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT ez,
+    count(DISTINCT l_extendedprice)::BIGINT ed, round(CAST(min(l_extendedprice) AS DOUBLE),4) emin,
+    round(CAST(max(l_extendedprice) AS DOUBLE),4) emax, round(avg(l_extendedprice),4) eavg,
+    count(l_discount)::BIGINT dn, sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT dz,
+    count(DISTINCT l_discount)::BIGINT dd, round(CAST(min(l_discount) AS DOUBLE),4) dmin,
+    round(CAST(max(l_discount) AS DOUBLE),4) dmax, round(avg(l_discount),4) davg,
+    count(l_tax)::BIGINT tn, sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT tz,
+    count(DISTINCT l_tax)::BIGINT td, round(CAST(min(l_tax) AS DOUBLE),4) tmin,
+    round(CAST(max(l_tax) AS DOUBLE),4) tmax, round(avg(l_tax),4) tavg
+  FROM lineitem
+)
+SELECT 'l_quantity' AS column_name, qn AS n_values, qz AS n_nulls, qd AS n_distinct,
+       qmin AS min_value, qmax AS max_value, qavg AS avg_value FROM w
+UNION ALL
+SELECT 'l_extendedprice', en, ez, ed, emin, emax, eavg FROM w
+UNION ALL
+SELECT 'l_discount', dn, dz, dd, dmin, dmax, davg FROM w
+UNION ALL
+SELECT 'l_tax', tn, tz, td, tmin, tmax, tavg FROM w
+"""

@@ -1638,6 +1638,27 @@ def streaming_merged_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_merged_search_sq8", oracle=ORACLES["knn_exact_l2"])
+def streaming_merged_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged-search contract served through the SQ8 tier: int8
+    codes on the indexed side with the lossless range-bound cut (shadow
+    exclusion before the cut) — same oracle, hash-identical to the
+    float tier at full probe."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    return eng.search(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        tier="sq8",
+    )
+
+
 _UPSERT_ORACLE = """
 WITH cur AS (
   SELECT vec_id,
@@ -2038,6 +2059,17 @@ def hybrid_search_rrf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.hybrid_rrf(
         lex, vec, k=10,
         w_lex=retrieval.HYBRID_W_LEX, w_vec=retrieval.HYBRID_W_VEC,
+    )
+
+
+@register("lineitem_column_profile", oracle=rel_ops.LINEITEM_PROFILE_ORACLE)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling hygiene pass (count/nulls/distinct/min/max/mean
+    per column in one aggregation + constant-width unpivot) over the
+    lineitem measures — the first thing a pipeline runs on a new table."""
+    return rel_ops.column_profile(
+        load_table(spark, sf_dir, "lineitem"),
+        ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
     )
 
 
