@@ -197,6 +197,17 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             pq_latencies.append(one_search(tier="pq"))
         pq_recalls = recalls[len(float_recalls):]
         pq_ms = np.sort(np.array(pq_latencies[1:]) * 1000.0)
+        # BQ serving tier (r8): first call builds the sign-code sidecar;
+        # recall vs survivors is a measured property at this C (no
+        # lossless bound for sign codes), reported separately
+        n_before_bq = len(recalls)
+        bq_build0 = time.time()
+        bq_latencies = [one_search(tier="bq")]
+        bq_build_sec = time.time() - bq_build0
+        for _ in range(4):
+            bq_latencies.append(one_search(tier="bq"))
+        bq_recalls = recalls[n_before_bq:]
+        bq_ms = np.sort(np.array(bq_latencies[1:]) * 1000.0)
         # per-op percentiles from the engine's own S6 metrics sink
         ops = {m["op"]: m for m in eng.recorder.snapshot()}
         ins = ops.get("insert", {})
@@ -222,6 +233,10 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             "search_pq_p50_ms": round(float(np.percentile(pq_ms, 50)), 1),
             "search_pq_p99_ms": round(float(np.percentile(pq_ms, 99)), 1),
             "search_pq_recall_at_10": round(float(np.mean(pq_recalls)), 4),
+            "search_bq_build_sec": round(bq_build_sec, 3),
+            "search_bq_p50_ms": round(float(np.percentile(bq_ms, 50)), 1),
+            "search_bq_p99_ms": round(float(np.percentile(bq_ms, 99)), 1),
+            "search_bq_recall_at_10": round(float(np.mean(bq_recalls)), 4),
             "recall_at_10_mean": round(float(np.mean(float_recalls)), 4),
             "recall_at_10_final": round(float(float_recalls[-1]), 4),
         }
