@@ -115,18 +115,87 @@ def pq_train(
         _kmeans_1d(X[:, j * dsub : (j + 1) * dsub], ksub, iters, rng)
         for j in range(m)
     ]
-    k_eff = max(len(b) for b in books)
-    if k_eff > 256:
-        raise ValueError("ksub > 256 does not fit uint8 codes")
     # pad ragged books (distinct-row-limited subspaces) so the array is
     # rectangular.  The pad must be LARGE but FINITE: ±inf rows turn the
     # GEMM expansion into inf − inf = NaN columns, and np.argmin returns
     # the NaN position — corrupted codes.  1e30 keeps every pad distance
     # ~1e60, far beyond any real one, with no NaN anywhere.
+    return _pad_books(books, m)
+
+
+def _pad_books(books: list[np.ndarray], m: int) -> np.ndarray:
+    """Rectangularize ragged per-subspace codebooks (see pq_train note:
+    the pad is large-but-finite so GEMM never makes NaN)."""
+    k_eff = max(len(b) for b in books)
+    if k_eff > 256:
+        raise ValueError("ksub > 256 does not fit uint8 codes")
+    dsub = books[0].shape[1]
     out = np.full((m, k_eff, dsub), 1e30, dtype=np.float64)
     for j, b in enumerate(books):
         out[j, : len(b)] = b
     return out
+
+
+def opq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    sample_size: int = 65536,
+    iters: int = 10,
+    outer_iters: int = 6,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge, He, Ke & Sun, CVPR 2013,
+    OPQ-NP): learn an ORTHOGONAL rotation R jointly with the codebooks
+    so the m subspaces decorrelate and share variance — the standard fix
+    for PQ's blind spot (correlated / unevenly-spread dimensions force
+    one subspace to carry most of the distortion).
+
+    Alternating minimization on the same bounded driver sample
+    ``pq_train`` uses: (1) train codebooks on X·R, (2) reconstruct Y,
+    (3) R ← UVᵀ from the SVD of XᵀY (orthogonal Procrustes — the
+    closed-form argmin of ‖XR − Y‖_F over orthogonal R).  Because R is
+    orthogonal it preserves every L2 distance and residual norm, so the
+    lossless triangle-inequality cut and the exact rescore are untouched
+    — OPQ changes reconstruction ERROR (and therefore pruning power /
+    top-C recall), never results.
+
+    Returns ``(R (dim×dim) float64, codebooks (m, k', dsub))`` where the
+    codebooks live in ROTATED space."""
+    n_total = vectors.count()
+    frac = min(1.0, (sample_size * 1.1) / max(n_total, 1))
+    sample = (
+        vectors.select(vec_col).sample(frac, seed=seed).limit(sample_size)
+        if frac < 1.0
+        else vectors.select(vec_col)
+    )
+    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    R = np.eye(dim)
+    for _ in range(outer_iters):
+        Xr = X @ R
+        books = [
+            _kmeans_1d(Xr[:, j * dsub : (j + 1) * dsub], ksub, 4, rng)
+            for j in range(m)
+        ]
+        Y = np.empty_like(Xr)
+        for j in range(m):
+            sl = slice(j * dsub, (j + 1) * dsub)
+            D = l2_sq_matrix(Xr[:, sl], books[j])
+            Y[:, sl] = books[j][D.argmin(axis=1)]
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    Xr = X @ R
+    books = [
+        _kmeans_1d(Xr[:, j * dsub : (j + 1) * dsub], ksub, iters, rng)
+        for j in range(m)
+    ]
+    return R, _pad_books(books, m)
 
 
 def pq_encode(
@@ -283,6 +352,26 @@ def pq_bound_cut(
     return codes.mapInPandas(cut, schema="qid long, neighbor_id long")
 
 
+def _rotated_view(
+    vectors: DataFrame, R: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, x·R) view of a vector table — float64 end to end so the OPQ
+    residual norms bound the TRUE distances with no rounding gap for the
+    cut's epsilon to absorb."""
+    bc = vectors.sparkSession.sparkContext.broadcast(
+        np.asarray(R, dtype=np.float64)
+    )
+
+    @F.pandas_udf("array<double>")
+    def rot(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vs.tolist(), dtype=np.float64) @ bc.value
+        return pd.Series(list(V))
+
+    return vectors.select(id_col, rot(F.col(vec_col)).alias(vec_col))
+
+
 def knn_pq_adc(
     vectors: DataFrame,
     queries: DataFrame,
@@ -291,26 +380,45 @@ def knn_pq_adc(
     codebooks: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    opq: bool = False,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Two-stage PQ search over a flat table: byte-code ADC scan with the
     lossless bound cut, then exact float re-score + global top-k.  Output
-    schema and values identical to ``knn_exact`` — oracle-hash-gated."""
+    schema and values identical to ``knn_exact`` — oracle-hash-gated.
+
+    ``opq=True`` trains an orthogonal rotation jointly with the
+    codebooks (``opq_train``) and scans in rotated space; distances are
+    rotation-invariant, so the bound cut stays lossless and the exact
+    rescore (original space) is untouched — only reconstruction error,
+    and with it pruning power, improves."""
     from vector_search_engine_spark.operators.knn import (
         _query_arrays as knn_query_arrays,
     )
 
     spark = vectors.sparkSession
     if codebooks is None:
-        codebooks = pq_train(vectors, m=m, vec_col=vec_col)
+        if opq:
+            rotation, codebooks = opq_train(vectors, m=m, vec_col=vec_col)
+        else:
+            codebooks = pq_train(vectors, m=m, vec_col=vec_col)
     qids, Q = knn_query_arrays(queries)
     if len(qids) == 0:
         return spark.createDataFrame(
             [], "qid long, neighbor_id long, rank long, dist_sq double"
         )
-    qbc = spark.sparkContext.broadcast((qids, Q.astype(np.float64)))
+    Qscan = Q.astype(np.float64)
+    if rotation is not None:
+        Qscan = Qscan @ np.asarray(rotation, dtype=np.float64)
+    qbc = spark.sparkContext.broadcast((qids, Qscan))
     books_bc = spark.sparkContext.broadcast(codebooks)
 
-    codes = pq_encode(vectors, codebooks, id_col=id_col, vec_col=vec_col)
+    enc_in = (
+        vectors
+        if rotation is None
+        else _rotated_view(vectors, rotation, id_col, vec_col)
+    )
+    codes = pq_encode(enc_in, codebooks, id_col=id_col, vec_col=vec_col)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         B = books_bc.value

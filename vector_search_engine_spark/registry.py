@@ -518,6 +518,18 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_opq_adc", oracle=ORACLES["knn_exact_l2"])
+def knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ (CVPR'13): PQ with a jointly-trained orthogonal rotation —
+    subspaces decorrelate, reconstruction error drops, the lossless
+    bound cut prunes harder.  Rotation preserves every distance, so the
+    same exact oracle gates it bit-for-bit."""
+    from vector_search_engine_spark.operators.pq import knn_pq_adc as pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_search(emb, knn_ops.make_queries(emb), k=10, m=8, opq=True)
+
+
 @register("ann_ivf_bq_filtered", oracle=ORACLES["knn_filtered"])
 def ann_ivf_bq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered × BQ cell of the capability matrix: the metadata
