@@ -637,3 +637,21 @@ def test_search_distributed_with_predicate(spark, embeddings, index):
         q, k=10, nprobe=8, predicate=pred
     ).orderBy("qid", "rank")
     assert [tuple(r) for r in ds.collect()] == [tuple(r) for r in fl.collect()]
+
+
+def test_tune_nprobe_meets_target_and_is_minimal(spark, embeddings, index):
+    """The calibration pass returns the smallest nprobe meeting the
+    recall target (monotonicity makes the doubling+bisection search
+    exact), and a target of 1.0 terminates at or below full probe."""
+    q = knn_ops.make_queries(embeddings)
+    out = index.tune_nprobe(q, target_recall=0.9, k=10)
+    assert out["recall"] >= 0.9
+    nc = index.meta["n_centroids"]
+    assert 1 <= out["nprobe"] <= nc
+    if out["nprobe"] > 1:
+        # minimality: one step down must miss the target
+        prev = [e for e in out["ladder"] if e["nprobe"] == out["nprobe"] - 1]
+        if prev:
+            assert prev[0]["recall"] < 0.9
+    perfect = index.tune_nprobe(q, target_recall=1.0, k=10)
+    assert perfect["recall"] == 1.0 and perfect["nprobe"] <= nc

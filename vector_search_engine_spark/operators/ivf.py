@@ -687,6 +687,75 @@ class IVFIndex:
         )
         return _finalize_topk(cand_topk, k, "l2_sq")
 
+    def tune_nprobe(
+        self,
+        queries: DataFrame,
+        target_recall: float = 0.95,
+        k: int = 10,
+    ) -> dict:
+        """Calibrate the serving knob: the smallest ``nprobe`` whose
+        recall@k on the given (bounded, bulk-search-contract) query set
+        meets ``target_recall`` — the tuning pass every deployment runs,
+        and the reference's own methodology for ef_search
+        (``recall_bench.cpp:67-106`` sweeps and picks by recall).
+
+        Doubling ladder 1, 2, 4, … then one binary refinement between
+        the last miss and the first hit; recall is monotone in nprobe
+        (probing strictly more cells only adds candidates) so this finds
+        the minimum in O(log n_centroids) searches.  Full probe is exact
+        by construction, so the loop always terminates at or below
+        ``n_centroids``.  Returns ``{"nprobe", "recall", "ladder"}``
+        (driver-side calibration report, not a DataFrame op)."""
+        from vector_search_engine_spark.operators.knn import (
+            knn_exact,
+            recall_at_k,
+        )
+
+        nc = int(self.meta["n_centroids"])
+        gt = (
+            knn_exact(
+                self.vectors(),
+                queries,
+                k=k,
+                id_col=self.meta["id_col"],
+                vec_col=self.meta["vec_col"],
+            )
+            .orderBy("rank")
+            .groupBy("qid")
+            .agg(F.collect_list("neighbor_id").alias("neighbor_ids"))
+            .cache()
+        )
+        gt.count()
+
+        def recall_at(nprobe: int) -> float:
+            res = self.search(queries, k=k, nprobe=nprobe)
+            row = recall_at_k(res, gt, k).collect()[0]
+            return float(row["recall_at_k"])
+
+        ladder: list[dict] = []
+        lo, hi = 0, None
+        n = 1
+        while True:
+            r = recall_at(min(n, nc))
+            ladder.append({"nprobe": min(n, nc), "recall": r})
+            if r >= target_recall or n >= nc:
+                hi = min(n, nc)
+                break
+            lo = n
+            n *= 2
+        # one refinement pass between the last miss and the first hit
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            r = recall_at(mid)
+            ladder.append({"nprobe": mid, "recall": r})
+            if r >= target_recall:
+                hi = mid
+            else:
+                lo = mid
+        gt.unpersist()
+        final = next(e["recall"] for e in ladder if e["nprobe"] == hi)
+        return {"nprobe": hi, "recall": final, "ladder": ladder}
+
     def search_prefix(
         self,
         queries: DataFrame,
