@@ -395,3 +395,34 @@ def test_opq_reduces_reconstruction_error_on_correlated_data(spark):
     e_pq = mean_resid(books_pq, np.eye(d))
     e_opq = mean_resid(books_opq, R)
     assert e_opq < 0.9 * e_pq, (e_opq, e_pq)
+
+
+def test_ivf_search_pq_opq_exact_at_full_probe(spark, sf_dir, embeddings):
+    """IVFADC-OPQ: rotation learned over residuals, codes scanned in
+    rotated space — at full probe the lossless cut + exact rescore make
+    the output identical to the float probe (and the plain PQ tier)."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    idx = ivf_mod.build_or_load(spark, sf_dir)
+    q = knn_ops.make_queries(embeddings)
+    nc = idx.meta["n_centroids"]
+    want = [
+        tuple(r)
+        for r in idx.search(q, k=10, nprobe=nc).orderBy("qid", "rank").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in idx.search_pq(q, k=10, nprobe=nc, opq=True)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == want
+    # the sidecar is mode-keyed: opq and plain dirs coexist
+    import glob as _glob
+    import os as _os
+
+    opq_dirs = _glob.glob(_os.path.join(idx.index_dir, "pq_m*_opq_gen*"))
+    assert opq_dirs and _os.path.exists(
+        _os.path.join(opq_dirs[0], "rotation.npy")
+    )

@@ -1503,6 +1503,7 @@ class IVFIndex:
         m: int = 8,
         residual: bool = True,
         snapshot: dict | None = None,
+        opq: bool = False,
     ) -> tuple[str, np.ndarray]:
         """Write (once) the PQ sidecar: m-byte codes + residual norms,
         partitioned by ``centroid_id`` like the float vectors, so probing
@@ -1526,13 +1527,19 @@ class IVFIndex:
         come from the SAME snapshot.  Builds are serialized behind a
         module lock (double-checked ``_SUCCESS``) so concurrent callers
         can't interleave partial writes into one dir."""
-        from vector_search_engine_spark.operators.pq import pq_encode, pq_train
+        from vector_search_engine_spark.operators.pq import (
+            _rotated_view,
+            opq_train,
+            pq_encode,
+            pq_train,
+        )
 
         if snapshot is None:
             snapshot = self._read_manifest()
         pq_dir = os.path.join(
             self.index_dir,
-            f"pq_m{m}_r{int(residual)}_gen{self._sidecar_gen(snapshot)}",
+            f"pq_m{m}_r{int(residual)}{'_opq' if opq else ''}"
+            f"_gen{self._sidecar_gen(snapshot)}",
         )
         books_path = os.path.join(pq_dir, "codebooks.npy")
         codes_dir = os.path.join(pq_dir, "codes")
@@ -1543,22 +1550,43 @@ class IVFIndex:
                 return codes_dir, np.load(books_path)
             os.makedirs(pq_dir, exist_ok=True)
             cm = self.center_map(snapshot) if residual else None
-            books = pq_train(
-                self.vectors(snapshot=snapshot),
-                m=m,
-                vec_col=self.meta["vec_col"],
-                center_map=cm,
-            )
+            base = self.vectors(snapshot=snapshot)
+            if opq:
+                # IVFADC-OPQ: the rotation is learned over residuals;
+                # (x − c)·R ≡ x·R − c·R, so encoding reads a rotated
+                # vector view against a rotated center map and the code
+                # kernel itself is unchanged
+                R, books = opq_train(
+                    base, m=m, vec_col=self.meta["vec_col"], center_map=cm
+                )
+                tmp = os.path.join(pq_dir, "rotation.tmp.npy")
+                np.save(tmp, R)
+                os.rename(tmp, os.path.join(pq_dir, "rotation.npy"))
+                enc_in = _rotated_view(
+                    base,
+                    R,
+                    self.meta["id_col"],
+                    self.meta["vec_col"],
+                    keep_cols=("centroid_id",),
+                )
+                enc_cm = (
+                    {cid: c @ R for cid, c in cm.items()} if cm else None
+                )
+            else:
+                books = pq_train(
+                    base, m=m, vec_col=self.meta["vec_col"], center_map=cm
+                )
+                enc_in, enc_cm = base, cm
             tmp = books_path + ".tmp.npy"
             np.save(tmp, books)
             os.rename(tmp, books_path)
             codes = pq_encode(
-                self.vectors(snapshot=snapshot),
+                enc_in,
                 books,
                 id_col=self.meta["id_col"],
                 vec_col=self.meta["vec_col"],
                 keep_cols=("centroid_id",),
-                center_map=cm,
+                center_map=enc_cm,
             )
             codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
                 "centroid_id"
@@ -1578,6 +1606,7 @@ class IVFIndex:
         exclude_ids: DataFrame | None = None,
         predicate=None,
         snapshot: int | str | None = None,
+        opq: bool = False,
     ) -> DataFrame:
         """Probed search over the PQ sidecar: ADC byte-code scan of the
         probed cells with the triangle-inequality bound cut (provably a
@@ -1633,16 +1662,33 @@ class IVFIndex:
             )
         )
         needed = sorted({c for _, c in pairs})
-        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
-        qmap_bc = spark.sparkContext.broadcast(qmap)
-
-        codes_dir, books = self.ensure_pq(m=m, residual=residual, snapshot=snap)
-        books_bc = spark.sparkContext.broadcast(books)
-        cm_bc = (
-            spark.sparkContext.broadcast(self.center_map(snap))
-            if residual
+        codes_dir, books = self.ensure_pq(
+            m=m, residual=residual, snapshot=snap, opq=opq
+        )
+        # OPQ (opq=True): codes live in rotated space; rotating BOTH the
+        # query map and the center map keeps the per-(query, cell) LUT
+        # math identical ((q − c)·R = q·R − c·R) with zero kernel changes.
+        # The rescore below uses the UNrotated base — distances are
+        # rotation-invariant, so results match the plain tier exactly.
+        R = (
+            np.load(os.path.join(os.path.dirname(codes_dir), "rotation.npy"))
+            if opq
             else None
         )
+        qmap = {
+            int(q): (
+                Q[i].astype(np.float64)
+                if R is None
+                else Q[i].astype(np.float64) @ R
+            )
+            for i, q in enumerate(qids)
+        }
+        qmap_bc = spark.sparkContext.broadcast(qmap)
+        books_bc = spark.sparkContext.broadcast(books)
+        cm = self.center_map(snap) if residual else None
+        if cm is not None and R is not None:
+            cm = {cid: c @ R for cid, c in cm.items()}
+        cm_bc = spark.sparkContext.broadcast(cm) if residual else None
         codes = spark.read.parquet(codes_dir).filter(
             F.col("centroid_id").isin(needed)
         )

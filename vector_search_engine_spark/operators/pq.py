@@ -145,6 +145,8 @@ def opq_train(
     outer_iters: int = 6,
     seed: int = 7,
     vec_col: str = "embedding",
+    center_map: dict[int, np.ndarray] | None = None,
+    centroid_col: str = "centroid_id",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Optimized Product Quantization (Ge, He, Ke & Sun, CVPR 2013,
     OPQ-NP): learn an ORTHOGONAL rotation R jointly with the codebooks
@@ -162,15 +164,21 @@ def opq_train(
     top-C recall), never results.
 
     Returns ``(R (dim×dim) float64, codebooks (m, k', dsub))`` where the
-    codebooks live in ROTATED space."""
+    codebooks live in ROTATED space.  ``center_map`` switches to
+    RESIDUAL training exactly as in ``pq_train`` (IVFADC-OPQ: the
+    rotation is learned over x − centroid(x))."""
     n_total = vectors.count()
     frac = min(1.0, (sample_size * 1.1) / max(n_total, 1))
+    cols = [vec_col] + ([centroid_col] if center_map is not None else [])
     sample = (
-        vectors.select(vec_col).sample(frac, seed=seed).limit(sample_size)
+        vectors.select(*cols).sample(frac, seed=seed).limit(sample_size)
         if frac < 1.0
-        else vectors.select(vec_col)
+        else vectors.select(*cols)
     )
-    X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    rows = sample.collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    if center_map is not None and len(rows):
+        X -= np.stack([center_map[int(r[1])] for r in rows])
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -353,7 +361,11 @@ def pq_bound_cut(
 
 
 def _rotated_view(
-    vectors: DataFrame, R: np.ndarray, id_col: str, vec_col: str
+    vectors: DataFrame,
+    R: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, x·R) view of a vector table — float64 end to end so the OPQ
     residual norms bound the TRUE distances with no rounding gap for the
@@ -369,7 +381,9 @@ def _rotated_view(
         V = np.array(vs.tolist(), dtype=np.float64) @ bc.value
         return pd.Series(list(V))
 
-    return vectors.select(id_col, rot(F.col(vec_col)).alias(vec_col))
+    return vectors.select(
+        id_col, rot(F.col(vec_col)).alias(vec_col), *keep_cols
+    )
 
 
 def knn_pq_adc(

@@ -530,6 +530,24 @@ def knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(emb, knn_ops.make_queries(emb), k=10, m=8, opq=True)
 
 
+@register("ann_ivf_opq", oracle=ORACLES["knn_exact_l2"])
+def ann_ivf_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with an OPQ rotation learned over the cell residuals —
+    the deepest configuration of the quantized tier (probed partitions,
+    rotated byte codes, lossless bound cut, exact rescore).  Rotation
+    preserves distances, so the exact oracle gates it at full probe."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_mod.build_or_load(spark, sf_dir)
+    return idx.search_pq(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=idx.meta["n_centroids"],
+        opq=True,
+    )
+
+
 @register("ann_ivf_bq_filtered", oracle=ORACLES["knn_filtered"])
 def ann_ivf_bq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered × BQ cell of the capability matrix: the metadata
