@@ -518,6 +518,99 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multi-vector (parent/child) retrieval -------------------------------
+# Parents = the fixture's label groups (a "document" of ~N/10 child
+# passages).  Both scoring contracts are algebraic aggregations, so the
+# oracles are plain SQL over the same child table.
+
+_PARENT_CLOSEST_ORACLE = f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, CAST(e.label AS BIGINT) AS parent,
+         {_DD_L2SQ.format(a="e.embedding", b="q.query")} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+m AS (SELECT qid, parent, min(dist) AS dist FROM d GROUP BY qid, parent),
+r AS (
+  SELECT qid, parent, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, parent) AS "rank"
+  FROM m
+)
+SELECT qid, parent, "rank", round(dist, 4) AS dist_sq
+FROM r WHERE "rank" <= 5
+"""
+
+ORACLES["knn_parent_closest"] = _PARENT_CLOSEST_ORACLE
+
+_MAXSIM_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id // 5 AS qid, vec_id AS qvec_id, embedding AS query
+  FROM embeddings WHERE vec_id < 20
+),
+s AS (
+  SELECT q.qid, q.qvec_id, CAST(e.label AS BIGINT) AS parent,
+         {_DD_DOT.format(a="e.embedding", b="q.query")} AS sim
+  FROM embeddings e CROSS JOIN q
+),
+mx AS (
+  SELECT qid, qvec_id, parent, max(sim) AS sim
+  FROM s GROUP BY qid, qvec_id, parent
+),
+sc AS (SELECT qid, parent, sum(sim) AS maxsim FROM mx GROUP BY qid, parent),
+r AS (
+  SELECT qid, parent, maxsim,
+         row_number() OVER (PARTITION BY qid ORDER BY maxsim DESC, parent) AS "rank"
+  FROM sc
+)
+SELECT qid, parent, "rank", round(maxsim, 4) AS maxsim
+FROM r WHERE "rank" <= 5
+"""
+
+
+@register("knn_parent_closest", oracle=ORACLES["knn_parent_closest"])
+def knn_parent_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-document retrieval, closest-child contract: top-k parents
+    (label groups) by min child l2² — the grouped form the reference's
+    per-row ranking cannot express (one scan, per-partition GEMM +
+    parent-min partial aggregation)."""
+    from vector_search_engine_spark.operators import multivec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return multivec.parent_closest(emb, knn_ops.make_queries(emb), k=5)
+
+
+@register("ann_ivf_parent_closest", oracle=ORACLES["knn_parent_closest"])
+def ann_ivf_parent_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest-child parent search composed with the IVF index: probed
+    partitions (pruning reaches the scan) → JVM-side l2² → one partial-
+    aggregated groupBy.  Exact at full probe — same composed-tier
+    contract as every sidecar."""
+    from vector_search_engine_spark.operators import multivec
+
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return multivec.ann_ivf_parent_closest(
+        index,
+        knn_ops.make_queries(emb),
+        k=5,
+        nprobe=index.meta["n_centroids"],
+    )
+
+
+@register("knn_maxsim", oracle=_MAXSIM_ORACLE)
+def knn_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    SIGIR 2020): multi-vector queries (5 subvectors per query), score =
+    Σ_subvec max_child ⟨t, c⟩ — two algebraic shuffles, no pairwise
+    materialization."""
+    from vector_search_engine_spark.operators import multivec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return multivec.maxsim_topk(
+        emb, multivec.make_multivec_queries(emb), k=5
+    )
+
+
 @register("knn_opq_adc", oracle=ORACLES["knn_exact_l2"])
 def knn_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ (CVPR'13): PQ with a jointly-trained orthogonal rotation —
