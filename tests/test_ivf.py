@@ -229,6 +229,45 @@ def test_search_sq8_identical_to_search_at_any_nprobe(spark, embeddings, index):
         assert [tuple(r) for r in sq.collect()] == [tuple(r) for r in fl.collect()]
 
 
+def test_search_sq4_identical_to_search_at_any_nprobe(spark, embeddings, index):
+    """SQ4's wider per-element error (span/30) keeps the same lossless
+    bound argument: the 16-level probe must also match the float scan
+    bit-for-bit at the SAME nprobe — partial and full."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    for nprobe in (2, 8):
+        fl = index.search(q, k=10, nprobe=nprobe).orderBy("qid", "rank")
+        s4 = index.search_sq8(q, k=10, nprobe=nprobe, bits=4).orderBy(
+            "qid", "rank"
+        )
+        assert [tuple(r) for r in s4.collect()] == [tuple(r) for r in fl.collect()]
+
+
+def test_sq4_codes_are_nibble_packed(spark, embeddings, index):
+    """The SQ4 sidecar stores two elements per byte — half SQ8's bytes —
+    and odd dims pad a zero nibble; decode inverts the packing exactly."""
+    import numpy as np
+
+    from vector_search_engine_spark.operators import sq
+
+    codes4 = sq.sq8_encode(embeddings, bits=4)
+    row = codes4.first()
+    dim = len(embeddings.first().embedding)
+    assert len(bytes(row.code)) == (dim + 1) // 2
+    # decode inverts packing: levels land in [0, 15]
+    M = sq.sq_codes_matrix([bytes(row.code)], 1, 4, dim)
+    assert M.shape == (1, dim)
+    assert M.min() >= 0 and M.max() <= 15
+    # odd-dim padding path
+    odd = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    orow = sq.sq8_encode(odd, bits=4).first()
+    assert len(bytes(orow.code)) == 2
+    Modd = sq.sq_codes_matrix([bytes(orow.code)], 1, 4, 3)
+    # lo=1, hi=3 → levels 0 / rint(7.5)=8 (half-to-even) / 15
+    assert list(Modd[0]) == [0.0, 8.0, 15.0]
+
+
 def test_recall_on_clustered_data_at_small_nprobe(spark, tmp_path):
     """The reference's methodology (recall_bench.cpp:80-101) runs on
     SIFT1M, which is strongly clusterable — the regime where a coarse

@@ -1082,7 +1082,7 @@ class IVFIndex:
         self._load_centroids()
         return mapping
 
-    def ensure_sq8(self, snapshot: dict | None = None) -> str:
+    def ensure_sq8(self, snapshot: dict | None = None, bits: int = 8) -> str:
         """Write (once) the SQ8 code sidecar: per-vector uint8 codes
         partitioned by ``centroid_id`` exactly like the float vectors, so
         probing prunes the SAME partitions but scans ~4× fewer bytes —
@@ -1091,13 +1091,17 @@ class IVFIndex:
 
         The dir is keyed by the pinned snapshot's generation and the
         build is lock-serialized — same discipline (and reasons) as
-        ``ensure_pq``."""
+        ``ensure_pq``.
+
+        ``bits=4`` writes the nibble-packed SQ4 sidecar instead (8× scan
+        cut, coarser levels — see ``sq.sq8_encode``); dirs are keyed by
+        bit width so the tiers never alias."""
         from vector_search_engine_spark.operators.sq import sq8_encode
 
         if snapshot is None:
             snapshot = self._read_manifest()
         sq_dir = os.path.join(
-            self.index_dir, f"sq8_gen{self._sidecar_gen(snapshot)}"
+            self.index_dir, f"sq{bits}_gen{self._sidecar_gen(snapshot)}"
         )
         if os.path.exists(os.path.join(sq_dir, "_SUCCESS")):
             return sq_dir
@@ -1109,6 +1113,7 @@ class IVFIndex:
                 id_col=self.meta["id_col"],
                 vec_col=self.meta["vec_col"],
                 keep_cols=("centroid_id",),
+                bits=bits,
             )
             codes.repartition("centroid_id").write.mode("overwrite").partitionBy(
                 "centroid_id"
@@ -1125,10 +1130,16 @@ class IVFIndex:
         predicate=None,
         exclude_ids: DataFrame | None = None,
         snapshot: int | str | None = None,
+        bits: int = 8,
     ) -> DataFrame:
         """Two-stage probed search: quantized scan of the probed cells'
         int8 sidecar + exact float re-score of the survivors — composes the
         SQ8 scan-byte cut (operators/sq.py) with IVF partition pruning.
+
+        ``bits=4`` serves through the nibble-packed SQ4 sidecar instead:
+        8× scan cut, per-element error span/30 instead of span/510 — the
+        identical lossless bound argument holds with the wider ``e``, the
+        cut just keeps more candidates (compute traded for bytes).
 
         The candidate cut is PROVABLY lossless, not a top-C margin: with
         per-vector dequantization error ``e_v = sqrt(dim)·span_v/510``, the
@@ -1182,7 +1193,7 @@ class IVFIndex:
         qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
         bc = spark.sparkContext.broadcast(qmap)
 
-        sq_dir = self.ensure_sq8(snapshot=snap)
+        sq_dir = self.ensure_sq8(snapshot=snap, bits=bits)
         codes = spark.read.parquet(sq_dir).filter(
             F.col("centroid_id").isin(needed)
         )
@@ -1207,7 +1218,11 @@ class IVFIndex:
             )
             cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
 
+        levels = float((1 << bits) - 1)
+
         def approx_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from vector_search_engine_spark.operators.sq import sq_codes_matrix
+
             qm = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
@@ -1215,18 +1230,17 @@ class IVFIndex:
                 for qid, grp in pdf.groupby("qid"):
                     q = qm[int(qid)]
                     ids = grp[id_col].to_numpy(dtype=np.int64)
-                    raw = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8)
-                    M = raw.reshape(len(ids), -1).astype(np.float64)
+                    M = sq_codes_matrix(grp["code"], len(ids), bits, dim)
                     lo = grp["lo"].to_numpy(dtype=np.float64)
                     span = grp["hi"].to_numpy(dtype=np.float64) - lo
                     span[span <= 0] = 1.0
-                    V = lo[:, None] + M * (span[:, None] / 255.0)
+                    V = lo[:, None] + M * (span[:, None] / levels)
                     d = (V * V).sum(axis=1) - 2.0 * (V @ q) + float(q @ q)
                     np.maximum(d, 0.0, out=d)
                     sd = np.sqrt(d)
-                    # per-element error ≤ span/510 (half a step) + float32
-                    # rounding slop; L2 across dim elements
-                    e = np.sqrt(dim) * (span / 510.0) * (1 + 1e-5) + 1e-6
+                    # per-element error ≤ span/(2·levels) (half a step) +
+                    # float32 rounding slop; L2 across dim elements
+                    e = np.sqrt(dim) * (span / (2.0 * levels)) * (1 + 1e-5) + 1e-6
                     ub = sd + e
                     kth = np.partition(ub, min(k, len(ub)) - 1)[
                         min(k, len(ub)) - 1
@@ -1457,7 +1471,7 @@ class IVFIndex:
         return "raw" if sid is None else str(int(sid))
 
     def invalidate_sidecars(self) -> None:
-        """GC derived-code sidecars (sq8_gen* / pq_*_gen* / bq_gen*)
+        """GC derived-code sidecars (sq8_gen* / sq4_gen* / pq_*_gen* / bq_gen*)
         whose snapshot is no longer retained by the manifest.
 
         Must run after ANY commit that changes cell contents — rebalance
@@ -1478,6 +1492,7 @@ class IVFIndex:
             retained.add(str(int(m["latest_gen"])))
         for d in (
             glob.glob(os.path.join(self.index_dir, "sq8*"))
+            + glob.glob(os.path.join(self.index_dir, "sq4*"))
             + glob.glob(os.path.join(self.index_dir, "pq_m*"))
             + glob.glob(os.path.join(self.index_dir, "bq_gen*"))
         ):

@@ -31,16 +31,43 @@ from vector_search_engine_spark.functions.vector import l2_sq
 from vector_search_engine_spark.operators.knn import _finalize_topk
 
 
+def sq_codes_matrix(
+    code_bytes, n: int, bits: int, dim: int
+) -> np.ndarray:
+    """Decode a column of packed code bytes back to an (n, dim) float64
+    level matrix (levels, not dequantized values — callers apply
+    ``lo + M * span/levels``).  bits=8: one byte per element; bits=4:
+    two elements per byte, high nibble first."""
+    raw = np.frombuffer(b"".join(code_bytes), dtype=np.uint8).reshape(n, -1)
+    if bits == 8:
+        return raw.astype(np.float64)
+    M = np.empty((n, raw.shape[1] * 2), dtype=np.float64)
+    M[:, 0::2] = raw >> 4
+    M[:, 1::2] = raw & 0x0F
+    return M[:, :dim]
+
+
 def sq8_encode(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    bits: int = 8,
 ) -> DataFrame:
-    """Encode float32 vectors to per-vector-ranged uint8 codes.
+    """Encode float32 vectors to per-vector-ranged integer codes.
+
+    ``bits=8`` (default): one uint8 per element — 4× fewer scan bytes
+    than float32.  ``bits=4``: 16 levels, two elements nibble-packed per
+    byte — 8× fewer scan bytes; per-element error doubles per level
+    count (≤ span/30 vs span/510), which the lossless bound cut in
+    ``IVFIndex.search_sq8`` absorbs by keeping more candidates (the
+    compute/byte trade the FAISS SQ4 variant makes).
 
     ``keep_cols`` ride along unchanged (e.g. ``centroid_id`` when the codes
     become an IVF index sidecar partitioned the same way as the vectors)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    levels = float((1 << bits) - 1)
     keep_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in vectors.schema.fields
@@ -59,8 +86,15 @@ def sq8_encode(
             hi = V.max(axis=1)
             span = np.where(hi > lo, hi - lo, 1.0).astype(np.float32)
             codes = np.rint(
-                (V - lo[:, None]) / span[:, None] * 255.0
+                (V - lo[:, None]) / span[:, None] * levels
             ).astype(np.uint8)
+            if bits == 4:
+                if codes.shape[1] % 2:
+                    codes = np.concatenate(
+                        [codes, np.zeros((len(codes), 1), dtype=np.uint8)],
+                        axis=1,
+                    )
+                codes = (codes[:, 0::2] << 4) | codes[:, 1::2]
             out = {
                 id_col: pdf[id_col].to_numpy(),
                 "code": [c.tobytes() for c in codes],

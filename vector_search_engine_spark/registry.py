@@ -739,6 +739,22 @@ def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_sq4", oracle=ORACLES["knn_exact_l2"])
+def ann_ivf_sq4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ4 (16-level, nibble-packed) composed within IVF cells — the 8×
+    scan-byte rung between SQ8 (4×) and PQ/BQ (32×) on the compression
+    ladder.  Same lossless bound cut with the wider per-element error
+    (span/30), so full probe stays hash-identical to exact kNN."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_sq8(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        bits=4,
+    )
+
+
 @register("ann_ivf_cosine", oracle=ORACLES["knn_exact_cosine"])
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine ANN through an L2 index over NORMALIZED vectors (unit-
