@@ -268,6 +268,67 @@ def test_sq4_codes_are_nibble_packed(spark, embeddings, index):
     assert list(Modd[0]) == [0.0, 8.0, 15.0]
 
 
+def test_search_filtered_planner_branches_agree_at_full_probe(
+    spark, embeddings, index
+):
+    """prefilter and inprobe are different physical plans for the same
+    logical query: at full probe both are exact, so they must agree
+    bit-for-bit."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    pred = F.col("label") < 5
+    full = index.meta["n_centroids"]
+    pre = index.search_filtered(
+        q, k=10, nprobe=full, predicate=pred, strategy="prefilter"
+    )
+    inp = index.search_filtered(
+        q, k=10, nprobe=full, predicate=pred, strategy="inprobe"
+    )
+    assert sorted(map(tuple, pre.collect())) == sorted(
+        map(tuple, inp.collect())
+    )
+
+
+def test_search_filtered_auto_prefilters_selective_predicate(
+    spark, embeddings, index
+):
+    """A ~1%-selective predicate at nprobe=1 must route to prefilter —
+    and therefore be EXACT despite the tiny nprobe (the planner's whole
+    point): equal to flat exact kNN over the filtered set."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    pred = (F.col("label") == 3) & (F.col("vec_id") % 10 == 0)
+    auto = index.search_filtered(
+        q, k=10, nprobe=1, predicate=pred, strategy="auto"
+    )
+    exact = knn_ops.knn_exact(embeddings.filter(pred), q, k=10)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_search_filtered_auto_probes_broad_predicate(spark, embeddings, index):
+    """A ~50%-selective predicate at nprobe=2 must route to inprobe —
+    same rows as search(predicate=...) at the same nprobe."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    pred = F.col("label") < 5
+    auto = index.search_filtered(
+        q, k=10, nprobe=2, predicate=pred, strategy="auto"
+    )
+    probed = index.search(q, k=10, nprobe=2, predicate=pred)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, probed.collect())
+    )
+
+
+def test_search_filtered_rejects_bad_args(spark, embeddings, index):
+    q = knn_ops.make_queries(embeddings, n=2)
+    with pytest.raises(ValueError, match="predicate"):
+        index.search_filtered(q, k=5, nprobe=2)
+    with pytest.raises(ValueError, match="strategy"):
+        index.search_filtered(
+            q, k=5, nprobe=2, predicate=F.col("label") < 5, strategy="bogus"
+        )
+
+
 def test_recall_on_clustered_data_at_small_nprobe(spark, tmp_path):
     """The reference's methodology (recall_bench.cpp:80-101) runs on
     SIFT1M, which is strongly clusterable — the regime where a coarse

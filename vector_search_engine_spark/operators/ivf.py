@@ -687,6 +687,85 @@ class IVFIndex:
         )
         return _finalize_topk(cand_topk, k, "l2_sq")
 
+    def search_filtered(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        predicate=None,
+        strategy: str = "auto",
+        snapshot: int | str | None = None,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+    ) -> DataFrame:
+        """Filtered ANN with a selectivity-aware physical-strategy choice
+        — the pre- vs post-filter planner every production vector store
+        grows (Milvus/Vespa "filtered search strategies"):
+
+        * ``prefilter`` — scan ONLY the predicate survivors, exact flat
+          kNN over them (``knn.knn_exact``'s per-partition GEMM heap).
+          Exact at ANY nprobe; cost ∝ |survivors|.
+        * ``inprobe`` — the existing probed search with the predicate
+          applied inside the pruned scan (``search(predicate=...)``).
+          Cost ∝ probed fraction of the table; exact at full probe.
+        * ``auto`` — picks whichever scans fewer rows: survivors are
+          counted with a column-pruned predicate scan (vector bytes are
+          never read — at 100 TB this reads one metadata column), the
+          table total comes from parquet footer metadata (``stats()``),
+          and prefilter wins when
+          ``|survivors| ≤ total · nprobe/n_centroids`` — i.e. when
+          brute-forcing the filtered set is cheaper than probing cells.
+          Highly selective predicates therefore get EXACT results faster
+          than the probe could deliver approximate ones.
+        """
+        if predicate is None:
+            raise ValueError("search_filtered requires a predicate")
+        if strategy not in ("auto", "prefilter", "inprobe"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        snap = (
+            self.manifest_at(snapshot)
+            if snapshot is not None
+            else self._read_manifest()
+        )
+        if strategy == "auto":
+            matches = self.vectors(snapshot=snap).filter(predicate).count()
+            total = self.meta.get("n_vectors") or 0
+            try:
+                total = sum(r.n_vectors for r in self.stats().collect())
+            except Exception:
+                pass  # cost model only — build-time count is fine
+            probed_frac = min(
+                1.0, nprobe / max(1, self.meta["n_centroids"])
+            )
+            strategy = (
+                "prefilter" if matches <= total * probed_frac else "inprobe"
+            )
+        if strategy == "prefilter":
+            from vector_search_engine_spark.operators import knn as knn_ops
+
+            base = self.vectors(snapshot=snap).filter(predicate)
+            return knn_ops.knn_exact(
+                base,
+                queries.select(
+                    F.col(qid_col).alias("qid"),
+                    F.col(qvec_col).alias("query"),
+                )
+                if not isinstance(queries, tuple)
+                else queries,
+                k=k,
+                id_col=self.meta["id_col"],
+                vec_col=self.meta["vec_col"],
+            )
+        return self.search(
+            queries,
+            k=k,
+            nprobe=nprobe,
+            predicate=predicate,
+            snapshot=snapshot,
+            qid_col=qid_col,
+            qvec_col=qvec_col,
+        )
+
     def tune_nprobe(
         self,
         queries: DataFrame,

@@ -739,6 +739,44 @@ def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FILTERED_SELECTIVE_ORACLE = f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {_DD_L2SQ.format(a="e.embedding", b="q.query")} AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label = 3 AND e.vec_id % 10 = 0
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS "rank"
+  FROM d
+)
+SELECT qid, neighbor_id, "rank", round(dist, 4) AS dist_sq
+FROM r WHERE "rank" <= 10
+"""
+
+
+@register("ann_ivf_filtered_auto", oracle=_FILTERED_SELECTIVE_ORACLE)
+def ann_ivf_filtered_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre/post-filter PLANNER at a selective predicate (label = 3
+    AND vec_id % 10 = 0, ~1% of rows) and partial nprobe: auto chooses
+    the prefilter branch
+    (survivor count ≤ probed fraction), which brute-forces only the
+    survivors and is EXACT at any nprobe — graded against the exact
+    filtered oracle at nprobe=2 to pin exactly that claim.  The inprobe
+    branch is graded separately (ann_ivf_filtered at full probe)."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_filtered(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=2,
+        predicate=(F.col("label") == 3) & (F.col("vec_id") % 10 == 0),
+        strategy="auto",
+    )
+
+
 @register("ann_ivf_sq4", oracle=ORACLES["knn_exact_l2"])
 def ann_ivf_sq4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ4 (16-level, nibble-packed) composed within IVF cells — the 8×
