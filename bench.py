@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "doc_bm25_topk",
     "hybrid_search_rrf",
     "dedup_semantic",
+    # r8 third wave: SQ4 serving rung and multi-vector retrieval
+    "ann_ivf_sq4",
+    "knn_maxsim",
 ]
 
 

@@ -309,6 +309,66 @@ def _vector_section(spark, results: dict, n_docs: int) -> None:
         lambda: dedup_ops.semantic_dedup(emb_lab, threshold=0.9).count(),
     )
 
+    # r8 third wave.  SQ4: the 8× rung, same probed shape as SQ8.
+    # Parent retrieval + MaxSim: 100k children → 316 parents; the partial
+    # aggregation emits 316×|Q| rows per partition, so timing measures
+    # the GEMM+reduce, not a shuffle.  Filtered planner: both routes.
+    from vector_search_engine_spark.operators import multivec
+
+    timed(
+        results,
+        "sq4_search_nprobe8",
+        lambda: idx.search_sq8(q, k=10, nprobe=8, bits=4).count(),
+    )
+    qdf = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(20, dtype=np.int64), "query": list(V[:20])})
+    )
+    timed(
+        results,
+        "parent_closest_100k",
+        lambda: multivec.parent_closest(emb_lab, qdf, k=5).count(),
+    )
+    mq = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qid": (np.arange(20) // 5).astype(np.int64),
+                "qvec_id": np.arange(20, dtype=np.int64),
+                "query": list(V[:20]),
+            }
+        )
+    )
+    timed(
+        results,
+        "maxsim_100k",
+        lambda: multivec.maxsim_topk(emb_lab, mq, k=5).count(),
+    )
+    idx_lab_dir = tempfile.mkdtemp(prefix="vse_stress_ivf_lab_")
+    idx_lab = IVFIndex.build(
+        emb_lab, f"{idx_lab_dir}/index", extra_cols=("label",)
+    )
+    timed(
+        results,
+        "filtered_auto_selective",
+        lambda: idx_lab.search_filtered(
+            q,
+            k=10,
+            nprobe=8,
+            predicate=F.col("label") == 7,
+            strategy="auto",
+        ).count(),
+    )
+    timed(
+        results,
+        "filtered_auto_broad",
+        lambda: idx_lab.search_filtered(
+            q,
+            k=10,
+            nprobe=8,
+            predicate=F.col("label") < 158,
+            strategy="auto",
+        ).count(),
+    )
+
     print(
         json.dumps(
             {

@@ -2435,10 +2435,32 @@ _GRADE_FIRST: list[str] = [
     #       (pricing_summary) and join (regional_revenue) flagships;
     #       sort/limit is gated by every top-k query.  Slot:
     #       dedup_semantic.
+    # r8 third wave — the continuation session's additions (SQ4 tier,
+    # filtered-search planner, multi-vector retrieval) go straight into
+    # the window; swap-outs are redundant twins per the standing policy:
+    #   dedup_clusters → out: large-star/small-star CC is transitively
+    #       gated by pipeline_neardup_corpus (which composes shingle →
+    #       Jaccard pairs → CC → quality gate under its own oracle);
+    #       carries r1-r7 greens.  Slot: ann_ivf_sq4.
+    #   doc_stats → out: pure column-expression family holds four other
+    #       window rows (quality/lang/pii/repetition); carries r1-r7
+    #       greens.  Slot: ann_ivf_filtered_auto (the pre/post-filter
+    #       planner through its exact prefilter route at partial nprobe).
+    #   orders_above_customer_avg → out: window-function family keeps
+    #       top_orders_per_customer (rank form); the agg-over-window form
+    #       carries r1-r7 greens.  Slot: ann_ivf_parent_closest (the
+    #       IVF-composed parent retrieval — knn_parent_closest shares its
+    #       oracle; composed form is the stronger claim, flat form stays
+    #       pytest- and canary-gated).
+    #   multimodal_frame_index → out: family keeps metadata_stats; frame
+    #       sampling plumbing stays pytest-gated; carries r3-r7 greens.
+    #       Slot: knn_maxsim (ColBERT late interaction — its multi-vector
+    #       score has no flat twin).
     # r9 rotation candidates (oracle-backed, never driver-graded):
     #   knn_truncated_rescore, ann_ivf_prefix and ann_ivf_bq (all three
     #   share ORACLES["knn_exact_l2"] — rotate in if a tier slot frees;
-    #   the IVF-composed forms are the stronger claims).)
+    #   the IVF-composed forms are the stronger claims);
+    #   knn_parent_closest (flat twin of the in-window composed form).)
     "knn_exact_l2",
     "hybrid_search_rrf",
     "label_centroids",
@@ -2450,7 +2472,9 @@ _GRADE_FIRST: list[str] = [
     "ann_ivf_exact_when_full_probe",
     "ann_ivf_filtered",
     "ann_ivf_sq8_filtered",
+    "ann_ivf_sq4",
     "ann_ivf_pq_filtered",
+    "ann_ivf_filtered_auto",
     "ann_ivf_distributed",
     "ann_ivf_cosine_filtered",
     "ann_ivf_ip_filtered",
@@ -2461,13 +2485,15 @@ _GRADE_FIRST: list[str] = [
     "streaming_ingest_search",
     "streaming_delete_search",
     "index_asof_search_pq",
+    # multi-vector (parent/child) retrieval — r8 third wave
+    "ann_ivf_parent_closest",
+    "knn_maxsim",
     # LLM-pipeline: dedup family
     # (dedup_ngram_jaccard_ppjoin moved to the tail in r6: byte-identical
     # output to dedup_ngram_jaccard by construction, pytest-gated — its slot
     # goes to doc_repetition_stats, which had never been driver-graded.)
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
     "doc_repetition_stats",
     # LLM-pipeline: corpus ops
     "corpus_approx_distinct",
@@ -2483,7 +2509,6 @@ _GRADE_FIRST: list[str] = [
     "pipeline_neardup_corpus",
     # LLM-pipeline: multimodal
     "multimodal_metadata_stats",
-    "multimodal_frame_index",
     # event-time streaming (watermark windows / stateful sessions /
     # interval join / bounded-state dedup)
     "streaming_hourly_event_stats",
@@ -2496,7 +2521,6 @@ _GRADE_FIRST: list[str] = [
     "tpch_regional_revenue",
     "top_orders_per_customer",
     "customers_without_orders",
-    "orders_above_customer_avg",
     "lineitem_grouping_sets",
     "brand_price_unpivot",
     "shipdate_set_ops",
@@ -2508,7 +2532,6 @@ _GRADE_FIRST: list[str] = [
     "corpus_decontaminate",
     # text analysis (r7: + the corpus-statistics pair that had only
     # judge-run local oracle evidence)
-    "doc_stats",
     "doc_lang_id",
     "doc_pii_scrub",
     "doc_quality_filter",
