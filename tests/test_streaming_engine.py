@@ -430,8 +430,10 @@ def test_merged_search_pq_tier_equals_exact(spark, embeddings, engine):
     assert fl == pz
     sq = _sorted(engine.search(q, k=10, nprobe=np_full, tier="sq8"))
     assert fl == sq
+    s4 = _sorted(engine.search(q, k=10, nprobe=np_full, tier="sq4"))
+    assert fl == s4
     with pytest.raises(ValueError, match="tier"):
-        engine.search(q, k=10, tier="sq4")
+        engine.search(q, k=10, tier="sq2")
 
 
 def test_delete_shadows_and_compacts_physically(spark, embeddings, engine):

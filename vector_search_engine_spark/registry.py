@@ -1836,6 +1836,27 @@ def streaming_merged_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_merged_search_sq4", oracle=ORACLES["knn_exact_l2"])
+def streaming_merged_search_sq4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged-search contract served through the SQ4 tier: 16-level
+    nibble-packed codes on the indexed side with the same lossless
+    range-bound cut (wider per-element error span/30) — same oracle,
+    hash-identical to the float tier at full probe."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    return eng.search(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        tier="sq4",
+    )
+
+
 _UPSERT_ORACLE = """
 WITH cur AS (
   SELECT vec_id,

@@ -292,15 +292,16 @@ class VectorEngine:
         shadowed ids excluded + exact scan of the delta, one global top-k.
 
         ``tier`` selects the indexed side's candidate scan: ``"float"``
-        (default), ``"sq8"`` (int8 codes, ~4× fewer scan bytes), ``"pq"``
+        (default), ``"sq8"`` (int8 codes, ~4× fewer scan bytes), ``"sq4"``
+        (nibble-packed 16-level codes, ~8× fewer), ``"pq"``
         (IVFADC byte codes, ~32× fewer), ``"bq"`` (packed sign bits, 32×
         fewer), or ``"prefix"`` (full bytes, ~d/d′× fewer FLOPs via the
-        lossless prefix-dimension cut).  SQ8/PQ/prefix run lossless cuts
-        + exact re-score — same results as the float tier; BQ's top-C
+        lossless prefix-dimension cut).  SQ8/SQ4/PQ/prefix run lossless
+        cuts + exact re-score — same results as the float tier; BQ's top-C
         cut has no lossless bound (recall measured, tests/test_bq.py)
         though returned distances are always exact.  The delta side
         always scans exact floats, deltas are small."""
-        if tier not in ("float", "sq8", "pq", "bq", "prefix"):
+        if tier not in ("float", "sq8", "sq4", "pq", "bq", "prefix"):
             raise ValueError(f"unknown search tier {tier!r}")
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
@@ -317,12 +318,13 @@ class VectorEngine:
                 nprobe=nprobe,
                 exclude_ids=delta_latest.select(id_col),
             )
-        elif tier == "sq8":
+        elif tier in ("sq8", "sq4"):
             indexed_part = self.index.search_sq8(
                 queries,
                 k=k,
                 nprobe=nprobe,
                 exclude_ids=delta_latest.select(id_col),
+                bits=4 if tier == "sq4" else 8,
             )
         elif tier == "bq":
             indexed_part = self.index.search_bq(
