@@ -55,6 +55,12 @@ AUDIT = [
     "ann_ivf_prefix_filtered",
     "dedup_semantic",
     "knn_bq_rescore",
+    # r8 third wave
+    "knn_parent_closest",
+    "ann_ivf_parent_closest",
+    "knn_maxsim",
+    "ann_ivf_sq4",
+    "ann_ivf_filtered_auto",
 ]
 
 
@@ -159,3 +165,47 @@ def test_filtered_pq_metadata_read_prunes_vector_column(spark, sf_dir):
     assert any(
         "embedding" not in ln.split("ReadSchema")[-1] for ln in scans
     ), f"predicate scan also reads vector bytes: {scans}"
+
+
+def test_parent_closest_reduces_before_shuffle(spark, sf_dir):
+    """The multi-vector operators' 100 TB contract: the only exchange
+    after the child-table scan carries the REDUCED (parent × query)
+    frame emitted by the per-partition GEMM — the child vectors
+    themselves are never shuffled (no join on the scan side at all for
+    the flat form)."""
+    plan = _executed_plan(registry.QUERIES["knn_parent_closest"](spark, sf_dir))
+    # per-partition reduce runs in Python (mapInPandas), aggregation after
+    assert "MapInPandas" in plan
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan, "child vectors shuffled into a join"
+
+
+def test_maxsim_broadcasts_query_map(spark, sf_dir):
+    """MaxSim's qvec→qid map is |subvectors| rows and must broadcast; the
+    two aggregations (max, then sum) are both partial-aggregated."""
+    plan = _executed_plan(registry.QUERIES["knn_maxsim"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filtered_auto_prefilter_scans_survivors_only(spark, sf_dir):
+    """The planner's prefilter route must push the predicate into the
+    parquet scan (survivors are selected AT the scan, not post-hoc) —
+    that is the entire point of choosing the route."""
+    from vector_search_engine_spark.operators import ivf
+
+    spark.catalog.clearCache()
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = knn_ops.make_queries(emb, n=5)
+    df = index.search_filtered(
+        q,
+        k=10,
+        nprobe=1,
+        predicate=(F.col("label") == 3) & (F.col("vec_id") % 10 == 0),
+        strategy="prefilter",
+    )
+    plan = _executed_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("label" in ln for ln in pushed), plan
