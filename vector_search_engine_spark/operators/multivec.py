@@ -286,3 +286,99 @@ def maxsim_topk(
             F.round(F.col("maxsim"), DIST_DECIMALS).alias("maxsim"),
         )
     )
+
+
+def collapse_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    per_group: int = 2,
+    parent_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "query",
+) -> DataFrame:
+    """Field-collapsed exact top-k: the global (dist, id) ranking with at
+    most ``per_group`` results per parent — Elasticsearch's "field
+    collapsing" / Vespa grouping, the serving-diversity contract (don't
+    fill the page with passages of one document).
+
+    Exact two-phase plan: the per-partition GEMM emits each partition's
+    top-``per_group`` children per (query, parent) — bounded emission,
+    ``per_group × |parents-in-partition| × |Q|`` rows — then one window
+    keeps the true per-(query, parent) top-``per_group`` and a second
+    ranks the survivors globally.  Both windows run on the reduced frame;
+    the child vectors never shuffle.
+
+    Returns ``(qid, neighbor_id, parent, rank, dist_sq)``, rank by
+    (dist, id) over the collapsed candidate set.
+    """
+    spark = vectors.sparkSession
+    qrows = _collect_queries(queries, (qid_col, qvec_col))
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, parent long, rank long, dist_sq double"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, Q))
+    m = per_group
+
+    def local_topm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = bc.value
+        nq = len(qids_)
+        out_q, out_i, out_p, out_d = [], [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack(pdf[vec_col].to_numpy())
+            D = l2_sq_matrix(V, Q_)  # (n, |Q|)
+            parents = pdf[parent_col].to_numpy(dtype=np.int64)
+            for p in np.unique(parents):
+                sel = parents == p
+                pids = ids[sel]
+                Dp = D[sel]
+                for j in range(nq):
+                    order = np.lexsort((pids, Dp[:, j]))[:m]
+                    out_q.append(np.full(len(order), qids_[j], dtype=np.int64))
+                    out_i.append(pids[order])
+                    out_p.append(np.full(len(order), p, dtype=np.int64))
+                    out_d.append(Dp[order, j])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_i),
+                    "parent": np.concatenate(out_p),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+    partial = vectors.select(id_col, parent_col, vec_col).mapInPandas(
+        local_topm,
+        schema="qid long, neighbor_id long, parent long, dist double",
+    )
+    gwin = Window.partitionBy("qid", "parent").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    collapsed = (
+        partial.withColumn("_gr", F.row_number().over(gwin))
+        .filter(F.col("_gr") <= m)
+        .drop("_gr")
+    )
+    win = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        collapsed.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "neighbor_id",
+            "parent",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("dist"), DIST_DECIMALS).alias("dist_sq"),
+        )
+    )

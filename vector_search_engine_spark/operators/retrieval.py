@@ -207,6 +207,89 @@ def hybrid_rrf(
     )
 
 
+def hybrid_combsum(
+    lexical: DataFrame,
+    vector: DataFrame,
+    k: int = 10,
+    w_lex: float = 1.0,
+    w_vec: float = 1.0,
+) -> DataFrame:
+    """Score-normalized CombSUM fusion (Fox & Shaw, TREC-2 1994) — the
+    other standard hybrid besides RRF: each list's scores are min-max
+    normalized per query WITHIN its top-depth window, then summed with
+    weights.  Unlike RRF it preserves score magnitudes (a runaway BM25
+    winner stays a runaway winner); unlike raw summing it is insensitive
+    to the two lists' incomparable score scales.
+
+    ``lexical``: ``(query_id, doc_id, rank, bm25)`` (higher better).
+    ``vector``: ``(qid, neighbor_id, rank, dist_sq)`` (lower better —
+    normalized as ``(max − d)/(max − min)``).  A doc missing from one
+    list contributes 0 for it; a constant list (max == min) normalizes
+    to 1.0 for every member.  Output ``(query_id, doc_id, rank, score)``,
+    rank by (rounded score DESC, doc_id).
+
+    Scale shape: both inputs are per-query top-depth lists (|Q|·depth
+    rows); the min/max window aggregates and the full-outer fusion join
+    all run on those bounded frames — nothing here touches the corpus.
+    """
+    lw = Window.partitionBy("query_id")
+    lex = (
+        lexical.select("query_id", "doc_id", "bm25")
+        .withColumn("_mn", F.min("bm25").over(lw))
+        .withColumn("_mx", F.max("bm25").over(lw))
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(
+                F.col("_mx") > F.col("_mn"),
+                (F.col("bm25") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("nlex"),
+        )
+    )
+    vw = Window.partitionBy("qid")
+    vec = (
+        vector.select(
+            F.col("qid"), F.col("neighbor_id"), F.col("dist_sq")
+        )
+        .withColumn("_mn", F.min("dist_sq").over(vw))
+        .withColumn("_mx", F.max("dist_sq").over(vw))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.when(
+                F.col("_mx") > F.col("_mn"),
+                (F.col("_mx") - F.col("dist_sq"))
+                / (F.col("_mx") - F.col("_mn")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("nvec"),
+        )
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").withColumn(
+        "score",
+        F.round(
+            F.lit(float(w_lex)) * F.coalesce(F.col("nlex"), F.lit(0.0))
+            + F.lit(float(w_vec)) * F.coalesce(F.col("nvec"), F.lit(0.0)),
+            6,
+        ),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "score",
+        )
+    )
+
+
 def mmr_diversify(
     candidates: DataFrame,
     vectors: DataFrame,
@@ -568,6 +651,70 @@ SELECT query_id, doc_id, "rank", rrf FROM rr WHERE "rank" <= 10
 
 HYBRID_RRF_ORACLE = _hybrid_rrf_oracle(1.0, 1.0)
 HYBRID_RRF_WEIGHTED_ORACLE = _hybrid_rrf_oracle(HYBRID_W_LEX, HYBRID_W_VEC)
+
+# CombSUM (min-max normalized) fusion oracle: the same two top-depth
+# lists, each min-max normalized per query before the weighted sum.
+# The vector list carries round(dist, 4) to match the engine's rounded
+# dist_sq (knn.DIST_DECIMALS) so both sides normalize identical doubles.
+HYBRID_COMBSUM_ORACLE = f"""
+WITH {_DD_BM25_RANKED},
+ltop AS (
+  SELECT query_id, doc_id, bm25 FROM ranked WHERE "rank" <= {HYBRID_DEPTH}
+),
+lnorm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(bm25) OVER (PARTITION BY query_id)
+                   > min(bm25) OVER (PARTITION BY query_id)
+              THEN (bm25 - min(bm25) OVER (PARTITION BY query_id))
+                   / (max(bm25) OVER (PARTITION BY query_id)
+                      - min(bm25) OVER (PARTITION BY query_id))
+              ELSE 1.0 END AS nlex
+  FROM ltop
+),
+vecq AS (
+  SELECT vec_id AS query_id, embedding AS query FROM embeddings
+  WHERE vec_id < {_N_HYBRID_QUERIES}
+),
+vd AS (
+  SELECT vq.query_id, e.vec_id AS doc_id,
+         round({_DD_L2SQ_LOCAL.format(a="e.embedding", b="vq.query")}, 4)
+           AS dist,
+         row_number() OVER (
+           PARTITION BY vq.query_id
+           ORDER BY {_DD_L2SQ_LOCAL.format(a="e.embedding", b="vq.query")},
+                    e.vec_id
+         ) AS vrank
+  FROM embeddings e CROSS JOIN vecq vq
+),
+vtop AS (SELECT query_id, doc_id, dist FROM vd WHERE vrank <= {HYBRID_DEPTH}),
+vnorm AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(dist) OVER (PARTITION BY query_id)
+                   > min(dist) OVER (PARTITION BY query_id)
+              THEN (max(dist) OVER (PARTITION BY query_id) - dist)
+                   / (max(dist) OVER (PARTITION BY query_id)
+                      - min(dist) OVER (PARTITION BY query_id))
+              ELSE 1.0 END AS nvec
+  FROM vtop
+),
+fused AS (
+  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         round(1.0 * coalesce(l.nlex, 0.0)
+               + 1.0 * coalesce(v.nvec, 0.0), 6) AS score
+  FROM lnorm l
+  FULL OUTER JOIN vnorm v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+),
+rr AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id
+         ) AS "rank"
+  FROM fused
+)
+SELECT query_id, doc_id, "rank", score FROM rr WHERE "rank" <= 10
+"""
 
 # Eval of the (unweighted) hybrid run against vector-exact top-10 qrels:
 # run and qrels reuse the same CTE chain the fusion oracle uses.

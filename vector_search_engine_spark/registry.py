@@ -518,6 +518,47 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COLLAPSE_ORACLE = f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS neighbor_id, CAST(e.label AS BIGINT) AS parent,
+         {_DD_L2SQ.format(a="e.embedding", b="q.query")} AS dist
+  FROM embeddings e CROSS JOIN q
+),
+g AS (
+  SELECT qid, neighbor_id, parent, dist,
+         row_number() OVER (
+           PARTITION BY qid, parent ORDER BY dist, neighbor_id
+         ) AS gr
+  FROM d
+),
+c AS (SELECT * FROM g WHERE gr <= 2),
+r AS (
+  SELECT qid, neighbor_id, parent, dist,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY dist, neighbor_id
+         ) AS "rank"
+  FROM c
+)
+SELECT qid, neighbor_id, parent, "rank", round(dist, 4) AS dist_sq
+FROM r WHERE "rank" <= 10
+"""
+
+
+@register("knn_collapse_topk", oracle=_COLLAPSE_ORACLE)
+def knn_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-collapsed exact top-k (Elasticsearch field collapsing):
+    global (dist, id) ranking capped at 2 results per parent — exact
+    two-phase plan, bounded per-partition emission, child vectors never
+    shuffled."""
+    from vector_search_engine_spark.operators import multivec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return multivec.collapse_topk(
+        emb, knn_ops.make_queries(emb), k=10, per_group=2
+    )
+
+
 # --- multi-vector (parent/child) retrieval -------------------------------
 # Parents = the fixture's label groups (a "document" of ~N/10 child
 # passages).  Both scoring contracts are algebraic aggregations, so the
@@ -2179,6 +2220,24 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, knn_ops.make_queries(emb, n=nq), k=retrieval.HYBRID_DEPTH
     )
     return retrieval.hybrid_rrf(lex, vec, k=10)
+
+
+@register("hybrid_search_combsum", oracle=retrieval.HYBRID_COMBSUM_ORACLE)
+def hybrid_search_combsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval under CombSUM (Fox & Shaw, TREC-2): each list's
+    scores min-max normalized per query within its top-depth window,
+    then summed — the magnitude-preserving alternative to RRF, over the
+    same two top-depth lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    nq = len(retrieval.QUERY_TERMS_FIXTURE)
+    lex = retrieval.bm25_topk(
+        docs, retrieval.make_term_queries(spark), k=retrieval.HYBRID_DEPTH
+    )
+    vec = knn_ops.knn_exact(
+        emb, knn_ops.make_queries(emb, n=nq), k=retrieval.HYBRID_DEPTH
+    )
+    return retrieval.hybrid_combsum(lex, vec, k=10)
 
 
 @register("ann_ivf_prefix", oracle=ORACLES["knn_exact_l2"])
