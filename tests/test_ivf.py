@@ -305,6 +305,35 @@ def test_search_filtered_auto_prefilters_selective_predicate(
     )
 
 
+def test_search_filtered_auto_caches_survivor_count(spark, embeddings, index):
+    """The auto planner memoizes its survivor count per (predicate,
+    snapshot generation): repeated auto searches on an unchanged snapshot
+    run the cost-model count job exactly once.  stats() is only invoked
+    from the uncached cost-model branch, so spying it counts count jobs."""
+    q = knn_ops.make_queries(embeddings, n=5)
+    pred = F.col("label") == 3
+    index._survivor_cache = {}
+    calls = {"n": 0}
+    orig_stats = index.stats
+
+    def spy():
+        calls["n"] += 1
+        return orig_stats()
+
+    index.stats = spy
+    try:
+        index.search_filtered(
+            q, k=5, nprobe=1, predicate=pred, strategy="auto"
+        ).collect()
+        index.search_filtered(
+            q, k=5, nprobe=1, predicate=pred, strategy="auto"
+        ).collect()
+    finally:
+        index.stats = orig_stats
+    assert calls["n"] == 1
+    assert len(index._survivor_cache) == 1
+
+
 def test_search_filtered_auto_probes_broad_predicate(spark, embeddings, index):
     """A ~50%-selective predicate at nprobe=2 must route to inprobe —
     same rows as search(predicate=...) at the same nprobe."""

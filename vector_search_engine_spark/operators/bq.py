@@ -87,8 +87,13 @@ def bq_encode(
         f", {keep_schema}" if keep_schema else ""
     )
     spark = vectors.sparkSession
+    # float64 on BOTH sides of the ladder: the search paths center queries
+    # with the float64 thresholds (thresholds.json round-trips doubles), so
+    # encoding must binarize against the identical values — a float32 cast
+    # here could flip the sign bit of elements exactly at the threshold
+    # relative to the scoring assumption (recall-only skew, but avoidable).
     bc_t = spark.sparkContext.broadcast(
-        None if thresholds is None else np.asarray(thresholds, dtype=np.float32)
+        None if thresholds is None else np.asarray(thresholds, dtype=np.float64)
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -96,8 +101,8 @@ def bq_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
-            thr = np.zeros(V.shape[1], dtype=np.float32) if t is None else t
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            thr = np.zeros(V.shape[1], dtype=np.float64) if t is None else t
             bits = (V > thr[None, :]).astype(np.uint8)
             codes = np.packbits(bits, axis=1)
             out = {

@@ -855,7 +855,11 @@ WITH m AS (
   FROM embeddings a
   JOIN embeddings b
     ON a.label = b.label AND b.vec_id < a.vec_id
-  WHERE {{dot}} / (sqrt({{na}}) * sqrt({{nb}})) >= {SEMANTIC_DEDUP_THRESHOLD}
+  -- norm > 0 guards mirror the engine's zero-norm → cosine 0 convention:
+  -- without them DuckDB yields NaN, which it sorts above every number, so
+  -- NaN >= threshold would wrongly mark zero vectors as duplicates.
+  WHERE {{na}} > 0 AND {{nb}} > 0
+    AND {{dot}} / (sqrt({{na}}) * sqrt({{nb}})) >= {SEMANTIC_DEDUP_THRESHOLD}
   GROUP BY a.vec_id
 )
 SELECT e.vec_id,

@@ -587,7 +587,7 @@ class IVFIndex:
         qvec_col: str = "query",
         exclude_ids: list[int] | None = None,
         predicate=None,
-        snapshot: int | str | None = None,
+        snapshot: int | str | dict | None = None,
     ) -> DataFrame:
         """ANN top-k: probe nprobe partitions per query, exact scan within
         (reference Q3: greedy descent + level-0 beam, ``hnsw_index.h:223-262``).
@@ -617,9 +617,14 @@ class IVFIndex:
         # concurrent rebalance commit can drop the parent cells this call
         # probes from the live manifest; the pinned view stays readable for
         # one commit cycle (EBR grace).  An explicit snapshot pins a
-        # retained historical view instead (as-of search).
+        # retained historical view instead (as-of search); a manifest dict
+        # (from manifest_at / _read_manifest) is used as-is so a caller —
+        # e.g. search_filtered's cost model — can make its strategy choice
+        # and its scan observe ONE snapshot even under concurrent commits.
         snap = (
-            self.manifest_at(snapshot)
+            snapshot
+            if isinstance(snapshot, dict)
+            else self.manifest_at(snapshot)
             if snapshot is not None
             else self._read_manifest()
         )
@@ -728,12 +733,29 @@ class IVFIndex:
             else self._read_manifest()
         )
         if strategy == "auto":
-            matches = self.vectors(snapshot=snap).filter(predicate).count()
-            total = self.meta.get("n_vectors") or 0
-            try:
-                total = sum(r.n_vectors for r in self.stats().collect())
-            except Exception:
-                pass  # cost model only — build-time count is fine
+            # Survivor counts are memoized per (predicate, snapshot
+            # generation): at high query rates the planner would otherwise
+            # pay a count() job per call even when nothing changed.  The
+            # predicate's unresolved-expression string is a stable
+            # fingerprint for Column trees built the same way; a new
+            # commit bumps latest_gen and naturally invalidates.
+            cache = getattr(self, "_survivor_cache", None)
+            if cache is None:
+                cache = self._survivor_cache = {}
+            gen = (snap or {}).get("latest_gen")
+            key = (str(predicate), gen)
+            if key in cache:
+                matches, total = cache[key]
+            else:
+                matches = self.vectors(snapshot=snap).filter(predicate).count()
+                total = self.meta.get("n_vectors") or 0
+                try:
+                    total = sum(r.n_vectors for r in self.stats().collect())
+                except Exception:
+                    pass  # cost model only — build-time count is fine
+                if len(cache) > 256:
+                    cache.clear()  # bound the planner cache
+                cache[key] = (matches, total)
             probed_frac = min(
                 1.0, nprobe / max(1, self.meta["n_centroids"])
             )
@@ -756,12 +778,15 @@ class IVFIndex:
                 id_col=self.meta["id_col"],
                 vec_col=self.meta["vec_col"],
             )
+        # Thread the already-pinned manifest: the cost decision and the
+        # probed scan must observe the SAME snapshot even if a commit
+        # lands between them.
         return self.search(
             queries,
             k=k,
             nprobe=nprobe,
             predicate=predicate,
-            snapshot=snapshot,
+            snapshot=snap,
             qid_col=qid_col,
             qvec_col=qvec_col,
         )

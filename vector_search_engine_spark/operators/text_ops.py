@@ -1178,8 +1178,10 @@ WITH wt(source, weight) AS (
   VALUES {", ".join(f"('{s}', {w})" for s, w in MIXTURE_WEIGHTS_FIXTURE)}
 ),
 stats AS (
+  -- GREATEST mirrors the engine's weight >= 1 clamp (text_ops.mixture_sample):
+  -- a config weight of 0 or negative would zero/negate the batch multiplier.
   SELECT d.source, count(*)::BIGINT AS n_docs,
-         COALESCE(max(w.weight), 1)::BIGINT AS weight
+         GREATEST(COALESCE(max(w.weight), 1), 1)::BIGINT AS weight
   FROM documents d LEFT JOIN wt w ON d.source = w.source
   GROUP BY d.source
 ),
