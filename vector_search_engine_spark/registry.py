@@ -2536,86 +2536,104 @@ _GRADE_FIRST: list[str] = [
     #       sampling plumbing stays pytest-gated; carries r3-r7 greens.
     #       Slot: knn_maxsim (ColBERT late interaction — its multi-vector
     #       score has no flat twin).
-    # r9 rotation candidates (oracle-backed, never driver-graded):
-    #   knn_truncated_rescore, ann_ivf_prefix and ann_ivf_bq (all three
-    #   share ORACLES["knn_exact_l2"] — rotate in if a tier slot frees;
-    #   the IVF-composed forms are the stronger claims);
-    #   knn_parent_closest (flat twin of the in-window composed form).)
+    # r9 rotation — the r8 third-wave flagships (OPQ, BQ, prefix cut,
+    # weighted fusion / retrieval eval, SQ8/SQ4 merged search, prefix
+    # as-of, TF-IDF, column profile) had never been driver-graded; all 14
+    # go in.  Swap-outs follow the standing redundant-twin /
+    # stronger-composed-claim policy — every rotated-out query stays
+    # registered, canary-smoked and pytest-gated with green driver rows
+    # from earlier rounds:
+    #   ann_ivf_sq8_filtered → out: quantized-filtered family keeps
+    #       ann_ivf_pq_filtered + ann_ivf_sq4 in-window, and gains the
+    #       incoming bq/prefix filtered forms; carries r8 green.
+    #   ivecs_roundtrip → out: loader family keeps fvecs_roundtrip (S1);
+    #       S2 long-stable (green r1-r8).
+    #   streaming_merged_search / streaming_merged_search_pq → out: the
+    #       incoming sq8/sq4 forms run the IDENTICAL merged Q4 contract
+    #       (delta + base + tombstone anti-join) through two more serving
+    #       tiers; plain and pq carry r8 greens, and the family keeps
+    #       ingest/delete/as-of rows in-window.
+    #   dedup_ngram_jaccard → out: transitively gated by
+    #       pipeline_neardup_corpus (shingle → Jaccard pairs → CC →
+    #       quality gate under one oracle), same reasoning as r8's
+    #       dedup_clusters rotation; carries r1-r8 greens.
+    #   doc_repetition_stats / doc_lang_id / doc_pii_scrub /
+    #   doc_dup_span_stats → out: the pure-column text-gate family keeps
+    #       doc_quality_filter (composed flagship) + doc_unigram_stats
+    #       (hashed-postings agg — the distinct physical shape); all four
+    #       carry r7-r8 greens.
+    #   corpus_dedup_stats → out: dedup accounting over the same md5
+    #       mechanism dedup_exact gates; carries r1-r8 greens.
+    #   streaming_hourly_event_stats → out: event-time family keeps
+    #       sessionize + interval_join + dedup_ingest; carries greens.
+    #   customers_without_orders / brand_price_unpivot / shipdate_set_ops
+    #       → out: anti-join / unpivot / set-op forms stable since r4 with
+    #       multiply-covered families (TPC-H agg + join flagships stay).
     "knn_exact_l2",
     "hybrid_search_rrf",
     "label_centroids",
-    # sources (reference S1/S2 + bigann byte-vector sibling)
+    # sources (reference S1 + bigann byte-vector sibling; S2 rotated out r9)
     "fvecs_roundtrip",
-    "ivecs_roundtrip",
     "doc_bm25_topk",
+    # lexical/hybrid retrieval — r8 additions, first graded r9
+    "hybrid_search_rrf_weighted",
+    "hybrid_retrieval_eval",
+    "doc_tfidf_vectors",
     # IVF index family (reference Q2/Q3/B2) — full metric surface
     "ann_ivf_exact_when_full_probe",
     "ann_ivf_filtered",
-    "ann_ivf_sq8_filtered",
     "ann_ivf_sq4",
     "ann_ivf_pq_filtered",
     "ann_ivf_filtered_auto",
     "ann_ivf_distributed",
     "ann_ivf_cosine_filtered",
     "ann_ivf_ip_filtered",
+    # compression/compute ladder — r8 additions, first graded r9
+    "knn_opq_adc",
+    "ann_ivf_opq",
+    "ann_ivf_bq",
+    "ann_ivf_bq_filtered",
+    "ann_ivf_prefix",
+    "ann_ivf_prefix_filtered",
+    "knn_truncated_rescore",
     # streaming engine (reference Q4/S4/W1-W4 — the core merged-search
-    # contract, plus LSM tombstone deletes and manifest time travel)
-    "streaming_merged_search",
-    "streaming_merged_search_pq",
+    # contract through the quantized serving tiers, plus LSM tombstone
+    # deletes and manifest time travel)
+    "streaming_merged_search_sq8",
+    "streaming_merged_search_sq4",
     "streaming_ingest_search",
     "streaming_delete_search",
     "index_asof_search_pq",
+    "index_asof_search_prefix",
     # multi-vector (parent/child) retrieval — r8 third wave
     "ann_ivf_parent_closest",
     "knn_maxsim",
     # LLM-pipeline: dedup family
-    # (dedup_ngram_jaccard_ppjoin moved to the tail in r6: byte-identical
-    # output to dedup_ngram_jaccard by construction, pytest-gated — its slot
-    # goes to doc_repetition_stats, which had never been driver-graded.)
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "doc_repetition_stats",
+    "dedup_semantic",
+    "pipeline_neardup_corpus",
     # LLM-pipeline: corpus ops
     "corpus_approx_distinct",
-    "corpus_dedup_stats",
-    # (r6 late rotations: corpus_mixture_sample strictly generalizes
-    # corpus_capped_sample's salted-md5 quota mechanism, and
-    # corpus_train_val_split shares that same hash-rank core — both
-    # rotated-out queries stay registered, canary-smoked and
-    # pytest-gated; their slots go to the never-driver-graded
-    # corpus_mixture_sample and doc_chunks.)
     "corpus_mixture_sample_weighted",
     "doc_chunks",
-    "pipeline_neardup_corpus",
+    "corpus_decontaminate",
     # LLM-pipeline: multimodal
     "multimodal_metadata_stats",
     # event-time streaming (watermark windows / stateful sessions /
     # interval join / bounded-state dedup)
-    "streaming_hourly_event_stats",
     "streaming_sessionize",
     "streaming_interval_join",
     "streaming_dedup_ingest",
     # relational core
     "tpch_pricing_summary",
-    "dedup_semantic",
     "tpch_regional_revenue",
     "top_orders_per_customer",
-    "customers_without_orders",
     "lineitem_grouping_sets",
-    "brand_price_unpivot",
-    "shipdate_set_ops",
+    "lineitem_column_profile",
     # events / semi-structured
-    # (events_hourly_stats moved to the tail in r6: it computes the same
-    # hourly rollup streaming_hourly_event_stats covers through the
-    # event-time path — its slot goes to corpus_decontaminate.)
     "events_asof_attribution",
-    "corpus_decontaminate",
-    # text analysis (r7: + the corpus-statistics pair that had only
-    # judge-run local oracle evidence)
-    "doc_lang_id",
-    "doc_pii_scrub",
+    # text analysis (family representatives — see r9 rotation note)
     "doc_quality_filter",
-    "doc_dup_span_stats",
     "doc_unigram_stats",
 ]
 
