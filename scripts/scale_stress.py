@@ -183,6 +183,20 @@ def main() -> None:
             docs, retrieval.make_term_queries(spark), k=10
         ).count(),
     )
+    # r9: the df-capped form on the SAME common-term fixture — the guard
+    # drops stopword-common terms (df > 0.5·N) before the postings
+    # aggregation, so the degenerate O(corpus) shuffle above collapses
+    # to the rare-term postings only (SCALING finding 11 re-measure)
+    timed(
+        results,
+        "bm25_topk_capped",
+        lambda: retrieval.bm25_topk(
+            docs,
+            retrieval.make_term_queries(spark),
+            k=10,
+            max_df_fraction=retrieval.BM25_MAX_DF_FRACTION,
+        ).count(),
+    )
 
     timed(results, "pipeline_neardup_corpus", neardup_pipeline)
     results["pipeline_neardup_corpus"]["cc_rounds"] = cc_stats.get("rounds")
@@ -254,6 +268,20 @@ def _vector_section(spark, results: dict, n_docs: int) -> None:
         lambda: idx.search_pq(
             q, k=10, nprobe=8, candidates_per_partition=160
         ).count(),
+    )
+    # r9: OPQ at 100k — rotation training (bounded driver sample,
+    # alternating Lloyd + Procrustes) plus the full encode pass, then
+    # the rotated ADC search (costs should track plain PQ: the rotation
+    # is one broadcast matmul per batch)
+    timed(
+        results,
+        "opq_sidecar_build",
+        lambda: 1 if idx.ensure_pq(m=8, opq=True) else 0,
+    )
+    timed(
+        results,
+        "opq_search_nprobe8",
+        lambda: idx.search_pq(q, k=10, nprobe=8, opq=True).count(),
     )
 
     # r8 tiers.  BQ: 1-bit scan + exact rescore (isotropic = worst-case

@@ -305,6 +305,60 @@ def test_search_filtered_auto_prefilters_selective_predicate(
     )
 
 
+def test_cascade_equals_search_with_unbounded_stage1(spark, embeddings, index):
+    """With an unbounded stage-1 cut the cascade's BQ stage keeps every
+    probed candidate and the SQ8 stage's cut is lossless, so the staged
+    search must agree with search() bit-for-bit at ANY nprobe — the
+    construction behind the graded full-probe exactness."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    for nprobe in (2, index.meta["n_centroids"]):
+        casc = index.search_cascade(
+            q, k=10, nprobe=nprobe, candidates_per_cell=10**9
+        )
+        plain = index.search(q, k=10, nprobe=nprobe)
+        assert sorted(map(tuple, casc.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+
+def test_cascade_finite_c_recall(spark, embeddings, index):
+    """The finite-C serving shape: recall@10 against exact ≥ 0.8 at full
+    probe with a modest stage-1 budget, and the output schema/tie-break
+    contract matches the other tiers."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    casc = index.search_cascade(
+        q, k=10, nprobe=index.meta["n_centroids"], candidates_per_cell=40
+    )
+    exact = knn_ops.knn_exact(embeddings, q, k=10)
+    got = {(r.qid, r.neighbor_id) for r in casc.collect()}
+    want = {(r.qid, r.neighbor_id) for r in exact.collect()}
+    assert len(got & want) / len(want) >= 0.8
+    assert casc.columns == ["qid", "neighbor_id", "rank", "dist_sq"]
+
+
+def test_cascade_filtered_and_excluded(spark, embeddings, index):
+    """predicate + exclude_ids compose: at full probe with an unbounded
+    stage-1 cut the result equals exact kNN over the filtered base."""
+    from pyspark.sql import functions as SF
+
+    q = knn_ops.make_queries(embeddings, n=5)
+    pred = F.col("label") < 5
+    excl = embeddings.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    casc = index.search_cascade(
+        q,
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        candidates_per_cell=10**9,
+        predicate=pred,
+        exclude_ids=excl,
+    )
+    base = embeddings.filter(pred).filter(~(SF.col("vec_id") % 7 == 0))
+    exact = knn_ops.knn_exact(base, q, k=10)
+    assert sorted(map(tuple, casc.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
 def test_search_filtered_auto_caches_survivor_count(spark, embeddings, index):
     """The auto planner memoizes its survivor count per (predicate,
     snapshot generation): repeated auto searches on an unchanged snapshot

@@ -69,6 +69,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    max_df_fraction: float | None = None,
 ) -> DataFrame:
     """Top-k documents per query under Okapi BM25.
 
@@ -81,9 +82,19 @@ def bm25_topk(
     (tf, df, dl, N) exact integers, avgdl an exact ratio, so both engines
     evaluate the identical float64 expression.
 
+    ``max_df_fraction``: the common-term guard — classic stopword
+    pruning.  Terms whose document frequency exceeds ``fraction · N``
+    are dropped BEFORE the postings aggregation, so the big shuffle is
+    bounded by ``|terms| · fraction · N`` (doc, term) pairs instead of
+    degenerating to O(corpus) when a query contains a stopword-common
+    term (such terms have idf ≈ 0 and contribute almost nothing to
+    ranking anyway).  ``None`` = exact Okapi over every query term —
+    correct at any df, but at 100 TB a careless common-term query
+    shuffles the corpus; production callers should set a cap.
+
     Returns ``(query_id, doc_id, rank, bm25)``; only documents containing
-    at least one query term appear (BM25 of a no-overlap doc is 0 and
-    unranked)."""
+    at least one surviving query term appear (BM25 of a no-overlap doc
+    is 0 and unranked)."""
     q = queries.select("query_id", "term").distinct()
     qterm_set = q.select("term").distinct()
 
@@ -96,30 +107,47 @@ def bm25_topk(
         F.avg("dl").alias("avgdl"),
     )
 
-    # postings, filtered to query terms BEFORE the tf aggregation: the
-    # broadcast semi-join keeps the shuffle at |matching postings|, not
-    # the corpus token count
+    # df pre-pass: one row per (doc, DISTINCT term) filtered to the
+    # broadcast query-term set, aggregated to ≤|terms| keys — map-side
+    # partial aggregation means the shuffle moves at most |terms| rows
+    # per input partition no matter how common the terms are.  Computing
+    # df BEFORE the postings aggregation (rather than from it) is what
+    # lets the max_df_fraction guard bound the expensive shuffle below.
+    df_t = (
+        documents.select(
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+        )
+        .join(F.broadcast(qterm_set), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    if max_df_fraction is not None:
+        # the guard: only sub-cap terms reach the postings aggregation.
+        # df_t is ≤|terms| rows, so the kept set stays broadcast-sized.
+        kept = (
+            df_t.crossJoin(F.broadcast(stats))
+            .filter(
+                F.col("df")
+                <= F.lit(float(max_df_fraction)) * F.col("n_docs")
+            )
+            .select("term")
+        )
+    else:
+        kept = qterm_set
+
+    # postings, filtered to surviving query terms BEFORE the tf
+    # aggregation: the broadcast semi-join keeps the shuffle at
+    # |matching postings|, not the corpus token count — and with the df
+    # guard, bounded even for stopword-common terms.
     postings = (
         documents.select(
             "doc_id",
             F.size(tokens(F.col("text"))).alias("dl"),
             F.explode(tokens(F.col("text"))).alias("term"),
         )
-        .join(F.broadcast(qterm_set), "term")
+        .join(F.broadcast(kept), "term")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("long").alias("tf"))
-    )
-    # df = count(*) over the aggregated postings (one row per (doc, term)
-    # already, so no countDistinct needed).  Plan-audit note: this branch
-    # re-derives postings — column pruning makes the two subtrees
-    # non-identical, so ReuseExchange cannot share the scan, and the
-    # skew-safe alternative (df as a window over term) would colocate
-    # every posting of a common term in one partition.  Two filtered,
-    # map-side-partial-aggregated corpus scans beat one skewed shuffle;
-    # a production deployment materializes the filtered postings once
-    # (an inverted-index slice) and both branches read that.
-    df_t = postings.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
     )
 
     tf = F.col("tf").cast("double")
@@ -540,15 +568,41 @@ _DD_QUERY_TERMS = ", ".join(
     f"({qid}, '{t}')" for qid, terms in QUERY_TERMS_FIXTURE for t in terms
 )
 
-# Shared CTE body computing the full BM25 ranking (unlimited depth);
-# callers append their own rank cutoff.
-_DD_BM25_RANKED = f"""
-q(query_id, term) AS (VALUES {_DD_QUERY_TERMS}),
+
+def _dd_bm25_ranked(
+    query_terms_values: str = _DD_QUERY_TERMS,
+    max_df_fraction: float | None = None,
+) -> str:
+    """The shared CTE body computing the full BM25 ranking (unlimited
+    depth); callers append their own rank cutoff.  Mirrors the engine's
+    df-first structure: df comes from a distinct-(doc, term) pre-pass
+    and the optional ``max_df_fraction`` guard drops common terms before
+    the postings aggregation — the oracle stays equivalent at ANY cap
+    because both sides evaluate the identical ``df <= fraction · N``
+    predicate on the same integers."""
+    kept = (
+        "SELECT d.term FROM dfs d CROSS JOIN stats s "
+        f"WHERE d.df <= {max_df_fraction!r} * s.n_docs"
+        if max_df_fraction is not None
+        else "SELECT term FROM dfs"
+    )
+    return f"""
+q(query_id, term) AS (VALUES {query_terms_values}),
 lens AS (
   SELECT doc_id, len({DD_TOKENS.format(t="text")})::BIGINT AS dl
   FROM documents
 ),
 stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM lens),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (
+    SELECT doc_id, unnest({DD_TOKENS.format(t="text")}) AS term
+    FROM documents
+  ) p
+  WHERE p.term IN (SELECT DISTINCT term FROM q)
+  GROUP BY term
+),
+kept AS ({kept}),
 posts AS (
   SELECT l.doc_id, l.dl, p.term, count(*)::BIGINT AS tf
   FROM (
@@ -556,10 +610,9 @@ posts AS (
     FROM documents
   ) p
   JOIN lens l USING (doc_id)
-  WHERE p.term IN (SELECT DISTINCT term FROM q)
+  WHERE p.term IN (SELECT term FROM kept)
   GROUP BY l.doc_id, l.dl, p.term
 ),
-dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM posts GROUP BY term),
 scored AS (
   SELECT q.query_id, p.doc_id,
          round(sum(
@@ -582,10 +635,44 @@ ranked AS (
 )
 """
 
+_DD_BM25_RANKED = _dd_bm25_ranked()
+
 BM25_TOPK_ORACLE = f"""
 WITH {_DD_BM25_RANKED}
 SELECT query_id, doc_id, "rank", bm25 FROM ranked WHERE "rank" <= 10
 """
+
+# Fixture for the df-capped (stopword-pruned) BM25 variant: the synthetic
+# corpus has exactly one rare term ('dup', df ≈ 0.05·N — TESTDATA.md) and
+# ~30 stopword-common terms (df ≈ 0.78·N), so a 0.5 cap drops every
+# common term and ranks on the discriminative one — the guard's intended
+# behavior, graded end-to-end.
+BM25_MAX_DF_FRACTION = 0.5
+CAPPED_QUERY_TERMS_FIXTURE: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("dup", "join")),
+    (1, ("dup", "the", "scan")),
+)
+
+_DD_CAPPED_QUERY_TERMS = ", ".join(
+    f"({qid}, '{t}')"
+    for qid, terms in CAPPED_QUERY_TERMS_FIXTURE
+    for t in terms
+)
+
+BM25_TOPK_CAPPED_ORACLE = f"""
+WITH {_dd_bm25_ranked(_DD_CAPPED_QUERY_TERMS, BM25_MAX_DF_FRACTION)}
+SELECT query_id, doc_id, "rank", bm25 FROM ranked WHERE "rank" <= 10
+"""
+
+
+def make_capped_term_queries(spark: SparkSession) -> DataFrame:
+    """The capped-BM25 fixture as an exploded (query_id, term) frame."""
+    rows = [
+        (qid, t)
+        for qid, terms in CAPPED_QUERY_TERMS_FIXTURE
+        for t in terms
+    ]
+    return spark.createDataFrame(rows, "query_id long, term string")
 
 # DuckDB float64 squared-L2 (the registry's _DD_L2SQ twin, inlined here to
 # keep module dependencies acyclic — registry imports operators).
