@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     # r8 third wave: SQ4 serving rung and multi-vector retrieval
     "ann_ivf_sq4",
     "knn_maxsim",
+    # r9: staged BQ→SQ8→float serving and the df-capped BM25 guard
+    "ann_ivf_cascade",
+    "doc_bm25_topk_capped",
 ]
 
 

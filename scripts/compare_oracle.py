@@ -5,7 +5,11 @@ For every query in ``__spark_entry__.queries()``: run the Spark plan and the
 DuckDB oracle at the given sf, compare row count, column names/order
 (sorted), and values (order-insensitive).  Exit non-zero on any mismatch.
 
-Usage: python scripts/compare_oracle.py [sf_dir] [query ...]
+Usage: python scripts/compare_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json OUT.json`` additionally writes a per-query result artifact
+(the committed ORACLE_SWEEP_r{N}.json — makes the full registry
+auditable without a re-run).
 """
 
 from __future__ import annotations
@@ -39,8 +43,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
     from vector_search_engine_spark.session import get_spark
@@ -59,10 +70,22 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir).toPandas()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # keep sweeping; the artifact records it
+            failures.append((name, f"ERROR {e}"))
+            print(f"  {name}: ERROR — {e}")
+            report[name] = {"mode": "error", "err": str(e)[:500]}
+            continue
         spark_s = time.time() - t0
         if name not in oracles:
             print(f"  {name}: rows-only check — {len(sdf)} rows ({spark_s:.1f}s)")
+            report[name] = {
+                "mode": "rows_only",
+                "spark_rows": len(sdf),
+                "ok": len(sdf) > 0,
+                "spark_sec": round(spark_s, 2),
+            }
             if len(sdf) == 0:
                 failures.append((name, "zero rows (rows-only query)"))
             continue
@@ -84,11 +107,34 @@ def main() -> int:
                 neq = (a.values != b.values).any(axis=1)
                 print(a[neq].head(3))
                 print(b[neq].head(3))
+        report[name] = {
+            "mode": "oracle",
+            "spark_rows": len(a),
+            "oracle_rows": len(b),
+            "ok": not status,
+            "spark_sec": round(spark_s, 2),
+            **({"err": "; ".join(status)} if status else {}),
+        }
         if status:
             failures.append((name, "; ".join(status)))
             print(f"  {name}: FAIL — {'; '.join(status)}")
         else:
             print(f"  {name}: OK ({len(a)} rows, spark {spark_s:.1f}s)")
+
+    if json_out:
+        import json as _json
+
+        n_ok = sum(1 for r in report.values() if r.get("ok"))
+        artifact = {
+            "sf_dir": sf_dir,
+            "n_queries": len(report),
+            "n_ok": n_ok,
+            "n_fail": len(report) - n_ok,
+            "queries": report,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}: {n_ok}/{len(report)} ok")
 
     print()
     if failures:

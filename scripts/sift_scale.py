@@ -387,6 +387,129 @@ def main() -> None:
                   f"{bq_res[f'c_{cpc}']['search_plus_recall_sec']}s",
                   file=sys.stderr)
         results["bq"] = bq_res
+
+        # SQ4 rung (r9): nibble codes = 8× fewer candidate-scan bytes;
+        # the span/30 bound is lossless, so recall MUST equal the float
+        # probe at the same nprobe — asserted; the measured quantity is
+        # wall time (bytes saved vs candidates kept by the wider bound).
+        t0 = time.time()
+        sq4_dir = idx.ensure_sq8(bits=4)
+        sq4_res: dict = {
+            "sidecar_build_sec": round(time.time() - t0, 2),
+            "codes_bytes": sum(
+                os.path.getsize(os.path.join(r, fn))
+                for r, _, fns in os.walk(sq4_dir)
+                for fn in fns
+            ),
+            "nprobe": np_pq,
+        }
+        t0 = time.time()
+        sq4_search = idx.search_sq8(queries, k=K, nprobe=np_pq, bits=4)
+        sq4_rec = knn_ops.recall_at_k(sq4_search, gt, K).collect()[0]
+        sq4_res["search_plus_recall_sec"] = round(time.time() - t0, 2)
+        sq4_res["recall_at_10"] = float(sq4_rec["recall_at_k"])
+        assert abs(sq4_res["recall_at_10"] - float_rec["recall_at_10"]) < 1e-9, (
+            "SQ4 bound cut must match the float probe exactly"
+        )
+        results["sq4"] = sq4_res
+        print(f"sq4: recall {sq4_res['recall_at_10']:.4f} in "
+              f"{sq4_res['search_plus_recall_sec']}s", file=sys.stderr)
+
+        # Prefix-cut rung (r9): lossless prefix-L2 bound — recall equals
+        # the float probe by construction (asserted); the scale-relevant
+        # unknown is the SURVIVOR FRACTION, estimated driver-side on a
+        # 50k sample (the synthetic SIFT corpus is spectrally flat — the
+        # tier's unfavorable regime; SCALING.md carries the decaying-
+        # spectrum counterpart from the 100k stress harness).
+        pfx_dims = 16
+        t0 = time.time()
+        pfx_search = idx.search_prefix(
+            queries, k=K, nprobe=np_pq, prefix_dims=pfx_dims
+        )
+        pfx_rec = knn_ops.recall_at_k(pfx_search, gt, K).collect()[0]
+        pfx_res: dict = {
+            "prefix_dims": pfx_dims,
+            "nprobe": np_pq,
+            "search_plus_recall_sec": round(time.time() - t0, 2),
+            "recall_at_10": float(pfx_rec["recall_at_k"]),
+        }
+        assert abs(pfx_res["recall_at_10"] - float_rec["recall_at_10"]) < 1e-9, (
+            "prefix bound cut must match the float probe exactly"
+        )
+        samp = np.stack(
+            [
+                r[0]
+                for r in vecs.select(idx.meta["vec_col"])
+                .sample(50_000 / max(n, 1), seed=3)
+                .limit(50_000)
+                .collect()
+            ]
+        ).astype(np.float64)
+        fracs = []
+        for i in range(20):
+            q64 = Q[i].astype(np.float64)
+            dp = ((samp[:, :pfx_dims] - q64[None, :pfx_dims]) ** 2).sum(axis=1)
+            dfull = ((samp - q64[None, :]) ** 2).sum(axis=1)
+            kth_full = np.partition(dfull, K - 1)[K - 1]
+            fracs.append(float((dp <= kth_full).mean()))
+        pfx_res["survivor_fraction_sampled"] = round(float(np.mean(fracs)), 4)
+        results["prefix"] = pfx_res
+        print(f"prefix d'={pfx_dims}: survivor frac "
+              f"{pfx_res['survivor_fraction_sampled']} in "
+              f"{pfx_res['search_plus_recall_sec']}s", file=sys.stderr)
+
+        # OPQ-vs-PQ rung (r9): the rotation only matters in top-C ADC
+        # mode (the lossless bound mode is exact either way), so the
+        # delta is measured there at the same candidate budgets.
+        t0 = time.time()
+        idx.ensure_pq(m=pq_m, opq=True)
+        opq_res: dict = {
+            "m": pq_m,
+            "sidecar_build_sec": round(time.time() - t0, 2),
+            "nprobe": np_pq,
+        }
+        for cpp in (4 * K, 16 * K):
+            t0 = time.time()
+            topc = idx.search_pq(
+                queries, k=K, nprobe=np_pq, m=pq_m,
+                candidates_per_partition=cpp, opq=True,
+            )
+            topc_rec = knn_ops.recall_at_k(topc, gt, K).collect()[0]
+            opq_res[f"topc_{cpp}"] = {
+                "search_plus_recall_sec": round(time.time() - t0, 2),
+                "recall_at_10": float(topc_rec["recall_at_k"]),
+                "recall_delta_vs_pq": round(
+                    float(topc_rec["recall_at_k"])
+                    - pq_res[f"topc_{cpp}"]["recall_at_10"],
+                    4,
+                ),
+            }
+            print(f"opq top-C={cpp}: recall "
+                  f"{opq_res[f'topc_{cpp}']['recall_at_10']:.4f} "
+                  f"(delta {opq_res[f'topc_{cpp}']['recall_delta_vs_pq']:+}) "
+                  f"in {opq_res[f'topc_{cpp}']['search_plus_recall_sec']}s",
+                  file=sys.stderr)
+        results["opq"] = opq_res
+
+        # Cascade rung (r9): BQ candidates → SQ8 bound cut → float
+        # rescore, vs the single-tier modes at the same nprobe/budget.
+        idx.ensure_sq8(bits=8)
+        casc_res: dict = {"nprobe": np_pq}
+        for cpc in (4 * K, 16 * K):
+            t0 = time.time()
+            casc = idx.search_cascade(
+                queries, k=K, nprobe=np_pq, candidates_per_cell=cpc
+            )
+            casc_rec = knn_ops.recall_at_k(casc, gt, K).collect()[0]
+            casc_res[f"c_{cpc}"] = {
+                "search_plus_recall_sec": round(time.time() - t0, 2),
+                "recall_at_10": float(casc_rec["recall_at_k"]),
+            }
+            print(f"cascade C={cpc}: recall "
+                  f"{casc_res[f'c_{cpc}']['recall_at_10']:.4f} in "
+                  f"{casc_res[f'c_{cpc}']['search_plus_recall_sec']}s",
+                  file=sys.stderr)
+        results["cascade"] = casc_res
         gt.unpersist()
 
         # M4/M5 analog beyond sf0.1: ingest-while-searching at SIFT shape
