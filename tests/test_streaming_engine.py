@@ -432,6 +432,13 @@ def test_merged_search_pq_tier_equals_exact(spark, embeddings, engine):
     assert fl == sq
     s4 = _sorted(engine.search(q, k=10, nprobe=np_full, tier="sq4"))
     assert fl == s4
+    casc = _sorted(
+        engine.search(
+            q, k=10, nprobe=np_full, tier="cascade",
+            candidates_per_cell=10**9,
+        )
+    )
+    assert fl == casc
     with pytest.raises(ValueError, match="tier"):
         engine.search(q, k=10, tier="sq2")
 

@@ -1898,6 +1898,30 @@ def streaming_merged_search_sq4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_merged_search_cascade", oracle=ORACLES["knn_exact_l2"])
+def streaming_merged_search_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged-search contract served through the staged cascade
+    tier (BQ candidates → lossless SQ8 bound cut → exact float rescore,
+    ivf.search_cascade): full probe + an unbounded stage-1 cut make the
+    indexed side hash-identical to the float tier, so the same exact
+    oracle applies — the deepest composition of the serving ladder with
+    the Q4 delta/tombstone semantics."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    return eng.search(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        tier="cascade",
+        candidates_per_cell=10**9,
+    )
+
+
 _UPSERT_ORACLE = """
 WITH cur AS (
   SELECT vec_id,

@@ -286,7 +286,7 @@ class VectorEngine:
 
     def search(
         self, queries: DataFrame, k: int = 10, nprobe: int = 4,
-        tier: str = "float",
+        tier: str = "float", candidates_per_cell: int | None = None,
     ) -> DataFrame:
         """Merged search (reference Q4): ANN over the indexed table with
         shadowed ids excluded + exact scan of the delta, one global top-k.
@@ -295,13 +295,16 @@ class VectorEngine:
         (default), ``"sq8"`` (int8 codes, ~4× fewer scan bytes), ``"sq4"``
         (nibble-packed 16-level codes, ~8× fewer), ``"pq"``
         (IVFADC byte codes, ~32× fewer), ``"bq"`` (packed sign bits, 32×
-        fewer), or ``"prefix"`` (full bytes, ~d/d′× fewer FLOPs via the
-        lossless prefix-dimension cut).  SQ8/SQ4/PQ/prefix run lossless
+        fewer), ``"prefix"`` (full bytes, ~d/d′× fewer FLOPs via the
+        lossless prefix-dimension cut), or ``"cascade"`` (staged BQ →
+        SQ8 → float — ivf.search_cascade).  SQ8/SQ4/PQ/prefix run lossless
         cuts + exact re-score — same results as the float tier; BQ's top-C
         cut has no lossless bound (recall measured, tests/test_bq.py)
         though returned distances are always exact.  The delta side
         always scans exact floats, deltas are small."""
-        if tier not in ("float", "sq8", "sq4", "pq", "bq", "prefix"):
+        if tier not in (
+            "float", "sq8", "sq4", "pq", "bq", "prefix", "cascade",
+        ):
             raise ValueError(f"unknown search tier {tier!r}")
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
@@ -332,6 +335,7 @@ class VectorEngine:
                 k=k,
                 nprobe=nprobe,
                 exclude_ids=delta_latest.select(id_col),
+                candidates_per_cell=candidates_per_cell,
             )
         elif tier == "prefix":
             indexed_part = self.index.search_prefix(
@@ -339,6 +343,17 @@ class VectorEngine:
                 k=k,
                 nprobe=nprobe,
                 exclude_ids=delta_latest.select(id_col),
+            )
+        elif tier == "cascade":
+            # staged BQ→SQ8→float serving inside the merged contract:
+            # exact at full probe with an unbounded stage-1 cut, like the
+            # standalone tier (ivf.search_cascade)
+            indexed_part = self.index.search_cascade(
+                queries,
+                k=k,
+                nprobe=nprobe,
+                exclude_ids=delta_latest.select(id_col),
+                candidates_per_cell=candidates_per_cell,
             )
         else:
             indexed_part = self.index.search(
