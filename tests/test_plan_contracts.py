@@ -61,6 +61,9 @@ AUDIT = [
     "knn_maxsim",
     "ann_ivf_sq4",
     "ann_ivf_filtered_auto",
+    # r9
+    "ann_ivf_cascade",
+    "doc_bm25_topk_capped",
 ]
 
 
@@ -187,6 +190,28 @@ def test_maxsim_broadcasts_query_map(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cascade_stage2_broadcasts_candidates(spark, sf_dir):
+    """The cascade's SQ8 stage must join the stage-1 candidate list into
+    the (partition-pruned) code scan by BROADCAST — a shuffle join there
+    would co-partition the whole int8 sidecar against a per-query
+    candidate handful, defeating the staged-bytes design."""
+    plan = _executed_plan(registry.QUERIES["ann_ivf_cascade"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "code-side shuffle join crept in"
+    assert plan.count("MapInPandas") >= 2  # both cut stages are Arrow UDFs
+
+
+def test_bm25_capped_guard_stays_broadcast(spark, sf_dir):
+    """The df-capped BM25 keeps the same broadcast discipline as the
+    uncapped plan: the kept-term set (df guard) and stats sides must
+    broadcast into the postings scan, never shuffle it."""
+    plan = _executed_plan(
+        registry.QUERIES["doc_bm25_topk_capped"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "posting-side shuffle join crept in"
 
 
 def test_filtered_auto_prefilter_scans_survivors_only(spark, sf_dir):
