@@ -2345,6 +2345,27 @@ def ann_ivf_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_cascade_filtered", oracle=ORACLES["knn_filtered"])
+def ann_ivf_cascade_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered × cascade cell of the capability matrix: the metadata
+    predicate applies BEFORE the stage-1 sign-code cut (column-pruned
+    semi-join, same discipline as the other filtered tiers) and the
+    SQ8 stage's lossless bound therefore ranks only qualified
+    candidates; graded at full probe with an unbounded stage-1 cut,
+    hash-identical to the exact filtered oracle."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    index = ivf_mod.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_cascade(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        candidates_per_cell=10**9,
+        predicate=F.col("label") < 5,
+    )
+
+
 @register("knn_bq_rescore")  # 1-bit codes: recall is measured, not bounded — rows-only
 def knn_bq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantization tier: packed sign-bit scan (32× fewer scan
