@@ -1589,11 +1589,18 @@ class IVFIndex:
            (same pruned partitions) for exact distances; global
            ``(dist, id)`` top-k.
 
-        Bytes touched ≈ probed/32 + |cand|·dim + |survivors|·4·dim — at
-        100 TB the float table is only read for the final handful of
-        rows per query.  Exact at full probe with an unbounded stage-1
-        cut BY CONSTRUCTION: stage 1 then keeps everything and stage 2's
-        cut is lossless, so the output is hash-identical to ``search()``
+        Cost accounting (honest): scan bytes are probed/32 (BQ) +
+        probed/4 (the int8 scan — the broadcast candidate join prunes
+        the KERNEL input, not the parquet scan) + |survivors|·4·dim
+        floats.  So vs single-tier SQ8 the cascade trades +probed/32
+        scan bytes for candidate-only dequantization (FLOPs ∝ |cand|,
+        not probed) and a smaller float-rescore set (BQ-topC ∩
+        SQ8-bound); vs single-tier BQ it adds the lossless middle
+        refinement that slashes exact-rescore reads.  At 100 TB the
+        float table is only read for the final handful of rows per
+        query.  Exact at full probe with an unbounded stage-1 cut BY
+        CONSTRUCTION: stage 1 then keeps everything and stage 2's cut
+        is lossless, so the output is hash-identical to ``search()``
         (the graded configuration); the finite-C serving shape's recall
         is measured on SIFT1M (scripts/sift_scale.py ``cascade`` rung).
 
