@@ -2729,6 +2729,11 @@ _GRADE_FIRST: list[str] = [
     # doc_unigram_stats rotated to the tail for doc_bm25_topk_capped,
     # which grades the same hashed-postings-agg shape plus the df guard)
     "doc_quality_filter",
+    # r10 rotation candidates (oracle-backed, never driver-graded, added
+    # late in r9): streaming_merged_search_cascade and
+    # ann_ivf_cascade_filtered — both compose the cascade tier that
+    # ann_ivf_cascade (in-window r9) gates; rotate them in once the
+    # plain form carries a green driver row.
 ]
 
 
