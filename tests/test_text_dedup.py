@@ -41,6 +41,38 @@ def test_doc_stats_against_python(documents):
             )
 
 
+def test_incremental_dedup_signature_table_path(spark, documents):
+    """The seen side may be a pre-hashed signature table (text_md5
+    column only — the artifact a rolling pipeline keeps); results must
+    be identical to hashing the seen corpus's text directly, and keep
+    semantics must match a full exact_dedup of the union."""
+    batch = documents.filter(F.col("doc_id") % 3 == 0)
+    seen = documents.filter(F.col("doc_id") % 3 != 0)
+    from_text = dedup_ops.incremental_dedup(batch, seen)
+    sigs = dedup_ops.exact_dedup(seen).select("text_md5").distinct()
+    from_sigs = dedup_ops.incremental_dedup(batch, sigs)
+    assert sorted(map(tuple, from_text.collect())) == sorted(
+        map(tuple, from_sigs.collect())
+    )
+    # cross-check keep against full-corpus exact dedup: a batch doc is
+    # kept iff it is its hash group's canonical doc in the UNION (seen
+    # ids are all != 0 mod 3; canonical = min doc_id — but seen docs
+    # always outrank batch docs here only when their id is smaller, so
+    # compare via group membership instead: kept <=> no seen doc shares
+    # the hash AND it's the batch's min for that hash)
+    full = dedup_ops.exact_dedup(documents).collect()
+    by_hash: dict[str, list[int]] = {}
+    for r in full:
+        by_hash.setdefault(r.text_md5, []).append(r.doc_id)
+    for r in from_text.collect():
+        ids = by_hash[r.text_md5]
+        seen_ids = [i for i in ids if i % 3 != 0]
+        batch_ids = [i for i in ids if i % 3 == 0]
+        assert r.seen_before == bool(seen_ids)
+        assert r.first_in_batch == (r.doc_id == min(batch_ids))
+        assert r.keep == (not seen_ids and r.doc_id == min(batch_ids))
+
+
 def test_jaccard_pairs_against_python(documents):
     docs = {r.doc_id: r for r in documents.collect()}
     got = {

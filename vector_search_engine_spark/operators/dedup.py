@@ -67,6 +67,74 @@ FROM h
 """
 
 
+def incremental_dedup(new_docs: DataFrame, seen: DataFrame) -> DataFrame:
+    """Exact dedup of an ARRIVING batch against the already-ingested
+    corpus — the shape a continuously-fed training pipeline actually
+    runs (full-corpus re-dedup per batch is O(N) per arrival; this is
+    O(batch)).  A new doc is kept iff its normalized-text hash appears
+    neither in the seen corpus nor earlier in its own batch (earlier =
+    lower doc_id, the same canonical rule ``exact_dedup`` uses).
+
+    ``seen`` may be the full seen corpus (its text is hashed here) or an
+    already-hashed signature table with a ``text_md5`` column — at
+    100 TB the rolling signature table IS the artifact you keep (16-byte
+    digest per doc, not text), and this join reads only that column.
+
+    Plan: one hash-distinct on the seen signatures, one hash left-join
+    (batch ⋈ signatures), one window over the batch's own hashes — text
+    bytes never shuffle; everything keys on the 128-bit digest.
+
+    Returns ``(doc_id, text_md5, seen_before, first_in_batch, keep)``
+    for the batch, ``keep = NOT seen_before AND first_in_batch``."""
+    h = F.md5(normalized(F.col("text")))
+    seen_sig = (
+        seen.select(F.col("text_md5"))
+        if "text_md5" in seen.columns
+        else seen.select(h.alias("text_md5"))
+    ).distinct()
+    batch = new_docs.select("doc_id", h.alias("text_md5"))
+    w = Window.partitionBy("text_md5")
+    return (
+        batch.join(
+            seen_sig.withColumn("_seen", F.lit(True)), "text_md5", "left"
+        )
+        .withColumn("_first", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "text_md5",
+            F.coalesce(F.col("_seen"), F.lit(False)).alias("seen_before"),
+            (F.col("doc_id") == F.col("_first")).alias("first_in_batch"),
+            (
+                F.coalesce(~F.col("_seen"), F.lit(True))
+                & (F.col("doc_id") == F.col("_first"))
+            ).alias("keep"),
+        )
+    )
+
+
+# The registry splits the fixture corpus by doc_id % 3: two thirds play
+# the seen corpus, one third the arriving batch — deterministic at any
+# SF, no data-dependent constants to mirror.
+INCREMENTAL_DEDUP_ORACLE = f"""
+WITH seen_sig AS (
+  SELECT DISTINCT md5({DD_NORMALIZED.format(t="text")}) AS text_md5
+  FROM documents WHERE doc_id % 3 != 0
+),
+batch AS (
+  SELECT doc_id, md5({DD_NORMALIZED.format(t="text")}) AS text_md5
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT b.doc_id, b.text_md5,
+       (s.text_md5 IS NOT NULL) AS seen_before,
+       b.doc_id = min(b.doc_id) OVER (PARTITION BY b.text_md5)
+         AS first_in_batch,
+       (s.text_md5 IS NULL)
+         AND b.doc_id = min(b.doc_id) OVER (PARTITION BY b.text_md5)
+         AS keep
+FROM batch b LEFT JOIN seen_sig s USING (text_md5)
+"""
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard (exact, length-blocked)
 # ---------------------------------------------------------------------------

@@ -1577,6 +1577,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_incremental", oracle=dedup_ops.INCREMENTAL_DEDUP_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arriving-batch exact dedup against the seen corpus's signature
+    table (doc_id % 3 splits seen/batch): the O(batch)-per-arrival shape
+    a continuously-fed pipeline runs instead of full re-dedups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.incremental_dedup(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+    )
+
+
 @register("dedup_ngram_jaccard", oracle=dedup_ops.NGRAM_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (length-blocked)."""
