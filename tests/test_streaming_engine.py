@@ -601,3 +601,102 @@ def test_merged_search_prefix_tier_equals_float(spark, embeddings, engine):
     got = _sorted(engine.search(q, k=10, nprobe=nc, tier="prefix"))
     assert got == want
     assert all(r[1] not in (3, 4) for r in got)
+
+
+# -- metadata-carrying engine (filtered × streaming) -------------------------
+
+
+@pytest.fixture()
+def meta_engine(spark, embeddings, tmp_path):
+    base = embeddings.filter(F.col("vec_id") < 400)
+    return VectorEngine.create(
+        base, str(tmp_path / "meta_engine"), n_centroids=8,
+        extra_cols=("label",),
+    )
+
+
+def test_filtered_merged_search_equals_exact(spark, embeddings, meta_engine):
+    """Filtered merged search at full probe equals exact filtered kNN
+    over the logical union — deltas carry the metadata column."""
+    meta_engine.insert(embeddings.filter(F.col("vec_id") >= 400))
+    q = knn_ops.make_queries(embeddings, n=10)
+    got = meta_engine.search(
+        q, k=10, nprobe=meta_engine.index.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+    )
+    want = knn_ops.knn_exact(embeddings.filter(F.col("label") < 5), q, k=10)
+    assert _sorted(got) == _sorted(want)
+
+
+def test_filtered_search_sees_latest_metadata(spark, embeddings, meta_engine):
+    """An upsert that changes a row's metadata OUT of the predicate takes
+    effect immediately: the shadowed indexed version (which qualified)
+    must not resurface."""
+    meta_engine.insert(embeddings.filter(F.col("vec_id") >= 400))
+    # move every label-3 doc's latest version out of the predicate
+    relabeled = embeddings.filter(F.col("label") == 3).withColumn(
+        "label", F.lit(99)
+    )
+    meta_engine.insert(relabeled)
+    q = knn_ops.make_queries(embeddings, n=10)
+    got = meta_engine.search(
+        q, k=10, nprobe=meta_engine.index.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+    )
+    want = knn_ops.knn_exact(
+        embeddings.filter((F.col("label") < 5) & (F.col("label") != 3)),
+        q, k=10,
+    )
+    assert _sorted(got) == _sorted(want)
+
+
+def test_filtered_search_survives_delete_and_compact(
+    spark, embeddings, meta_engine
+):
+    """Tombstones carry typed NULL extras (one delta schema) and
+    compaction folds the metadata into the indexed cells: the filtered
+    result is identical before and after compact()."""
+    meta_engine.insert(embeddings.filter(F.col("vec_id") >= 400))
+    meta_engine.delete([0, 7, 450])
+    q = knn_ops.make_queries(embeddings, n=10)
+    pred = F.col("label") < 5
+    np_full = meta_engine.index.meta["n_centroids"]
+    before = _sorted(
+        meta_engine.search(q, k=10, nprobe=np_full, predicate=pred)
+    )
+    meta_engine.compact()
+    after = _sorted(
+        meta_engine.search(q, k=10, nprobe=np_full, predicate=pred)
+    )
+    assert before == after
+    want = knn_ops.knn_exact(
+        embeddings.filter(pred).filter(~F.col("vec_id").isin([0, 7, 450])),
+        q, k=10,
+    )
+    assert after == _sorted(want)
+
+
+def test_filtered_merged_search_through_tiers(spark, embeddings, meta_engine):
+    """The predicate composes with every serving tier at full probe."""
+    meta_engine.insert(embeddings.filter(F.col("vec_id") >= 400))
+    q = knn_ops.make_queries(embeddings, n=5)
+    pred = F.col("label") < 5
+    np_full = meta_engine.index.meta["n_centroids"]
+    want = _sorted(
+        knn_ops.knn_exact(embeddings.filter(pred), q.filter(F.col("qid") < 5), k=10)
+    )
+    q5 = knn_ops.make_queries(embeddings, n=5)
+    for tier, kw in (
+        ("float", {}),
+        ("sq8", {}),
+        ("sq4", {}),
+        ("pq", {}),
+        ("prefix", {}),
+        ("cascade", {"candidates_per_cell": 10**9}),
+    ):
+        got = _sorted(
+            meta_engine.search(
+                q5, k=10, nprobe=np_full, tier=tier, predicate=pred, **kw
+            )
+        )
+        assert got == want, tier

@@ -588,6 +588,7 @@ class IVFIndex:
         exclude_ids: list[int] | None = None,
         predicate=None,
         snapshot: int | str | dict | None = None,
+        round_output: bool = True,
     ) -> DataFrame:
         """ANN top-k: probe nprobe partitions per query, exact scan within
         (reference Q3: greedy descent + level-0 beam, ``hnsw_index.h:223-262``).
@@ -690,7 +691,7 @@ class IVFIndex:
         cand_topk = cand.mapInPandas(
             local_topk, schema="qid long, neighbor_id long, dist double"
         )
-        return _finalize_topk(cand_topk, k, "l2_sq")
+        return _finalize_topk(cand_topk, k, "l2_sq", round_output)
 
     def search_filtered(
         self,
@@ -871,6 +872,7 @@ class IVFIndex:
         exclude_ids=None,
         predicate=None,
         snapshot: int | str | None = None,
+        round_output: bool = True,
     ) -> DataFrame:
         """Probed search through the prefix-dimension lossless bound cut
         (``knn.knn_prefix_rescore``'s kernel inside the probed cells):
@@ -973,7 +975,7 @@ class IVFIndex:
         cand_topk = cand.mapInPandas(
             local_topk, schema="qid long, neighbor_id long, dist double"
         )
-        return _finalize_topk(cand_topk, k, "l2_sq")
+        return _finalize_topk(cand_topk, k, "l2_sq", round_output)
 
     def search_distributed(
         self,
@@ -1235,6 +1237,7 @@ class IVFIndex:
         exclude_ids: DataFrame | None = None,
         snapshot: int | str | None = None,
         bits: int = 8,
+        round_output: bool = True,
     ) -> DataFrame:
         """Two-stage probed search: quantized scan of the probed cells'
         int8 sidecar + exact float re-score of the survivors — composes the
@@ -1379,7 +1382,7 @@ class IVFIndex:
                 l2_sq(F.col(vec_col), F.col(qvec_col)).alias("dist"),
             )
         )
-        return _finalize_topk(rescored, k, "l2_sq")
+        return _finalize_topk(rescored, k, "l2_sq", round_output)
 
     def ensure_bq(self, snapshot: dict | None = None) -> str:
         """Write (once) the binary-quantization sidecar: packed sign-bit
@@ -1441,6 +1444,7 @@ class IVFIndex:
         predicate=None,
         exclude_ids: DataFrame | None = None,
         snapshot: int | str | None = None,
+        round_output: bool = True,
     ) -> DataFrame:
         """Probed search through the 1-bit sidecar: the extreme point of
         the quantization ladder (float → SQ8 4× → PQ ~m/4d → BQ 32×).
@@ -1557,7 +1561,7 @@ class IVFIndex:
                 l2_sq(F.col(vec_col), F.col(qvec_col)).alias("dist"),
             )
         )
-        return _finalize_topk(rescored, k, "l2_sq")
+        return _finalize_topk(rescored, k, "l2_sq", round_output)
 
     def search_cascade(
         self,
@@ -1570,6 +1574,7 @@ class IVFIndex:
         predicate=None,
         exclude_ids: DataFrame | None = None,
         snapshot: int | str | None = None,
+        round_output: bool = True,
     ) -> DataFrame:
         """Staged serving through the whole compression ladder — the
         standard two-refinement ANN serving shape (coarse bits → finer
@@ -1767,7 +1772,7 @@ class IVFIndex:
                 l2_sq(F.col(vec_col), F.col(qvec_col)).alias("dist"),
             )
         )
-        return _finalize_topk(rescored, k, "l2_sq")
+        return _finalize_topk(rescored, k, "l2_sq", round_output)
 
     def _sidecar_gen(self, snapshot: dict | None) -> str:
         """Generation tag for a derived-code sidecar dir.
@@ -1936,6 +1941,7 @@ class IVFIndex:
         predicate=None,
         snapshot: int | str | None = None,
         opq: bool = False,
+        round_output: bool = True,
     ) -> DataFrame:
         """Probed search over the PQ sidecar: ADC byte-code scan of the
         probed cells with the triangle-inequality bound cut (provably a
@@ -2074,7 +2080,7 @@ class IVFIndex:
                 l2_sq(F.col(vec_col), F.col(qvec_col)).alias("dist"),
             )
         )
-        return _finalize_topk(rescored, k, "l2_sq")
+        return _finalize_topk(rescored, k, "l2_sq", round_output)
 
     def radius_search(
         self,

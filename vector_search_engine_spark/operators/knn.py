@@ -105,9 +105,23 @@ def _rank_window(metric: str) -> Window:
     )
 
 
-def _finalize_topk(candidates: DataFrame, k: int, metric: str) -> DataFrame:
-    """Global merge: rank per query, keep k, round the distance for output."""
+def _finalize_topk(
+    candidates: DataFrame, k: int, metric: str, round_output: bool = True
+) -> DataFrame:
+    """Global merge: rank per query, keep k, round the distance for output.
+
+    ``round_output=False`` keeps the raw float64 distance — for INTERNAL
+    composition only (e.g. the merged search unions per-source top-k
+    lists and re-ranks globally: ranking on rounded values would let a
+    4-decimal tie between sources be broken by id instead of by the true
+    distance, diverging from the exact oracle).  Every user-facing
+    result rounds exactly once, at the final finalize."""
     out_name = "dist_sq" if metric == "l2_sq" else "sim"
+    out = (
+        F.round(F.col("dist"), DIST_DECIMALS)
+        if round_output
+        else F.col("dist").cast("double")
+    )
     return (
         candidates.withColumn("rank", F.row_number().over(_rank_window(metric)))
         .filter(F.col("rank") <= k)
@@ -115,7 +129,7 @@ def _finalize_topk(candidates: DataFrame, k: int, metric: str) -> DataFrame:
             "qid",
             "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
-            F.round(F.col("dist"), DIST_DECIMALS).alias(out_name),
+            out.alias(out_name),
         )
     )
 
@@ -128,6 +142,7 @@ def knn_exact(
     method: str = "pandas",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_output: bool = True,
 ) -> DataFrame:
     """Exact top-k neighbors for every query.
 
@@ -155,7 +170,7 @@ def knn_exact(
         cand = vectors.join(F.broadcast(queries)).select(
             "qid", F.col(id_col).alias("neighbor_id"), dist_expr.alias("dist")
         )
-        return _finalize_topk(cand, k, metric)
+        return _finalize_topk(cand, k, metric, round_output)
 
     spark = vectors.sparkSession
     qids, Q = _query_arrays(queries)
@@ -234,7 +249,7 @@ def knn_exact(
     cand = vectors.select(
         F.col(id_col), F.col(vec_col)
     ).mapInPandas(local_topk, schema="qid long, neighbor_id long, dist double")
-    return _finalize_topk(cand, k, metric)
+    return _finalize_topk(cand, k, metric, round_output)
 
 
 def knn_exact_distributed(

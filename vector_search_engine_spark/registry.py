@@ -1910,6 +1910,33 @@ def streaming_merged_search_sq4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_filtered_search", oracle=ORACLES["knn_filtered"])
+def streaming_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered × streaming cell of the capability matrix: the engine's
+    index carries metadata (extra_cols), delta batches ride it along,
+    and the merged search applies the predicate to each row's LATEST
+    version on both sides (indexed pre-ranking filter + delta filter)
+    while id-shadowing stays predicate-independent.  Graded at full
+    probe, hash-identical to exact filtered kNN over the logical
+    union."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400),
+        _fresh_engine_root(),
+        n_centroids=8,
+        extra_cols=("label",),
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    return eng.search(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+    )
+
+
 @register("streaming_merged_search_cascade", oracle=ORACLES["knn_exact_l2"])
 def streaming_merged_search_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merged-search contract served through the staged cascade

@@ -81,6 +81,29 @@ class VectorEngine:
         self.snapshot_retain = snapshot_retain
         # reference S6 metrics sink (bvar LatencyRecorder analog)
         self.recorder = MetricsRecorder()
+        # metadata columns riding beside the vectors (index built with
+        # extra_cols=...): deltas carry them, compaction folds them, and
+        # search(predicate=...) filters on them — the filtered × streaming
+        # cell of the capability matrix
+        self._extra: tuple[str, ...] = tuple(
+            self.index.meta.get("extra_cols", []) or []
+        )
+        self._extra_types: dict[str, str] | None = None
+
+    def _extra_schema(self) -> dict[str, str]:
+        """Spark simpleString type per extra column, read once from the
+        indexed table's schema (delete needs typed NULLs so every delta
+        file carries one consistent schema)."""
+        if self._extra_types is None:
+            if not self._extra:
+                self._extra_types = {}
+            else:
+                fields = {
+                    f.name: f.dataType.simpleString()
+                    for f in self.index.vectors().schema.fields
+                }
+                self._extra_types = {c: fields[c] for c in self._extra}
+        return self._extra_types
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -185,7 +208,11 @@ class VectorEngine:
         (monotone batch number) makes 'latest version of an id' well-defined
         — the reference has no such notion and returns duplicates."""
         t0 = time.time()
-        cols = [self.index.meta["id_col"], self.index.meta["vec_col"]]
+        cols = [
+            self.index.meta["id_col"],
+            self.index.meta["vec_col"],
+            *self._extra,
+        ]
         self._publish_delta_batch(rows.select(*cols), seq)
         self.recorder.record("insert", time.time() - t0)
 
@@ -208,11 +235,13 @@ class VectorEngine:
             ids = self.spark.createDataFrame(
                 [(int(i),) for i in ids], f"{id_col} long"
             )
-        self._publish_delta_batch(
-            ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
-            .withColumn(vec_col, F.lit(None).cast("array<float>")),
-            seq,
-        )
+        tomb = ids.select(
+            F.col(ids.columns[0]).cast("long").alias(id_col)
+        ).withColumn(vec_col, F.lit(None).cast("array<float>"))
+        # typed NULL extras keep every delta file on one schema
+        for c, t in self._extra_schema().items():
+            tomb = tomb.withColumn(c, F.lit(None).cast(t))
+        self._publish_delta_batch(tomb, seq)
         self.recorder.record("delete", time.time() - t0)
 
     def ingest_stream(
@@ -255,8 +284,12 @@ class VectorEngine:
         id_col = self.index.meta["id_col"]
         vec_col = self.index.meta["vec_col"]
         if not seqs:
+            extra_schema = "".join(
+                f", {c} {t}" for c, t in self._extra_schema().items()
+            )
             return self.spark.createDataFrame(
-                [], f"{id_col} long, {vec_col} array<float>, _seq long"
+                [],
+                f"{id_col} long, {vec_col} array<float>{extra_schema}, _seq long",
             )
         # isin on the partition column: logically-dead partitions awaiting
         # GC and seqs appended after the snapshot are pruned, not scanned.
@@ -265,7 +298,12 @@ class VectorEngine:
         return (
             self.spark.read.parquet(self.delta_dir)
             .filter(F.col("_seq").isin(seqs))
-            .select(id_col, vec_col, F.col("_seq").cast("long").alias("_seq"))
+            .select(
+                id_col,
+                vec_col,
+                *self._extra,
+                F.col("_seq").cast("long").alias("_seq"),
+            )
         )
 
     def delta_latest(self, seqs: list[int] | None = None) -> DataFrame:
@@ -279,7 +317,7 @@ class VectorEngine:
             self.delta(seqs)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select(id_col, vec_col)
+            .select(id_col, vec_col, *self._extra)
         )
 
     # -- read path -----------------------------------------------------------
@@ -287,9 +325,19 @@ class VectorEngine:
     def search(
         self, queries: DataFrame, k: int = 10, nprobe: int = 4,
         tier: str = "float", candidates_per_cell: int | None = None,
+        predicate=None,
     ) -> DataFrame:
         """Merged search (reference Q4): ANN over the indexed table with
         shadowed ids excluded + exact scan of the delta, one global top-k.
+
+        ``predicate``: optional metadata Column over the engine's extra
+        columns (index built with ``extra_cols=...``; deltas carry them
+        and compaction folds them) — filtered merged search.  Applied on
+        BOTH sides against each row's LATEST version: the indexed scan
+        filters pre-ranking (each tier's own pre-cut semi-join), the
+        delta scan filters its latest rows, and shadowing still excludes
+        by id alone — so an upsert that changes a row's metadata in or
+        out of the predicate takes effect immediately.
 
         ``tier`` selects the indexed side's candidate scan: ``"float"``
         (default), ``"sq8"`` (int8 codes, ~4× fewer scan bytes), ``"sq4"``
@@ -320,6 +368,8 @@ class VectorEngine:
                 k=k,
                 nprobe=nprobe,
                 exclude_ids=delta_latest.select(id_col),
+                predicate=predicate,
+                round_output=False,
             )
         elif tier in ("sq8", "sq4"):
             indexed_part = self.index.search_sq8(
@@ -328,6 +378,8 @@ class VectorEngine:
                 nprobe=nprobe,
                 exclude_ids=delta_latest.select(id_col),
                 bits=4 if tier == "sq4" else 8,
+                predicate=predicate,
+                round_output=False,
             )
         elif tier == "bq":
             indexed_part = self.index.search_bq(
@@ -336,6 +388,8 @@ class VectorEngine:
                 nprobe=nprobe,
                 exclude_ids=delta_latest.select(id_col),
                 candidates_per_cell=candidates_per_cell,
+                predicate=predicate,
+                round_output=False,
             )
         elif tier == "prefix":
             indexed_part = self.index.search_prefix(
@@ -343,6 +397,8 @@ class VectorEngine:
                 k=k,
                 nprobe=nprobe,
                 exclude_ids=delta_latest.select(id_col),
+                predicate=predicate,
+                round_output=False,
             )
         elif tier == "cascade":
             # staged BQ→SQ8→float serving inside the merged contract:
@@ -354,25 +410,40 @@ class VectorEngine:
                 nprobe=nprobe,
                 exclude_ids=delta_latest.select(id_col),
                 candidates_per_cell=candidates_per_cell,
+                predicate=predicate,
+                round_output=False,
             )
         else:
             indexed_part = self.index.search(
-                queries, k=k, nprobe=nprobe, exclude_ids=delta_latest.select(id_col)
+                queries,
+                k=k,
+                nprobe=nprobe,
+                exclude_ids=delta_latest.select(id_col),
+                predicate=predicate,
+                round_output=False,
             )
         # tombstones (NULL vector = deleted id) stay in delta_latest so
         # their ids keep shadowing the indexed side via the anti-join
         # above, but they carry nothing to scan
+        delta_live = delta_latest.filter(F.col(vec_col).isNotNull())
+        if predicate is not None:
+            delta_live = delta_live.filter(predicate)
         delta_part = knn_exact(
-            delta_latest.filter(F.col(vec_col).isNotNull()),
+            delta_live,
             queries,
             k=k,
             id_col=id_col,
             vec_col=vec_col,
+            round_output=False,
         )
         merged = indexed_part.select("qid", "neighbor_id", F.col("dist_sq")).unionByName(
             delta_part.select("qid", "neighbor_id", F.col("dist_sq"))
         )
-        # ranks were per-source; recompute the global top-k on raw dists
+        # ranks were per-source; recompute the global top-k on RAW float64
+        # dists (both parts pass round_output=False) — ranking on rounded
+        # values would break a 4-decimal tie between sources by id instead
+        # of by the true distance, diverging from the exact oracle.  The
+        # single output rounding happens here.
         return _finalize_topk(
             merged.select("qid", "neighbor_id", F.col("dist_sq").alias("dist")),
             k,
@@ -437,11 +508,16 @@ class VectorEngine:
                 pdf["dist_to_centroid"] = D[np.arange(len(a)), a]
                 yield pdf
 
+        extra_schema = "".join(
+            f", {c} {t}" for c, t in self._extra_schema().items()
+        )
         schema = (
-            f"{id_col} long, {vec_col} array<float>, "
+            f"{id_col} long, {vec_col} array<float>{extra_schema}, "
             "centroid_id int, dist_to_centroid double"
         )
-        return rows.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+        return rows.select(id_col, vec_col, *self._extra).mapInPandas(
+            assign, schema=schema
+        )
 
     def compact(self) -> int:
         """Fold the delta into the partitioned indexed table: rewrite only
@@ -501,10 +577,11 @@ class VectorEngine:
             .distinct()
             .collect()
         )
+        extra = list(self._extra)
         survivors = (
             indexed.filter(F.col("centroid_id").isin(affected))
             .join(delta_id_df, id_col, "left_anti")
-            .select(id_col, vec_col, "dist_to_centroid", "centroid_id")
+            .select(id_col, vec_col, *extra, "dist_to_centroid", "centroid_id")
         )
         new_rows = assigned.filter(F.col("centroid_id").isin(affected))
         # never mutate live files: affected cells land in a NEW generation
@@ -512,7 +589,9 @@ class VectorEngine:
         # keep reading the generation they listed)
         gen = self.index.next_gen()
         survivors.unionByName(
-            new_rows.select(id_col, vec_col, "dist_to_centroid", "centroid_id")
+            new_rows.select(
+                id_col, vec_col, *extra, "dist_to_centroid", "centroid_id"
+            )
         ).repartition("centroid_id").sortWithinPartitions(
             "centroid_id", "dist_to_centroid"
         ).write.mode("overwrite").partitionBy("centroid_id").parquet(
