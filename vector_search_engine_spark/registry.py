@@ -2735,7 +2735,12 @@ _GRADE_FIRST: list[str] = [
     "streaming_merged_search_sq4",
     "streaming_ingest_search",
     "streaming_delete_search",
-    "index_asof_search_pq",
+    # (index_asof_search_pq rotated to the tail late in r9 for
+    # streaming_filtered_search — the metadata-carrying merged search is
+    # this round's new claim; the pq as-of form carries its r8 green and
+    # the never-graded prefix as-of sibling keeps the time-travel family
+    # in-window.)
+    "streaming_filtered_search",
     "index_asof_search_prefix",
     # multi-vector (parent/child) retrieval — r8 third wave
     "ann_ivf_parent_closest",
