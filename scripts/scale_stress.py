@@ -83,6 +83,16 @@ def main() -> None:
     print(f"stress corpus: {n_docs} documents", file=sys.stderr)
 
     timed(results, "exact_dedup", lambda: dedup_ops.exact_dedup(docs).count())
+    # r9: arriving-batch dedup against the seen corpus's signatures —
+    # one hash-distinct + digest-keyed join + batch-local window
+    timed(
+        results,
+        "incremental_dedup",
+        lambda: dedup_ops.incremental_dedup(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            docs.filter(F.col("doc_id") % 3 != 0),
+        ).count(),
+    )
     timed(
         results,
         "minhash_lsh_pairs",
