@@ -359,6 +359,26 @@ def test_cascade_filtered_and_excluded(spark, embeddings, index):
     )
 
 
+@pytest.mark.parametrize("tier", ["sq8", "sq4", "bq", "cascade"])
+def test_cosine_search_through_tiers(spark, sf_dir, embeddings, tier):
+    """The cosine wrapper's candidate stage can run through any serving
+    tier; at full probe (with unbounded top-C for the lossy tiers) the
+    exact-cosine rescore makes every tier agree with the flat cosine
+    path bit-for-bit."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx = ivf_mod.build_or_load(spark, sf_dir, geometry="cosine")
+    q = knn_ops.make_queries(embeddings, n=10)
+    got = ivf_mod.search_cosine(
+        idx, embeddings, q, k=10, nprobe=idx.meta["n_centroids"],
+        tier=tier, candidates_per_cell=10**9,
+    )
+    want = knn_ops.knn_exact(embeddings, q, k=10, metric="cosine")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_search_filtered_auto_caches_survivor_count(spark, embeddings, index):
     """The auto planner memoizes its survivor count per (predicate,
     snapshot generation): repeated auto searches on an unchanged snapshot

@@ -2326,6 +2326,48 @@ def _build_or_construct(
     return inst
 
 
+def _tier_candidates(
+    index: "IVFIndex",
+    queries_tuple,
+    k: int,
+    nprobe: int,
+    predicate,
+    tier: str,
+    candidates_per_cell: int | None,
+) -> DataFrame:
+    """Candidate generation for the metric wrappers below through any of
+    the index's serving tiers.  Every tier is exact-equivalent to the
+    float probe at full probe (lossless cuts, or unbounded top-C for
+    BQ/cascade), so the wrapper's exact metric rescore — and therefore
+    the shared oracle — holds tier-independently."""
+    if tier == "float":
+        return index.search(queries_tuple, k=k, nprobe=nprobe, predicate=predicate)
+    if tier in ("sq8", "sq4"):
+        return index.search_sq8(
+            queries_tuple, k=k, nprobe=nprobe, predicate=predicate,
+            bits=4 if tier == "sq4" else 8,
+        )
+    if tier == "pq":
+        return index.search_pq(
+            queries_tuple, k=k, nprobe=nprobe, predicate=predicate
+        )
+    if tier == "bq":
+        return index.search_bq(
+            queries_tuple, k=k, nprobe=nprobe, predicate=predicate,
+            candidates_per_cell=candidates_per_cell,
+        )
+    if tier == "prefix":
+        return index.search_prefix(
+            queries_tuple, k=k, nprobe=nprobe, predicate=predicate
+        )
+    if tier == "cascade":
+        return index.search_cascade(
+            queries_tuple, k=k, nprobe=nprobe, predicate=predicate,
+            candidates_per_cell=candidates_per_cell,
+        )
+    raise ValueError(f"unknown tier {tier!r}")
+
+
 def search_cosine(
     index: IVFIndex,
     original_vectors: DataFrame,
@@ -2334,6 +2376,8 @@ def search_cosine(
     nprobe: int = 4,
     candidate_margin: int = 10,
     predicate=None,
+    tier: str = "float",
+    candidates_per_cell: int | None = None,
 ) -> DataFrame:
     """Cosine ANN through an L2 index over normalized vectors.
 
@@ -2365,8 +2409,9 @@ def search_cosine(
     norms = np.linalg.norm(Q.astype(np.float64), axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     Qn = (Q.astype(np.float64) / norms).astype(np.float32)
-    cand = index.search(
-        (qids, Qn), k=k + candidate_margin, nprobe=nprobe, predicate=predicate
+    cand = _tier_candidates(
+        index, (qids, Qn), k + candidate_margin, nprobe, predicate,
+        tier, candidates_per_cell,
     ).select("qid", "neighbor_id")
     qdf = _queries_df(spark, queries, qids, Q)
     rescored = (
@@ -2394,6 +2439,8 @@ def search_ip(
     nprobe: int = 4,
     candidate_margin: int = 10,
     predicate=None,
+    tier: str = "float",
+    candidates_per_cell: int | None = None,
 ) -> DataFrame:
     """Maximum-inner-product ANN through a MIPS-augmented L2 index
     (``build_or_load(..., geometry="mips")``): queries pad a zero
@@ -2417,8 +2464,9 @@ def search_ip(
     Qa = np.hstack(
         [Q.astype(np.float32), np.zeros((len(Q), 1), dtype=np.float32)]
     )
-    cand = index.search(
-        (qids, Qa), k=k + candidate_margin, nprobe=nprobe, predicate=predicate
+    cand = _tier_candidates(
+        index, (qids, Qa), k + candidate_margin, nprobe, predicate,
+        tier, candidates_per_cell,
     ).select("qid", "neighbor_id")
     qdf = _queries_df(spark, queries, qids, Q)
     rescored = (

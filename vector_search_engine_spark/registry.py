@@ -849,6 +849,22 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_cosine_sq8", oracle=ORACLES["knn_exact_cosine"])
+def ann_ivf_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine × quantized-tier cell of the capability matrix: candidate
+    generation runs through the normalized index's SQ8 sidecar (4× fewer
+    scan bytes; lossless bound cut, exact-equivalent at full probe) and
+    the exact-cosine rescore on the original vectors is unchanged — the
+    same flat cosine oracle gates it.  Production embedding workloads
+    are cosine/IP; this row proves the byte-cut ladder serves them."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="cosine")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_cosine(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"], tier="sq8",
+    )
+
+
 @register(
     "ann_ivf_cosine_filtered",
     oracle=f"""
@@ -912,6 +928,24 @@ def ann_ivf_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.search_ip(
         index, emb, knn_ops.make_queries(emb), k=10,
         nprobe=index.meta["n_centroids"],
+    )
+
+
+@register("ann_ivf_ip_cascade", oracle=ORACLES["knn_exact_ip"])
+def ann_ivf_ip_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS × staged-cascade cell: candidates from the MIPS-augmented
+    index's BQ→SQ8 ladder (the augmentation is pure geometry — the
+    sign-code stage and the lossless SQ8 bound run over the augmented
+    vectors unchanged; PQ is excluded here because augmentation makes
+    dim 65, not divisible into subspaces), exact-dot rescore on the
+    original vectors; same flat MIPS oracle, graded at full probe with
+    an unbounded stage-1 cut."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="mips")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_ip(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"], tier="cascade",
+        candidates_per_cell=10**9,
     )
 
 
@@ -2774,10 +2808,12 @@ _GRADE_FIRST: list[str] = [
     # which grades the same hashed-postings-agg shape plus the df guard)
     "doc_quality_filter",
     # r10 rotation candidates (oracle-backed, never driver-graded, added
-    # late in r9): streaming_merged_search_cascade and
-    # ann_ivf_cascade_filtered — both compose the cascade tier that
-    # ann_ivf_cascade (in-window r9) gates; rotate them in once the
-    # plain form carries a green driver row.
+    # late in r9): streaming_merged_search_cascade,
+    # ann_ivf_cascade_filtered, dedup_incremental, ann_ivf_cosine_sq8,
+    # ann_ivf_ip_cascade, and the rotated-out index_asof_search_pq's
+    # slotmate — rotate them in once this round's new in-window claims
+    # (ann_ivf_cascade, doc_bm25_topk_capped, streaming_filtered_search)
+    # carry green driver rows.
 ]
 
 
