@@ -903,6 +903,26 @@ def ann_ivf_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_cosine_sq8_filtered",
+    oracle=ORACLES["ann_ivf_cosine_filtered"],
+)
+def ann_ivf_cosine_sq8_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-way composition cell — metric × quantized tier ×
+    metadata predicate: cosine candidates from the normalized index's
+    SQ8 sidecar with the predicate's pre-cut semi-join, exact-cosine
+    rescore on the original vectors; same filtered flat cosine
+    oracle."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="cosine")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_cosine(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"],
+        predicate=F.col("label") < 5,
+        tier="sq8",
+    )
+
+
 @register("ann_ivf_cosine_distributed", oracle=ORACLES["knn_exact_cosine"])
 def ann_ivf_cosine_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-|Q| cosine tier: in-partition normalization + distributed
