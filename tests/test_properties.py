@@ -366,3 +366,46 @@ def test_retrieval_eval_metric_bounds(spark, ranks_l, ranks_v):
     )
     row = retrieval.retrieval_eval(perfect_run, perfect_qrels, k=10).collect()[0]
     assert row.recall_at_k == 1.0 and row.ndcg_at_k == 1.0 and row.mrr == 1.0
+
+
+@given(
+    texts=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "aa ", " AA", "dd"]),
+        min_size=2,
+        max_size=16,
+    ),
+    split=st.integers(min_value=0, max_value=2),
+)
+@SET
+def test_incremental_dedup_matches_python_fold(spark, texts, split):
+    """incremental_dedup keep semantics vs a pure-Python fold over the
+    same normalized-hash rule: a batch doc is kept iff no SEEN doc shares
+    its normalized text and it is the lowest-id batch holder of it.
+    Sampled texts collide under normalization ('aa' vs 'aa ' vs ' AA'),
+    exercising cross-split and within-batch shadowing."""
+    from vector_search_engine_spark.operators import dedup as dedup_ops
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    seen = [(i, t) for i, t in docs if i % 3 != split]
+    batch = [(i, t) for i, t in docs if i % 3 == split]
+    if not batch:
+        return
+    sdf = spark.createDataFrame(seen or [(10**6, "zz-sentinel")],
+                                "doc_id long, text string")
+    bdf = spark.createDataFrame(batch, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.seen_before, r.first_in_batch, r.keep)
+        for r in dedup_ops.incremental_dedup(bdf, sdf).collect()
+    }
+
+    def norm(t: str) -> str:
+        return " ".join(t.lower().split())
+
+    seen_norms = {norm(t) for _, t in seen}
+    first: dict[str, int] = {}
+    for i, t in sorted(batch):
+        first.setdefault(norm(t), i)
+    for i, t in batch:
+        sb = norm(t) in seen_norms
+        fb = first[norm(t)] == i
+        assert got[i] == (sb, fb, (not sb) and fb), (i, t)
