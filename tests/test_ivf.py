@@ -359,6 +359,35 @@ def test_cascade_filtered_and_excluded(spark, embeddings, index):
     )
 
 
+def test_tune_candidates_meets_target_or_reports_ceiling(
+    spark, embeddings, index
+):
+    """The C-knob calibrator returns the smallest candidates_per_cell
+    meeting the target recall at the given nprobe — and the returned
+    ladder must be monotone (recall never decreases with C, since a
+    larger cut keeps a superset and downstream stages are exact)."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    rep = index.tune_candidates(
+        q, target_recall=0.9, k=10, nprobe=index.meta["n_centroids"],
+        tier="bq",
+    )
+    recalls = [e["recall"] for e in sorted(
+        rep["ladder"], key=lambda e: e["candidates_per_cell"]
+    )]
+    assert all(b >= a - 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
+    if "nprobe_ceiling" not in rep:
+        assert rep["recall"] >= 0.9
+        # minimality: one step below the answer must miss the target
+        below = [
+            e for e in rep["ladder"]
+            if e["candidates_per_cell"] < rep["candidates_per_cell"]
+        ]
+        if below:
+            assert max(e["recall"] for e in below) < 0.9
+    with pytest.raises(ValueError, match="lossy"):
+        index.tune_candidates(q, tier="sq8")
+
+
 @pytest.mark.parametrize("tier", ["sq8", "sq4", "bq", "cascade"])
 def test_cosine_search_through_tiers(spark, sf_dir, embeddings, tier):
     """The cosine wrapper's candidate stage can run through any serving

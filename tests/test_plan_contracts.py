@@ -64,6 +64,9 @@ AUDIT = [
     # r9
     "ann_ivf_cascade",
     "doc_bm25_topk_capped",
+    "dedup_incremental",
+    "ann_ivf_cosine_sq8",
+    "ann_ivf_cascade_filtered",
 ]
 
 
@@ -190,6 +193,17 @@ def test_maxsim_broadcasts_query_map(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_dedup_joins_on_digest_only(spark, sf_dir):
+    """The batch-vs-seen join must key on the md5 digest with no
+    cartesian and no text bytes crossing the join — the rolling
+    signature table is the 16-byte artifact, not the corpus."""
+    plan = _executed_plan(registry.QUERIES["dedup_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the join keys on text_md5 (digest), never raw text
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines and all("text#" not in ln for ln in join_lines), plan
 
 
 def test_cascade_stage2_broadcasts_candidates(spark, sf_dir):

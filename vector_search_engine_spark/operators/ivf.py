@@ -861,6 +861,94 @@ class IVFIndex:
         final = next(e["recall"] for e in ladder if e["nprobe"] == hi)
         return {"nprobe": hi, "recall": final, "ladder": ladder}
 
+    def tune_candidates(
+        self,
+        queries: DataFrame,
+        target_recall: float = 0.95,
+        k: int = 10,
+        nprobe: int = 8,
+        tier: str = "bq",
+    ) -> dict:
+        """Calibrate the lossy tiers' candidate budget: the smallest
+        ``candidates_per_cell`` whose recall@k (vs exact kNN on the same
+        bounded query set) meets ``target_recall`` at the given nprobe —
+        the C-knob sibling of ``tune_nprobe`` (the reference sweeps
+        ef_search the same way, ``recall_bench.cpp:67-106``; here the
+        lossy knob is the BQ/cascade stage-1 top-C).
+
+        Doubling ladder 2k, 4k, 8k, … then one binary refinement; recall
+        is monotone in C (a larger per-cell cut keeps a superset of
+        candidates, and the downstream stages are exact), so the minimum
+        is found in O(log(max cell size)) searches and the loop
+        terminates once C covers the largest probed cell (the cut is
+        then a no-op and recall equals the float probe's at this
+        nprobe).  Returns ``{"candidates_per_cell", "recall", "ladder"}``
+        — a driver-side calibration report, not a DataFrame op."""
+        if tier not in ("bq", "cascade"):
+            raise ValueError("tune_candidates targets the lossy tiers (bq/cascade)")
+        from vector_search_engine_spark.operators.knn import (
+            knn_exact,
+            recall_at_k,
+        )
+
+        gt = (
+            knn_exact(
+                self.vectors(),
+                queries,
+                k=k,
+                id_col=self.meta["id_col"],
+                vec_col=self.meta["vec_col"],
+            )
+            .orderBy("rank")
+            .groupBy("qid")
+            .agg(F.collect_list("neighbor_id").alias("neighbor_ids"))
+            .cache()
+        )
+        gt.count()
+        max_cell = max(
+            (int(r.n_vectors) for r in self.stats().collect()), default=1
+        )
+        search = self.search_bq if tier == "bq" else self.search_cascade
+
+        def recall_at(c: int) -> float:
+            res = search(queries, k=k, nprobe=nprobe, candidates_per_cell=c)
+            return float(recall_at_k(res, gt, k).collect()[0]["recall_at_k"])
+
+        # float-probe recall at this nprobe is the ceiling any C can reach
+        ceiling = None
+        ladder: list[dict] = []
+        lo, hi = 0, None
+        c = 2 * k
+        while True:
+            cc = min(c, max_cell)
+            r = recall_at(cc)
+            ladder.append({"candidates_per_cell": cc, "recall": r})
+            if r >= target_recall or cc >= max_cell:
+                hi = cc
+                if r < target_recall:
+                    # C covers every probed cell: the cut is a no-op and
+                    # this IS the nprobe ceiling — report it honestly
+                    ceiling = r
+                break
+            lo = cc
+            c *= 2
+        while hi - lo > 1 and ceiling is None:
+            mid = (lo + hi) // 2
+            r = recall_at(mid)
+            ladder.append({"candidates_per_cell": mid, "recall": r})
+            if r >= target_recall:
+                hi = mid
+            else:
+                lo = mid
+        gt.unpersist()
+        final = next(
+            e["recall"] for e in ladder if e["candidates_per_cell"] == hi
+        )
+        out = {"candidates_per_cell": hi, "recall": final, "ladder": ladder}
+        if ceiling is not None:
+            out["nprobe_ceiling"] = ceiling  # target unreachable at this nprobe
+        return out
+
     def search_prefix(
         self,
         queries: DataFrame,
