@@ -214,6 +214,17 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             bq_latencies.append(one_search(tier="bq"))
         bq_recalls = recalls[n_before_bq:]
         bq_ms = np.sort(np.array(bq_latencies[1:]) * 1000.0)
+        # cascade serving tier (r9): BQ candidates → lossless SQ8 bound
+        # cut → float rescore, reusing the sidecars the BQ phase built
+        # plus a fresh SQ8 one on the first call
+        n_before_casc = len(recalls)
+        casc_build0 = time.time()
+        casc_latencies = [one_search(tier="cascade")]
+        casc_build_sec = time.time() - casc_build0
+        for _ in range(4):
+            casc_latencies.append(one_search(tier="cascade"))
+        casc_recalls = recalls[n_before_casc:]
+        casc_ms = np.sort(np.array(casc_latencies[1:]) * 1000.0)
         # per-op percentiles from the engine's own S6 metrics sink
         ops = {m["op"]: m for m in eng.recorder.snapshot()}
         ins = ops.get("insert", {})
@@ -243,6 +254,12 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             "search_bq_p50_ms": round(float(np.percentile(bq_ms, 50)), 1),
             "search_bq_p99_ms": round(float(np.percentile(bq_ms, 99)), 1),
             "search_bq_recall_at_10": round(float(np.mean(bq_recalls)), 4),
+            "search_cascade_build_sec": round(casc_build_sec, 3),
+            "search_cascade_p50_ms": round(float(np.percentile(casc_ms, 50)), 1),
+            "search_cascade_p99_ms": round(float(np.percentile(casc_ms, 99)), 1),
+            "search_cascade_recall_at_10": round(
+                float(np.mean(casc_recalls)), 4
+            ),
             "recall_at_10_mean": round(float(np.mean(float_recalls)), 4),
             "recall_at_10_final": round(float(float_recalls[-1]), 4),
         }
