@@ -788,3 +788,27 @@ def test_semantic_dedup_fixture_has_work_and_row_parity(spark, embeddings):
         assert r.keep == (r.dup_of is None)
         if r.dup_of is not None:
             assert r.dup_of < r.vec_id
+
+
+def test_weighted_sample_es_biases_toward_heavy_docs(spark):
+    """A-ES semantics: with weight ratios of ~10^6, every heavy doc is
+    selected ahead of the light ones (P(miss) is astronomically small,
+    and the draw is deterministic given the salt — so this asserts the
+    fixed outcome, not a flaky statistic).  Also pins the plan: global
+    top-k must be TakeOrderedAndProject (partial per-partition top-k),
+    not a full sort shuffle."""
+    rows = [(i, "src0", "x", 3) for i in range(100)] + [
+        (1000 + i, "src1", "y" * 100, 3_000_000) for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    out = text_ops.weighted_sample_es(docs, k=20)
+    got = out.collect()
+    assert len(got) == 20
+    heavy = {r.doc_id for r in got if r.doc_id >= 1000}
+    assert heavy == {1000, 1001, 1002, 1003, 1004}
+    # ranks are 1..20, dense, aligned with the key order
+    assert sorted(r.rank for r in got) == list(range(1, 21))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

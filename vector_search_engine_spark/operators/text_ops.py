@@ -294,6 +294,94 @@ def capped_source_sample(documents: DataFrame, cap: int = SAMPLE_CAP) -> DataFra
     )
 
 
+WEIGHTED_SAMPLE_SALT = "vse-wsample:"
+WEIGHTED_SAMPLE_K = 50
+_U_DENOM = float(1 << 60)  # 60-bit salted hash → uniform u ∈ (0, 1]
+
+
+def weighted_sample_es(
+    documents: DataFrame, k: int = WEIGHTED_SAMPLE_K
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement in one distributed pass —
+    Efraimidis & Spirakis (IPL 2006) A-ES: each item draws a uniform
+    ``u`` and is ranked by ``key = ln(u)/w`` (equivalently ``u^(1/w)``);
+    the global top-k by key is EXACTLY a weighted sample without
+    replacement.  The importance-sampling primitive a curation pipeline
+    uses to upweight long/high-quality documents without quota tables.
+
+    ``u`` derives from a salted 60-bit md5 of the doc id — like the
+    quota samplers, the kept set is a pure function of (doc_id, salt,
+    k): reproducible across runs, engines and partitionings, and the
+    oracle replays the identical draw in SQL.  Weight = ``n_chars``
+    (clamped ≥ 1) — length-proportional sampling, the common
+    token-budget-aware choice.
+
+    Plan: pure column expressions + ``orderBy().limit(k)`` — Spark
+    plans TakeOrderedAndProject (per-partition partial top-k, only k
+    rows per partition reach the driver-side merge), NOT a global sort
+    shuffle; the final rank window runs over k rows."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(WEIGHTED_SAMPLE_SALT),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.log((h + 1).cast("double") / F.lit(_U_DENOM)) / w
+    topk = (
+        documents.select(
+            "doc_id",
+            "source",
+            w.cast("long").alias("weight"),
+            key.alias("key"),
+        )
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(k)
+    )
+    rw = Window.orderBy(F.col("key").desc(), "doc_id")
+    return (
+        topk.withColumn("rank", F.row_number().over(rw))
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+WEIGHTED_SAMPLE_ES_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, source, greatest(n_chars, 1)::DOUBLE AS w,
+         CAST(('0x' || substr(md5('{WEIGHTED_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, w,
+         ln((h + 1) / {float(1 << 60)!r}) / w AS key
+  FROM h
+),
+r AS (
+  SELECT doc_id, source, w,
+         row_number() OVER (ORDER BY key DESC, doc_id) AS "rank"
+  FROM keyed
+)
+SELECT doc_id, source, CAST(w AS BIGINT) AS weight, "rank"
+FROM r WHERE "rank" <= {WEIGHTED_SAMPLE_K}
+"""
+
+
 CAPPED_SOURCE_SAMPLE_ORACLE = f"""
 WITH h AS (
   SELECT source, doc_id,

@@ -1550,6 +1550,18 @@ def corpus_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_weighted_sample_es", oracle=txt_ops.WEIGHTED_SAMPLE_ES_ORACLE
+)
+def corpus_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement in one pass (Efraimidis-
+    Spirakis A-ES keys ln(u)/w, u from a salted 60-bit md5, w =
+    n_chars): the importance-sampling curation primitive; plan is pure
+    column expressions + TakeOrderedAndProject partial top-k — no
+    global sort shuffle."""
+    return txt_ops.weighted_sample_es(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_approx_distinct", oracle=dedup_ops.CORPUS_APPROX_DISTINCT_ORACLE
 )
 def corpus_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
