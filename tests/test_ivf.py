@@ -359,6 +359,32 @@ def test_cascade_filtered_and_excluded(spark, embeddings, index):
     )
 
 
+def test_search_filtered_threads_pinned_snapshot(spark, embeddings, index):
+    """The inprobe fallback must receive the SAME pinned manifest dict
+    the cost model used — not re-read the manifest — so a commit landing
+    between the strategy decision and the probed scan cannot make the
+    two halves observe different snapshots (r9 advisor finding)."""
+    q = knn_ops.make_queries(embeddings, n=3)
+    captured = {}
+    orig = index.search
+
+    def spy(queries, **kw):
+        captured["snapshot"] = kw.get("snapshot")
+        return orig(queries, **kw)
+
+    index.search = spy
+    try:
+        index.search_filtered(
+            q, k=5, nprobe=2, predicate=F.col("label") < 5,
+            strategy="inprobe",
+        ).collect()
+    finally:
+        index.search = orig
+    assert isinstance(captured["snapshot"], dict), (
+        "inprobe fallback must be handed the pinned manifest dict"
+    )
+
+
 def test_tune_candidates_meets_target_or_reports_ceiling(
     spark, embeddings, index
 ):
