@@ -700,3 +700,44 @@ def test_filtered_merged_search_through_tiers(spark, embeddings, meta_engine):
             )
         )
         assert got == want, tier
+
+
+def test_engine_search_filtered_planner_routes(spark, embeddings, meta_engine):
+    """Engine-level filtered search through the planner: both routes
+    agree with exact filtered kNN over the logical union — prefilter at
+    partial nprobe (exact by construction), inprobe at full probe — and
+    an upsert moving a survivor must shadow its indexed copy in the
+    prefilter brute-force too."""
+    meta_engine.insert(embeddings.filter(F.col("vec_id") >= 400))
+    # upsert one qualifying indexed doc far away: its OLD position must
+    # not appear (shadow reaches the prefilter base)
+    sel = (F.col("label") == 3) & (F.col("vec_id") % 10 == 0)
+    moved = (
+        embeddings.filter(sel).limit(1)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x + F.lit(10.0)).cast(
+                "array<float>"
+            ),
+        )
+    )
+    moved_id = moved.collect()[0].vec_id
+    meta_engine.insert(moved)
+    q = knn_ops.make_queries(embeddings, n=10)
+    union = embeddings.filter(F.col("vec_id") != moved_id).unionByName(
+        spark.createDataFrame(
+            moved.select("vec_id", "embedding", "label").collect(),
+            "vec_id long, embedding array<float>, label int",
+        ).select(*embeddings.columns),
+        allowMissingColumns=True,
+    )
+    want = knn_ops.knn_exact(union.filter(sel), q, k=10)
+    got_pre = meta_engine.search_filtered(
+        q, k=10, nprobe=1, predicate=sel, strategy="auto"
+    )
+    assert _sorted(got_pre) == _sorted(want)
+    got_in = meta_engine.search_filtered(
+        q, k=10, nprobe=meta_engine.index.meta["n_centroids"],
+        predicate=sel, strategy="inprobe",
+    )
+    assert _sorted(got_in) == _sorted(want)

@@ -703,6 +703,8 @@ class IVFIndex:
         snapshot: int | str | None = None,
         qid_col: str = "qid",
         qvec_col: str = "query",
+        exclude_ids: DataFrame | None = None,
+        round_output: bool = True,
     ) -> DataFrame:
         """Filtered ANN with a selectivity-aware physical-strategy choice
         — the pre- vs post-filter planner every production vector store
@@ -767,6 +769,18 @@ class IVFIndex:
             from vector_search_engine_spark.operators import knn as knn_ops
 
             base = self.vectors(snapshot=snap).filter(predicate)
+            if exclude_ids is not None:
+                # shadowed ids (streaming merged contract) leave the
+                # brute-force base the same way they leave the probed scan
+                base = base.join(
+                    exclude_ids.select(
+                        F.col(exclude_ids.columns[0]).alias(
+                            self.meta["id_col"]
+                        )
+                    ),
+                    self.meta["id_col"],
+                    "left_anti",
+                )
             return knn_ops.knn_exact(
                 base,
                 queries.select(
@@ -778,6 +792,7 @@ class IVFIndex:
                 k=k,
                 id_col=self.meta["id_col"],
                 vec_col=self.meta["vec_col"],
+                round_output=round_output,
             )
         # Thread the already-pinned manifest: the cost decision and the
         # probed scan must observe the SAME snapshot even if a commit
@@ -790,6 +805,8 @@ class IVFIndex:
             snapshot=snap,
             qid_col=qid_col,
             qvec_col=qvec_col,
+            exclude_ids=exclude_ids,
+            round_output=round_output,
         )
 
     def tune_nprobe(

@@ -2003,6 +2003,34 @@ def streaming_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_filtered_search_auto", oracle=_FILTERED_SELECTIVE_ORACLE)
+def streaming_filtered_search_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre/post-filter planner THROUGH the streaming merged
+    contract, graded at partial nprobe: the ~1%-selective predicate
+    routes the indexed side to the prefilter branch (exact brute-force
+    over survivors minus shadowed ids — exact at ANY nprobe) and the
+    delta side scans its filtered latest rows exactly, so the merged
+    result at nprobe=2 is hash-identical to the exact filtered oracle
+    over the logical union."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400),
+        _fresh_engine_root(),
+        n_centroids=8,
+        extra_cols=("label",),
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    return eng.search_filtered(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=2,
+        predicate=(F.col("label") == 3) & (F.col("vec_id") % 10 == 0),
+        strategy="auto",
+    )
+
+
 @register("streaming_merged_search_cascade", oracle=ORACLES["knn_exact_l2"])
 def streaming_merged_search_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The merged-search contract served through the staged cascade

@@ -450,6 +450,52 @@ class VectorEngine:
             "l2_sq",
         )
 
+    def search_filtered(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        predicate=None,
+        strategy: str = "auto",
+    ) -> DataFrame:
+        """Filtered merged search through the pre/post-filter PLANNER
+        (``IVFIndex.search_filtered``): the indexed side routes by
+        selectivity — a selective predicate takes the prefilter branch
+        (exact brute-force over survivors minus shadowed ids, EXACT at
+        ANY nprobe) — while the delta side always scans its filtered
+        latest rows exactly.  So when the planner prefilters, the whole
+        MERGED result is exact at any nprobe: the serving win of the
+        planner carried into the streaming contract."""
+        if predicate is None:
+            raise ValueError("search_filtered requires a predicate")
+        id_col = self.index.meta["id_col"]
+        vec_col = self.index.meta["vec_col"]
+        delta_latest = self.delta_latest(seqs=self._live_seqs())
+        indexed_part = self.index.search_filtered(
+            queries,
+            k=k,
+            nprobe=nprobe,
+            predicate=predicate,
+            strategy=strategy,
+            exclude_ids=delta_latest.select(id_col),
+            round_output=False,
+        )
+        delta_live = delta_latest.filter(F.col(vec_col).isNotNull()).filter(
+            predicate
+        )
+        delta_part = knn_exact(
+            delta_live, queries, k=k, id_col=id_col, vec_col=vec_col,
+            round_output=False,
+        )
+        merged = indexed_part.select(
+            "qid", "neighbor_id", F.col("dist_sq")
+        ).unionByName(delta_part.select("qid", "neighbor_id", F.col("dist_sq")))
+        return _finalize_topk(
+            merged.select("qid", "neighbor_id", F.col("dist_sq").alias("dist")),
+            k,
+            "l2_sq",
+        )
+
     def search_timed(
         self, queries: DataFrame, k: int = 10, nprobe: int = 4
     ) -> DataFrame:
