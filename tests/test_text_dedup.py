@@ -812,3 +812,59 @@ def test_weighted_sample_es_biases_toward_heavy_docs(spark):
     assert sorted(r.rank for r in got) == list(range(1, 21))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_substring_spans_planted_cross_doc_copy(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta"        # 7 tokens
+    rows = [
+        (1, "intro words here " + shared + " trailing bits"),  # shared at 4..10
+        (2, shared + " unrelated suffix tokens go on"),        # shared at 1..7
+        (3, "completely different text with no overlap in any window at all"),
+        (4, "rho sigma tau upsilon phi " * 2),                  # self-repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.substring_spans(df, n=5).collect()
+    spans = {(r.doc_id): r for r in out}
+    # docs 1 and 2 each surface exactly one maximal span covering the
+    # shared 7 tokens (3 overlapping 5-gram windows merged)
+    assert set(spans) == {1, 2}
+    assert (spans[1].span_start, spans[1].span_end) == (4, 10)
+    assert (spans[2].span_start, spans[2].span_end) == (1, 7)
+    for d in (1, 2):
+        assert spans[d].n_shingles == 3 and spans[d].span_tokens == 7
+        assert spans[d].span_text == shared
+    # doc 4's repetition is intra-document only -> not cross-doc dup
+
+
+def test_substring_spans_merges_adjacent_not_distant(spark):
+    a = "p1 p2 p3 p4 p5"
+    b = "q1 q2 q3 q4 q5"
+    gap = " x1 x2 x3 x4 x5 x6 "  # 6 tokens between the two shared runs
+    rows = [
+        (1, a + gap + b),
+        (2, a + " filler one two three four five six seven " + b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.substring_spans(df, n=5).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    # 6-token gap > n=5 -> two separate spans per doc
+    assert sorted(per_doc[1]) == [(1, 5), (12, 16)]
+
+
+def test_substring_dedup_clean_cuts_exactly_the_spans(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, "intro words here " + shared + " trailing bits"),
+        (2, shared + " unrelated suffix tokens go on"),
+        (3, "survives untouched because nothing here repeats elsewhere"),
+        (4, shared),                                          # fully removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.substring_dedup_clean(df, n=5).collect()}
+    assert out[1].clean_text == "intro words here trailing bits"
+    assert out[1].removed_tokens == 7 and out[1].n_tokens == 12
+    assert out[2].clean_text == "unrelated suffix tokens go on"
+    assert out[3].clean_text == rows[2][1] and out[3].removed_tokens == 0
+    assert out[4].clean_text == "" and out[4].removed_tokens == 7

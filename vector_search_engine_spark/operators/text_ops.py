@@ -1365,3 +1365,184 @@ SELECT doc_id,
            ' ') AS chunk_text
 FROM starts
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-substring spans (exact-substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def substring_spans(documents: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """Maximal per-document token spans whose every length-``n`` window also
+    appears in at least one OTHER document — the span-EXTRACTION step of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", 2022).  ``dup_span_stats`` scores documents by
+    how much of them is duplicated; this operator returns the actual
+    ``[span_start, span_end]`` token ranges (1-based, inclusive) plus the
+    span text, i.e. exactly what a cleaning pass would cut out.
+
+    The dup criterion is **cross-document** (``n`` -gram seen in >= 2
+    distinct docs), so a document that merely repeats itself internally
+    emits nothing — that case is ``repetition_stats``'s claim.
+
+    Plan shape at 100 TB (all JVM, zero Python):
+      * one NGram pass + posexplode — postings carry (doc_id, pos, md5);
+        span text never rides the postings, only the 32-hex key;
+      * dup keys via one hash aggregation (count distinct doc_id,
+        map-side partial);
+      * left-semi postings⋈dup — co-partitioned on the hash key;
+      * gaps-and-islands merge is a per-document window (lag + running
+        sum), i.e. one shuffle by doc_id — overlapping/adjacent windows
+        (gap <= n tokens) coalesce into maximal spans;
+      * span text via one co-partitioned join back to the tokenized doc
+        (slice of the token array, not a regex over raw text).
+    """
+    from pyspark.ml.feature import NGram
+    from pyspark.sql import Window
+
+    toks = documents.select("doc_id", tokens(F.col("text")).alias("t"))
+    sh = NGram(n=n, inputCol="t", outputCol="_ng").transform(toks)
+    posts = sh.select(
+        "doc_id", F.posexplode("_ng").alias("pos0", "_g")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), F.md5("_g").alias("h"))
+    dup = (
+        posts.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ddf"))
+        .filter(F.col("ddf") >= 2)
+        .select("h")
+    )
+    dp = posts.join(dup, "h", "leftsemi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") > F.lag("pos").over(w) + n),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    grp = dp.withColumn("_b", brk).withColumn(
+        "gid", F.sum("_b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+        (F.max("pos") + (n - 1) - F.min("pos") + 1).cast("long").alias("span_tokens"),
+        F.count("*").cast("long").alias("n_shingles"),
+    )
+    return spans.join(toks, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        "span_tokens",
+        "n_shingles",
+        F.concat_ws(
+            " ", F.slice(F.col("t"), F.col("span_start"), F.col("span_tokens"))
+        ).alias("span_text"),
+    )
+
+
+SUBSTRING_SPANS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, {DD_SHINGLES5.format(t="t")} AS gs FROM tok
+),
+posts AS (
+  SELECT doc_id, unnest(range(1, len(gs)+1))::BIGINT AS pos,
+         md5(unnest(gs)) AS h
+  FROM sh
+),
+dup AS (
+  SELECT h FROM posts GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+dp AS (SELECT p.doc_id, p.pos FROM posts p JOIN dup USING (h)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + {DUP_SPAN_N}
+              THEN 1 ELSE 0 END AS b
+  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS gid
+  FROM brk
+),
+sp AS (
+  SELECT doc_id,
+         min(pos)::BIGINT AS span_start,
+         (max(pos)+{DUP_SPAN_N - 1})::BIGINT AS span_end,
+         (max(pos)+{DUP_SPAN_N - 1}-min(pos)+1)::BIGINT AS span_tokens,
+         count(*)::BIGINT AS n_shingles
+  FROM grp GROUP BY doc_id, gid
+)
+SELECT s.doc_id, s.span_start, s.span_end, s.span_tokens, s.n_shingles,
+       array_to_string(list_slice(tok.t, s.span_start, s.span_end), ' ')
+           AS span_text
+FROM sp s JOIN tok USING (doc_id)
+"""
+
+
+def substring_dedup_clean(documents: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """The cleaning pass composed over ``substring_spans``: every token
+    covered by a cross-document duplicated span is dropped and the
+    remainder re-joined — the output a training-data pipeline would
+    actually feed downstream (Lee et al. 2022 cut the spans from the
+    text; docs with nothing duplicated pass through verbatim).
+
+    Plan shape: spans aggregated to one ``[start, end]`` interval list
+    per doc (tiny — bounded by doc length / n), then ONE co-partitioned
+    left join onto the tokenized corpus and a JVM ``filter`` lambda over
+    token positions.  No Python, no second scan of the text.
+    """
+    toks = documents.select("doc_id", tokens(F.col("text")).alias("t"))
+    iv = (
+        substring_spans(documents, n=n)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_iv"),
+            F.sum("span_tokens").cast("long").alias("removed_tokens"),
+        )
+    )
+    joined = toks.join(iv, "doc_id", "left")
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_iv"),
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.when(F.col("_iv").isNull(), F.col("t")).otherwise(
+        F.filter(F.col("t"), lambda x, i: ~covered(i + 1))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("removed_tokens"), F.lit(0)).cast("long").alias(
+            "removed_tokens"
+        ),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
+SUBSTRING_DEDUP_CLEAN_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+sp AS ({SUBSTRING_SPANS_ORACLE.strip()}),
+iv AS (
+  SELECT doc_id,
+         list({{'span_start': span_start, 'span_end': span_end}}) AS iv,
+         sum(span_tokens)::BIGINT AS removed_tokens
+  FROM sp GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       len(tok.t)::BIGINT AS n_tokens,
+       coalesce(iv.removed_tokens, 0)::BIGINT AS removed_tokens,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(1, len(tok.t)+1),
+             i -> iv.iv IS NULL OR
+                  len(list_filter(iv.iv,
+                      s -> i >= s.span_start AND i <= s.span_end)) = 0),
+           i -> tok.t[i]),
+         ' '), '') AS clean_text
+FROM tok LEFT JOIN iv USING (doc_id)
+"""

@@ -1484,6 +1484,23 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.dup_span_stats(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_substring_spans", oracle=txt_ops.SUBSTRING_SPANS_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token spans (1-based inclusive
+    ranges + span text) — the span-EXTRACTION step of exact-substring
+    dedup (Lee et al. 2022); doc_dup_span_stats is the score, this is
+    the cut list."""
+    return txt_ops.substring_spans(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_substring_clean", oracle=txt_ops.SUBSTRING_DEDUP_CLEAN_ORACLE)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pass over dedup_substring_spans: duplicated-span
+    tokens dropped, remainder re-joined — clean_text + removed-token
+    accounting per document."""
+    return txt_ops.substring_dedup_clean(load_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_ngram_stats", oracle=txt_ops.NGRAM_STATS_ORACLE)
 def corpus_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k bigrams per source (occurrence + doc counts) — the corpus
