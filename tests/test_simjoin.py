@@ -93,3 +93,63 @@ def test_over_bound_fallback_warns_and_optout_raises(embeddings):
             max_broadcast_rows=10,
             allow_lsh_fallback=False,
         )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance join (Ed-Join-style q-gram prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            prev, d[j] = d[j], min(
+                d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+            )
+    return d[n]
+
+
+def test_edit_distance_pairs_planted(spark):
+    from vector_search_engine_spark.operators.simjoin import edit_distance_pairs
+
+    rows = [
+        (1, "widget"),
+        (2, "widgets"),     # dist 1 to widget
+        (3, "gadget"),      # dist 2 to widget and midget, 3 to widgets
+        (4, "midget"),      # dist 1 to widget, 2 to widgets
+        (5, "bolt"),
+        (6, "boat"),        # dist 1 to bolt
+    ]
+    df = spark.createDataFrame(rows, "key long, s string")
+    got = {(r.key_a, r.key_b): r.dist for r in edit_distance_pairs(df, k=2).collect()}
+    assert got == {(1, 2): 1, (1, 3): 2, (1, 4): 1, (2, 4): 2, (3, 4): 2, (5, 6): 1}
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """Exactness gate: blocked plan == O(N^2) brute force, including the
+    both-short channel (strings below the prefix-filter guarantee) and
+    empty strings."""
+    import itertools
+    import random
+
+    from vector_search_engine_spark.operators.simjoin import edit_distance_pairs
+
+    for seed, alpha, k in [(7, "abc", 2), (11, "abcd", 1), (13, "ab", 3)]:
+        random.seed(seed)
+        strs = list(
+            {"".join(random.choices(alpha, k=random.randint(0, 10))) for _ in range(70)}
+        )
+        df = spark.createDataFrame([(s, s) for s in strs], "key string, s string")
+        got = {
+            (r.key_a, r.key_b, r.dist)
+            for r in edit_distance_pairs(df, k=k, q=2).collect()
+        }
+        want = {
+            (a, b, _lev(a, b))
+            for a, b in itertools.combinations(sorted(strs), 2)
+            if _lev(a, b) <= k
+        }
+        assert got == want, f"seed={seed} k={k}: {len(got)} vs {len(want)}"

@@ -145,3 +145,140 @@ def similarity_pairs(
 
     out = vectors.select(id_col, vec_col).mapInPandas(block, schema=out_schema)
     return out.select("id_a", "id_b", F.round(F.col(val_col), round_to).alias(val_col))
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity join (Ed-Join-style q-gram prefix filtering)
+# ---------------------------------------------------------------------------
+
+_ED_PAD = "\x01"  # sentinel for q-gram padding; harmless if it appears in
+# data (it only changes gram identities, which can add candidates, never
+# drop a true pair — the final levenshtein verify keeps precision exact)
+
+
+def edit_distance_pairs(
+    strings: DataFrame,
+    k: int = 2,
+    q: int = 2,
+    key_col: str = "key",
+    str_col: str = "s",
+) -> DataFrame:
+    """All pairs ``(key_a < key_b)`` with ``levenshtein(s_a, s_b) <= k``.
+
+    Ed-Join-style plan (Xiao, Wang & Lin, VLDB 2008 — public): pad each
+    string with ``q-1`` sentinels on both ends, extract positional
+    q-grams, keep only the first ``k*q + 1`` grams per string under a
+    global (document-frequency asc, gram, pos) order — the prefix-filter
+    guarantee that any pair within edit distance ``k`` shares at least
+    one prefix gram whose positions differ by at most ``k`` — then join
+    prefixes on the gram, length-band + position filter, and verify the
+    surviving candidates with the exact JVM ``levenshtein``.
+
+    No false negatives: an edit destroys at most ``q`` positional
+    q-grams, so ED <= k leaves a matching of size >= max(|Ga|,|Gb|) -
+    k*q between the padded gram multisets, and prefixes of length
+    ``k*q+1`` under one global total order must contain a matched pair;
+    matched occurrences shift position by at most ``k``.  That bound is
+    vacuous when the LONGER string has <= k*q grams (max_len <=
+    q*(k-1)+1) — such both-short pairs go through a second channel that
+    joins the short-string set on an exploded length band instead of
+    grams (hash join on length, never a cartesian).  No false
+    positives: every candidate from either channel is re-verified
+    exactly.
+
+    Plan shape at 100 TB: the gram-frequency table is bounded by the
+    charset (``|alphabet|^q`` keys — broadcast); each string contributes
+    at most ``k*q+1`` prefix postings, so the candidate join shuffles
+    O(k*q*N) rows on the gram key, with the df-ascending order steering
+    prefixes toward RARE grams (small join groups — the skew guard);
+    verification is one JVM levenshtein per surviving candidate.  The
+    naive O(N^2) crossJoin never appears.
+    """
+    prefix_len = k * q + 1
+    padded = F.concat(
+        F.lit(_ED_PAD * (q - 1)), F.col(str_col), F.lit(_ED_PAD * (q - 1))
+    )
+    base = strings.select(
+        F.col(key_col).alias("_key"),
+        F.col(str_col).alias("_s"),
+        F.length(str_col).alias("_len"),
+        padded.alias("_p"),
+    )
+    # substring with a column start index needs expr()
+    grams = base.select(
+        "_key",
+        "_len",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length(_p) - {q - 1}), i -> substring(_p, i, {q}))")
+        ).alias("_i0", "g"),
+    ).select("_key", "_len", "g", (F.col("_i0") + 1).alias("pos"))
+    dfs = grams.groupBy("g").agg(F.count("*").alias("_df"))
+    pref = (
+        grams.join(F.broadcast(dfs), "g")
+        .groupBy("_key", "_len")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("_df", "g", "pos"))),
+                1,
+                prefix_len,
+            ).alias("_pr")
+        )
+        .select(
+            "_key",
+            "_len",
+            F.explode("_pr").alias("_t"),
+        )
+        .select("_key", "_len", F.col("_t.g").alias("g"), F.col("_t.pos").alias("pos"))
+    )
+    a = pref.select(
+        F.col("_key").alias("key_a"), F.col("_len").alias("_la"), "g",
+        F.col("pos").alias("_pa"),
+    )
+    b = pref.select(
+        F.col("_key").alias("key_b"), F.col("_len").alias("_lb"), "g",
+        F.col("pos").alias("_pb"),
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+            & (F.abs(F.col("_pa") - F.col("_pb")) <= k)
+        )
+        .select("key_a", "key_b")
+    )
+    # both-short channel: pairs where even the longer string has <= k*q
+    # grams carry no prefix-filter guarantee; join shorts on a length
+    # band (lb in [la-k, la+k]).  Population bounded by the short-string
+    # universe (|alphabet|^(q*(k-1)+1) distinct values — run the join
+    # over distinct strings when short keys repeat heavily).
+    short_max = q * (k - 1) + 1
+    shorts = base.filter(F.col("_len") <= short_max)
+    cand_short = (
+        shorts.select(
+            F.col("_key").alias("key_a"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_len") - k, F.lit(0)), F.col("_len") + k
+                )
+            ).alias("_lb"),
+        )
+        .join(
+            shorts.select(
+                F.col("_key").alias("key_b"), F.col("_len").alias("_lb")
+            ),
+            "_lb",
+        )
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+    cand = cand.union(cand_short).distinct()
+    sa = base.select(F.col("_key").alias("key_a"), F.col("_s").alias("_sa"))
+    sb = base.select(F.col("_key").alias("key_b"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(sa, "key_a")
+        .join(sb, "key_b")
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("dist") <= k)
+        .select("key_a", "key_b", F.col("dist").cast("long").alias("dist"))
+    )

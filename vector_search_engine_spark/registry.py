@@ -338,6 +338,31 @@ def knn_self_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simjoin.similarity_pairs(emb, threshold=0.35, metric="cosine")
 
 
+@register(
+    "simjoin_edit_distance",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS key_a, b.p_name AS key_b,
+       levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def simjoin_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (catalog-confusability pairs):
+    distinct part names within Levenshtein distance 2, via Ed-Join-style
+    positional q-gram prefix filtering + exact JVM verify
+    (simjoin.edit_distance_pairs) — never the O(N^2) crossJoin the
+    oracle runs."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("key"), F.col("p_name").alias("s"))
+        .distinct()
+    )
+    return simjoin.edit_distance_pairs(names, k=2, q=2)
+
+
 # ---------------------------------------------------------------------------
 # fvecs/ivecs sources (reference S1/S2, utils.h:11-67)
 # ---------------------------------------------------------------------------
