@@ -321,6 +321,26 @@ def test_cascade_equals_search_with_unbounded_stage1(spark, embeddings, index):
         )
 
 
+def test_cascade_shuffle_fallback_above_broadcast_bound(
+    spark, embeddings, index, monkeypatch
+):
+    """When the estimated stage-1 candidate list exceeds the broadcast
+    budget (always true in the unbounded-C exactness configuration), the
+    stage-2 join must take the shuffle path instead of collecting |Q|·N
+    rows to the driver — with identical results."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    monkeypatch.setattr(ivf_mod, "_CASCADE_BROADCAST_ROWS", 0)
+    q = knn_ops.make_queries(embeddings, n=10)
+    casc = index.search_cascade(
+        q, k=10, nprobe=index.meta["n_centroids"], candidates_per_cell=10**9
+    )
+    plain = index.search(q, k=10, nprobe=index.meta["n_centroids"])
+    assert sorted(map(tuple, casc.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
 def test_cascade_finite_c_recall(spark, embeddings, index):
     """The finite-C serving shape: recall@10 against exact ≥ 0.8 at full
     probe with a modest stage-1 budget, and the output schema/tie-break
@@ -437,19 +457,20 @@ def test_cosine_search_through_tiers(spark, sf_dir, embeddings, tier):
 def test_search_filtered_auto_caches_survivor_count(spark, embeddings, index):
     """The auto planner memoizes its survivor count per (predicate,
     snapshot generation): repeated auto searches on an unchanged snapshot
-    run the cost-model count job exactly once.  stats() is only invoked
-    from the uncached cost-model branch, so spying it counts count jobs."""
+    run the cost-model count job exactly once.  _snapshot_counts() (the
+    pinned-snapshot footer total) is only invoked from the uncached
+    cost-model branch, so spying it counts cost-model evaluations."""
     q = knn_ops.make_queries(embeddings, n=5)
     pred = F.col("label") == 3
     index._survivor_cache = {}
     calls = {"n": 0}
-    orig_stats = index.stats
+    orig_counts = index._snapshot_counts
 
-    def spy():
+    def spy(snap):
         calls["n"] += 1
-        return orig_stats()
+        return orig_counts(snap)
 
-    index.stats = spy
+    index._snapshot_counts = spy
     try:
         index.search_filtered(
             q, k=5, nprobe=1, predicate=pred, strategy="auto"
@@ -458,7 +479,7 @@ def test_search_filtered_auto_caches_survivor_count(spark, embeddings, index):
             q, k=5, nprobe=1, predicate=pred, strategy="auto"
         ).collect()
     finally:
-        index.stats = orig_stats
+        index._snapshot_counts = orig_counts
     assert calls["n"] == 1
     assert len(index._survivor_cache) == 1
 

@@ -59,6 +59,12 @@ from vector_search_engine_spark.operators.knn import (
 # the same generation dir.  Same single-process scope as _INSTANCE_LOCK.
 _SIDECAR_LOCK = threading.Lock()
 
+# cascade stage-2 candidate lists above this estimated row count take a
+# shuffle join instead of a driver broadcast (simjoin's max_broadcast_rows
+# discipline — the exactness configuration runs unbounded C at full probe,
+# where cand1 is |Q|·N rows and MUST NOT be collected to the driver)
+_CASCADE_BROADCAST_ROWS = 5_000_000
+
 
 def _train_quantizer(
     S: np.ndarray, k: int, seed: int = 42, max_iter: int = 10
@@ -550,6 +556,29 @@ class IVFIndex:
         )
         return self.spark.createDataFrame(pdf).orderBy("centroid_id")
 
+    def _snapshot_counts(self, snap: dict | None) -> dict[int, int]:
+        """Per-cell row counts for a PINNED manifest snapshot, from parquet
+        footer metadata only (same num_rows trick as ``stats()``, but over
+        the given snapshot's cell dirs rather than the live manifest) —
+        so a cost model that pinned ``snap`` observes totals from the SAME
+        snapshot as its survivor counts, not from whatever the index has
+        grown to since.  Empty dict for a pre-manifest raw layout."""
+        import pyarrow.parquet as pq
+
+        if not snap or "cells" not in snap:
+            return {}
+        root = os.path.join(self.index_dir, "vectors")
+        counts: dict[int, int] = {}
+        for c, g in snap["cells"].items():
+            d = os.path.join(root, f"gen={g}", f"centroid_id={c}")
+            n = sum(
+                pq.ParquetFile(fp).metadata.num_rows
+                for fp in glob.glob(os.path.join(d, "*.parquet"))
+            )
+            if n > 0:
+                counts[int(c)] = n
+        return counts
+
     # -- search --------------------------------------------------------------
 
     def probe_pairs(
@@ -753,7 +782,13 @@ class IVFIndex:
                 matches = self.vectors(snapshot=snap).filter(predicate).count()
                 total = self.meta.get("n_vectors") or 0
                 try:
-                    total = sum(r.n_vectors for r in self.stats().collect())
+                    # totals from the SAME pinned snapshot as the survivor
+                    # count (footer metadata only): pairing a pinned
+                    # ``matches`` with a live total would understate
+                    # selectivity on a since-grown index, mis-route to
+                    # inprobe, and memoize the skewed ratio for the
+                    # generation
+                    total = sum(self._snapshot_counts(snap).values()) or total
                 except Exception:
                     pass  # cost model only — build-time count is fine
                 if len(cache) > 256:
@@ -855,26 +890,29 @@ class IVFIndex:
             return float(row["recall_at_k"])
 
         ladder: list[dict] = []
-        lo, hi = 0, None
-        n = 1
-        while True:
-            r = recall_at(min(n, nc))
-            ladder.append({"nprobe": min(n, nc), "recall": r})
-            if r >= target_recall or n >= nc:
-                hi = min(n, nc)
-                break
-            lo = n
-            n *= 2
-        # one refinement pass between the last miss and the first hit
-        while hi - lo > 1:
-            mid = (lo + hi) // 2
-            r = recall_at(mid)
-            ladder.append({"nprobe": mid, "recall": r})
-            if r >= target_recall:
-                hi = mid
-            else:
-                lo = mid
-        gt.unpersist()
+        try:
+            lo, hi = 0, None
+            n = 1
+            while True:
+                r = recall_at(min(n, nc))
+                ladder.append({"nprobe": min(n, nc), "recall": r})
+                if r >= target_recall or n >= nc:
+                    hi = min(n, nc)
+                    break
+                lo = n
+                n *= 2
+            # one refinement pass between the last miss and the first hit
+            while hi - lo > 1:
+                mid = (lo + hi) // 2
+                r = recall_at(mid)
+                ladder.append({"nprobe": mid, "recall": r})
+                if r >= target_recall:
+                    hi = mid
+                else:
+                    lo = mid
+        finally:
+            # a failed search job must not leak the cached ground truth
+            gt.unpersist()
         final = next(e["recall"] for e in ladder if e["nprobe"] == hi)
         return {"nprobe": hi, "recall": final, "ladder": ladder}
 
@@ -934,30 +972,33 @@ class IVFIndex:
         # float-probe recall at this nprobe is the ceiling any C can reach
         ceiling = None
         ladder: list[dict] = []
-        lo, hi = 0, None
-        c = 2 * k
-        while True:
-            cc = min(c, max_cell)
-            r = recall_at(cc)
-            ladder.append({"candidates_per_cell": cc, "recall": r})
-            if r >= target_recall or cc >= max_cell:
-                hi = cc
-                if r < target_recall:
-                    # C covers every probed cell: the cut is a no-op and
-                    # this IS the nprobe ceiling — report it honestly
-                    ceiling = r
-                break
-            lo = cc
-            c *= 2
-        while hi - lo > 1 and ceiling is None:
-            mid = (lo + hi) // 2
-            r = recall_at(mid)
-            ladder.append({"candidates_per_cell": mid, "recall": r})
-            if r >= target_recall:
-                hi = mid
-            else:
-                lo = mid
-        gt.unpersist()
+        try:
+            lo, hi = 0, None
+            c = 2 * k
+            while True:
+                cc = min(c, max_cell)
+                r = recall_at(cc)
+                ladder.append({"candidates_per_cell": cc, "recall": r})
+                if r >= target_recall or cc >= max_cell:
+                    hi = cc
+                    if r < target_recall:
+                        # C covers every probed cell: the cut is a no-op and
+                        # this IS the nprobe ceiling — report it honestly
+                        ceiling = r
+                    break
+                lo = cc
+                c *= 2
+            while hi - lo > 1 and ceiling is None:
+                mid = (lo + hi) // 2
+                r = recall_at(mid)
+                ladder.append({"candidates_per_cell": mid, "recall": r})
+                if r >= target_recall:
+                    hi = mid
+                else:
+                    lo = mid
+        finally:
+            # a failed search job must not leak the cached ground truth
+            gt.unpersist()
         final = next(
             e["recall"] for e in ladder if e["candidates_per_cell"] == hi
         )
@@ -1688,8 +1729,11 @@ class IVFIndex:
 
         1. **BQ stage** (1 bit/dim, 32× scan-byte cut): probed cells'
            packed sign codes ranked by the asymmetric score; top
-           ``candidates_per_cell`` (default ``8·k``) per (query, cell
-           batch) survive.  This is the only lossy stage.
+           ``candidates_per_cell`` per (query, Arrow batch) survive —
+           note the PER-BATCH semantics: a cell split across Arrow
+           batches can keep more than C per (query, cell), so C is a
+           per-batch budget, not a hard per-cell cap (default ``8·k``).
+           This is the only lossy stage.
         2. **SQ8 stage** (8 bits/dim, 4× cut): ONLY stage-1 survivors'
            int8 codes are read (broadcast candidate semi-join — no code
            shuffle), and the lossless span/510 bound cut keeps every
@@ -1807,16 +1851,34 @@ class IVFIndex:
         )
 
         # ---- stage 2: lossless SQ8 bound cut over stage-1 survivors only.
-        # The candidate list is |Q|·nprobe·C rows max (bulk-search
-        # contract bounds |Q|), so it broadcasts; the int8 sidecar is
-        # probed-partition-pruned and never shuffles.
+        # In the common serving shape the candidate list is ~|Q|·nprobe·C
+        # rows (bulk-search contract bounds |Q|), so it broadcasts and the
+        # probed-partition-pruned int8 sidecar never shuffles.  But the
+        # broadcast is GUARDED, not assumed (simjoin's max_broadcast_rows
+        # discipline): stage 1's top-C is per (query, Arrow batch) — a
+        # cell split across batches can keep more than C per (query,
+        # cell) — and an unbounded C (the exactness configuration) makes
+        # cand1 |Q|·probed-rows.  The driver-side estimate below uses the
+        # pinned snapshot's footer counts (true upper bound: a cell never
+        # yields more survivors than rows) and falls back to a shuffle
+        # join above the threshold instead of OOMing the driver.
         sq_dir = self.ensure_sq8(snapshot=snap, bits=8)
         sq_codes = spark.read.parquet(sq_dir).filter(
             F.col("centroid_id").isin(needed)
         )
-        cand2_codes = sq_codes.select(
+        cell_counts = self._snapshot_counts(snap)
+        est_cand1 = sum(
+            min(C, cell_counts.get(c, C)) for _, c in pairs
+        )
+        sq_side = sq_codes.select(
             F.col(id_col).alias("neighbor_id"), "code", "lo", "hi"
-        ).join(F.broadcast(cand1), "neighbor_id")
+        )
+        cand2_codes = sq_side.join(
+            F.broadcast(cand1)
+            if est_cand1 <= _CASCADE_BROADCAST_ROWS
+            else cand1,
+            "neighbor_id",
+        )
 
         qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
         bc_q = spark.sparkContext.broadcast(qmap)
