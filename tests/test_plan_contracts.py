@@ -67,6 +67,9 @@ AUDIT = [
     "dedup_incremental",
     "ann_ivf_cosine_sq8",
     "ann_ivf_cascade_filtered",
+    # r10
+    "ann_ivf_graph",
+    "ann_ivf_graph_filtered",
 ]
 
 
@@ -226,6 +229,21 @@ def test_bm25_capped_guard_stays_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, "posting-side shuffle join crept in"
+
+
+def test_graph_walk_prunes_sidecar_and_groups_per_cell(spark, sf_dir):
+    """The graph tier's plan contract: the HNSW sidecar scan prunes to
+    the probed cells (partition filter on centroid_id — Catalyst playing
+    the reference's upper-layer routing role), and the beam walk runs as
+    ONE grouped-pandas kernel per cell (the stateful walk is the only
+    Python in the plan)."""
+    plan = _executed_plan(registry.QUERIES["ann_ivf_graph"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        "PartitionFilters" in ln and "centroid_id" in ln
+        for ln in plan.splitlines()
+    ), plan
 
 
 def test_filtered_auto_prefilter_scans_survivors_only(spark, sf_dir):

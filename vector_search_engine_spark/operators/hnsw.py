@@ -28,6 +28,13 @@ Two deliberate deviations, both strengthening determinism:
   * insert order is ascending id (the reference inserts in arrival
     order) — again for rebuild determinism.
 
+Integration: ``IVFIndex.ensure_graph`` builds the per-cell sidecars via
+``applyInPandas`` (generation-keyed, EBR-GCed like the SQ/PQ/BQ codes);
+``IVFIndex.search_graph`` serves them (registry ``ann_ivf_graph`` /
+``ann_ivf_graph_filtered``); ``VectorEngine.search(tier="graph")`` runs
+the walk inside the merged streaming contract
+(``streaming_merged_search_graph``).  Gates: tests/test_hnsw.py.
+
 EXACTNESS BOUND (what the oracle gates): because every insert links the
 new node bidirectionally to >= 1 existing node and links are never
 pruned, each cell's level-0 graph is CONNECTED by induction.  A beam

@@ -1941,6 +1941,220 @@ class IVFIndex:
         )
         return _finalize_topk(rescored, k, "l2_sq", round_output)
 
+    def ensure_graph(
+        self,
+        snapshot: dict | None = None,
+        m: int | None = None,
+        ef_construction: int | None = None,
+    ) -> str:
+        """Write (once) the per-cell HNSW graph sidecar — the reference's
+        ACTUAL search structure (``hnsw_index.h``), distributed: one
+        independent in-cell graph per IVF partition, built by
+        ``operators.hnsw.build_cell_graph`` inside ``applyInPandas`` (each
+        cell is one group — the whole build fans out across executors,
+        no cell ever visits the driver).
+
+        Node rows are self-contained like the reference's index (the
+        float vector lives in the graph node): searches read ONE sidecar
+        instead of joining adjacency back to the base table per cell.
+        Costs one float copy per generation; the base float table remains
+        the source of truth for rescore/compaction.
+
+        The dir is keyed by (m, ef_construction, snapshot generation) —
+        same file-granularity EBR discipline as the SQ/PQ/BQ sidecars
+        (``_sidecar_gen``), and parameter sets never alias.  Deterministic
+        by construction (md5-derived levels, id-ascending inserts), so a
+        rebuild of the same snapshot is byte-identical."""
+        from vector_search_engine_spark.operators import hnsw
+
+        m = int(m or hnsw.DEFAULT_M)
+        efc = int(ef_construction or hnsw.DEFAULT_EF_CONSTRUCTION)
+        if snapshot is None:
+            snapshot = self._read_manifest()
+        graph_dir = os.path.join(
+            self.index_dir,
+            f"graph_m{m}_efc{efc}_gen{self._sidecar_gen(snapshot)}",
+        )
+        if os.path.exists(os.path.join(graph_dir, "_SUCCESS")):
+            return graph_dir
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        with _SIDECAR_LOCK:
+            if os.path.exists(os.path.join(graph_dir, "_SUCCESS")):
+                return graph_dir
+            src = self.vectors(snapshot=snapshot).select(
+                "centroid_id", id_col, vec_col
+            )
+
+            def build_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(id_col, kind="stable").reset_index(
+                    drop=True
+                )
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                V = np.stack(pdf[vec_col].to_numpy())
+                levels, layers = hnsw.build_cell_graph(
+                    ids, V, m=m, ef_construction=efc
+                )
+                rows = hnsw.graph_rows(
+                    int(pdf["centroid_id"].iloc[0]), ids, levels, layers
+                )
+                out = pd.DataFrame(
+                    rows, columns=["centroid_id", id_col, "level", "nbrs"]
+                )
+                out[vec_col] = list(pdf[vec_col])
+                return out
+
+            built = src.groupBy("centroid_id").applyInPandas(
+                build_cell,
+                schema=(
+                    f"centroid_id int, {id_col} long, level int, "
+                    f"nbrs array<array<long>>, {vec_col} array<float>"
+                ),
+            )
+            built.write.mode("overwrite").partitionBy("centroid_id").parquet(
+                graph_dir
+            )
+        return graph_dir
+
+    def search_graph(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        ef: int = 64,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+        predicate=None,
+        exclude_ids: DataFrame | None = None,
+        snapshot: int | str | dict | None = None,
+        round_output: bool = True,
+        m: int | None = None,
+        ef_construction: int | None = None,
+    ) -> DataFrame:
+        """Graph-accelerated probed search — the reference's own Q2/Q3
+        algorithm (greedy upper-layer descent + level-0 beam,
+        ``hnsw_index.h:223-262``) run inside each probed cell: candidate
+        generation walks the cell's HNSW sidecar in O(ef·M·log n)
+        distance evaluations instead of scanning the whole cell, then the
+        beam's candidates get the exact GEMM-form rescore and the global
+        ``(dist, id)`` top-k.
+
+        EXACTNESS BOUND (the oracle's gate): every cell graph is connected
+        by construction (operators/hnsw.py module docstring), so
+        ``ef >= |cell|`` makes the beam provably exhaustive — full probe +
+        unbounded ``ef`` is hash-identical to ``search()`` / exact kNN.
+        Finite ``ef`` is the recall/latency knob, the direct twin of the
+        reference's ``ef_search`` (recall pytest-gated like nprobe).
+
+        Physical shape: the sidecar read prunes to the probed cells
+        (partition filter on ``centroid_id``); the per-cell walk is an
+        ``applyInPandas`` group — the one shuffle moves only the probed
+        cells' graph rows, keyed exactly like the storage layout.  The
+        walk is stateful-by-nature (a beam chases edges), which is
+        precisely why it lives in a per-group pandas kernel rather than a
+        row-expression: the reference's global graph does not distribute,
+        per-cell graphs do.
+
+        ``predicate`` / ``exclude_ids`` apply AFTER the walk (removing
+        nodes before it would disconnect the graph): with an exhaustive
+        beam the post-filter is exact; with finite ``ef`` it reduces
+        effective candidates — the standard post-filter recall trade."""
+        from vector_search_engine_spark.operators import hnsw
+
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        spark = self.spark
+        qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
+        if len(qids) == 0:
+            return spark.createDataFrame(
+                [], "qid long, neighbor_id long, rank long, dist_sq double"
+            )
+        snap = (
+            snapshot
+            if isinstance(snapshot, dict)
+            else self.manifest_at(snapshot)
+            if snapshot is not None
+            else self._read_manifest()
+        )
+        pairs = self.probe_pairs(
+            qids, Q, nprobe, centroid_set=self._centroids_for(snap)
+        )
+        needed = sorted({c for _, c in pairs})
+        cell_qids: dict[int, list[int]] = {}
+        for q, c in pairs:
+            cell_qids.setdefault(int(c), []).append(int(q))
+        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
+        bc_q = spark.sparkContext.broadcast(qmap)
+        bc_cq = spark.sparkContext.broadcast(cell_qids)
+        ef = max(int(ef), 1)
+
+        graph_dir = self.ensure_graph(
+            snapshot=snap, m=m, ef_construction=ef_construction
+        )
+        g = spark.read.parquet(graph_dir).filter(
+            F.col("centroid_id").isin(needed)
+        )
+
+        def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "dist": pd.Series(dtype="float64"),
+                }
+            )
+            if len(pdf) == 0:
+                return empty
+            cell = int(pdf["centroid_id"].iloc[0])
+            probing = bc_cq.value.get(cell, [])
+            if not probing:
+                return empty
+            pdf = pdf.sort_values(id_col, kind="stable").reset_index(drop=True)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            levels = pdf["level"].to_numpy(dtype=np.int64)
+            layers = hnsw.layers_from_rows(ids, levels, pdf["nbrs"])
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            frames = []
+            for qid in probing:
+                qv = bc_q.value[int(qid)]
+                beam = hnsw.search_cell_graph(ids, V, levels, layers, qv, ef)
+                idx = np.fromiter(
+                    (i for _, i in beam), dtype=np.int64, count=len(beam)
+                )
+                Vc = V[idx]
+                # GEMM-form rescore for bit-parity with the flat tier's
+                # local_topk (the beam's diff² navigation values can
+                # differ in the last ulp)
+                d = (Vc * Vc).sum(axis=1) - 2.0 * (Vc @ qv) + float(qv @ qv)
+                np.maximum(d, 0.0, out=d)
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": int(qid), "neighbor_id": ids[idx], "dist": d}
+                    )
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        cand = g.groupBy("centroid_id").applyInPandas(
+            walk, schema="qid long, neighbor_id long, dist double"
+        )
+        if exclude_ids is not None:
+            cand = cand.join(
+                exclude_ids.select(
+                    F.col(exclude_ids.columns[0]).alias("neighbor_id")
+                ),
+                "neighbor_id",
+                "left_anti",
+            )
+        if predicate is not None:
+            keep_ids = (
+                self.vectors(snapshot=snap)
+                .filter(F.col("centroid_id").isin(needed))
+                .filter(predicate)
+                .select(F.col(id_col).alias("neighbor_id"))
+            )
+            cand = cand.join(keep_ids, "neighbor_id", "left_semi")
+        return _finalize_topk(cand, k, "l2_sq", round_output)
+
     def _sidecar_gen(self, snapshot: dict | None) -> str:
         """Generation tag for a derived-code sidecar dir.
 
@@ -1957,8 +2171,8 @@ class IVFIndex:
         return "raw" if sid is None else str(int(sid))
 
     def invalidate_sidecars(self) -> None:
-        """GC derived-code sidecars (sq8_gen* / sq4_gen* / pq_*_gen* / bq_gen*)
-        whose snapshot is no longer retained by the manifest.
+        """GC derived sidecars (sq8_gen* / sq4_gen* / pq_*_gen* / bq_gen* /
+        graph_m*_gen*) whose snapshot is no longer retained by the manifest.
 
         Must run after ANY commit that changes cell contents — rebalance
         does it internally; external compactors (the streaming engine's
@@ -1981,6 +2195,7 @@ class IVFIndex:
             + glob.glob(os.path.join(self.index_dir, "sq4*"))
             + glob.glob(os.path.join(self.index_dir, "pq_m*"))
             + glob.glob(os.path.join(self.index_dir, "bq_gen*"))
+            + glob.glob(os.path.join(self.index_dir, "graph_m*"))
         ):
             tag = os.path.basename(d).rsplit("_gen", 1)
             if len(tag) == 2 and tag[1] in retained:
@@ -2531,6 +2746,13 @@ def _tier_candidates(
         return index.search_cascade(
             queries_tuple, k=k, nprobe=nprobe, predicate=predicate,
             candidates_per_cell=candidates_per_cell,
+        )
+    if tier == "graph":
+        # the graph tier's serving budget is the beam width: map the
+        # shared C knob onto ef (unbounded C → exhaustive beam → exact)
+        return index.search_graph(
+            queries_tuple, k=k, nprobe=nprobe, predicate=predicate,
+            ef=candidates_per_cell or 64,
         )
     raise ValueError(f"unknown tier {tier!r}")
 

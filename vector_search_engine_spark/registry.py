@@ -2018,6 +2018,30 @@ def streaming_merged_search_sq4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_merged_search_graph", oracle=ORACLES["knn_exact_l2"])
+def streaming_merged_search_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged-search contract served through the GRAPH tier: the
+    indexed side walks per-cell HNSW sidecars (the reference's own beam
+    search) with shadowed ids excluded after the walk, the delta side
+    scans exact floats, one global raw-float64 top-k.  Graded at full
+    probe with an unbounded beam — exhaustive by the connectivity bound,
+    hash-identical to exact search over the logical union."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    return eng.search(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        tier="graph",
+        candidates_per_cell=10**9,
+    )
+
+
 @register("streaming_filtered_search", oracle=ORACLES["knn_filtered"])
 def streaming_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered × streaming cell of the capability matrix: the engine's
@@ -2537,6 +2561,52 @@ def ann_ivf_cascade_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=index.meta["n_centroids"],
         candidates_per_cell=10**9,
+        predicate=F.col("label") < 5,
+    )
+
+
+@register("ann_ivf_graph", oracle=ORACLES["knn_exact_l2"])
+def ann_ivf_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRAPH serving tier — the reference's actual search algorithm
+    (Malkov–Yashunin HNSW: greedy upper-layer descent + level-0 beam,
+    ``hnsw_index.h:223-262``) run per probed IVF cell from a
+    generation-keyed graph sidecar (``IVFIndex.ensure_graph``), with an
+    exact GEMM rescore of the beam's candidates.  Graded at full probe
+    with an unbounded beam (``ef >= |cell|``), where every cell graph's
+    connectivity-by-construction makes the walk provably exhaustive —
+    hash-identical to exact kNN; finite ``ef`` is the recall/latency
+    knob (pytest-gated, tests/test_hnsw.py; SIFT1M rung in
+    scripts/sift_scale.py)."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    index = ivf_mod.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_graph(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        ef=10**9,
+    )
+
+
+@register("ann_ivf_graph_filtered", oracle=ORACLES["knn_filtered"])
+def ann_ivf_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered × graph cell of the capability matrix: the metadata
+    predicate applies AFTER the per-cell beam (removing nodes before the
+    walk would disconnect the graph) — with the graded exhaustive beam
+    the post-filter is exact, hash-identical to the exact filtered
+    oracle; at finite ``ef`` it is the standard post-filter recall
+    trade, which is exactly why the pre/post-filter PLANNER
+    (``search_filtered``) exists for selective predicates."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    index = ivf_mod.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_graph(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        ef=10**9,
         predicate=F.col("label") < 5,
     )
 

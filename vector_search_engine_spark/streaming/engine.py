@@ -344,14 +344,18 @@ class VectorEngine:
         (nibble-packed 16-level codes, ~8× fewer), ``"pq"``
         (IVFADC byte codes, ~32× fewer), ``"bq"`` (packed sign bits, 32×
         fewer), ``"prefix"`` (full bytes, ~d/d′× fewer FLOPs via the
-        lossless prefix-dimension cut), or ``"cascade"`` (staged BQ →
-        SQ8 → float — ivf.search_cascade).  SQ8/SQ4/PQ/prefix run lossless
-        cuts + exact re-score — same results as the float tier; BQ's top-C
-        cut has no lossless bound (recall measured, tests/test_bq.py)
-        though returned distances are always exact.  The delta side
-        always scans exact floats, deltas are small."""
+        lossless prefix-dimension cut), ``"cascade"`` (staged BQ →
+        SQ8 → float — ivf.search_cascade), or ``"graph"`` (per-cell HNSW
+        walk — the reference's own beam search, ivf.search_graph, with
+        ``candidates_per_cell`` mapped onto the beam width ``ef``;
+        exhaustive — hence exact at full probe — when unbounded).
+        SQ8/SQ4/PQ/prefix run lossless cuts + exact re-score — same
+        results as the float tier; BQ's top-C cut and graph's finite-ef
+        beam have no lossless bound (recall measured, tests/test_bq.py /
+        tests/test_hnsw.py) though returned distances are always exact.
+        The delta side always scans exact floats, deltas are small."""
         if tier not in (
-            "float", "sq8", "sq4", "pq", "bq", "prefix", "cascade",
+            "float", "sq8", "sq4", "pq", "bq", "prefix", "cascade", "graph",
         ):
             raise ValueError(f"unknown search tier {tier!r}")
         id_col = self.index.meta["id_col"]
@@ -410,6 +414,20 @@ class VectorEngine:
                 nprobe=nprobe,
                 exclude_ids=delta_latest.select(id_col),
                 candidates_per_cell=candidates_per_cell,
+                predicate=predicate,
+                round_output=False,
+            )
+        elif tier == "graph":
+            # per-cell HNSW beam on the indexed side; shadowed ids leave
+            # AFTER the walk (removing nodes pre-walk would disconnect
+            # the graph) — with an exhaustive beam the post-exclusion is
+            # exact, same argument as the tier's predicate handling
+            indexed_part = self.index.search_graph(
+                queries,
+                k=k,
+                nprobe=nprobe,
+                ef=candidates_per_cell or 64,
+                exclude_ids=delta_latest.select(id_col),
                 predicate=predicate,
                 round_output=False,
             )
