@@ -440,7 +440,7 @@ def main() -> None:
             [
                 r[0]
                 for r in vecs.select(idx.meta["vec_col"])
-                .sample(50_000 / max(n, 1), seed=3)
+                .sample(min(1.0, 50_000 / max(n, 1)), seed=3)
                 .limit(50_000)
                 .collect()
             ]
@@ -510,6 +510,40 @@ def main() -> None:
                   f"{casc_res[f'c_{cpc}']['search_plus_recall_sec']}s",
                   file=sys.stderr)
         results["cascade"] = casc_res
+
+        # Graph rung (r10): per-cell HNSW beam — the reference's OWN
+        # serving algorithm (hnsw_index.h:223-262) at SIFT shape, vs the
+        # flat cell scan at the same nprobe (the probe_ladder row is the
+        # comparator).  The walk bounds distance evaluations at
+        # ~ef·M·log|cell| per (query, cell) instead of the scan's |cell|;
+        # ef is the ef_search twin, swept like the reference's
+        # recall_bench.cpp ladder.  Build wall is the price of the
+        # sidecar (per-cell Python inserts, fanned out one cell per
+        # task); bytes measure the vector-carrying node rows.
+        t0 = time.time()
+        graph_dir = idx.ensure_graph()
+        g_res: dict = {
+            "nprobe": np_pq,
+            "sidecar_build_sec": round(time.time() - t0, 2),
+            "sidecar_bytes": sum(
+                os.path.getsize(os.path.join(r, fn))
+                for r, _, fns in os.walk(graph_dir)
+                for fn in fns
+            ),
+        }
+        for ef in (K, 4 * K, 16 * K):
+            t0 = time.time()
+            gres = idx.search_graph(queries, k=K, nprobe=np_pq, ef=ef)
+            g_rec = knn_ops.recall_at_k(gres, gt, K).collect()[0]
+            g_res[f"ef_{ef}"] = {
+                "search_plus_recall_sec": round(time.time() - t0, 2),
+                "recall_at_10": float(g_rec["recall_at_k"]),
+            }
+            print(f"graph ef={ef}: recall "
+                  f"{g_res[f'ef_{ef}']['recall_at_10']:.4f} in "
+                  f"{g_res[f'ef_{ef}']['search_plus_recall_sec']}s",
+                  file=sys.stderr)
+        results["graph"] = g_res
         gt.unpersist()
 
         # M4/M5 analog beyond sf0.1: ingest-while-searching at SIFT shape

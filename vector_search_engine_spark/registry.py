@@ -2898,66 +2898,92 @@ _GRADE_FIRST: list[str] = [
     #   customers_without_orders / brand_price_unpivot / shipdate_set_ops
     #       → out: anti-join / unpivot / set-op forms stable since r4 with
     #       multiply-covered families (TPC-H agg + join flagships stay).
+    # r10 rotation — the 10 never-driver-graded r9 ops named in r9's
+    # verdict all go in (corpus_weighted_sample_es, dedup_incremental,
+    # dedup_substring_spans/clean, simjoin_edit_distance,
+    # streaming_merged_search_cascade, streaming_filtered_search_auto,
+    # ann_ivf_cascade_filtered, ann_ivf_cosine_sq8, ann_ivf_ip_cascade)
+    # plus this round's three graph-tier additions (ann_ivf_graph,
+    # ann_ivf_graph_filtered, streaming_merged_search_graph — the
+    # reference's own HNSW algorithm, finally graded).  The 13 swap-outs
+    # follow the standing redundant-twin / stronger-composed-claim
+    # policy; every one stays registered, canary-smoked, pytest-gated,
+    # and carries green driver rows from earlier rounds:
+    #   fvecs_roundtrip → out: S1 loader long-stable (green r1-r9);
+    #       bigann sibling carries r7 green; both stay sweep-gated.
+    #   doc_tfidf_vectors / hybrid_search_rrf → out: retrieval family
+    #       keeps doc_bm25_topk(+capped) + hybrid_search_rrf_weighted
+    #       (the weighted form strictly generalizes plain RRF) +
+    #       hybrid_retrieval_eval; both carry r9 greens.
+    #   label_centroids → out: the grouped-agg pandas UDAF surface stays
+    #       covered by knn_maxsim / ann_ivf_parent_closest /
+    #       dedup_semantic in-window (Arrow-UDF family); carries r1-r9.
+    #   ann_ivf_opq → out: knn_opq_adc stays (the rotation's own claim);
+    #       the IVF composition is gated by the other 8 in-window tiers.
+    #   ann_ivf_bq / ann_ivf_prefix → out: their *filtered* siblings
+    #       stay — identical full-probe exactness PLUS predicate
+    #       pushdown through the same tier (the r8 rotation's argument).
+    #   knn_truncated_rescore → out: prefix-cut family keeps
+    #       ann_ivf_prefix_filtered + index_asof_search_prefix.
+    #   streaming_merged_search_sq8 / _sq4 → out: the incoming cascade
+    #       form exercises the BQ AND SQ8 sidecars inside the identical
+    #       merged Q4 contract (stage 2 IS the sq8 cut), the incoming
+    #       graph form adds the walk tier, and ann_ivf_sq4 keeps the
+    #       nibble path in-window; both carry r9 greens.
+    #   ann_ivf_cosine_filtered / ann_ivf_ip_filtered → out: the metric
+    #       surface rotates to the quantized-tier cells (cosine_sq8 /
+    #       ip_cascade — never graded); the filtered metric forms carry
+    #       r9 greens and stay sweep-gated.
+    #   lineitem_column_profile → out: column-profile agg stable since
+    #       r8; TPC-H agg/join/window/grouping-sets flagships stay.
     "knn_exact_l2",
-    "hybrid_search_rrf",
-    "label_centroids",
-    # sources (reference S1 + bigann byte-vector sibling; S2 rotated out r9)
-    "fvecs_roundtrip",
+    # lexical/hybrid retrieval
     "doc_bm25_topk",
-    # lexical/hybrid retrieval — r8 additions, first graded r9, plus the
-    # r9 df-capped BM25 (the common-term shuffle guard; its slot comes
-    # from doc_unigram_stats — same hashed-postings-agg physical shape,
-    # and the capped form is the new claim that needs a driver row)
     "doc_bm25_topk_capped",
     "hybrid_search_rrf_weighted",
     "hybrid_retrieval_eval",
-    "doc_tfidf_vectors",
-    # IVF index family (reference Q2/Q3/B2) — full metric surface
+    # IVF index family (reference Q2/Q3/B2) — serving-tier surface
     "ann_ivf_exact_when_full_probe",
     "ann_ivf_filtered",
     "ann_ivf_sq4",
     "ann_ivf_pq_filtered",
     "ann_ivf_filtered_auto",
-    # (ann_ivf_distributed rotated to the tail r9 for ann_ivf_cascade:
-    # it shares knn_exact_l2's oracle string byte-for-byte as an
-    # alternate physical form — the same argument that rotated
-    # knn_exact_distributed out in r6 — and carries r8 green; the
-    # cascade is this round's new serving-tier claim.)
     "ann_ivf_cascade",
-    "ann_ivf_cosine_filtered",
-    "ann_ivf_ip_filtered",
-    # compression/compute ladder — r8 additions, first graded r9
+    "ann_ivf_cascade_filtered",
     "knn_opq_adc",
-    "ann_ivf_opq",
-    "ann_ivf_bq",
     "ann_ivf_bq_filtered",
-    "ann_ivf_prefix",
     "ann_ivf_prefix_filtered",
-    "knn_truncated_rescore",
-    # streaming engine (reference Q4/S4/W1-W4 — the core merged-search
-    # contract through the quantized serving tiers, plus LSM tombstone
-    # deletes and manifest time travel)
-    "streaming_merged_search_sq8",
-    "streaming_merged_search_sq4",
+    # graph tier — the reference's actual Q2/Q3 algorithm (r10)
+    "ann_ivf_graph",
+    "ann_ivf_graph_filtered",
+    # metric × quantized-tier matrix (r9, first graded r10)
+    "ann_ivf_cosine_sq8",
+    "ann_ivf_ip_cascade",
+    # streaming engine (reference Q4/S4/W1-W4 — the merged-search
+    # contract through the staged + graph serving tiers, LSM tombstone
+    # deletes, manifest time travel, and the filtered planner route)
+    "streaming_merged_search_cascade",
+    "streaming_merged_search_graph",
     "streaming_ingest_search",
     "streaming_delete_search",
-    # (index_asof_search_pq rotated to the tail late in r9 for
-    # streaming_filtered_search — the metadata-carrying merged search is
-    # this round's new claim; the pq as-of form carries its r8 green and
-    # the never-graded prefix as-of sibling keeps the time-travel family
-    # in-window.)
     "streaming_filtered_search",
+    "streaming_filtered_search_auto",
     "index_asof_search_prefix",
-    # multi-vector (parent/child) retrieval — r8 third wave
+    # multi-vector (parent/child) retrieval
     "ann_ivf_parent_closest",
     "knn_maxsim",
-    # LLM-pipeline: dedup family
+    # LLM-pipeline: dedup family (incremental + substring spans r10-new)
     "dedup_exact",
     "dedup_semantic",
+    "dedup_incremental",
+    "dedup_substring_spans",
+    "dedup_substring_clean",
+    "simjoin_edit_distance",
     "pipeline_neardup_corpus",
     # LLM-pipeline: corpus ops
     "corpus_approx_distinct",
     "corpus_mixture_sample_weighted",
+    "corpus_weighted_sample_es",
     "doc_chunks",
     "corpus_decontaminate",
     # LLM-pipeline: multimodal
@@ -2972,20 +2998,10 @@ _GRADE_FIRST: list[str] = [
     "tpch_regional_revenue",
     "top_orders_per_customer",
     "lineitem_grouping_sets",
-    "lineitem_column_profile",
     # events / semi-structured
     "events_asof_attribution",
-    # text analysis (family representative — see r9 rotation note;
-    # doc_unigram_stats rotated to the tail for doc_bm25_topk_capped,
-    # which grades the same hashed-postings-agg shape plus the df guard)
+    # text analysis family representative
     "doc_quality_filter",
-    # r10 rotation candidates (oracle-backed, never driver-graded, added
-    # late in r9): streaming_merged_search_cascade,
-    # ann_ivf_cascade_filtered, dedup_incremental, ann_ivf_cosine_sq8,
-    # ann_ivf_ip_cascade, and the rotated-out index_asof_search_pq's
-    # slotmate — rotate them in once this round's new in-window claims
-    # (ann_ivf_cascade, doc_bm25_topk_capped, streaming_filtered_search)
-    # carry green driver rows.
 ]
 
 
