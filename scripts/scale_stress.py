@@ -210,6 +210,66 @@ def main() -> None:
 
     timed(results, "pipeline_neardup_corpus", neardup_pipeline)
     results["pipeline_neardup_corpus"]["cc_rounds"] = cc_stats.get("rounds")
+
+    # r10: exact-substring span dedup at 100k (Lee et al. 2022 shape) —
+    # pins the postings volume (every length-n token window posts one
+    # (doc, pos, md5) row), the gaps-and-islands window-merge wall, and
+    # the one-co-partitioned-join clean pass over the same corpus
+    postings_volume = docs.select(
+        F.sum(
+            F.greatest(
+                F.size(text_ops.tokens(F.col("text")))
+                - text_ops.DUP_SPAN_N
+                + 1,
+                F.lit(0),
+            )
+        ).alias("v")
+    ).collect()[0]["v"]
+    timed(
+        results,
+        "substring_spans",
+        lambda: text_ops.substring_spans(docs).count(),
+    )
+    results["substring_spans"]["postings_volume"] = int(postings_volume)
+    timed(
+        results,
+        "substring_dedup_clean",
+        lambda: text_ops.substring_dedup_clean(docs).count(),
+    )
+
+    # r10: Ed-Join edit-distance similarity join — strings are the docs'
+    # 24-char natural-language prefixes (Zipfian gram frequencies: a few
+    # very common q-grams, a long rare tail — exactly the regime the
+    # df-ascending prefix order is the skew guard for) plus a per-variant
+    # suffix so near-duplicate groups sit within ED<=k of each other.
+    # candidate_pairs (pre-verification) is the prefix filter's measured
+    # selectivity: the claim to confirm is candidates ~ O(k*q*N*group),
+    # orders of magnitude under the N^2 cross product, at BOTH sizes.
+    from vector_search_engine_spark.operators import simjoin
+
+    def ed_strings(n_variants: int):
+        return docs.filter(F.col("doc_id") % N_VARIANTS < n_variants).select(
+            F.col("doc_id").alias("key"),
+            F.concat(
+                F.lower(F.substring("text", 1, 24)),
+                F.lit(" v"),
+                (F.col("doc_id") % N_VARIANTS).cast("string"),
+            ).alias("s"),
+        )
+
+    for nv in (N_VARIANTS // 2, N_VARIANTS):
+        st: dict = {}
+        name = f"edit_distance_pairs_{nv * (n_docs // N_VARIANTS)}"
+        timed(
+            results,
+            name,
+            lambda nv=nv, st=st: simjoin.edit_distance_pairs(
+                ed_strings(nv), k=2, q=2, stats_out=st
+            ).count(),
+        )
+        results[name]["candidate_pairs"] = st.get("candidate_pairs")
+        results[name]["n_strings"] = nv * (n_docs // N_VARIANTS)
+
     docs.unpersist()
 
     if only_docs:

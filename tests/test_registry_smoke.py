@@ -22,6 +22,28 @@ from vector_search_engine_spark import registry
 ALL_QUERIES = list(registry.QUERIES)
 
 
+def test_readme_counts_match_registry():
+    """README's operator/oracle counts are generated from the registry
+    (scripts/update_readme_counts.py); hand-drift fails here."""
+    import os
+    import re
+
+    readme = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "README.md",
+    )
+    with open(readme) as f:
+        text = f.read()
+    m = re.search(r"\((\d+) operators, (\d+) oracle-backed,", text)
+    assert m, "README counts line not found"
+    assert int(m.group(1)) == len(registry.QUERIES), (
+        "README operator count drifted — run scripts/update_readme_counts.py"
+    )
+    assert int(m.group(2)) == len(registry.ORACLES), (
+        "README oracle count drifted — run scripts/update_readme_counts.py"
+    )
+
+
 def test_grading_window_is_covered():
     """Every _GRADE_FIRST name must resolve to a registered query."""
     missing = [n for n in registry._GRADE_FIRST if n not in registry.QUERIES]

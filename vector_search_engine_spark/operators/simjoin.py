@@ -162,6 +162,7 @@ def edit_distance_pairs(
     q: int = 2,
     key_col: str = "key",
     str_col: str = "s",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """All pairs ``(key_a < key_b)`` with ``levenshtein(s_a, s_b) <= k``.
 
@@ -273,6 +274,11 @@ def edit_distance_pairs(
         .select("key_a", "key_b")
     )
     cand = cand.union(cand_short).distinct()
+    if stats_out is not None:
+        # diagnostic-only extra job: the pre-verification candidate count
+        # (the prefix filter's selectivity — what scale_stress.py pins
+        # against the O(k·q·N·group) bound vs the N² cross product)
+        stats_out["candidate_pairs"] = cand.count()
     sa = base.select(F.col("_key").alias("key_a"), F.col("_s").alias("_sa"))
     sb = base.select(F.col("_key").alias("key_b"), F.col("_s").alias("_sb"))
     return (

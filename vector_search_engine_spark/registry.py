@@ -782,6 +782,60 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("ivf_tune_nprobe_report")  # calibration ladder — rows-only
+def ivf_tune_nprobe_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-knob calibration pass as a graded row: the doubling +
+    binary-refinement ladder ``tune_nprobe`` runs (the reference's own
+    ef_search methodology, ``recall_bench.cpp:67-106``), emitted as
+    (nprobe, recall, chosen) rows.  Rows-only by nature — the ladder's
+    recalls are probe-order facts, not SQL-expressible — but the knob's
+    CONTRACT (minimality + target met + full-probe exactness) is
+    pytest-gated (tests/test_ivf.py::test_tune_nprobe_*)."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = index.tune_nprobe(
+        knn_ops.make_queries(emb, n=10), target_recall=0.9, k=10
+    )
+    rows = [
+        (int(e["nprobe"]), float(e["recall"]), e["nprobe"] == out["nprobe"])
+        for e in out["ladder"]
+    ]
+    return spark.createDataFrame(
+        rows, "nprobe long, recall_at_k double, chosen boolean"
+    )
+
+
+@register("ivf_tune_candidates_report")  # calibration ladder — rows-only
+def ivf_tune_candidates_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C-knob sibling of ``ivf_tune_nprobe_report``: the smallest
+    ``candidates_per_cell`` meeting the recall target through the lossy
+    BQ tier at a fixed nprobe, as (candidates_per_cell, recall, chosen)
+    rows.  Monotone in C (a larger cut keeps a candidate superset), so
+    the doubling ladder terminates at or below the largest probed cell;
+    an unreachable target reports the nprobe ceiling honestly
+    (tests/test_ivf.py::test_tune_candidates_*)."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = index.tune_candidates(
+        knn_ops.make_queries(emb, n=10),
+        target_recall=0.9,
+        k=10,
+        nprobe=max(2, index.meta["n_centroids"] // 2),
+        tier="bq",
+    )
+    rows = [
+        (
+            int(e["candidates_per_cell"]),
+            float(e["recall"]),
+            e["candidates_per_cell"] == out["candidates_per_cell"],
+        )
+        for e in out["ladder"]
+    ]
+    return spark.createDataFrame(
+        rows, "candidates_per_cell long, recall_at_k double, chosen boolean"
+    )
+
+
 @register("knn_sq8_rescore")  # candidate pruning is approximate → rows-only
 def knn_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage SQ8 search: uint8-quantized candidate scan (4× fewer scan
