@@ -200,6 +200,21 @@ def test_graph_sidecar_partition_pruning_plan(spark, embeddings, index):
     assert "PartitionFilters" in plan and "centroid_id" in plan
 
 
+def test_tune_ef_meets_target_and_reports_ceiling(spark, embeddings, index):
+    """tune_ef finds an ef meeting the target at a full-probe nprobe
+    (reachable: the exhaustive ceiling is exact there), and reports the
+    nprobe ceiling honestly when the target is unreachable at nprobe=1."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    out = index.tune_ef(q, target_recall=0.9, k=10, nprobe=8)
+    assert out["recall"] >= 0.9
+    assert out["ladder"][0]["ef"] == 10  # ladder starts at k
+    # unreachable target at nprobe=1 → ceiling reported, ef = max cell
+    low = index.tune_ef(q, target_recall=1.01, k=10, nprobe=1)
+    assert "nprobe_ceiling" in low
+    max_cell = max(int(r.n_vectors) for r in index.stats().collect())
+    assert low["ef"] == max_cell
+
+
 def test_streaming_merged_search_graph_tier(spark, embeddings, tmp_path):
     """tier="graph" through the merged Q4 contract: indexed side walks the
     per-cell graphs with shadowed ids excluded post-walk, delta side

@@ -1007,6 +1007,90 @@ class IVFIndex:
             out["nprobe_ceiling"] = ceiling  # target unreachable at this nprobe
         return out
 
+    def tune_ef(
+        self,
+        queries: DataFrame,
+        target_recall: float = 0.95,
+        k: int = 10,
+        nprobe: int = 8,
+    ) -> dict:
+        """Calibrate the graph tier's beam width: the smallest ``ef``
+        whose recall@k (vs exact kNN on the bounded query set) meets
+        ``target_recall`` at the given nprobe — the LITERAL twin of the
+        reference's own tuning pass (``recall_bench.cpp:67-106`` sweeps
+        ef_search and picks by recall; this is the same knob on the same
+        algorithm).
+
+        Doubling ladder k, 2k, 4k, … then one binary refinement.  Beam
+        recall is monotone in ``ef`` in practice (a wider beam delays
+        the early-termination check and explores a superset of the
+        frontier) though not provably per-query — so unlike
+        ``tune_nprobe`` the ladder's floor is empirical; its CEILING is
+        provable: ``ef >= max cell size`` makes every cell walk
+        exhaustive, where recall equals the float probe's at this
+        nprobe exactly.  Returns ``{"ef", "recall", "ladder"}`` and, if
+        even the exhaustive beam misses the target, ``nprobe_ceiling``
+        — the honest signal that nprobe (not ef) is the binding knob."""
+        from vector_search_engine_spark.operators.knn import (
+            knn_exact,
+            recall_at_k,
+        )
+
+        gt = (
+            knn_exact(
+                self.vectors(),
+                queries,
+                k=k,
+                id_col=self.meta["id_col"],
+                vec_col=self.meta["vec_col"],
+            )
+            .orderBy("rank")
+            .groupBy("qid")
+            .agg(F.collect_list("neighbor_id").alias("neighbor_ids"))
+            .cache()
+        )
+        gt.count()
+        max_cell = max(
+            (int(r.n_vectors) for r in self.stats().collect()), default=1
+        )
+
+        def recall_at(ef: int) -> float:
+            res = self.search_graph(queries, k=k, nprobe=nprobe, ef=ef)
+            return float(recall_at_k(res, gt, k).collect()[0]["recall_at_k"])
+
+        ceiling = None
+        ladder: list[dict] = []
+        try:
+            lo, hi = 0, None
+            ef = k
+            while True:
+                cc = min(ef, max_cell)
+                r = recall_at(cc)
+                ladder.append({"ef": cc, "recall": r})
+                if r >= target_recall or cc >= max_cell:
+                    hi = cc
+                    if r < target_recall:
+                        ceiling = r  # exhaustive beam: nprobe is binding
+                    break
+                lo = cc
+                ef *= 2
+            while hi - lo > 1 and ceiling is None:
+                mid = (lo + hi) // 2
+                r = recall_at(mid)
+                ladder.append({"ef": mid, "recall": r})
+                if r >= target_recall:
+                    hi = mid
+                else:
+                    lo = mid
+        finally:
+            # a failed search job must not leak the cached ground truth
+            gt.unpersist()
+        final = next(e["recall"] for e in ladder if e["ef"] == hi)
+        out = {"ef": hi, "recall": final, "ladder": ladder}
+        if ceiling is not None:
+            out["nprobe_ceiling"] = ceiling
+        return out
+
     def search_prefix(
         self,
         queries: DataFrame,

@@ -836,6 +836,31 @@ def ivf_tune_candidates_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_tune_ef_report")  # calibration ladder — rows-only
+def ivf_tune_ef_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ef-knob calibration — the LITERAL reference tuning pass
+    (``recall_bench.cpp:67-106`` sweeps ef_search on the same algorithm
+    this graph tier runs): smallest beam width meeting the recall target
+    at a fixed nprobe, as (ef, recall, chosen) rows.  The exhaustive
+    ceiling (ef >= max cell) provably equals the float probe's recall at
+    the same nprobe (tests/test_hnsw.py gates the bound)."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = index.tune_ef(
+        knn_ops.make_queries(emb, n=10),
+        target_recall=0.9,
+        k=10,
+        nprobe=max(2, index.meta["n_centroids"] // 2),
+    )
+    rows = [
+        (int(e["ef"]), float(e["recall"]), e["ef"] == out["ef"])
+        for e in out["ladder"]
+    ]
+    return spark.createDataFrame(
+        rows, "ef long, recall_at_k double, chosen boolean"
+    )
+
+
 @register("knn_sq8_rescore")  # candidate pruning is approximate → rows-only
 def knn_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage SQ8 search: uint8-quantized candidate scan (4× fewer scan
@@ -941,6 +966,23 @@ def ann_ivf_cosine_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.search_cosine(
         index, emb, knn_ops.make_queries(emb), k=10,
         nprobe=index.meta["n_centroids"], tier="sq8",
+    )
+
+
+@register("ann_ivf_cosine_graph", oracle=ORACLES["knn_exact_cosine"])
+def ann_ivf_cosine_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine × graph-tier cell of the capability matrix: candidate
+    generation walks the NORMALIZED index's per-cell HNSW sidecars (the
+    reference's own beam, serving a metric its L2-only engine lacks) and
+    the exact-cosine rescore on the original vectors is unchanged — at
+    full probe with an unbounded beam the walk is exhaustive, so the
+    same flat cosine oracle gates it."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="cosine")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_cosine(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"], tier="graph",
+        candidates_per_cell=10**9,
     )
 
 
@@ -2394,6 +2436,32 @@ def index_asof_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=eng.index.meta["n_centroids"],
         prefix_dims=16,
+        snapshot=-1,
+    )
+
+
+@register("index_asof_search_graph", oracle=_ASOF_ORACLE)
+def index_asof_search_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through the GRAPH tier: ``ensure_graph`` keys the
+    sidecar by the pinned snapshot's generation and builds it from that
+    snapshot's own cells (deterministically — md5 levels, id-ascending
+    inserts — so the historical graph is reproducible byte-for-byte),
+    and the walk runs over the as-of state.  Graded exhaustively (full
+    probe + unbounded beam) against the same as-of oracle as the
+    float/PQ/prefix time-travel rows."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    eng.compact()
+    return eng.index.search_graph(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        ef=10**9,
         snapshot=-1,
     )
 
