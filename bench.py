@@ -234,6 +234,18 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             casc_latencies.append(one_search(tier="cascade"))
         casc_recalls = recalls[n_before_casc:]
         casc_ms = np.sort(np.array(casc_latencies[1:]) * 1000.0)
+        # graph serving tier (r10): per-cell HNSW walk at the default
+        # beam (ef=64 via candidates_per_cell); first call builds the
+        # generation-keyed graph sidecar (reported separately).  Finite
+        # beam → recall is a measured property like BQ's.
+        n_before_graph = len(recalls)
+        graph_build0 = time.time()
+        graph_latencies = [one_search(tier="graph")]
+        graph_build_sec = time.time() - graph_build0
+        for _ in range(4):
+            graph_latencies.append(one_search(tier="graph"))
+        graph_recalls = recalls[n_before_graph:]
+        graph_ms = np.sort(np.array(graph_latencies[1:]) * 1000.0)
         # per-op percentiles from the engine's own S6 metrics sink
         ops = {m["op"]: m for m in eng.recorder.snapshot()}
         ins = ops.get("insert", {})
@@ -268,6 +280,12 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             "search_cascade_p99_ms": round(float(np.percentile(casc_ms, 99)), 1),
             "search_cascade_recall_at_10": round(
                 float(np.mean(casc_recalls)), 4
+            ),
+            "search_graph_build_sec": round(graph_build_sec, 3),
+            "search_graph_p50_ms": round(float(np.percentile(graph_ms, 50)), 1),
+            "search_graph_p99_ms": round(float(np.percentile(graph_ms, 99)), 1),
+            "search_graph_recall_at_10": round(
+                float(np.mean(graph_recalls)), 4
             ),
             "recall_at_10_mean": round(float(np.mean(float_recalls)), 4),
             "recall_at_10_final": round(float(float_recalls[-1]), 4),
