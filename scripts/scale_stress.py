@@ -231,10 +231,17 @@ def main() -> None:
         lambda: text_ops.substring_spans(docs).count(),
     )
     results["substring_spans"]["postings_volume"] = int(postings_volume)
+    # force the clean text itself (sum of output lengths), not count():
+    # the left join preserves row count, so Catalyst's outer-join
+    # elimination would make a count() measurement vacuous
     timed(
         results,
         "substring_dedup_clean",
-        lambda: text_ops.substring_dedup_clean(docs).count(),
+        lambda: int(
+            text_ops.substring_dedup_clean(docs)
+            .agg(F.sum(F.length("clean_text")).alias("b"))
+            .collect()[0]["b"]
+        ),
     )
 
     # r10: Ed-Join edit-distance similarity join — strings are the docs'

@@ -194,6 +194,19 @@ def edit_distance_pairs(
     prefixes toward RARE grams (small join groups — the skew guard);
     verification is one JVM levenshtein per surviving candidate.  The
     naive O(N^2) crossJoin never appears.
+
+    Regime note (measured, SCALING.md finding 16): the POSTING volume is
+    O(k*q*N) unconditionally, but the CANDIDATE count is
+    sum-over-prefix-grams of the gram's pairing volume — bounded by the
+    corpus's prefix-group structure, not by N.  On a template-heavy
+    corpus (many strings sharing their rare prefix grams) candidates
+    grow with the squared group sizes; df-ascending steering cannot
+    rescue data that genuinely repeats.  The 100 TB composition is to
+    run exact dedup first (`dedup.exact_dedup` / a distinct() on the
+    join column) so the string universe entering the join is unique,
+    and to treat a high candidates/verified ratio as the signal that
+    template normalization (strip boilerplate before joining) belongs
+    upstream.
     """
     prefix_len = k * q + 1
     padded = F.concat(
