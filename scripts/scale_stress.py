@@ -277,6 +277,28 @@ def main() -> None:
         results[name]["candidate_pairs"] = st.get("candidate_pairs")
         results[name]["n_strings"] = nv * (n_docs // N_VARIANTS)
 
+    # r10: the dup-heavy shape the distinct-universe plan exists for —
+    # suffix-FREE prefixes give 20 byte-identical copies of each base
+    # string (~5k distinct of 100k keys); dedupe_exact runs the gram
+    # join over the distinct universe and expands matches back, so
+    # candidates collapse from the suffixed fixture's ~878M to the
+    # distinct universe's ~1.5M (SCALING finding 16's measured win)
+    st_dup: dict = {}
+    dup_strs = docs.select(
+        F.col("doc_id").alias("key"),
+        F.lower(F.substring("text", 1, 24)).alias("s"),
+    )
+    timed(
+        results,
+        "edit_distance_pairs_dupheavy_100k",
+        lambda: simjoin.edit_distance_pairs(
+            dup_strs, k=2, q=2, stats_out=st_dup
+        ).count(),
+    )
+    results["edit_distance_pairs_dupheavy_100k"]["candidate_pairs"] = (
+        st_dup.get("candidate_pairs")
+    )
+
     docs.unpersist()
 
     if only_docs:

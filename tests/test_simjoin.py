@@ -128,6 +128,44 @@ def test_edit_distance_pairs_planted(spark):
     assert got == {(1, 2): 1, (1, 3): 2, (1, 4): 1, (2, 4): 2, (3, 4): 2, (5, 6): 1}
 
 
+def test_edit_distance_pairs_dup_heavy_and_dedupe_equivalence(spark):
+    """Duplicate-heavy corpus: the distinct-universe plan (dedupe_exact,
+    default) and the direct plan agree with brute force — including the
+    ED=0 identical-string pairs — and the dedupe plan's candidate join
+    sees only the distinct universe (measured via stats_out)."""
+    import itertools
+    import random
+
+    from vector_search_engine_spark.operators.simjoin import edit_distance_pairs
+
+    random.seed(23)
+    distinct = ["".join(random.choices("abc", k=random.randint(0, 8))) for _ in range(15)]
+    rows = [(i, random.choice(distinct)) for i in range(120)]
+    df = spark.createDataFrame(rows, "key long, s string")
+    want = {
+        (a, b, _lev(sa, sb))
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if _lev(sa, sb) <= 2
+    }
+    st_on, st_off = {}, {}
+    got_on = {
+        (r.key_a, r.key_b, r.dist)
+        for r in edit_distance_pairs(df, k=2, stats_out=st_on).collect()
+    }
+    got_off = {
+        (r.key_a, r.key_b, r.dist)
+        for r in edit_distance_pairs(
+            df, k=2, stats_out=st_off, dedupe_exact=False
+        ).collect()
+    }
+    assert got_on == want
+    assert got_off == want
+    # the dedupe plan's candidate join runs over <= C(15,2) distinct
+    # pairs; the direct plan pairs all 120 keys through the grams
+    assert st_on["candidate_pairs"] <= 15 * 14 // 2
+    assert st_off["candidate_pairs"] > st_on["candidate_pairs"]
+
+
 def test_edit_distance_pairs_matches_bruteforce(spark):
     """Exactness gate: blocked plan == O(N^2) brute force, including the
     both-short channel (strings below the prefix-filter guarantee) and

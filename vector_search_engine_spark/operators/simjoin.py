@@ -163,6 +163,7 @@ def edit_distance_pairs(
     key_col: str = "key",
     str_col: str = "s",
     stats_out: dict | None = None,
+    dedupe_exact: bool = True,
 ) -> DataFrame:
     """All pairs ``(key_a < key_b)`` with ``levenshtein(s_a, s_b) <= k``.
 
@@ -201,21 +202,46 @@ def edit_distance_pairs(
     corpus's prefix-group structure, not by N.  On a template-heavy
     corpus (many strings sharing their rare prefix grams) candidates
     grow with the squared group sizes; df-ascending steering cannot
-    rescue data that genuinely repeats.  The 100 TB composition is to
-    run exact dedup first (`dedup.exact_dedup` / a distinct() on the
-    join column) so the string universe entering the join is unique,
-    and to treat a high candidates/verified ratio as the signal that
-    template normalization (strip boilerplate before joining) belongs
-    upstream.
+    rescue data that genuinely repeats.  ``dedupe_exact`` (default on)
+    folds the standard mitigation for the worst offender — byte-identical
+    strings — INTO the join: the gram/candidate/verify pipeline runs over
+    the DISTINCT string universe (one md5-keyed group rep per distinct
+    value; rep = min key), identical-string pairs are emitted directly as
+    ED=0 through one hash self-join on the 16-byte signature, and each
+    verified distinct pair expands to its key cross-product through two
+    signature-keyed hash joins.  Results are identical (pytest-gated
+    against brute force with heavy duplicates); the candidate join's
+    input shrinks from N strings to N_distinct, which is quadratic
+    leverage on dup-heavy corpora (SCALING finding 16's measured win).
+    Residual templates that differ by a few bytes still pair
+    quadratically — that normalization belongs upstream; a high
+    candidates/verified ratio in ``stats_out`` is the signal.
     """
+    src = strings.select(
+        F.col(key_col).alias("_key"), F.col(str_col).alias("_s")
+    )
+    if dedupe_exact:
+        sig = src.select(
+            "_key", "_s", F.md5(F.col("_s")).alias("_sig")
+        )
+        # rep per distinct string = min key; text shuffles once (the
+        # groupBy) and the membership map carries only (key, 16-byte sig)
+        reps = sig.groupBy("_sig").agg(F.min("_key").alias("_rep"))
+        work = (
+            sig.join(reps, "_sig")
+            .filter(F.col("_key") == F.col("_rep"))
+            .select("_key", "_s")
+        )
+    else:
+        work = src
     prefix_len = k * q + 1
     padded = F.concat(
-        F.lit(_ED_PAD * (q - 1)), F.col(str_col), F.lit(_ED_PAD * (q - 1))
+        F.lit(_ED_PAD * (q - 1)), F.col("_s"), F.lit(_ED_PAD * (q - 1))
     )
-    base = strings.select(
-        F.col(key_col).alias("_key"),
-        F.col(str_col).alias("_s"),
-        F.length(str_col).alias("_len"),
+    base = work.select(
+        "_key",
+        "_s",
+        F.length("_s").alias("_len"),
         padded.alias("_p"),
     )
     # substring with a column start index needs expr()
@@ -294,10 +320,45 @@ def edit_distance_pairs(
         stats_out["candidate_pairs"] = cand.count()
     sa = base.select(F.col("_key").alias("key_a"), F.col("_s").alias("_sa"))
     sb = base.select(F.col("_key").alias("key_b"), F.col("_s").alias("_sb"))
-    return (
+    verified = (
         cand.join(sa, "key_a")
         .join(sb, "key_b")
         .withColumn("dist", F.levenshtein("_sa", "_sb"))
         .filter(F.col("dist") <= k)
         .select("key_a", "key_b", F.col("dist").cast("long").alias("dist"))
     )
+    if not dedupe_exact:
+        return verified
+    # expand rep-level matches back to the full key universe:
+    #   * identical strings (same sig) pair at ED=0 via one hash
+    #     self-join on the 16-byte signature — never through the grams;
+    #   * each verified distinct pair (rep_a < rep_b, groups disjoint)
+    #     crosses its two membership sets via two sig-keyed hash joins;
+    #     least/greatest restores the key_a < key_b contract.
+    m = sig.select("_key", "_sig")
+    within = (
+        m.select(F.col("_key").alias("key_a"), "_sig")
+        .join(m.select(F.col("_key").alias("key_b"), "_sig"), "_sig")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", F.lit(0).cast("long").alias("dist"))
+    )
+    ra = reps.select(F.col("_rep").alias("key_a"), F.col("_sig").alias("_siga"))
+    rb = reps.select(F.col("_rep").alias("key_b"), F.col("_sig").alias("_sigb"))
+    cross = (
+        verified.join(ra, "key_a")
+        .join(rb, "key_b")
+        .join(
+            m.select(F.col("_key").alias("_ka"), F.col("_sig").alias("_siga")),
+            "_siga",
+        )
+        .join(
+            m.select(F.col("_key").alias("_kb"), F.col("_sig").alias("_sigb")),
+            "_sigb",
+        )
+        .select(
+            F.least("_ka", "_kb").alias("key_a"),
+            F.greatest("_ka", "_kb").alias("key_b"),
+            "dist",
+        )
+    )
+    return within.unionByName(cross)
