@@ -1072,6 +1072,23 @@ def ann_ivf_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_ip_graph", oracle=ORACLES["knn_exact_ip"])
+def ann_ivf_ip_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS × graph-tier cell, completing the metric × graph row: the
+    per-cell HNSW walk runs over the MIPS-augmented index (the
+    augmentation is pure geometry — the beam's L2 navigation ranks
+    exactly as MIPS would), exact-dot rescore on the original vectors;
+    same flat MIPS oracle, graded exhaustively (full probe + unbounded
+    beam)."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="mips")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_ip(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"], tier="graph",
+        candidates_per_cell=10**9,
+    )
+
+
 @register("ann_ivf_ip_cascade", oracle=ORACLES["knn_exact_ip"])
 def ann_ivf_ip_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIPS × staged-cascade cell: candidates from the MIPS-augmented
