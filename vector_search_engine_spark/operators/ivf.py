@@ -522,8 +522,6 @@ class IVFIndex:
         at any index size (footers are KBs regardless of cell size — the
         same trick table formats use for ``COUNT(*)``).  Falls back to the
         full scan+groupBy only for a pre-manifest raw layout."""
-        import pyarrow.parquet as pq
-
         m = self._read_manifest()
         if m is None:
             return (
@@ -532,22 +530,14 @@ class IVFIndex:
                 .agg(F.count("*").cast("long").alias("n_vectors"))
                 .orderBy("centroid_id")
             )
-        root = os.path.join(self.index_dir, "vectors")
-        counts = []
-        for c, g in sorted(m["cells"].items(), key=lambda kv: int(kv[0])):
-            d = os.path.join(root, f"gen={g}", f"centroid_id={c}")
-            n = sum(
-                pq.ParquetFile(fp).metadata.num_rows
-                for fp in glob.glob(os.path.join(d, "*.parquet"))
-            )
-            # zero-row / missing-dir cells are omitted to stay
-            # branch-interchangeable with the scan fallback (a groupBy
-            # never emits a group for rows that don't exist); the schema
-            # (int centroid_id — partition-column inference type — long
-            # n_vectors, ascending centroid_id) is pinned by
-            # tests/test_ivf.py::test_stats_branches_interchangeable
-            if n > 0:
-                counts.append((int(c), n))
+        # footer counts come from the shared per-snapshot helper (memoized
+        # per generation).  Zero-row / missing-dir cells are omitted there
+        # to stay branch-interchangeable with the scan fallback (a groupBy
+        # never emits a group for rows that don't exist); the schema (int
+        # centroid_id — partition-column inference type — long n_vectors,
+        # ascending centroid_id) is pinned by
+        # tests/test_ivf.py::test_stats_branches_interchangeable
+        counts = sorted(self._snapshot_counts(m).items())
         pdf = pd.DataFrame(
             {
                 "centroid_id": np.array([c for c, _ in counts], dtype=np.int32),
@@ -558,15 +548,24 @@ class IVFIndex:
 
     def _snapshot_counts(self, snap: dict | None) -> dict[int, int]:
         """Per-cell row counts for a PINNED manifest snapshot, from parquet
-        footer metadata only (same num_rows trick as ``stats()``, but over
-        the given snapshot's cell dirs rather than the live manifest) —
-        so a cost model that pinned ``snap`` observes totals from the SAME
-        snapshot as its survivor counts, not from whatever the index has
-        grown to since.  Empty dict for a pre-manifest raw layout."""
+        footer metadata only (the ``stats()`` num_rows trick, parameterized
+        by snapshot) — so a cost model that pinned ``snap`` observes totals
+        from the SAME snapshot as its survivor counts, not from whatever
+        the index has grown to since.  Memoized per generation (a
+        generation's cells are immutable, and hot serving paths — the
+        cascade's broadcast guard, the filtered planner — would otherwise
+        pay O(n_cells) driver footer reads per call).  Empty dict for a
+        pre-manifest raw layout."""
         import pyarrow.parquet as pq
 
         if not snap or "cells" not in snap:
             return {}
+        gen = snap.get("latest_gen")
+        cache = getattr(self, "_cell_counts_cache", None)
+        if cache is None:
+            cache = self._cell_counts_cache = {}
+        if gen is not None and gen in cache:
+            return cache[gen]
         root = os.path.join(self.index_dir, "vectors")
         counts: dict[int, int] = {}
         for c, g in snap["cells"].items():
@@ -577,6 +576,10 @@ class IVFIndex:
             )
             if n > 0:
                 counts[int(c)] = n
+        if gen is not None:
+            if len(cache) > 16:
+                cache.clear()  # bound retained generations
+            cache[gen] = counts
         return counts
 
     # -- search --------------------------------------------------------------
@@ -844,31 +847,34 @@ class IVFIndex:
             round_output=round_output,
         )
 
-    def tune_nprobe(
+    def _run_tune_ladder(
         self,
         queries: DataFrame,
-        target_recall: float = 0.95,
-        k: int = 10,
+        k: int,
+        knob: str,
+        start: int,
+        cap: int,
+        target_recall: float,
+        search_at,
+        report_ceiling: bool,
     ) -> dict:
-        """Calibrate the serving knob: the smallest ``nprobe`` whose
-        recall@k on the given (bounded, bulk-search-contract) query set
-        meets ``target_recall`` — the tuning pass every deployment runs,
-        and the reference's own methodology for ef_search
-        (``recall_bench.cpp:67-106`` sweeps and picks by recall).
-
-        Doubling ladder 1, 2, 4, … then one binary refinement between
-        the last miss and the first hit; recall is monotone in nprobe
-        (probing strictly more cells only adds candidates) so this finds
-        the minimum in O(log n_centroids) searches.  Full probe is exact
-        by construction, so the loop always terminates at or below
-        ``n_centroids``.  Returns ``{"nprobe", "recall", "ladder"}``
-        (driver-side calibration report, not a DataFrame op)."""
+        """Shared harness for the serving-knob calibrators (`tune_nprobe`
+        / `tune_candidates` / `tune_ef` — all three run the reference's
+        recall-sweep methodology, ``recall_bench.cpp:67-106``): build the
+        exact-kNN ground truth once (cached, released in a finally so a
+        failed search job can't leak it), then a doubling ladder from
+        ``start`` capped at ``cap`` followed by one binary refinement
+        between the last miss and the first hit.  ``search_at(value)``
+        runs the knob-parameterized search; ``report_ceiling`` adds
+        ``nprobe_ceiling`` when even ``cap`` misses the target (the
+        honest signal that nprobe, not this knob, binds) and skips the
+        refinement in that case.  Returns
+        ``{knob: chosen, "recall": its measured recall, "ladder": [...]}``."""
         from vector_search_engine_spark.operators.knn import (
             knn_exact,
             recall_at_k,
         )
 
-        nc = int(self.meta["n_centroids"])
         gt = (
             knn_exact(
                 self.vectors(),
@@ -884,28 +890,30 @@ class IVFIndex:
         )
         gt.count()
 
-        def recall_at(nprobe: int) -> float:
-            res = self.search(queries, k=k, nprobe=nprobe)
-            row = recall_at_k(res, gt, k).collect()[0]
-            return float(row["recall_at_k"])
+        def recall_at(v: int) -> float:
+            res = search_at(v)
+            return float(recall_at_k(res, gt, k).collect()[0]["recall_at_k"])
 
+        ceiling = None
         ladder: list[dict] = []
         try:
             lo, hi = 0, None
-            n = 1
+            v = start
             while True:
-                r = recall_at(min(n, nc))
-                ladder.append({"nprobe": min(n, nc), "recall": r})
-                if r >= target_recall or n >= nc:
-                    hi = min(n, nc)
+                vv = min(v, cap)
+                r = recall_at(vv)
+                ladder.append({knob: vv, "recall": r})
+                if r >= target_recall or vv >= cap:
+                    hi = vv
+                    if r < target_recall and report_ceiling:
+                        ceiling = r  # cap reached: nprobe is binding
                     break
-                lo = n
-                n *= 2
-            # one refinement pass between the last miss and the first hit
-            while hi - lo > 1:
+                lo = vv
+                v *= 2
+            while hi - lo > 1 and ceiling is None:
                 mid = (lo + hi) // 2
                 r = recall_at(mid)
-                ladder.append({"nprobe": mid, "recall": r})
+                ladder.append({knob: mid, "recall": r})
                 if r >= target_recall:
                     hi = mid
                 else:
@@ -913,8 +921,47 @@ class IVFIndex:
         finally:
             # a failed search job must not leak the cached ground truth
             gt.unpersist()
-        final = next(e["recall"] for e in ladder if e["nprobe"] == hi)
-        return {"nprobe": hi, "recall": final, "ladder": ladder}
+        final = next(e["recall"] for e in ladder if e[knob] == hi)
+        out = {knob: hi, "recall": final, "ladder": ladder}
+        if ceiling is not None:
+            out["nprobe_ceiling"] = ceiling
+        return out
+
+    def _max_cell(self) -> int:
+        """Largest cell occupancy (footer metadata via stats())."""
+        return max(
+            (int(r.n_vectors) for r in self.stats().collect()), default=1
+        )
+
+    def tune_nprobe(
+        self,
+        queries: DataFrame,
+        target_recall: float = 0.95,
+        k: int = 10,
+    ) -> dict:
+        """Calibrate the serving knob: the smallest ``nprobe`` whose
+        recall@k on the given (bounded, bulk-search-contract) query set
+        meets ``target_recall`` — the tuning pass every deployment runs,
+        and the reference's own methodology for ef_search
+        (``recall_bench.cpp:67-106`` sweeps and picks by recall).
+
+        Doubling ladder 1, 2, 4, … then one binary refinement; recall is
+        monotone in nprobe (probing strictly more cells only adds
+        candidates) so this finds the minimum in O(log n_centroids)
+        searches.  Full probe is exact by construction, so the loop
+        always terminates at or below ``n_centroids``.  Returns
+        ``{"nprobe", "recall", "ladder"}`` (driver-side calibration
+        report, not a DataFrame op)."""
+        return self._run_tune_ladder(
+            queries,
+            k,
+            knob="nprobe",
+            start=1,
+            cap=int(self.meta["n_centroids"]),
+            target_recall=target_recall,
+            search_at=lambda n: self.search(queries, k=k, nprobe=n),
+            report_ceiling=False,
+        )
 
     def tune_candidates(
         self,
@@ -941,71 +988,19 @@ class IVFIndex:
         — a driver-side calibration report, not a DataFrame op."""
         if tier not in ("bq", "cascade"):
             raise ValueError("tune_candidates targets the lossy tiers (bq/cascade)")
-        from vector_search_engine_spark.operators.knn import (
-            knn_exact,
-            recall_at_k,
-        )
-
-        gt = (
-            knn_exact(
-                self.vectors(),
-                queries,
-                k=k,
-                id_col=self.meta["id_col"],
-                vec_col=self.meta["vec_col"],
-            )
-            .orderBy("rank")
-            .groupBy("qid")
-            .agg(F.collect_list("neighbor_id").alias("neighbor_ids"))
-            .cache()
-        )
-        gt.count()
-        max_cell = max(
-            (int(r.n_vectors) for r in self.stats().collect()), default=1
-        )
         search = self.search_bq if tier == "bq" else self.search_cascade
-
-        def recall_at(c: int) -> float:
-            res = search(queries, k=k, nprobe=nprobe, candidates_per_cell=c)
-            return float(recall_at_k(res, gt, k).collect()[0]["recall_at_k"])
-
-        # float-probe recall at this nprobe is the ceiling any C can reach
-        ceiling = None
-        ladder: list[dict] = []
-        try:
-            lo, hi = 0, None
-            c = 2 * k
-            while True:
-                cc = min(c, max_cell)
-                r = recall_at(cc)
-                ladder.append({"candidates_per_cell": cc, "recall": r})
-                if r >= target_recall or cc >= max_cell:
-                    hi = cc
-                    if r < target_recall:
-                        # C covers every probed cell: the cut is a no-op and
-                        # this IS the nprobe ceiling — report it honestly
-                        ceiling = r
-                    break
-                lo = cc
-                c *= 2
-            while hi - lo > 1 and ceiling is None:
-                mid = (lo + hi) // 2
-                r = recall_at(mid)
-                ladder.append({"candidates_per_cell": mid, "recall": r})
-                if r >= target_recall:
-                    hi = mid
-                else:
-                    lo = mid
-        finally:
-            # a failed search job must not leak the cached ground truth
-            gt.unpersist()
-        final = next(
-            e["recall"] for e in ladder if e["candidates_per_cell"] == hi
+        return self._run_tune_ladder(
+            queries,
+            k,
+            knob="candidates_per_cell",
+            start=2 * k,
+            cap=self._max_cell(),
+            target_recall=target_recall,
+            search_at=lambda c: search(
+                queries, k=k, nprobe=nprobe, candidates_per_cell=c
+            ),
+            report_ceiling=True,
         )
-        out = {"candidates_per_cell": hi, "recall": final, "ladder": ladder}
-        if ceiling is not None:
-            out["nprobe_ceiling"] = ceiling  # target unreachable at this nprobe
-        return out
 
     def tune_ef(
         self,
@@ -1031,65 +1026,18 @@ class IVFIndex:
         nprobe exactly.  Returns ``{"ef", "recall", "ladder"}`` and, if
         even the exhaustive beam misses the target, ``nprobe_ceiling``
         — the honest signal that nprobe (not ef) is the binding knob."""
-        from vector_search_engine_spark.operators.knn import (
-            knn_exact,
-            recall_at_k,
+        return self._run_tune_ladder(
+            queries,
+            k,
+            knob="ef",
+            start=k,
+            cap=self._max_cell(),
+            target_recall=target_recall,
+            search_at=lambda ef: self.search_graph(
+                queries, k=k, nprobe=nprobe, ef=ef
+            ),
+            report_ceiling=True,
         )
-
-        gt = (
-            knn_exact(
-                self.vectors(),
-                queries,
-                k=k,
-                id_col=self.meta["id_col"],
-                vec_col=self.meta["vec_col"],
-            )
-            .orderBy("rank")
-            .groupBy("qid")
-            .agg(F.collect_list("neighbor_id").alias("neighbor_ids"))
-            .cache()
-        )
-        gt.count()
-        max_cell = max(
-            (int(r.n_vectors) for r in self.stats().collect()), default=1
-        )
-
-        def recall_at(ef: int) -> float:
-            res = self.search_graph(queries, k=k, nprobe=nprobe, ef=ef)
-            return float(recall_at_k(res, gt, k).collect()[0]["recall_at_k"])
-
-        ceiling = None
-        ladder: list[dict] = []
-        try:
-            lo, hi = 0, None
-            ef = k
-            while True:
-                cc = min(ef, max_cell)
-                r = recall_at(cc)
-                ladder.append({"ef": cc, "recall": r})
-                if r >= target_recall or cc >= max_cell:
-                    hi = cc
-                    if r < target_recall:
-                        ceiling = r  # exhaustive beam: nprobe is binding
-                    break
-                lo = cc
-                ef *= 2
-            while hi - lo > 1 and ceiling is None:
-                mid = (lo + hi) // 2
-                r = recall_at(mid)
-                ladder.append({"ef": mid, "recall": r})
-                if r >= target_recall:
-                    hi = mid
-                else:
-                    lo = mid
-        finally:
-            # a failed search job must not leak the cached ground truth
-            gt.unpersist()
-        final = next(e["recall"] for e in ladder if e["ef"] == hi)
-        out = {"ef": hi, "recall": final, "ladder": ladder}
-        if ceiling is not None:
-            out["nprobe_ceiling"] = ceiling
-        return out
 
     def search_prefix(
         self,
@@ -1940,20 +1888,37 @@ class IVFIndex:
         # probed-partition-pruned int8 sidecar never shuffles.  But the
         # broadcast is GUARDED, not assumed (simjoin's max_broadcast_rows
         # discipline): stage 1's top-C is per (query, Arrow batch) — a
-        # cell split across batches can keep more than C per (query,
+        # cell split across b batches can keep up to b·C per (query,
         # cell) — and an unbounded C (the exactness configuration) makes
-        # cand1 |Q|·probed-rows.  The driver-side estimate below uses the
-        # pinned snapshot's footer counts (true upper bound: a cell never
-        # yields more survivors than rows) and falls back to a shuffle
-        # join above the threshold instead of OOMing the driver.
+        # cand1 |Q|·probed-rows.  The driver-side estimate below is a
+        # TRUE upper bound per (query, cell) where footer counts exist:
+        # min(cell_rows, C · ceil(cell_rows / arrow_batch)) — honoring
+        # the per-batch semantics, and a cell never yields more survivors
+        # than rows.  Counts are memoized per generation
+        # (_snapshot_counts), so the guard costs one footer pass per
+        # commit, not per search.  Above the threshold the join falls
+        # back to a shuffle instead of OOMing the driver.
         sq_dir = self.ensure_sq8(snapshot=snap, bits=8)
         sq_codes = spark.read.parquet(sq_dir).filter(
             F.col("centroid_id").isin(needed)
         )
         cell_counts = self._snapshot_counts(snap)
-        est_cand1 = sum(
-            min(C, cell_counts.get(c, C)) for _, c in pairs
+        arrow_batch = int(
+            spark.conf.get(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+            )
+            or "10000"
         )
+
+        def _pair_bound(c: int) -> int:
+            n_c = cell_counts.get(c)
+            if n_c is None:
+                return C  # pre-manifest raw layout: best-effort estimate
+            if arrow_batch <= 0:  # 0 = unlimited → one batch per partition
+                return min(n_c, C)
+            return min(n_c, C * -(-n_c // arrow_batch))
+
+        est_cand1 = sum(_pair_bound(c) for _, c in pairs)
         sq_side = sq_codes.select(
             F.col(id_col).alias("neighbor_id"), "code", "lo", "hi"
         )

@@ -316,7 +316,15 @@ def edit_distance_pairs(
     if stats_out is not None:
         # diagnostic-only extra job: the pre-verification candidate count
         # (the prefix filter's selectivity — what scale_stress.py pins
-        # against the O(k·q·N·group) bound vs the N² cross product)
+        # against the O(k·q·N·group) bound vs the N² cross product).
+        # The candidate set is PERSISTED first so the count job and the
+        # verify join share one execution of the gram/candidate pipeline
+        # — an unpersisted count would silently double the dominant cost
+        # inside any timed caller.  The cache lives until evicted or the
+        # session clears it; stats_out is a diagnostic path, not serving.
+        from pyspark import StorageLevel
+
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         stats_out["candidate_pairs"] = cand.count()
     sa = base.select(F.col("_key").alias("key_a"), F.col("_s").alias("_sa"))
     sb = base.select(F.col("_key").alias("key_b"), F.col("_s").alias("_sb"))
