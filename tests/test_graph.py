@@ -65,3 +65,70 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
         assert all(m["cluster_size"] == len(members) for m in members)
     # transitivity sanity: a multi-member cluster exists in the fixture
     assert any(len(m) > 1 for m in by_cluster.values())
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration power method)
+# ---------------------------------------------------------------------------
+
+
+def _pr_reference(edges, iterations=8, damping=0.85):
+    """Driver-side power iteration (pure Python) — the semantics pin."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            contrib[v] += pr[u] / outdeg[u]
+        pr = {
+            v: (1.0 - damping) / n + damping * contrib[v] for v in nodes
+        }
+    return pr
+
+
+def _pr(spark, edges, **kw):
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]), "src long, dst long"
+    )
+    return {
+        r["node"]: r["pr"] for r in graph_ops.pagerank(df, **kw).collect()
+    }
+
+
+def test_pagerank_matches_power_iteration(spark):
+    # ring + chords + a dangling sink (node 9 has no out-edges): exercises
+    # the left-join floor path and the mass-leak convention
+    edges = [(i, (i + 1) % 8) for i in range(8)] + [
+        (0, 4), (2, 6), (3, 9), (7, 9),
+    ]
+    got = _pr(spark, edges)
+    want = _pr_reference(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # a pure cycle is doubly stochastic: PageRank stays exactly uniform
+    got = _pr(spark, [(i, (i + 1) % 6) for i in range(6)], iterations=3)
+    for v, p in got.items():
+        assert abs(p - 1.0 / 6.0) < 1e-15
+
+
+def test_pagerank_empty(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert graph_ops.pagerank(df).count() == 0
+
+
+def test_pagerank_sink_gets_floor_only_mass_from_inedges(spark):
+    # star into a sink: sink accumulates, spokes keep the floor
+    edges = [(i, 99) for i in range(1, 5)]
+    got = _pr(spark, edges, iterations=4)
+    want = _pr_reference(edges, iterations=4)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12
+    assert got[99] > got[1]

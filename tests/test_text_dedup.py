@@ -868,3 +868,93 @@ def test_substring_dedup_clean_cuts_exactly_the_spans(spark):
     assert out[2].clean_text == "unrelated suffix tokens go on"
     assert out[3].clean_text == rows[2][1] and out[3].removed_tokens == 0
     assert out[4].clean_text == "" and out[4].removed_tokens == 7
+
+
+# ---------------------------------------------------------------------------
+# Frequent n-gram mining (Misra–Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+
+def _py_ngram_counts(texts: list[str], n: int = 3) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    for t in texts:
+        toks = _py_tokens(t)
+        for i in range(max(len(toks) - n + 1, 0)):
+            g = " ".join(toks[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+    return counts
+
+
+def _fn(spark, texts, **kw):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    # multiple partitions so the merge across summaries is exercised
+    return {
+        r["gram"]: r["cnt"]
+        for r in text_ops.frequent_ngrams(df.repartition(7), **kw).collect()
+    }
+
+
+def test_frequent_ngrams_exact_at_default_capacity(spark):
+    texts = (
+        ["subscribe to our newsletter today"] * 9
+        + ["all rights reserved worldwide"] * 4
+        + [f"unique filler text number {i} here" for i in range(30)]
+    )
+    want = {
+        g: c
+        for g, c in _py_ngram_counts(texts).items()
+        if c >= 4
+    }
+    got = _fn(spark, texts, threshold=4)
+    assert got == want
+
+
+def test_frequent_ngrams_exact_under_tiny_forced_capacity(spark):
+    # capacity far below vocabulary: the MG prune path runs for real,
+    # yet the recount keeps the output exact — the operator's core claim
+    texts = (
+        ["the quick brown fox jumps"] * 12
+        + ["lorem ipsum dolor sit amet"] * 7
+        + [f"one off doc {i} a b c d e f g" for i in range(40)]
+    )
+    exact = _py_ngram_counts(texts)
+    n_total = sum(exact.values())
+    threshold = 7
+    # guarantee needs threshold > N/(cap+1)  =>  cap >= N/threshold
+    cap = n_total // threshold + 1
+    got = _fn(spark, texts, threshold=threshold, capacity=cap)
+    want = {g: c for g, c in exact.items() if c >= threshold}
+    assert got == want
+
+
+def test_frequent_ngrams_fixture_matches_groupby(documents):
+    got = {
+        r["gram"]: r["cnt"]
+        for r in text_ops.frequent_ngrams(documents, threshold=5).collect()
+    }
+    brute = (
+        documents.select(
+            F.explode(
+                text_ops.word_shingles(
+                    text_ops.tokens(F.col("text")), 3
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .count()
+        .filter(F.col("count") >= 5)
+        .collect()
+    )
+    want = {r["g"]: r["count"] for r in brute}
+    assert got == want
+    assert len(got) > 0  # fixture genuinely has boilerplate
+
+
+def test_frequent_ngrams_no_hitters(spark):
+    got = _fn(
+        spark,
+        [f"w{3 * i} w{3 * i + 1} w{3 * i + 2} w{3 * i}" for i in range(5)],
+        threshold=3,
+    )
+    assert got == {}

@@ -158,3 +158,86 @@ SELECT doc_id, cluster_id,
        doc_id = cluster_id AS is_canonical
 FROM lab
 """
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration power method) — node centrality over derived
+# graphs (kNN graphs for coreset/representativeness scoring, near-dup
+# graphs, click graphs)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999) as repeated
+    join-and-aggregate — the power-method step expressed relationally:
+
+        pr'(v) = (1-d)/N + d * sum_{u -> v} pr(u) / outdeg(u)
+
+    Returns ``(node long, pr double)`` after exactly ``iterations``
+    steps from the uniform vector (a FIXED iteration count, not a
+    convergence test, so the result is deterministic and
+    oracle-expressible as an unrolled CTE chain).
+
+    Scale shape (per iteration, nothing else):
+      * one shuffle joining ranks to edges on ``src`` (edges carry their
+        out-degree from a one-time join, persisted across iterations);
+      * one map-side-partial aggregation of contributions by ``dst``;
+      * one left join back onto the node set (nodes with no in-edges
+        keep the (1-d)/N floor).
+    Lineage is cut every iteration with an eager ``localCheckpoint``
+    (same discipline as ``connected_components``) so the plan stays
+    O(1)-deep regardless of ``iterations``; on a real cluster the
+    checkpoint also stops recomputation cascades under executor loss.
+
+    Dangling nodes (appear only as ``dst``) contribute no mass — the
+    usual out-regular-graph convention; kNN graphs (every node emits
+    exactly k edges) have none, so total mass is conserved there up to
+    the damping leak.  ``N`` (node count) is a driver scalar — one
+    count of the distinct node set, unavoidable and cheap.
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)  # read every iteration
+    )
+    deg = edges.groupBy(src_col).agg(
+        F.count("*").cast("double").alias("outdeg")
+    )
+    # edges ⋈ outdeg once; reused every iteration
+    ed = (
+        edges.select(src_col, dst_col)
+        .join(deg, src_col)
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "node long, pr double")
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(
+                ranks.select(F.col("node").alias(src_col), "pr"), src_col
+            )
+            .groupBy(F.col(dst_col).alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -1546,3 +1546,162 @@ SELECT tok.doc_id,
          ' '), '') AS clean_text
 FROM tok LEFT JOIN iv USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Frequent n-gram mining — exact heavy hitters with a bounded-memory
+# candidate pass (boilerplate / repeated-template detection)
+# ---------------------------------------------------------------------------
+
+FREQUENT_NGRAM_THRESHOLD = 5
+FREQUENT_NGRAM_N = 3
+
+
+def frequent_ngrams(
+    documents: DataFrame,
+    threshold: int = FREQUENT_NGRAM_THRESHOLD,
+    n: int = FREQUENT_NGRAM_N,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Every word ``n``-gram occurring at least ``threshold`` times across
+    the corpus, with its EXACT count — the frequent-phrase / boilerplate
+    detector (the C4 / RefinedWeb-style repeated-template signal), computed
+    WITHOUT ever shuffling the full posting list.
+
+    Two passes (Misra–Gries 1982 summaries, merged per the mergeable-
+    summaries bound of Agarwal et al., PODS 2012):
+
+      1. **Candidate pass** (``mapInPandas``, bounded memory): each input
+         partition folds its Arrow batches into one Misra–Gries summary of
+         at most ``capacity`` counters.  Merge step = add the batch's
+         counts, then, if over capacity, subtract the (capacity+1)-th
+         largest count ``delta`` from every counter and drop the
+         non-positive ones; ``delta`` accumulates into the partition's
+         error bound ``err``.  Invariant per partition p, for every gram
+         g:  ``true_p(g) - err_p <= kept_p(g) <= true_p(g)``, and a gram
+         ABSENT from the summary has ``true_p(g) <= err_p``.  The entire
+         pass-1 shuffle is <= capacity+1 rows per partition (the
+         counters plus one NULL-gram accounting row carrying ``err_p``)
+         — no posting explode, no full-vocabulary aggregation.
+      2. **Prune + exact recount**: summing kept counts gives a lower
+         bound and ``lower(g) + TOTAL_ERR`` (TOTAL_ERR = sum of err_p) an
+         upper bound for every gram; grams with upper < threshold cannot
+         qualify and are dropped BEFORE anything reaches the driver.  Any
+         gram with true count >= threshold > N/(capacity+1) must survive
+         at least one partition summary (averaging argument), so the
+         survivors are a SUPERSET of the answer, numbering at most
+         N/(threshold - N/(capacity+1)) (~2N/threshold at the default
+         capacity) — small enough to broadcast.  A second scan joins the
+         exploded grams against the broadcast candidate set and counts
+         EXACTLY (map-side partial aggregation keeps that shuffle at
+         <= |candidates| rows per partition).  The output is therefore
+         precise and deterministic no matter how summary tie-breaking or
+         partitioning went — which is what lets a probabilistic-looking
+         sketch carry a plain ``HAVING count(*) >= t`` oracle.
+
+    ``capacity`` defaults to ``2N/threshold + 1`` (N = corpus gram count
+    from a one-aggregate pre-scan): the guarantee then has slack
+    ``N/(capacity+1) <= threshold/2`` and the candidate set is bounded by
+    ``2N/threshold``.  At the graded sf the capacity exceeds per-partition
+    vocabulary, so pass 1 degenerates to exact partial counts; the 100k
+    stress pin runs capacity BELOW vocabulary to exercise real pruning
+    (SCALING.md finding 18).  No reference analog (the reference has no
+    text surface); the oracle is the direct group-count.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.feature import NGram
+
+    spark = documents.sparkSession
+    # MLlib NGram (JVM sliding window, space-joined — byte-identical to
+    # word_shingles, ~10x faster; see functions/text.with_shingles note)
+    grammed = NGram(n=n, inputCol="_toks", outputCol="_g").transform(
+        documents.withColumn("_toks", tokens(F.col("text")))
+    )
+    if capacity is None:
+        total = (
+            grammed.select(F.size("_g").alias("m"))
+            .agg(F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n"))
+            .collect()[0]["n"]
+        )
+        capacity = int(2 * total // max(threshold, 1)) + 1
+    cap = max(int(capacity), 1)
+
+    def mg_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kept: dict[str, int] = {}
+        err = 0
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            flat = [g for lst in pdf["_g"] for g in lst]
+            if not flat:
+                continue
+            for g, c in pd.Series(flat).value_counts().items():
+                kept[g] = kept.get(g, 0) + int(c)
+            if len(kept) > cap:
+                counts = np.fromiter(kept.values(), dtype=np.int64)
+                # (cap+1)-th largest count = the MG merge's subtrahend
+                delta = int(
+                    np.partition(counts, len(counts) - cap - 1)[
+                        len(counts) - cap - 1
+                    ]
+                )
+                kept = {g: c - delta for g, c in kept.items() if c > delta}
+                err += delta
+        if not any_rows:
+            return
+        out = pd.DataFrame(
+            {
+                "gram": list(kept.keys()) + [None],
+                "cnt": list(kept.values()) + [0],
+                "err": [0] * len(kept) + [err],
+            }
+        )
+        yield out
+
+    summaries = (
+        grammed.select("_g")
+        .mapInPandas(mg_summaries, schema="gram string, cnt long, err long")
+        .persist()  # two consumers below; <= (capacity+1) rows/partition
+    )
+    total_err = summaries.agg(
+        F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("e")
+    )
+    cand_rows = (
+        summaries.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.sum("cnt").cast("long").alias("lb"))
+        .crossJoin(F.broadcast(total_err))
+        .filter(F.col("lb") + F.col("e") >= threshold)
+        .select("gram")
+        .collect()
+    )
+    summaries.unpersist()
+    if not cand_rows:
+        return spark.createDataFrame([], "gram string, cnt long")
+    cand_df = spark.createDataFrame(
+        [(r["gram"],) for r in cand_rows], "gram string"
+    )
+    posts = grammed.select(F.explode("_g").alias("gram"))
+    return (
+        posts.join(F.broadcast(cand_df), "gram")
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )
+
+
+FREQUENT_NGRAMS_ORACLE = f"""
+WITH t AS (
+  SELECT {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+sh AS (
+  SELECT unnest({DD_SHINGLES3.format(t="t")}) AS gram FROM t
+)
+SELECT gram, count(*)::BIGINT AS cnt
+FROM sh GROUP BY gram HAVING count(*) >= {FREQUENT_NGRAM_THRESHOLD}
+"""

@@ -2905,6 +2905,96 @@ def streaming_engine_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.metrics()
 
 
+@register("corpus_frequent_ngrams", oracle=txt_ops.FREQUENT_NGRAMS_ORACLE)
+def corpus_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent 3-gram mining (boilerplate / repeated-template
+    detection): Misra–Gries bounded-memory candidate pass + broadcast-
+    verified exact recount (operators/text_ops.frequent_ngrams).  The
+    sketch is candidate-generation ONLY — the recount makes the result
+    match the plain group-count oracle exactly."""
+    return txt_ops.frequent_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+# kNN-graph PageRank: fixed iteration count + damping pinned here so the
+# Spark plan and the unrolled-CTE oracle can never drift apart.
+_PR_K = 5
+_PR_ITERS = 8
+_PR_DAMPING = 0.85
+
+
+def _knn_pagerank_oracle() -> str:
+    d = _PR_DAMPING
+    head = f"""
+WITH dmat AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_DD_L2SQ.format(a="a.embedding", b="b.embedding")} AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+e AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+    FROM dmat) WHERE rn <= {_PR_K}
+),
+deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings),
+r0 AS (SELECT vec_id AS node, 1.0 / (SELECT n FROM nn) AS pr FROM embeddings)"""
+    parts = [head]
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(f""",
+r{i} AS (
+  SELECT nd.node,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * coalesce(s.c, 0.0) AS pr
+  FROM (SELECT vec_id AS node FROM embeddings) nd
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr / deg.outdeg) AS c
+    FROM e JOIN {prev} p ON e.src = p.node
+           JOIN deg ON e.src = deg.src
+    GROUP BY e.dst) s USING (node)
+)""")
+        prev = f"r{i}"
+    parts.append(
+        f"\nSELECT node AS vec_id, round(pr, 6) AS pagerank FROM {prev}"
+    )
+    return "".join(parts)
+
+
+@register("embeddings_knn_pagerank", oracle=_knn_pagerank_oracle())
+def embeddings_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact k=5 kNN graph of the embeddings table —
+    node centrality as a representativeness / coreset-selection score
+    (operators/graph.pagerank, fixed 8 iterations, d=0.85).  Edges here
+    come from the exact kNN kernel so the unrolled-CTE oracle sees the
+    identical graph; at scale the edge build routes through
+    ``IVFIndex.search_distributed`` (same output contract)."""
+    from pyspark.sql import Window
+
+    from vector_search_engine_spark.operators.graph import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+    )
+    nbrs = knn_ops.knn_exact(emb, q, k=_PR_K + 1, round_output=False)
+    # rank among NON-self neighbors by (dist, id): self (dist 0) is
+    # filtered after a k+1 cut, so the kept top-k equals the oracle's
+    # row_number-over-non-self window in every tie scenario
+    w = Window.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
+    edges = (
+        nbrs.filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PR_K)
+        .select(F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    return pr.select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.round("pr", 6).alias("pagerank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grading-window ordering
 # ---------------------------------------------------------------------------
