@@ -299,6 +299,43 @@ def main() -> None:
         st_dup.get("candidate_pairs")
     )
 
+    # r10: exact frequent-ngram mining at 100k (Misra-Gries candidates +
+    # exact recount).  Two regimes: auto capacity (2N/threshold — superset
+    # slack threshold/2) and a FORCED small capacity to make the per-batch
+    # merge-prune path run for real; both must return identical hitters
+    # (the recount is exact either way — asserting that equality here is
+    # the 100k-scale twin of the tiny-capacity pytest).
+    st_fn_auto: dict = {}
+    st_fn_small: dict = {}
+    timed(
+        results,
+        "frequent_ngrams_auto_cap",
+        lambda: text_ops.frequent_ngrams(
+            docs, threshold=50, stats_out=st_fn_auto
+        ).count(),
+    )
+    timed(
+        results,
+        "frequent_ngrams_forced_cap20k",
+        lambda: text_ops.frequent_ngrams(
+            docs, threshold=50, capacity=20_000, stats_out=st_fn_small
+        ).count(),
+    )
+    assert (
+        results["frequent_ngrams_auto_cap"]["rows"]
+        == results["frequent_ngrams_forced_cap20k"]["rows"]
+    ), "MG prune path changed the exact answer"
+    for nm, st in (
+        ("frequent_ngrams_auto_cap", st_fn_auto),
+        ("frequent_ngrams_forced_cap20k", st_fn_small),
+    ):
+        results[nm].update(
+            capacity=st.get("capacity"),
+            n_candidates=st.get("n_candidates"),
+            total_err=st.get("total_err"),
+            summary_rows=st.get("summary_rows"),
+        )
+
     docs.unpersist()
 
     if only_docs:
@@ -351,6 +388,24 @@ def _vector_section(spark, results: dict, n_docs: int) -> None:
         "ivf_search_full_probe",
         lambda: idx.search(q, k=10, nprobe=nc).count(),
     )
+    # r10: PageRank over the 100k-node kNN graph, edges from the
+    # documented scale path (search_distributed, nprobe=8: probe
+    # assignment inside query partitions, shuffle join on centroid_id)
+    # — pins the full coreset-scoring composition: graph build + 8
+    # power iterations with per-iteration lineage cuts.
+    def _knn_pagerank() -> int:
+        from vector_search_engine_spark.operators.graph import pagerank
+
+        qall = emb.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+        )
+        nbrs = idx.search_distributed(qall, k=6, nprobe=8)
+        edges = nbrs.filter(F.col("qid") != F.col("neighbor_id")).select(
+            F.col("qid").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        return pagerank(edges, iterations=8).count()
+
+    timed(results, "knn_pagerank_100k", _knn_pagerank)
     timed(
         results,
         "pq_sidecar_build",

@@ -923,9 +923,14 @@ def test_frequent_ngrams_exact_under_tiny_forced_capacity(spark):
     threshold = 7
     # guarantee needs threshold > N/(cap+1)  =>  cap >= N/threshold
     cap = n_total // threshold + 1
-    got = _fn(spark, texts, threshold=threshold, capacity=cap)
+    st: dict = {}
+    got = _fn(spark, texts, threshold=threshold, capacity=cap, stats_out=st)
     want = {g: c for g, c in exact.items() if c >= threshold}
     assert got == want
+    # candidate set is a superset of the answer, bounded by the summary
+    assert st["n_candidates"] >= len(want)
+    assert st["summary_rows"] <= st["capacity"] * 32 + 32  # cap+1 per part
+    assert st["capacity"] == cap
 
 
 def test_frequent_ngrams_fixture_matches_groupby(documents):

@@ -1562,6 +1562,7 @@ def frequent_ngrams(
     threshold: int = FREQUENT_NGRAM_THRESHOLD,
     n: int = FREQUENT_NGRAM_N,
     capacity: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Every word ``n``-gram occurring at least ``threshold`` times across
     the corpus, with its EXACT count — the frequent-phrase / boilerplate
@@ -1607,6 +1608,11 @@ def frequent_ngrams(
     stress pin runs capacity BELOW vocabulary to exercise real pruning
     (SCALING.md finding 18).  No reference analog (the reference has no
     text surface); the oracle is the direct group-count.
+
+    ``stats_out``: optional dict receiving ``{"capacity", "total_err",
+    "n_candidates", "summary_rows"}`` — the scale-stress harness pins the
+    candidate-bound claim with it (same convention as
+    ``graph.connected_components``).
     """
     from collections.abc import Iterator
 
@@ -1680,6 +1686,15 @@ def frequent_ngrams(
         .select("gram")
         .collect()
     )
+    if stats_out is not None:
+        stats_out["capacity"] = cap
+        stats_out["n_candidates"] = len(cand_rows)
+        acct = summaries.agg(
+            F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("e"),
+            F.count("*").cast("long").alias("rows"),
+        ).collect()[0]
+        stats_out["total_err"] = int(acct["e"])
+        stats_out["summary_rows"] = int(acct["rows"])
     summaries.unpersist()
     if not cand_rows:
         return spark.createDataFrame([], "gram string, cnt long")
