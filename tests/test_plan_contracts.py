@@ -266,3 +266,50 @@ def test_filtered_auto_prefilter_scans_survivors_only(spark, sf_dir):
     plan = _executed_plan(df)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and any("label" in ln for ln in pushed), plan
+
+
+def test_frequent_ngrams_recount_broadcasts_candidates(spark, sf_dir):
+    """frequent_ngrams' exact recount must join the exploded grams
+    against a BROADCAST candidate set (the Misra-Gries pass bounds it to
+    ~2N/threshold) — a shuffle join here would re-shuffle the full
+    posting list, which the operator exists to avoid.  The recount agg
+    must stay partial (map-side) so the shuffle is <= |candidates| rows
+    per partition."""
+    from vector_search_engine_spark.operators import text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(text_ops.frequent_ngrams(docs, threshold=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "posting-side shuffle join crept in"
+    assert "partial_count" in plan, "recount lost map-side partial agg"
+
+
+def test_pagerank_iteration_aggregates_before_shuffle(spark):
+    """One PageRank step's contribution aggregation must be map-side
+    partial (HashAggregate before the Exchange on dst): the per-edge
+    contribution rows never shuffle raw."""
+    import pandas as pd
+
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, (i + 1) % 50) for i in range(50)], columns=["src", "dst"]
+        ),
+        "src long, dst long",
+    )
+    pr = graph_ops.pagerank(edges, iterations=1)
+    # ranks is localCheckpoint'ed; audit the step plan instead by
+    # re-building one iteration symbolically
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    ranks = nodes.withColumn("pr", F.lit(1.0 / 50))
+    step = (
+        edges.join(deg, "src")
+        .join(ranks.select(F.col("node").alias("src"), "pr"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("c"))
+    )
+    plan = _executed_plan(step)
+    assert "partial_sum" in plan, "contribution agg lost map-side partial"
+    assert pr.count() == 50
