@@ -58,6 +58,7 @@ def main() -> None:
     results: dict = {}
     only_docs = "--only-docs" in sys.argv
     only_vecs = "--only-vecs" in sys.argv
+    only_fn = "--only-fn" in sys.argv  # finding-18 section alone
     if only_vecs:
         _vector_section(spark, results, n_docs=0)
         return
@@ -81,6 +82,11 @@ def main() -> None:
     )
     n_docs = docs.count()
     print(f"stress corpus: {n_docs} documents", file=sys.stderr)
+
+    if only_fn:
+        _fngrams_section(results, docs)
+        print(json.dumps({"n_docs": n_docs, "results": results}))
+        return
 
     timed(results, "exact_dedup", lambda: dedup_ops.exact_dedup(docs).count())
     # r9: arriving-batch dedup against the seen corpus's signatures —
@@ -299,42 +305,7 @@ def main() -> None:
         st_dup.get("candidate_pairs")
     )
 
-    # r10: exact frequent-ngram mining at 100k (Misra-Gries candidates +
-    # exact recount).  Two regimes: auto capacity (2N/threshold — superset
-    # slack threshold/2) and a FORCED small capacity to make the per-batch
-    # merge-prune path run for real; both must return identical hitters
-    # (the recount is exact either way — asserting that equality here is
-    # the 100k-scale twin of the tiny-capacity pytest).
-    st_fn_auto: dict = {}
-    st_fn_small: dict = {}
-    timed(
-        results,
-        "frequent_ngrams_auto_cap",
-        lambda: text_ops.frequent_ngrams(
-            docs, threshold=50, stats_out=st_fn_auto
-        ).count(),
-    )
-    timed(
-        results,
-        "frequent_ngrams_forced_cap20k",
-        lambda: text_ops.frequent_ngrams(
-            docs, threshold=50, capacity=20_000, stats_out=st_fn_small
-        ).count(),
-    )
-    assert (
-        results["frequent_ngrams_auto_cap"]["rows"]
-        == results["frequent_ngrams_forced_cap20k"]["rows"]
-    ), "MG prune path changed the exact answer"
-    for nm, st in (
-        ("frequent_ngrams_auto_cap", st_fn_auto),
-        ("frequent_ngrams_forced_cap20k", st_fn_small),
-    ):
-        results[nm].update(
-            capacity=st.get("capacity"),
-            n_candidates=st.get("n_candidates"),
-            total_err=st.get("total_err"),
-            summary_rows=st.get("summary_rows"),
-        )
+    _fngrams_section(results, docs)
 
     docs.unpersist()
 
@@ -342,6 +313,82 @@ def main() -> None:
         print(json.dumps({"n_docs": n_docs, "results": results}))
         return
     _vector_section(spark, results, n_docs)
+
+
+def _fngrams_section(results: dict, docs) -> None:
+    """r10 finding 18: exact frequent-ngram mining at 100k.
+
+    Three regimes:
+      * auto capacity (2N/threshold) at threshold 50 — baseline;
+      * a FORCED capacity ~1.2N/threshold at threshold 200, small enough
+        that the per-batch merge-prune path runs for real, big enough to
+        keep the superset guarantee — asserted EXACT against a
+        brute-force group-count at the same threshold;
+      * the guarantee-violating config (threshold 50, capacity 20k,
+        N/(cap+1) ~ 260 > 50) must RAISE, not return silently-short
+        results — the failure mode the first run of this section caught.
+    """
+    from vector_search_engine_spark.operators import text_ops
+    from vector_search_engine_spark.functions.text import tokens
+
+    st_fn_auto: dict = {}
+    st_fn_forced: dict = {}
+    timed(
+        results,
+        "frequent_ngrams_auto_cap_t50",
+        lambda: text_ops.frequent_ngrams(
+            docs, threshold=50, stats_out=st_fn_auto
+        ).count(),
+    )
+    n_grams = st_fn_auto["n_grams"]
+    forced_cap = int(1.2 * n_grams / 200) + 1
+    timed(
+        results,
+        "frequent_ngrams_forced_cap_t200",
+        lambda: text_ops.frequent_ngrams(
+            docs, threshold=200, capacity=forced_cap, stats_out=st_fn_forced
+        ).count(),
+    )
+
+    def brute_t200() -> int:
+        from pyspark.ml.feature import NGram
+
+        g = NGram(n=3, inputCol="_toks", outputCol="_g").transform(
+            docs.withColumn("_toks", tokens(F.col("text")))
+        )
+        return (
+            g.select(F.explode("_g").alias("g"))
+            .groupBy("g")
+            .count()
+            .filter(F.col("count") >= 200)
+            .count()
+        )
+
+    timed(results, "frequent_ngrams_brute_t200", brute_t200)
+    assert (
+        results["frequent_ngrams_forced_cap_t200"]["rows"]
+        == results["frequent_ngrams_brute_t200"]["rows"]
+    ), "MG prune path changed the exact answer"
+
+    def guard_raises() -> int:
+        try:
+            text_ops.frequent_ngrams(docs, threshold=50, capacity=20_000)
+        except ValueError:
+            return 1
+        raise AssertionError("undersized capacity did not raise")
+
+    timed(results, "frequent_ngrams_guard_raises", guard_raises)
+    for nm, st in (
+        ("frequent_ngrams_auto_cap_t50", st_fn_auto),
+        ("frequent_ngrams_forced_cap_t200", st_fn_forced),
+    ):
+        results[nm].update(
+            capacity=st.get("capacity"),
+            n_candidates=st.get("n_candidates"),
+            total_err=st.get("total_err"),
+            n_grams=st.get("n_grams"),
+            summary_rows=st.get("summary_rows"),
+        )
 
 
 def _vector_section(spark, results: dict, n_docs: int) -> None:

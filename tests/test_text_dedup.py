@@ -956,6 +956,18 @@ def test_frequent_ngrams_fixture_matches_groupby(documents):
     assert len(got) > 0  # fixture genuinely has boilerplate
 
 
+def test_frequent_ngrams_guard_rejects_undersized_capacity(spark):
+    # threshold <= N/(capacity+1) voids the superset guarantee; the
+    # operator must refuse (with the minimum viable capacity named)
+    # rather than silently drop qualifying grams
+    texts = ["a b c d e f g h i j"] * 30  # N = 240 grams
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="need capacity >="):
+        text_ops.frequent_ngrams(df, threshold=2, capacity=3).count()
+
+
 def test_frequent_ngrams_no_hitters(spark):
     got = _fn(
         spark,

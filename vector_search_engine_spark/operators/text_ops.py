@@ -1609,9 +1609,17 @@ def frequent_ngrams(
     (SCALING.md finding 18).  No reference analog (the reference has no
     text surface); the oracle is the direct group-count.
 
+    An explicit ``capacity`` below ``N/threshold`` breaks the superset
+    guarantee (a qualifying gram can then vanish from every summary and
+    the answer silently loses rows — observed live at 100k during the
+    finding-18 stress run).  The accounting rows therefore carry each
+    partition's processed-gram count; the operator sums them and RAISES
+    ``ValueError`` with the minimum viable capacity instead of returning
+    an incomplete result.
+
     ``stats_out``: optional dict receiving ``{"capacity", "total_err",
-    "n_candidates", "summary_rows"}`` — the scale-stress harness pins the
-    candidate-bound claim with it (same convention as
+    "n_grams", "n_candidates", "summary_rows"}`` — the scale-stress
+    harness pins the candidate-bound claim with it (same convention as
     ``graph.connected_components``).
     """
     from collections.abc import Iterator
@@ -1638,6 +1646,7 @@ def frequent_ngrams(
     def mg_summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kept: dict[str, int] = {}
         err = 0
+        nproc = 0
         any_rows = False
         for pdf in batches:
             if len(pdf) == 0:
@@ -1646,6 +1655,7 @@ def frequent_ngrams(
             flat = [g for lst in pdf["_g"] for g in lst]
             if not flat:
                 continue
+            nproc += len(flat)
             for g, c in pd.Series(flat).value_counts().items():
                 kept[g] = kept.get(g, 0) + int(c)
             if len(kept) > cap:
@@ -1665,35 +1675,49 @@ def frequent_ngrams(
                 "gram": list(kept.keys()) + [None],
                 "cnt": list(kept.values()) + [0],
                 "err": [0] * len(kept) + [err],
+                "nproc": [0] * len(kept) + [nproc],
             }
         )
         yield out
 
     summaries = (
         grammed.select("_g")
-        .mapInPandas(mg_summaries, schema="gram string, cnt long, err long")
+        .mapInPandas(
+            mg_summaries, schema="gram string, cnt long, err long, nproc long"
+        )
         .persist()  # two consumers below; <= (capacity+1) rows/partition
     )
-    total_err = summaries.agg(
-        F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("e")
-    )
+    acct = summaries.agg(
+        F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("e"),
+        F.coalesce(F.sum("nproc"), F.lit(0)).cast("long").alias("n"),
+        F.count("*").cast("long").alias("rows"),
+    ).collect()[0]
+    total_err, n_total = int(acct["e"]), int(acct["n"])
+    if n_total > 0 and threshold <= n_total / (cap + 1):
+        # the superset guarantee needs threshold > N/(capacity+1); below
+        # that, grams above threshold can vanish from every summary and
+        # the answer would be silently incomplete (caught live by the
+        # 100k stress run that motivated this guard) — refuse instead
+        summaries.unpersist()
+        raise ValueError(
+            f"frequent_ngrams: capacity {cap} cannot guarantee threshold "
+            f"{threshold} over {n_total} grams (N/(capacity+1) = "
+            f"{n_total / (cap + 1):.1f} >= threshold); need capacity >= "
+            f"{n_total // threshold + 1}"
+        )
     cand_rows = (
         summaries.filter(F.col("gram").isNotNull())
         .groupBy("gram")
         .agg(F.sum("cnt").cast("long").alias("lb"))
-        .crossJoin(F.broadcast(total_err))
-        .filter(F.col("lb") + F.col("e") >= threshold)
+        .filter(F.col("lb") + F.lit(total_err) >= threshold)
         .select("gram")
         .collect()
     )
     if stats_out is not None:
         stats_out["capacity"] = cap
         stats_out["n_candidates"] = len(cand_rows)
-        acct = summaries.agg(
-            F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("e"),
-            F.count("*").cast("long").alias("rows"),
-        ).collect()[0]
-        stats_out["total_err"] = int(acct["e"])
+        stats_out["total_err"] = total_err
+        stats_out["n_grams"] = n_total
         stats_out["summary_rows"] = int(acct["rows"])
     summaries.unpersist()
     if not cand_rows:
