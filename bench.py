@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     # its graded exhaustive configuration — ensure_graph build cost is
     # charged to the first call like the other sidecar rows
     "ann_ivf_graph",
+    # r10 second wave: bounded-shuffle frequent-ngram mining and the
+    # kNN-graph PageRank composition (8 power iterations, per-iteration
+    # lineage cuts — wall is dominated by fixed per-job overhead at this
+    # sf, not data volume; the 100k composition is SCALING finding 18)
+    "corpus_frequent_ngrams",
+    "embeddings_knn_pagerank",
 ]
 
 

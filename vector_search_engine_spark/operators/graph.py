@@ -200,7 +200,15 @@ def pagerank(
     exactly k edges) have none, so total mass is conserved there up to
     the damping leak.  ``N`` (node count) is a driver scalar — one
     count of the distinct node set, unavoidable and cheap.
+
+    The edge input is materialized FIRST: nodes, out-degrees and the
+    degree-annotated edge set each derive from ``edges``, and when the
+    caller hands over a lazy expensive plan (a kNN join, say) every
+    derivation would re-run it — measured as a 4× wall blowup on the
+    100k kNN-graph composition before this checkpoint existed
+    (SCALING.md finding 18).
     """
+    edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))
@@ -211,11 +219,7 @@ def pagerank(
         F.count("*").cast("double").alias("outdeg")
     )
     # edges ⋈ outdeg once; reused every iteration
-    ed = (
-        edges.select(src_col, dst_col)
-        .join(deg, src_col)
-        .localCheckpoint(eager=True)
-    )
+    ed = edges.join(deg, src_col).localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], "node long, pr double")
