@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     # sf, not data volume; the 100k composition is SCALING finding 18)
     "corpus_frequent_ngrams",
     "embeddings_knn_pagerank",
+    # r10 third wave: the epsilon-graph family — DBSCAN composes the
+    # block-GEMM radius self-join, the min_pts density gate, and
+    # connected components over core-core edges in one row
+    "embeddings_dbscan",
 ]
 
 

@@ -132,3 +132,121 @@ def test_pagerank_sink_gets_floor_only_mass_from_inedges(spark):
     for v in want:
         assert abs(got[v] - want[v]) < 1e-12
     assert got[99] > got[1]
+
+
+# -- DBSCAN (r10) ------------------------------------------------------------
+
+
+def _ref_dbscan(ids, V, eps_sq, min_pts):
+    """Brute-force deterministic DBSCAN (min-cluster border assignment)."""
+    import numpy as np
+
+    V64 = V.astype(np.float64)
+    n2 = (V64 * V64).sum(axis=1)
+    D = n2[:, None] - 2.0 * (V64 @ V64.T) + n2[None, :]
+    np.maximum(D, 0.0, out=D)
+    n = len(ids)
+    within = (D <= eps_sq) & ~np.eye(n, dtype=bool)
+    core = within.sum(axis=1) + 1 >= min_pts
+
+    parent = {int(ids[i]): int(ids[i]) for i in range(n) if core[i]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in range(n):
+            if core[j] and within[i, j]:
+                ri, rj = find(int(ids[i])), find(int(ids[j]))
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comp = {}
+    for i in range(n):
+        if core[i]:
+            comp.setdefault(find(int(ids[i])), []).append(int(ids[i]))
+    cluster = {}
+    for members in comp.values():
+        lbl = min(members)
+        for m in members:
+            cluster[m] = lbl
+    out = {}
+    for i in range(n):
+        vid = int(ids[i])
+        if core[i]:
+            out[vid] = (cluster[vid], "core")
+        else:
+            nb = [cluster[int(ids[j])] for j in range(n)
+                  if core[j] and within[i, j]]
+            out[vid] = (min(nb), "border") if nb else (-1, "noise")
+    return out
+
+
+def test_dbscan_matches_bruteforce_on_fixture(embeddings, embeddings_np):
+    from vector_search_engine_spark.operators.graph import dbscan
+
+    ids, V = embeddings_np
+    exp = _ref_dbscan(ids, V, eps_sq=1.35, min_pts=4)
+    got = {
+        r.vec_id: (r.cluster_id, r.role)
+        for r in dbscan(embeddings, eps_sq=1.35, min_pts=4).collect()
+    }
+    assert got == exp
+    roles = {v[1] for v in got.values()}
+    assert roles == {"core", "border", "noise"}  # fixture exercises all three
+
+
+def test_dbscan_synthetic_geometry(spark):
+    """Two tight clusters, one border point, one noise point, and an
+    isolated core pair that must NOT merge with anything."""
+    from vector_search_engine_spark.operators.graph import dbscan
+
+    pts = [
+        # cluster A: 4 mutual neighbors at pairwise dist_sq <= 0.02
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]), (3, [0.1, 0.1]),
+        # border: within eps of A's cores but only 2 neighbors itself
+        (4, [0.35, 0.0]),
+        # cluster B: 4 mutual neighbors far away
+        (10, [10.0, 10.0]), (11, [10.1, 10.0]),
+        (12, [10.0, 10.1]), (13, [10.1, 10.1]),
+        # noise: alone
+        (20, [50.0, 50.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.cluster_id, r.role)
+        for r in dbscan(emb, eps_sq=0.1, min_pts=4).collect()
+    }
+    assert got[0] == (0, "core") and got[3] == (0, "core")
+    assert got[4] == (0, "border")
+    assert got[10] == (10, "core") and got[13] == (10, "core")
+    assert got[20] == (-1, "noise")
+
+
+def test_dbscan_core_with_no_core_neighbor_is_own_cluster(spark):
+    """A core point all of whose neighbors are non-core keeps its own
+    cluster id; the neighbors become ITS borders (min_pts=2 star)."""
+    from vector_search_engine_spark.operators.graph import dbscan
+
+    # star: center 5 touches 3 leaves; leaves touch only the center.
+    # min_pts=3: center has 3 neighbors -> core; leaves have 1 -> border.
+    pts = [(5, [0.0, 0.0]), (6, [1.0, 0.0]), (7, [-1.0, 0.0]),
+           (8, [0.0, 1.0])]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.cluster_id, r.role)
+        for r in dbscan(emb, eps_sq=1.5, min_pts=3).collect()
+    }
+    assert got[5] == (5, "core")
+    assert got[6] == (5, "border")
+    assert got[7] == (5, "border") and got[8] == (5, "border")

@@ -183,3 +183,120 @@ def test_precollected_query_tuple_matches_dataframe(spark, embeddings):
     # the SQL path is Catalyst-only by design: tuple input must raise
     with pytest.raises(ValueError, match="pandas path"):
         knn_ops.knn_exact(embeddings, q_tup, k=5, method="sql")
+
+
+# -- epsilon pairs / classification / outlier scoring (r10) -----------------
+
+
+def _pair_dists(V):
+    V64 = V.astype(np.float64)
+    n2 = (V64 * V64).sum(axis=1)
+    D = n2[:, None] - 2.0 * (V64 @ V64.T) + n2[None, :]
+    np.maximum(D, 0.0, out=D)
+    return D
+
+
+def test_radius_pairs_distributed_matches_numpy(embeddings, embeddings_np):
+    ids, V = embeddings_np
+    eps = 1.4
+    D = _pair_dists(V)
+    ii, jj = np.nonzero(D <= eps)
+    exp = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(ii, jj)
+        if ids[i] < ids[j]
+    }
+    res = knn_ops.radius_pairs_distributed(
+        embeddings, eps, q_blocks=3, v_blocks=5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in res}
+    assert got == exp
+    assert len(res) == len(got)  # each unordered pair emitted exactly once
+
+
+def test_radius_pairs_distance_values(embeddings, embeddings_np):
+    ids, V = embeddings_np
+    D = _pair_dists(V)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for r in knn_ops.radius_pairs_distributed(embeddings, 1.3).collect():
+        assert r.dist_sq == round(float(D[pos[r.id_a], pos[r.id_b]]), 4)
+
+
+def _ref_classify(ids, V, labels, qids, k):
+    """Leave-one-out majority vote, ties -> smaller label."""
+    D = _pair_dists(V)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    out = {}
+    for q in qids:
+        qi = pos[int(q)]
+        order = np.lexsort((ids, D[qi]))
+        nbr = [i for i in order if ids[i] != q][:k]
+        votes = {}
+        for i in nbr:
+            votes[int(labels[i])] = votes.get(int(labels[i]), 0) + 1
+        best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out[int(q)] = best
+    return out
+
+
+def test_knn_classify_matches_numpy(embeddings, embeddings_np):
+    ids, V = embeddings_np
+    rows = embeddings.select("vec_id", "label").collect()
+    lbl = {r.vec_id: r.label for r in rows}
+    labels = np.array([lbl[int(i)] for i in ids])
+    qids = np.sort(ids[ids < 10])
+    exp = _ref_classify(ids, V, labels, qids, k=7)
+    res = knn_ops.knn_classify(
+        embeddings, knn_ops.make_queries(embeddings, n=10), k=7
+    ).collect()
+    got = {r.qid: (r.predicted_label, r.votes) for r in res}
+    assert got == exp
+
+
+def test_knn_classify_tie_breaks_to_smaller_label(spark):
+    # query at origin; two label-1 and two label-0 points equidistant:
+    # 2-2 vote ties -> label 0 must win
+    rows = [
+        (0, [1.0, 0.0], 1), (1, [0.0, 1.0], 1),
+        (2, [-1.0, 0.0], 0), (3, [0.0, -1.0], 0),
+        (4, [5.0, 5.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = spark.createDataFrame(
+        [(100, [0.0, 0.0])], "qid long, query array<float>"
+    )
+    out = knn_ops.knn_classify(emb, q, k=4).collect()
+    assert len(out) == 1
+    assert (out[0].predicted_label, out[0].votes) == (0, 2)
+
+
+def test_knn_classify_excludes_self_and_refills(spark):
+    # self is nearest; with exclude_self the vote must come from the
+    # k OTHER points, so label flips to theirs
+    rows = [
+        (0, [0.0, 0.0], 9),
+        (1, [1.0, 0.0], 2), (2, [0.0, 1.0], 2), (3, [1.0, 1.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+    )
+    out = knn_ops.knn_classify(emb, q, k=3).collect()
+    assert (out[0].predicted_label, out[0].votes) == (2, 3)
+
+
+def test_knn_outlier_scores_matches_numpy(embeddings, embeddings_np):
+    ids, V = embeddings_np
+    k, top_n = 5, 40
+    D = _pair_dists(V)
+    np.fill_diagonal(D, np.inf)
+    kdist = np.sort(D, axis=1)[:, k - 1]
+    order = np.lexsort((ids, -kdist))[:top_n]
+    exp = [(int(ids[i]), round(float(kdist[i]), 4)) for i in order]
+    res = knn_ops.knn_outlier_scores(embeddings, k=k, top_n=top_n).collect()
+    got = [(r.vec_id, r.kdist_sq) for r in res]
+    assert sorted(got) == sorted(exp)

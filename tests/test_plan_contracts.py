@@ -70,6 +70,9 @@ AUDIT = [
     # r10
     "ann_ivf_graph",
     "ann_ivf_graph_filtered",
+    "knn_radius_pairs",
+    "knn_label_classify",
+    "embeddings_knn_outliers",
 ]
 
 
@@ -313,3 +316,52 @@ def test_pagerank_iteration_aggregates_before_shuffle(spark):
     plan = _executed_plan(step)
     assert "partial_sum" in plan, "contribution agg lost map-side partial"
     assert pr.count() == 50
+
+
+def test_knn_classify_label_join_broadcasts(spark, sf_dir):
+    """The label attach in knn_classify joins a TINY (|Q|*k rows)
+    neighbor list against the full labeled table: the neighbor side
+    must broadcast so the big table streams — a SortMergeJoin here
+    would shuffle all N labeled rows for a 200-row lookup."""
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = knn_ops.knn_classify(emb, knn_ops.make_queries(emb), k=10)
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "label join shuffled the big side"
+
+
+def test_outlier_topn_is_take_ordered(spark, sf_dir):
+    """knn_outlier_scores' global cut must be TakeOrderedAndProject
+    (partial per-partition top-n, merge on driver) — a full Sort +
+    GlobalLimit would shuffle every (point, score) row to one
+    partition."""
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = knn_ops.knn_outlier_scores(emb, k=5, top_n=50)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dbscan_degree_agg_is_partial(spark):
+    """DBSCAN's density gate (neighbor degree count) must aggregate
+    map-side before the node-key shuffle: the epsilon graph's edge rows
+    never shuffle raw."""
+    import pandas as pd
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, (i + 1) % 40) for i in range(40)], columns=["id_a", "id_b"]
+        ),
+        "id_a long, id_b long",
+    )
+    sym = edges.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
+    ).union(
+        edges.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("_deg"))
+    plan = _executed_plan(deg)
+    assert "partial_count" in plan, "degree agg lost map-side partial"

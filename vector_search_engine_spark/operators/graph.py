@@ -245,3 +245,87 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN (Ester et al. KDD'96) — density clustering as an epsilon-graph
+# composition: radius self-join -> degree gate -> connected components
+# ---------------------------------------------------------------------------
+
+
+def dbscan(
+    vectors: DataFrame,
+    eps_sq: float,
+    min_pts: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic DBSCAN over an embedding column: ``(id, cluster_id,
+    role)`` with role in {core, border, noise}.
+
+    * **core** — at least ``min_pts`` points (self included) within
+      squared-L2 ``eps_sq``;
+    * **border** — non-core with a core point in range, assigned the
+      SMALLEST cluster id among its core neighbors (classic DBSCAN
+      leaves border assignment scan-order-dependent; min is the
+      deterministic pin, same role id plays everywhere here);
+    * **noise** — ``cluster_id = -1``.
+
+    Cluster id = min core id in the density-connected component, from
+    the same large-star/small-star ``connected_components`` the near-dup
+    pipeline uses.  A core with no core neighbor is its own cluster.
+
+    Plan shape: the epsilon graph comes from
+    ``knn.radius_pairs_distributed`` (block GEMM self-join — shuffle is
+    ``N * blocks`` rows, each unordered pair evaluated exactly once);
+    degrees are one map-side-partial count over the symmetrized edge
+    list; the component step only sees CORE-CORE edges (the density gate
+    shrinks the graph before the iterative part); border assignment is
+    one join + min-agg.  ``pairs`` accepts a precomputed
+    ``(id_a, id_b, ...)`` within-eps pair set (e.g. from
+    ``IVFIndex.radius_search``'s triangle-inequality pruned scan) so the
+    quadratic exact generator is swappable at scale.
+    """
+    if pairs is None:
+        from vector_search_engine_spark.operators.knn import (
+            radius_pairs_distributed,
+        )
+
+        pairs = radius_pairs_distributed(vectors, eps_sq, id_col=id_col,
+                                         vec_col=vec_col)
+    sym = pairs.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
+    ).union(pairs.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr")))
+    sym = sym.localCheckpoint(eager=True)  # pairs plan is expensive; 4 consumers
+    deg = sym.groupBy("node").agg(F.count("*").alias("_deg"))
+    core = deg.filter(F.col("_deg") + 1 >= min_pts).select("node")
+    core_edges = (
+        sym.join(core, "node")
+        .join(core.select(F.col("node").alias("nbr")), "nbr")
+        .select(F.col("node").alias("u"), F.col("nbr").alias("v"))
+    )
+    comp = connected_components(core_edges)
+    core_lab = core.join(comp, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("cluster_id")
+    )
+    border_lab = (
+        sym.join(core_lab.select(F.col("node").alias("nbr"), "cluster_id"), "nbr")
+        .join(core, "node", "left_anti")
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    base = vectors.select(F.col(id_col).cast("long").alias("node"))
+    out = (
+        base.join(core_lab.withColumnRenamed("cluster_id", "_c"), "node", "left")
+        .join(border_lab.withColumnRenamed("cluster_id", "_b"), "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("_c", "_b", F.lit(-1)).cast("long").alias("cluster_id"),
+            F.when(F.col("_c").isNotNull(), "core")
+            .when(F.col("_b").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+        )
+    )
+    return out

@@ -261,6 +261,7 @@ def knn_exact_distributed(
     v_blocks: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_output: bool = True,
 ) -> DataFrame:
     """Exact top-k when the QUERY SET is itself a dataset — the tier for
     which ``knn_exact``'s collect-and-broadcast contract (bulk-search,
@@ -328,7 +329,7 @@ def knn_exact_distributed(
         .cogroup(vb.groupby("qblock", "vblock"))
         .applyInPandas(block_topk, schema="qid long, neighbor_id long, dist double")
     )
-    return _finalize_topk(cand, k, metric)
+    return _finalize_topk(cand, k, metric, round_output)
 
 
 def knn_prefix_rescore(
@@ -482,6 +483,184 @@ def radius_search(
         scan, schema="qid long, neighbor_id long, dist double"
     )
     return out.select("qid", "neighbor_id", F.round("dist", 4).alias("dist_sq"))
+
+
+def radius_pairs_distributed(
+    vectors: DataFrame,
+    radius_sq: float,
+    q_blocks: int = 4,
+    v_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Every unordered pair of table rows within squared-L2 ``radius_sq``
+    — the symmetric self-join sibling of ``radius_search`` for when the
+    "query set" is the whole table (epsilon-graph construction: DBSCAN,
+    mutual-reachability graphs, near-dup edges over embeddings).
+
+    Same block nested-loop shape as ``knn_exact_distributed``: rows hash
+    into ``q_blocks``/``v_blocks`` groups, each side replicates across
+    the other's axis, so every ordered (query, vector) pair meets in
+    EXACTLY one cogroup — the ``id < id`` cut inside the kernel therefore
+    emits each unordered pair once with no distinct pass.  Shuffle volume
+    is ``N * (q_blocks + v_blocks)`` rows, never ``N^2``; compute is the
+    unavoidable exact N^2/blocks GEMM, one BLAS call per cogroup.  At
+    index-serving scale the bulk-query form routes through
+    ``IVFIndex.radius_search`` (triangle-inequality cell pruning); this
+    is the exact whole-table baseline that gates it.
+    """
+    qb = vectors.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("query"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(q_blocks)).alias("qblock"),
+        F.explode(F.sequence(F.lit(0), F.lit(v_blocks - 1))).alias("vblock"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(v_blocks)).alias("vblock"),
+        F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qblock"),
+    )
+
+    def block_pairs(qpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="float64"),
+            }
+        )
+        if len(qpdf) == 0 or len(vpdf) == 0:
+            return empty
+        qids = qpdf["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(qpdf["query"].to_numpy())
+        ids = vpdf["nid"].to_numpy(dtype=np.int64)
+        V = np.stack(vpdf["nvec"].to_numpy())
+        D = l2_sq_matrix(V, Q)  # (n, m)
+        rows, cols = np.nonzero((D <= radius_sq) & (ids[:, None] > qids[None, :]))
+        if len(rows) == 0:
+            return empty
+        return pd.DataFrame(
+            {"id_a": qids[cols], "id_b": ids[rows], "dist": D[rows, cols]}
+        )
+
+    pairs = (
+        qb.groupby("qblock", "vblock")
+        .cogroup(vb.groupby("qblock", "vblock"))
+        .applyInPandas(block_pairs, schema="id_a long, id_b long, dist double")
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("dist", DIST_DECIMALS).alias("dist_sq")
+    )
+
+
+def knn_classify(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """k-NN majority-vote classification: predicted label per query =
+    the most frequent label among its k nearest labeled vectors
+    (squared L2), ties broken toward the SMALLER label — deterministic,
+    and the convention the oracle pins.
+
+    ``exclude_self`` drops a neighbor whose id equals the qid (the
+    leave-one-out shape for queries drawn from the labeled table
+    itself); the k-th place freed up is refilled, so every query still
+    votes over exactly k non-self neighbors — implemented as a k+1 cut
+    followed by a re-rank, the same pattern the kNN-graph builders use.
+
+    Plan shape: the neighbor search is ``knn_exact``'s per-partition
+    GEMM heap (|Q|*k candidate rows total); labels attach via a
+    broadcast hash join of the TINY neighbor list against the labeled
+    table — the big side streams, nothing wide shuffles; the vote is a
+    (qid, label) partial-aggregated count topped by one row_number over
+    |Q| groups.
+    """
+    kk = k + 1 if exclude_self else k
+    nbrs = knn_exact(
+        vectors, queries, k=kk, metric="l2_sq",
+        id_col=id_col, vec_col=vec_col, round_output=False,
+    )
+    if exclude_self:
+        w = Window.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
+        nbrs = (
+            nbrs.filter(F.col("qid") != F.col("neighbor_id"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+        )
+    labels = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        F.broadcast(nbrs.select("qid", "neighbor_id"))
+        .join(labels, "neighbor_id")
+        .groupBy("qid", "_nl")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("_nl").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("_nl").cast("long").alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )
+
+
+def knn_outlier_scores(
+    vectors: DataFrame,
+    k: int = 5,
+    top_n: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-distance outlier scoring (Ramaswamy et al. SIGMOD'00): each
+    point's score is the distance to its k-th nearest OTHER point; the
+    ``top_n`` highest scores are the outliers — the standard
+    embedding-space cleaning pass an LLM data pipeline runs before
+    training (drop encoder failures / off-manifold junk).
+
+    Every point is a query, so the search routes through
+    ``knn_exact_distributed`` (block nested-loop kNN join — the query
+    set never visits the driver); the k-th-neighbor cut reuses the
+    non-self re-rank, and the global top-n is one
+    TakeOrderedAndProject over N (point, score) rows — no full sort.
+    Ties at the cut break toward the smaller vec_id (pinned, as
+    everywhere)."""
+    q = vectors.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("query")
+    )
+    nbrs = knn_exact_distributed(
+        vectors, q, k=k + 1, metric="l2_sq",
+        id_col=id_col, vec_col=vec_col, round_output=False,
+    )
+    w = Window.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
+    kdist = (
+        nbrs.filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("dist_sq").alias("kdist"),
+        )
+    )
+    return (
+        kdist.orderBy(F.col("kdist").desc(), F.col(id_col).asc())
+        .limit(top_n)
+        .select(
+            id_col,
+            F.round("kdist", DIST_DECIMALS).alias("kdist_sq"),
+        )
+    )
 
 
 def knn_filtered(

@@ -2995,6 +2995,156 @@ def embeddings_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Epsilon-graph family: the radius SELF-join (every within-eps pair of
+# the whole table), and the two classic analytics built on the distance
+# structure — DBSCAN density clustering and k-distance outlier scoring.
+# Shared eps/min_pts pinned here so plans and oracles can't drift.
+_EPS_SQ = 1.35  # sits in a >=1.2e-5 gap of the fixture pair-distance dist.
+_DBSCAN_MIN_PTS = 4
+_OUTLIER_K = 5
+_OUTLIER_TOP_N = 100
+
+
+_RADIUS_PAIRS_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_DD_L2SQ.format(a="a.embedding", b="b.embedding")}, 4) AS dist_sq
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DD_L2SQ.format(a="a.embedding", b="b.embedding")} <= {_EPS_SQ}
+"""
+
+
+@register("knn_radius_pairs", oracle=_RADIUS_PAIRS_ORACLE)
+def knn_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table epsilon pairs via the block nested-loop radius
+    self-join (``knn.radius_pairs_distributed``) — each unordered pair
+    evaluated exactly once, shuffle N*blocks rows, never N^2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.radius_pairs_distributed(emb, _EPS_SQ)
+
+
+@register(
+    "knn_label_classify",
+    oracle=f"""
+WITH q AS ({_DD_QUERIES}),
+d AS (
+  SELECT q.qid, e.vec_id AS nid, e.label,
+         {_DD_L2SQ.format(a="e.embedding", b="q.query")} AS dist
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+),
+r AS (
+  SELECT qid, label,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+  FROM d
+),
+v AS (
+  SELECT qid, label, count(*) AS votes FROM r WHERE rn <= 10
+  GROUP BY qid, label
+),
+p AS (
+  SELECT qid, label, votes,
+         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
+  FROM v
+)
+SELECT qid, CAST(label AS BIGINT) AS predicted_label,
+       CAST(votes AS BIGINT) AS votes
+FROM p WHERE rn = 1
+""",
+)
+def knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the label column
+    (leave-one-out: self excluded, k refilled): the nearest-neighbor
+    analytics sibling every labeled vector store serves — and the
+    weak-labeling pass of a training-data pipeline (propagate labels
+    from a seed set to the unlabeled pool).  Ties pin to the smaller
+    label (``knn.knn_classify``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.knn_classify(emb, knn_ops.make_queries(emb), k=10)
+
+
+@register(
+    "embeddings_knn_outliers",
+    oracle=f"""
+WITH d AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         {_DD_L2SQ.format(a="a.embedding", b="b.embedding")} AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vid, dist,
+         row_number() OVER (PARTITION BY vid ORDER BY dist, nid) AS rn
+  FROM d
+),
+kd AS (SELECT vid, dist FROM r WHERE rn = {_OUTLIER_K}),
+t AS (
+  SELECT vid, dist, row_number() OVER (ORDER BY dist DESC, vid) AS rn
+  FROM kd
+)
+SELECT vid AS vec_id, round(dist, 4) AS kdist_sq
+FROM t WHERE rn <= {_OUTLIER_TOP_N}
+""",
+)
+def embeddings_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-distance outlier scores (Ramaswamy et al. SIGMOD'00), top-100:
+    the embedding-space cleaning pass that drops encoder failures before
+    training.  All-points query set routes through the block nested-loop
+    kNN join; the global cut is one TakeOrderedAndProject
+    (``knn.knn_outlier_scores``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.knn_outlier_scores(
+        emb, k=_OUTLIER_K, top_n=_OUTLIER_TOP_N
+    )
+
+
+@register(
+    "embeddings_dbscan",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT a.vec_id AS sa, b.vec_id AS sb
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE {_DD_L2SQ.format(a="a.embedding", b="b.embedding")} <= {_EPS_SQ}
+),
+deg AS (SELECT sa, count(*) AS c FROM d GROUP BY sa),
+core AS (SELECT sa AS node FROM deg WHERE c + 1 >= {_DBSCAN_MIN_PTS}),
+ce AS (
+  SELECT d.sa AS u, d.sb AS v FROM d
+  JOIN core c1 ON d.sa = c1.node JOIN core c2 ON d.sb = c2.node
+),
+cc(node, lbl) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT ce.v, cc.lbl FROM ce JOIN cc ON cc.node = ce.u
+),
+corelab AS (SELECT node, min(lbl) AS cluster_id FROM cc GROUP BY node),
+borderlab AS (
+  SELECT d.sa AS node, min(cl.cluster_id) AS cluster_id
+  FROM d JOIN corelab cl ON d.sb = cl.node
+  WHERE d.sa NOT IN (SELECT node FROM core)
+  GROUP BY d.sa
+)
+SELECT e.vec_id,
+       CAST(coalesce(c.cluster_id, b.cluster_id, -1) AS BIGINT) AS cluster_id,
+       CASE WHEN c.node IS NOT NULL THEN 'core'
+            WHEN b.node IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM embeddings e
+LEFT JOIN corelab c ON e.vec_id = c.node
+LEFT JOIN borderlab b ON e.vec_id = b.node
+""",
+)
+def embeddings_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (Ester et al. KDD'96) over the embeddings table — density
+    clustering as an epsilon-graph composition: block-GEMM radius
+    self-join -> min_pts degree gate -> connected components over
+    CORE-CORE edges -> deterministic (min-cluster) border assignment
+    (``graph.dbscan``).  At the graded params the fixture splits into
+    all three roles (164 core / 197 border / 139 noise at sf0.01)."""
+    from vector_search_engine_spark.operators.graph import dbscan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dbscan(emb, eps_sq=_EPS_SQ, min_pts=_DBSCAN_MIN_PTS)
+
+
 # ---------------------------------------------------------------------------
 # Grading-window ordering
 # ---------------------------------------------------------------------------
