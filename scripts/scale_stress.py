@@ -59,6 +59,11 @@ def main() -> None:
     only_docs = "--only-docs" in sys.argv
     only_vecs = "--only-vecs" in sys.argv
     only_fn = "--only-fn" in sys.argv  # finding-18 section alone
+    only_eps = "--only-eps" in sys.argv  # finding-19 section alone
+    if only_eps:
+        _eps_section(spark, results)
+        print(json.dumps({"n_vecs": N_VECS, "results": results}))
+        return
     if only_vecs:
         _vector_section(spark, results, n_docs=0)
         return
@@ -598,6 +603,8 @@ def _vector_section(spark, results: dict, n_docs: int) -> None:
         ).count(),
     )
 
+    _eps_section(spark, results)
+
     print(
         json.dumps(
             {
@@ -607,6 +614,67 @@ def _vector_section(spark, results: dict, n_docs: int) -> None:
             }
         )
     )
+
+
+def _eps_section(spark, results: dict) -> None:
+    """r10 finding 19: the epsilon-graph family at 100k.
+
+    Isotropic unit vectors in 64-d concentrate pairwise dist_sq around
+    2.0 (std ~0.25), so EPS_SQ=1.05 sits ~3.8 sigma out — the epsilon
+    graph keeps a few-per-ten-thousand fraction of the 5e9 pairs, the
+    regime DBSCAN is for.  Pins: the quadratic radius self-join's wall
+    and emitted-pair count, the full DBSCAN composition (its own pair
+    build + degree gate + CC over core-core edges + border assignment)
+    with the role split, and all-points k-distance outlier scoring
+    through the block kNN join.  Blocks are 16x16 here: the kernel's
+    GEMM tile is memory-bounded regardless (max_tile_cells), block
+    count buys task parallelism."""
+    from vector_search_engine_spark.operators.graph import dbscan
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(0, 1, (N_VECS, DIM)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(N_VECS, dtype=np.int64), "embedding": list(V)}
+        )
+    ).cache()
+    emb.count()
+    eps_sq = 1.05
+
+    timed(
+        results,
+        "radius_pairs_100k",
+        lambda: knn_ops.radius_pairs_distributed(
+            emb, eps_sq, q_blocks=16, v_blocks=16
+        ).count(),
+    )
+
+    holder: dict = {}
+
+    def _dbscan() -> int:
+        out = dbscan(
+            emb, eps_sq=eps_sq, min_pts=4, q_blocks=16, v_blocks=16
+        ).cache()
+        n = out.count()
+        holder["roles"] = {
+            r["role"]: r["c"]
+            for r in out.groupBy("role").agg(F.count("*").alias("c")).collect()
+        }
+        out.unpersist()
+        return n
+
+    timed(results, "dbscan_100k", _dbscan)
+    results["dbscan_100k"]["roles"] = holder["roles"]
+
+    timed(
+        results,
+        "knn_outliers_100k",
+        lambda: knn_ops.knn_outlier_scores(
+            emb, k=5, top_n=100, q_blocks=16, v_blocks=16
+        ).count(),
+    )
+    emb.unpersist()
 
 
 if __name__ == "__main__":

@@ -73,6 +73,8 @@ AUDIT = [
     "knn_radius_pairs",
     "knn_label_classify",
     "embeddings_knn_outliers",
+    "embeddings_lof",
+    "ann_ivf_classify",
 ]
 
 

@@ -260,6 +260,8 @@ def dbscan(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pairs: DataFrame | None = None,
+    q_blocks: int = 4,
+    v_blocks: int = 4,
 ) -> DataFrame:
     """Deterministic DBSCAN over an embedding column: ``(id, cluster_id,
     role)`` with role in {core, border, noise}.
@@ -292,8 +294,10 @@ def dbscan(
             radius_pairs_distributed,
         )
 
-        pairs = radius_pairs_distributed(vectors, eps_sq, id_col=id_col,
-                                         vec_col=vec_col)
+        pairs = radius_pairs_distributed(
+            vectors, eps_sq, q_blocks=q_blocks, v_blocks=v_blocks,
+            id_col=id_col, vec_col=vec_col,
+        )
     sym = pairs.select(
         F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
     ).union(pairs.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr")))

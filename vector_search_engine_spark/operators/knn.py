@@ -492,6 +492,7 @@ def radius_pairs_distributed(
     v_blocks: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_tile_cells: int = 16_000_000,
 ) -> DataFrame:
     """Every unordered pair of table rows within squared-L2 ``radius_sq``
     — the symmetric self-join sibling of ``radius_search`` for when the
@@ -522,6 +523,13 @@ def radius_pairs_distributed(
         F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qblock"),
     )
 
+    # bound the per-task GEMM tile at ~128 MB float64 regardless of how
+    # the caller sized the blocks: a (N/vb, N/qb) cogroup's full distance
+    # matrix is quadratic in the block size (4x4 blocks at 100k rows
+    # would be a 5 GB tile) — the kernel chunks the query axis instead,
+    # so block count tunes SHUFFLE/parallelism and memory stays flat
+    max_tile = max_tile_cells  # float64 cells per GEMM tile
+
     def block_pairs(qpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -536,13 +544,22 @@ def radius_pairs_distributed(
         Q = np.stack(qpdf["query"].to_numpy())
         ids = vpdf["nid"].to_numpy(dtype=np.int64)
         V = np.stack(vpdf["nvec"].to_numpy())
-        D = l2_sq_matrix(V, Q)  # (n, m)
-        rows, cols = np.nonzero((D <= radius_sq) & (ids[:, None] > qids[None, :]))
-        if len(rows) == 0:
-            return empty
-        return pd.DataFrame(
-            {"id_a": qids[cols], "id_b": ids[rows], "dist": D[rows, cols]}
-        )
+        step = max(1, max_tile // max(len(ids), 1))
+        outs = []
+        for c0 in range(0, len(qids), step):
+            qs, Qc = qids[c0 : c0 + step], Q[c0 : c0 + step]
+            D = l2_sq_matrix(V, Qc)  # (n, m_chunk)
+            rows, cols = np.nonzero(
+                (D <= radius_sq) & (ids[:, None] > qs[None, :])
+            )
+            if len(rows):
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": qs[cols], "id_b": ids[rows],
+                         "dist": D[rows, cols]}
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     pairs = (
         qb.groupby("qblock", "vblock")
@@ -593,11 +610,25 @@ def knn_classify(
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
         )
+    return majority_vote(nbrs, vectors, label_col=label_col, id_col=id_col)
+
+
+def majority_vote(
+    neighbors: DataFrame,
+    vectors: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The vote step shared by every classification serving path (exact
+    kNN, IVF-probed): attach labels to a TINY ``(qid, neighbor_id)``
+    list via broadcast hash join (the big labeled table streams), count
+    per (qid, label) with map-side partials, argmax with ties pinned to
+    the smaller label."""
     labels = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
     )
     votes = (
-        F.broadcast(nbrs.select("qid", "neighbor_id"))
+        F.broadcast(neighbors.select("qid", "neighbor_id"))
         .join(labels, "neighbor_id")
         .groupBy("qid", "_nl")
         .agg(F.count("*").alias("votes"))
@@ -622,6 +653,8 @@ def knn_outlier_scores(
     top_n: int = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q_blocks: int = 4,
+    v_blocks: int = 4,
 ) -> DataFrame:
     """k-distance outlier scoring (Ramaswamy et al. SIGMOD'00): each
     point's score is the distance to its k-th nearest OTHER point; the
@@ -640,8 +673,9 @@ def knn_outlier_scores(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("query")
     )
     nbrs = knn_exact_distributed(
-        vectors, q, k=k + 1, metric="l2_sq",
-        id_col=id_col, vec_col=vec_col, round_output=False,
+        vectors, q, k=k + 1, metric="l2_sq", q_blocks=q_blocks,
+        v_blocks=v_blocks, id_col=id_col, vec_col=vec_col,
+        round_output=False,
     )
     w = Window.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
     kdist = (
@@ -661,6 +695,89 @@ def knn_outlier_scores(
             F.round("kdist", DIST_DECIMALS).alias("kdist_sq"),
         )
     )
+
+
+def knn_lof_scores(
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_blocks: int = 4,
+    v_blocks: int = 4,
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. SIGMOD'00) over an embedding
+    column: density-RELATIVE outlier scores — a point in a sparse region
+    next to a dense cluster scores high even when its absolute k-distance
+    is unremarkable (the case plain k-distance scoring misses).
+
+    One deviation, pinned on both sides: the neighborhood is EXACTLY the
+    k nearest non-self points under the global ``(dist, id)`` tie order —
+    classic LOF includes every point at distance == k-distance (a
+    measure-zero difference on float data, but unpinnable across
+    engines).  With that, the textbook definitions apply verbatim:
+
+    * ``kdist(p)``       = distance to p's k-th neighbor,
+    * ``reach(p←o)``     = max(dist(p,o), kdist(o)),
+    * ``lrd(p)``         = k / Σ_o∈N(p) reach(p←o),
+    * ``LOF(p)``         = (Σ_o∈N(p) lrd(o)) / (k · lrd(p)).
+
+    Distances are squared L2 (the repo-wide convention; LOF is
+    rank-equivalent under any monotone transform of the metric).
+
+    Plan shape: one kNN-graph build through the block nested-loop join
+    (all points are queries — never the driver), then three key-
+    partitioned hash joins / partial aggs over the |V|·k edge list:
+    kdist attach on neighbor, reach-sum agg per point, lrd attach on
+    neighbor + final agg.  Nothing quadratic past the kNN join; every
+    agg is map-side partial.
+    """
+    q = vectors.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("query")
+    )
+    raw = knn_exact_distributed(
+        vectors, q, k=k + 1, metric="l2_sq", q_blocks=q_blocks,
+        v_blocks=v_blocks, id_col=id_col, vec_col=vec_col,
+        round_output=False,
+    )
+    w = Window.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
+    nbrs = (
+        raw.filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "neighbor_id", F.col("dist_sq").alias("dist"))
+        .localCheckpoint(eager=True)  # 3 consumers; the kNN join is the
+        # expensive input — pin it down before fanning derivations out
+        # (the PageRank lesson, SCALING.md finding 18)
+    )
+    kdist = nbrs.groupBy("qid").agg(F.max("dist").alias("kdist"))
+    reach = nbrs.join(
+        kdist.select(F.col("qid").alias("neighbor_id"),
+                     F.col("kdist").alias("nbr_kdist")),
+        "neighbor_id",
+    ).select(
+        "qid", "neighbor_id",
+        F.greatest("dist", "nbr_kdist").alias("reach"),
+    )
+    lrd = reach.groupBy("qid").agg(
+        (F.lit(float(k)) / F.sum("reach")).alias("lrd")
+    )
+    lof = (
+        nbrs.join(
+            lrd.select(F.col("qid").alias("neighbor_id"),
+                       F.col("lrd").alias("nbr_lrd")),
+            "neighbor_id",
+        )
+        .groupBy("qid")
+        .agg(F.sum("nbr_lrd").alias("sum_nbr_lrd"))
+        .join(lrd, "qid")
+        .select(
+            F.col("qid").alias(id_col),
+            F.round(
+                F.col("sum_nbr_lrd") / (F.lit(float(k)) * F.col("lrd")), 4
+            ).alias("lof"),
+        )
+    )
+    return lof
 
 
 def knn_filtered(

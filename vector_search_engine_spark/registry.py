@@ -3145,6 +3145,70 @@ def embeddings_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(emb, eps_sq=_EPS_SQ, min_pts=_DBSCAN_MIN_PTS)
 
 
+@register(
+    "embeddings_lof",
+    oracle=f"""
+WITH d AS (
+  SELECT a.vec_id AS p, b.vec_id AS o,
+         {_DD_L2SQ.format(a="a.embedding", b="b.embedding")} AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT p, o, dist,
+         row_number() OVER (PARTITION BY p ORDER BY dist, o) AS rn
+  FROM d
+),
+nb AS (SELECT p, o, dist FROM r WHERE rn <= {_OUTLIER_K}),
+kd AS (SELECT p, max(dist) AS kdist FROM nb GROUP BY p),
+reach AS (
+  SELECT nb.p, nb.o, greatest(nb.dist, kd.kdist) AS reach
+  FROM nb JOIN kd ON nb.o = kd.p
+),
+lrd AS (SELECT p, {_OUTLIER_K} / sum(reach) AS lrd FROM reach GROUP BY p),
+s AS (
+  SELECT nb.p, sum(l2.lrd) AS snl FROM nb JOIN lrd l2 ON nb.o = l2.p
+  GROUP BY nb.p
+)
+SELECT s.p AS vec_id, round(s.snl / ({_OUTLIER_K} * lrd.lrd), 4) AS lof
+FROM s JOIN lrd ON s.p = lrd.p
+""",
+)
+def embeddings_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. SIGMOD'00): density-RELATIVE
+    outlier scores for every embedding — catches the sparse-region point
+    next to a dense cluster that absolute k-distance misses.  Exactly-k
+    neighborhoods under the (dist, id) tie order (the deviation
+    ``knn.knn_lof_scores`` documents); assumes no exact-duplicate
+    vectors (lrd degenerates there — dedup first, which this repo's
+    dedup family is for)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.knn_lof_scores(emb, k=_OUTLIER_K)
+
+
+@register("ann_ivf_classify", oracle=ORACLES["knn_label_classify"])
+def ann_ivf_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification through the INDEX serving path: candidate
+    generation via the IVF probe (full probe here — exact by
+    construction, hence the same oracle as the flat path), then the
+    shared broadcast-label majority vote (``knn.majority_vote``).  The
+    classification cell of the serving-tier matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf.build_or_load(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    q = knn_ops.make_queries(emb)
+    raw = idx.search(
+        q, k=11, nprobe=idx.meta["n_centroids"], round_output=False
+    )
+    w = W.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
+    nbrs = (
+        raw.filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )
+    return knn_ops.majority_vote(nbrs, emb)
+
+
 # ---------------------------------------------------------------------------
 # Grading-window ordering
 # ---------------------------------------------------------------------------
