@@ -741,3 +741,52 @@ def test_engine_search_filtered_planner_routes(spark, embeddings, meta_engine):
         predicate=sel, strategy="inprobe",
     )
     assert _sorted(got_in) == _sorted(want)
+
+
+def test_radius_search_merged_equals_exact_after_upsert_and_delete(
+    spark, embeddings, engine
+):
+    """Merged RANGE search over upserts + tombstones: must equal brute
+    radius over the latest live corpus — moved rows appear only at the
+    new location, deleted ids nowhere, no duplicates from the overlap."""
+    # upsert 0..4 moved +10 in every coordinate (leaves any radius-1.5
+    # ball around the original queries), insert the >=400 tail, delete
+    # 10..14 entirely
+    moved = (
+        embeddings.filter(F.col("vec_id") < 5)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x + F.lit(10.0)).cast(
+                "array<float>"
+            ),
+        )
+    )
+    engine.insert(embeddings.filter(F.col("vec_id") >= 400))
+    engine.insert(moved)
+    engine.delete([10, 11, 12, 13, 14])
+
+    q = knn_ops.make_queries(embeddings, n=10)
+    got = {
+        (r.qid, r.neighbor_id, r.dist_sq)
+        for r in engine.radius_search(q, 1.5).collect()
+    }
+
+    # brute oracle over the latest state
+    rows = embeddings.collect()
+    latest = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows
+    }
+    for r in moved.collect():
+        latest[r.vec_id] = np.array(r.embedding, dtype=np.float64)
+    for d in (10, 11, 12, 13, 14):
+        latest.pop(d)
+    qrows = {r.qid: np.array(r.query, dtype=np.float64) for r in q.collect()}
+    exp = set()
+    for qid, qv in qrows.items():
+        for vid, v in latest.items():
+            d = float(((v - qv) ** 2).sum())
+            if d <= 1.5:
+                exp.add((qid, vid, round(d, 4)))
+    assert got == exp
+    # duplicate guard: the overlap region must not double-emit
+    assert len(got) == len({(a, b) for a, b, _ in got})

@@ -2520,6 +2520,8 @@ class IVFIndex:
         qid_col: str = "qid",
         qvec_col: str = "query",
         predicate=None,
+        exclude_ids=None,
+        round_output: bool = True,
     ) -> DataFrame:
         """EXACT range search with index pruning: all (query, vector) pairs
         with squared L2 <= radius_sq, scanning only cells that can contain
@@ -2574,6 +2576,20 @@ class IVFIndex:
         base = self.vectors(snapshot=snap).filter(
             F.col("centroid_id").isin(needed)
         )
+        if exclude_ids is not None:
+            # shadowed-id exclusion (merged streaming search): same
+            # anti-join contract as search() — the set can be large
+            # under sustained ingest, never driver-collected
+            if isinstance(exclude_ids, DataFrame):
+                base = base.join(
+                    exclude_ids.select(
+                        F.col(exclude_ids.columns[0]).alias(id_col)
+                    ),
+                    on=id_col,
+                    how="left_anti",
+                )
+            elif exclude_ids:
+                base = base.filter(~F.col(id_col).isin(list(exclude_ids)))
         if predicate is not None:
             base = base.filter(predicate)
         cand = base.join(F.broadcast(pairs_df), "centroid_id").select(
@@ -2600,9 +2616,10 @@ class IVFIndex:
         out = cand.mapInPandas(
             in_radius, schema="qid long, neighbor_id long, dist double"
         )
-        return out.select(
-            "qid", "neighbor_id", F.round("dist", 4).alias("dist_sq")
+        d = (
+            F.round("dist", 4) if round_output else F.col("dist").cast("double")
         )
+        return out.select("qid", "neighbor_id", d.alias("dist_sq"))
 
 
 # ---------------------------------------------------------------------------

@@ -447,6 +447,7 @@ def radius_search(
     radius_sq: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_output: bool = True,
 ) -> DataFrame:
     """Exact range search: every (query, vector) pair with squared L2
     <= radius_sq — the threshold-membership sibling of top-k (the
@@ -482,7 +483,8 @@ def radius_search(
     out = vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         scan, schema="qid long, neighbor_id long, dist double"
     )
-    return out.select("qid", "neighbor_id", F.round("dist", 4).alias("dist_sq"))
+    d = F.round("dist", 4) if round_output else F.col("dist").cast("double")
+    return out.select("qid", "neighbor_id", d.alias("dist_sq"))
 
 
 def radius_pairs_distributed(

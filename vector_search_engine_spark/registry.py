@@ -3145,6 +3145,25 @@ def embeddings_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan(emb, eps_sq=_EPS_SQ, min_pts=_DBSCAN_MIN_PTS)
 
 
+@register("streaming_radius_search", oracle=_RADIUS_ORACLE)
+def streaming_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged-search contract's RANGE sibling: indexed side via the
+    triangle-inequality pruned scan with shadowed ids anti-joined out,
+    delta side exact, plain union (no ranking — id sets disjoint by the
+    exclusion).  The delta overlaps the indexed base by 50 ids
+    (same-payload upserts), so a broken shadowing exclusion would emit
+    duplicate pairs and fail the row-count gate — the oracle is the
+    same brute-force radius SQL as the flat forms."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 350))
+    return eng.radius_search(knn_ops.make_queries(emb), RADIUS_SQ)
+
+
 @register(
     "embeddings_lof",
     oracle=f"""

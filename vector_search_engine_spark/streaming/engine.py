@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_search_engine_spark.operators.ivf import IVFIndex
-from vector_search_engine_spark.operators.knn import _finalize_topk, knn_exact
+from vector_search_engine_spark.operators.knn import (
+    _finalize_topk,
+    knn_exact,
+    radius_search as radius_search_exact,
+)
 from vector_search_engine_spark.streaming.metrics import MetricsRecorder
 
 
@@ -512,6 +516,40 @@ class VectorEngine:
             merged.select("qid", "neighbor_id", F.col("dist_sq").alias("dist")),
             k,
             "l2_sq",
+        )
+
+    def radius_search(
+        self, queries: DataFrame, radius_sq: float, predicate=None
+    ) -> DataFrame:
+        """Merged RANGE search: every (query, vector) pair within
+        squared-L2 ``radius_sq`` against each row's LATEST version —
+        the radius sibling of the Q4 merged top-k contract.  The indexed
+        side runs the triangle-inequality pruned scan with shadowed ids
+        excluded by anti-join; the delta side scans its live latest rows
+        exactly; tombstones shadow but contribute nothing.  No ranking
+        exists here, so the merge is a plain union — id sets are
+        disjoint by the exclusion, no dedup pass; results round once at
+        output like every user-facing distance."""
+        id_col = self.index.meta["id_col"]
+        vec_col = self.index.meta["vec_col"]
+        delta_latest = self.delta_latest(seqs=self._live_seqs())
+        indexed_part = self.index.radius_search(
+            queries,
+            radius_sq,
+            exclude_ids=delta_latest.select(id_col),
+            predicate=predicate,
+            round_output=False,
+        )
+        delta_live = delta_latest.filter(F.col(vec_col).isNotNull())
+        if predicate is not None:
+            delta_live = delta_live.filter(predicate)
+        delta_part = radius_search_exact(
+            delta_live, queries, radius_sq, id_col=id_col, vec_col=vec_col,
+            round_output=False,
+        )
+        merged = indexed_part.unionByName(delta_part)
+        return merged.select(
+            "qid", "neighbor_id", F.round("dist_sq", 4).alias("dist_sq")
         )
 
     def search_timed(
