@@ -250,3 +250,113 @@ def test_dbscan_core_with_no_core_neighbor_is_own_cluster(spark):
     assert got[5] == (5, "core")
     assert got[6] == (5, "border")
     assert got[7] == (5, "border") and got[8] == (5, "border")
+
+
+# -- triangle counting / label propagation (r10) ------------------------------
+
+
+def test_triangle_counts_known_geometries(spark):
+    from vector_search_engine_spark.operators.graph import triangle_counts
+
+    # K4 plus a pendant and a disjoint path: K4 nodes have C(3,2)=3
+    # triangles each, pendant and path nodes none
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 10), (20, 21), (21, 22)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 0, 20: 0, 21: 0, 22: 0}
+
+
+def test_triangle_counts_matches_bruteforce_on_knn_graph(
+    spark, embeddings, embeddings_np
+):
+    from itertools import combinations
+
+    from vector_search_engine_spark.operators.graph import triangle_counts
+
+    ids, V = embeddings_np
+    import numpy as np
+
+    V64 = V.astype(np.float64)
+    n2 = (V64 * V64).sum(axis=1)
+    D = n2[:, None] - 2.0 * (V64 @ V64.T) + n2[None, :]
+    np.fill_diagonal(D, np.inf)
+    k = 4
+    adj = set()
+    for i in range(len(ids)):
+        for j in np.lexsort((ids, D[i]))[:k]:
+            a, b = int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))
+            adj.add((a, b))
+    nbr = {}
+    for a, b in adj:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    exp = {n: 0 for n in nbr}
+    for n, ns in nbr.items():
+        for x, y in combinations(sorted(ns), 2):
+            if (min(x, y), max(x, y)) in adj:
+                exp[n] += 1
+    edges = spark.createDataFrame(sorted(adj), "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == exp
+
+
+def _ref_lpa(adj_sym, iterations):
+    """Python twin of the synchronous min-tie label propagation."""
+    lbl = {n: n for n in adj_sym}
+    for _ in range(iterations):
+        new = {}
+        for n, ns in adj_sym.items():
+            counts = {}
+            for v in ns:
+                counts[lbl[v]] = counts.get(lbl[v], 0) + 1
+            new[n] = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lbl = new
+    return lbl
+
+
+def test_label_propagation_two_cliques(spark):
+    from vector_search_engine_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: after a few rounds each
+    # clique converges to its min id; the bridge doesn't flip either side
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(df, iterations=4).collect()
+    }
+    assert all(got[n] == 0 for n in range(4))
+    assert all(got[n] == 10 for n in range(10, 14))
+
+
+def test_label_propagation_matches_python_reference(
+    spark, embeddings, embeddings_np
+):
+    import numpy as np
+
+    from vector_search_engine_spark.operators.graph import label_propagation
+
+    ids, V = embeddings_np
+    V64 = V.astype(np.float64)
+    n2 = (V64 * V64).sum(axis=1)
+    D = n2[:, None] - 2.0 * (V64 @ V64.T) + n2[None, :]
+    np.fill_diagonal(D, np.inf)
+    adj = {}
+    und = set()
+    for i in range(len(ids)):
+        for j in np.lexsort((ids, D[i]))[:5]:
+            a, b = int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))
+            und.add((a, b))
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = _ref_lpa(adj, iterations=3)
+    edges = spark.createDataFrame(sorted(und), "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got == exp

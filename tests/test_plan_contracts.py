@@ -75,6 +75,9 @@ AUDIT = [
     "embeddings_knn_outliers",
     "embeddings_lof",
     "ann_ivf_classify",
+    "embeddings_knn_triangles",
+    "embeddings_knn_communities",
+    "corpus_source_kl",
 ]
 
 
@@ -367,3 +370,34 @@ def test_dbscan_degree_agg_is_partial(spark):
     deg = sym.groupBy("node").agg(F.count("*").alias("_deg"))
     plan = _executed_plan(deg)
     assert "partial_count" in plan, "degree agg lost map-side partial"
+
+
+def test_lpa_histogram_agg_is_partial(spark):
+    """One label-propagation round's (node, label) histogram must
+    aggregate map-side before the node shuffle — edge rows never
+    shuffle raw."""
+    import pandas as pd
+
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    edges = spark.createDataFrame(
+        pd.DataFrame([(i, (i + 1) % 30) for i in range(30)],
+                     columns=["src", "dst"]),
+        "src long, dst long",
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    hist = (
+        sym.join(labels.select(F.col("node").alias("dst"), "lbl"), "dst")
+        .groupBy(F.col("src").alias("node"), "lbl")
+        .agg(F.count("*").alias("c"))
+    )
+    plan = _executed_plan(hist)
+    assert "partial_count" in plan, "LPA histogram lost map-side partial"
+    # the real operator converges this graph to one community
+    out = graph_ops.label_propagation(edges, iterations=4)
+    assert out.count() == 30

@@ -975,3 +975,34 @@ def test_frequent_ngrams_no_hitters(spark):
         threshold=3,
     )
     assert got == {}
+
+
+def test_source_kl_matches_python_reference(spark, sf_dir):
+    import math
+
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.operators import text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("source", "text").collect()
+    st, ns, tt, n = {}, {}, {}, 0
+    for r in rows:
+        for t in r.text.strip().split(" "):
+            if not t:
+                continue
+            st[(r.source, t)] = st.get((r.source, t), 0) + 1
+            ns[r.source] = ns.get(r.source, 0) + 1
+            tt[t] = tt.get(t, 0) + 1
+            n += 1
+    exp = {}
+    for (s, t), c in st.items():
+        p = c / ns[s]
+        q = tt[t] / n
+        exp[s] = exp.get(s, 0.0) + p * math.log(p / q)
+    exp = {s: round(v, 6) for s, v in exp.items()}
+    got = {
+        r.source: r.kl_divergence
+        for r in text_ops.source_kl_divergence(docs).collect()
+    }
+    assert got == exp
+    assert all(v >= 0 for v in got.values())  # KL >= 0 (Gibbs)

@@ -333,3 +333,165 @@ def dbscan(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented compact-forward) — local clustering
+# structure over derived graphs (kNN graphs, near-dup graphs)
+# ---------------------------------------------------------------------------
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts: ``(node long, triangles
+    long)`` for every node of the undirected support of ``edges`` (u, v).
+
+    Degree-oriented compact-forward (Latapy 2008 / the standard
+    MapReduce formulation): orient every undirected edge from the
+    endpoint with the smaller ``(degree, id)`` to the larger, making the
+    orientation acyclic with out-degrees bounded by O(sqrt(E)) on any
+    graph — so the wedge join below generates O(E^1.5) candidate rows
+    worst case instead of the O(sum deg^2) a naive node-iterator pays on
+    skewed graphs (the hub node's wedges land on the HIGH side of the
+    orientation and never fan out).  Each triangle {a,b,c} is counted
+    exactly once: with rank(a) < rank(b) < rank(c) it appears only as
+    the wedge (b←a→c) closed by the oriented edge b→c.
+
+    Plan: two key-partitioned hash joins (wedge build on the low
+    endpoint, closure probe on the (b, c) pair) + one union-explode
+    count with map-side partials.  No driver structures; the orientation
+    is one degree agg + one broadcast-free struct comparison."""
+    und = (
+        edges.select(
+            F.least(F.col(edges.columns[0]), F.col(edges.columns[1])).alias("u"),
+            F.greatest(F.col(edges.columns[0]), F.col(edges.columns[1])).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        # pin the (possibly expensive — kNN join) edge input ONCE:
+        # degrees, orientation, wedges and closure all derive from it
+        # (SCALING.md finding 18's lesson)
+        .localCheckpoint(eager=True)
+    )
+    sym = und.select("u", "v").union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    # rank = (deg, id) struct; orient low -> high
+    ranked = (
+        sym.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "du")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v"
+        )
+        .select(
+            "u", "v",
+            F.struct(F.col("du"), F.col("u")).alias("ru"),
+            F.struct(F.col("dv"), F.col("v")).alias("rv"),
+        )
+    )
+    oriented = ranked.filter(F.col("ru") < F.col("rv")).select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.col("rv").alias("rdst"),
+    )
+    # wedges centered at the LOW-rank node a: (a -> b, a -> c), b<c by rank
+    e1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("rdst").alias("rb"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"),
+        F.col("rdst").alias("rc"),
+    )
+    wedges = e1.join(e2, "a").filter(F.col("rb") < F.col("rc")).select(
+        "a", "b", "c"
+    )
+    # closure: the (b, c) edge is oriented b -> c (rank(b) < rank(c))
+    tri = wedges.join(
+        oriented.select(
+            F.col("src").alias("b"), F.col("dst").alias("c")
+        ),
+        ["b", "c"],
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (synchronous, fixed-iteration) — community detection
+# over derived graphs
+# ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), made
+    deterministic and oracle-expressible: ``(node long, community
+    long)`` after exactly ``iterations`` parallel update rounds over the
+    undirected support of ``edges``.
+
+    Each round, EVERY node simultaneously takes the most frequent label
+    among its neighbors' previous-round labels, ties broken toward the
+    SMALLER label (classic LPA resolves ties randomly and updates
+    asynchronously in a random node order — both unpinnable across
+    engines; the synchronous min-tie variant is deterministic, and the
+    fixed iteration count sidesteps synchronous LPA's known 2-cycle
+    oscillation non-termination).  Labels start as node ids.
+
+    Scale shape per round: one shuffle joining labels onto the edge
+    list's neighbor column, one (node, label) map-side-partial count,
+    one row_number over each node's label histogram; lineage cut per
+    round with an eager localCheckpoint (the CC / PageRank discipline).
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        sym.select("u", "v")
+        .union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)  # pin before the iterative fan-out
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(iterations):
+        hist = (
+            sym.join(
+                labels.select(F.col("node").alias("v"), "lbl"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            hist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

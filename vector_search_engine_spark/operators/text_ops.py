@@ -1744,3 +1744,73 @@ sh AS (
 SELECT gram, count(*)::BIGINT AS cnt
 FROM sh GROUP BY gram HAVING count(*) >= {FREQUENT_NGRAM_THRESHOLD}
 """
+
+
+def source_kl_divergence(documents: DataFrame) -> DataFrame:
+    """Per-source distribution drift: KL(P_source || P_corpus) over
+    unigram token distributions — the data-mixture diagnostic that
+    flags a source whose language diverges from the blend it feeds
+    (mirrors the domain-weighting signals of mixture-tuning pipelines).
+
+    Unsmoothed and exactly well-defined: every term a source emits is by
+    construction in the corpus (support(P_s) ⊆ support(Q)), so
+
+        KL(s) = Σ_{t: c_s(t)>0}  p_s(t) · ln(p_s(t) / q(t)),
+        p_s(t) = c_s(t)/n_s,  q(t) = c(t)/n,
+
+    needs no absent-term corrections — the classic smoothing-bug
+    surface is simply not present.
+
+    Plan shape: one explode + (source, term) partial-agg count; the
+    corpus term totals DERIVE from that same aggregate (one more
+    partial agg keyed on term — the corpus is never re-scanned); the
+    per-source/global totals are a tiny agg broadcast back; the final
+    KL is one map-side-partial weighted sum per source.  At 100 TB the
+    only wide shuffles are the two hash aggs on (source, term) and
+    (term)."""
+    tok = documents.select(
+        "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(
+        F.count("*").cast("double").alias("c_st")
+    )
+    tt = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    n_total = float(
+        ns.agg(F.sum("n_s").alias("n")).collect()[0]["n"]
+    )  # one scalar; |sources| rows visited, not the corpus
+    joined = (
+        st.join(tt, "term")
+        .join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            (
+                (F.col("c_st") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_st") / F.col("n_s"))
+                    / (F.col("c_t") / F.lit(n_total))
+                )
+            ).alias("contrib"),
+        )
+    )
+    return (
+        joined.groupBy("source")
+        .agg(F.round(F.sum("contrib"), 6).alias("kl_divergence"))
+        .select("source", "kl_divergence")
+    )
+
+
+SOURCE_KL_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({DD_TOKENS.format(t="text")}) AS term FROM documents
+),
+st AS (SELECT source, term, count(*)::DOUBLE AS c_st FROM tok GROUP BY source, term),
+tt AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY term),
+ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source),
+n AS (SELECT sum(n_s) AS n FROM ns)
+SELECT st.source,
+       round(sum((c_st / n_s) * ln((c_st / n_s) / (c_t / (SELECT n FROM n)))), 6)
+         AS kl_divergence
+FROM st JOIN tt USING (term) JOIN ns USING (source)
+GROUP BY st.source
+"""

@@ -3228,6 +3228,124 @@ def ann_ivf_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ops.majority_vote(nbrs, emb)
 
 
+# kNN-graph analytics beyond PageRank: triangle structure and label-
+# propagation communities, over the same exact k=5 graph the PageRank
+# row uses (shared head CTE so the graphs can never drift).
+_KNN_GRAPH_HEAD = f"""
+dmat AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {_DD_L2SQ.format(a="a.embedding", b="b.embedding")} AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+e AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+    FROM dmat) WHERE rn <= {_PR_K}
+),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e)"""
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k=5 kNN edges (directed), the Spark twin of _KNN_GRAPH_HEAD's
+    ``e`` CTE — identical to the edge build inside embeddings_knn_pagerank."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+    )
+    nbrs = knn_ops.knn_exact(emb, q, k=_PR_K + 1, round_output=False)
+    w = Window.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
+    return (
+        nbrs.filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PR_K)
+        .select(F.col("qid").alias("src"), F.col("neighbor_id").alias("dst"))
+    )
+
+
+@register(
+    "embeddings_knn_triangles",
+    oracle=f"""
+WITH {_KNN_GRAPH_HEAD},
+t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pn AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT a AS node FROM t
+    UNION ALL SELECT b FROM t
+    UNION ALL SELECT c FROM t
+  ) GROUP BY node
+)
+SELECT emb.vec_id, CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles
+FROM embeddings emb LEFT JOIN pn ON emb.vec_id = pn.node
+""",
+)
+def embeddings_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the undirected k=5 kNN graph —
+    local clustering structure (a manifold-density / hubness signal
+    over embeddings).  Degree-oriented compact-forward: wedge fan-out
+    bounded O(sqrt(E)) per node regardless of skew
+    (``graph.triangle_counts``); oracle enumerates ordered triples
+    against the identical graph."""
+    from vector_search_engine_spark.operators.graph import triangle_counts
+
+    out = triangle_counts(_knn_edges(spark, sf_dir))
+    return out.select(F.col("node").alias("vec_id"), "triangles")
+
+
+def _lpa_oracle(iters: int) -> str:
+    parts = [f"WITH {_KNN_GRAPH_HEAD},"]
+    parts.append("""
+sym AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym)""")
+    for i in range(1, iters + 1):
+        parts.append(f""",
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT s.u AS node, p.lbl AS lbl, count(*) AS c,
+           row_number() OVER (
+             PARTITION BY s.u ORDER BY count(*) DESC, p.lbl) AS rn
+    FROM sym s JOIN l{i - 1} p ON p.node = s.v
+    GROUP BY s.u, p.lbl) WHERE rn = 1
+)""")
+    parts.append(
+        f"\nSELECT node AS vec_id, CAST(lbl AS BIGINT) AS community "
+        f"FROM l{iters}"
+    )
+    return "".join(parts)
+
+
+_LPA_ITERS = 4
+
+
+@register("embeddings_knn_communities", oracle=_lpa_oracle(_LPA_ITERS))
+def embeddings_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-tie label propagation (Raghavan et al. 2007,
+    determinized) over the undirected k=5 kNN graph, exactly 4 rounds —
+    embedding-space community assignment without a parametric cluster
+    count (``graph.label_propagation``); oracle = 4 unrolled
+    histogram-argmax CTEs over the identical graph."""
+    from vector_search_engine_spark.operators.graph import label_propagation
+
+    out = label_propagation(_knn_edges(spark, sf_dir), iterations=_LPA_ITERS)
+    return out.select(F.col("node").alias("vec_id"), "community")
+
+
+@register("corpus_source_kl", oracle=txt_ops.SOURCE_KL_ORACLE)
+def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL(P_source || P_corpus) — the data-mixture
+    drift diagnostic (``text_ops.source_kl_divergence``); unsmoothed
+    and exactly well-defined because support(P_s) ⊆ support(Q) by
+    construction."""
+    return txt_ops.source_kl_divergence(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Grading-window ordering
 # ---------------------------------------------------------------------------
