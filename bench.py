@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     # block-GEMM radius self-join, the min_pts density gate, and
     # connected components over core-core edges in one row
     "embeddings_dbscan",
+    # r10 fourth wave: kNN-graph triangle structure (degree-oriented
+    # compact-forward) and the per-source unigram KL-drift diagnostic
+    "embeddings_knn_triangles",
+    "corpus_source_kl",
 ]
 
 

@@ -445,6 +445,8 @@ def _vector_section(spark, results: dict, n_docs: int) -> None:
     # assignment inside query partitions, shuffle join on centroid_id)
     # — pins the full coreset-scoring composition: graph build + 8
     # power iterations with per-iteration lineage cuts.
+    graph_holder: dict = {}
+
     def _knn_pagerank() -> int:
         from vector_search_engine_spark.operators.graph import pagerank
 
@@ -455,9 +457,33 @@ def _vector_section(spark, results: dict, n_docs: int) -> None:
         edges = nbrs.filter(F.col("qid") != F.col("neighbor_id")).select(
             F.col("qid").alias("src"), F.col("neighbor_id").alias("dst")
         )
-        return pagerank(edges, iterations=8).count()
+        # materialize once; pagerank re-checkpoints internally and the
+        # triangle/LPA rows below reuse the SAME 500k-edge graph so the
+        # three analytics are directly comparable (edge-build cost is
+        # charged to this row, like the sidecar-build convention)
+        graph_holder["edges"] = edges.localCheckpoint(eager=True)
+        return pagerank(graph_holder["edges"], iterations=8).count()
 
     timed(results, "knn_pagerank_100k", _knn_pagerank)
+    # r10 third wave: triangle structure + LPA communities over the
+    # identical kNN graph (edge build amortized into the pagerank row)
+    from vector_search_engine_spark.operators.graph import (
+        label_propagation,
+        triangle_counts,
+    )
+
+    timed(
+        results,
+        "knn_triangles_100k",
+        lambda: triangle_counts(graph_holder["edges"]).count(),
+    )
+    timed(
+        results,
+        "knn_communities_100k",
+        lambda: label_propagation(graph_holder["edges"], iterations=4)
+        .select(F.countDistinct("community"))
+        .collect()[0][0],
+    )
     timed(
         results,
         "pq_sidecar_build",
