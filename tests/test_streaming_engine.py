@@ -790,3 +790,45 @@ def test_radius_search_merged_equals_exact_after_upsert_and_delete(
     assert got == exp
     # duplicate guard: the overlap region must not double-emit
     assert len(got) == len({(a, b) for a, b, _ in got})
+
+
+def test_delta_gc_defers_two_cycles_with_age_floor(spark, embeddings, engine):
+    """EBR grace regression (caught live by the r10 bench mixed_rw
+    phase): seq dirs folded by compaction N must survive on disk until
+    compaction N+1 AND until older than the age floor — a concurrently
+    executing search that pinned the pre-fold seq set keeps its files."""
+    import os
+
+    engine.insert(embeddings.filter(F.col("vec_id") >= 400))
+    seqs_before = set(engine._existing_seqs())
+    assert seqs_before
+    engine.compact()
+    # cycle 1: folded dirs still on disk (logically dead, physically live)
+    assert set(engine._existing_seqs()) >= seqs_before
+    engine.insert(
+        embeddings.filter(F.col("vec_id") < 5).withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x + F.lit(1.0)).cast(
+                "array<float>"
+            ),
+        )
+    )
+    # cycle 2 with the age floor active: young dirs STILL survive
+    engine.compact()
+    assert set(engine._existing_seqs()) >= seqs_before
+    # cycle 2 replay with the floor lowered: now they are reclaimed
+    engine._DELTA_GC_MIN_AGE_SEC = 0.0
+    engine.insert(
+        embeddings.filter(F.col("vec_id") < 3).withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: x + F.lit(2.0)).cast(
+                "array<float>"
+            ),
+        )
+    )
+    engine.compact()
+    assert not (set(engine._existing_seqs()) & seqs_before)
+    # results remain exact throughout
+    q = knn_ops.make_queries(embeddings, n=5)
+    merged = engine.search(q, k=5, nprobe=engine.index.meta["n_centroids"])
+    assert merged.count() == 25

@@ -649,6 +649,39 @@ def majority_vote(
     )
 
 
+def knn_kth_distances(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_blocks: int = 4,
+    v_blocks: int = 4,
+) -> DataFrame:
+    """Every point's RAW squared distance to its k-th nearest OTHER
+    point — ``(id, kdist)`` — the shared input of k-distance outlier
+    scoring and the DBSCAN eps elbow (sorted k-distance curve, Ester et
+    al. 1996 §4.2).  All points query through the block nested-loop
+    kNN join; the k-th cut is the non-self re-rank on raw float64."""
+    q = vectors.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("query")
+    )
+    nbrs = knn_exact_distributed(
+        vectors, q, k=k + 1, metric="l2_sq", q_blocks=q_blocks,
+        v_blocks=v_blocks, id_col=id_col, vec_col=vec_col,
+        round_output=False,
+    )
+    w = Window.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
+    return (
+        nbrs.filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("dist_sq").alias("kdist"),
+        )
+    )
+
+
 def knn_outlier_scores(
     vectors: DataFrame,
     k: int = 5,
@@ -671,23 +704,9 @@ def knn_outlier_scores(
     TakeOrderedAndProject over N (point, score) rows — no full sort.
     Ties at the cut break toward the smaller vec_id (pinned, as
     everywhere)."""
-    q = vectors.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("query")
-    )
-    nbrs = knn_exact_distributed(
-        vectors, q, k=k + 1, metric="l2_sq", q_blocks=q_blocks,
-        v_blocks=v_blocks, id_col=id_col, vec_col=vec_col,
-        round_output=False,
-    )
-    w = Window.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
-    kdist = (
-        nbrs.filter(F.col("qid") != F.col("neighbor_id"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == k)
-        .select(
-            F.col("qid").alias(id_col),
-            F.col("dist_sq").alias("kdist"),
-        )
+    kdist = knn_kth_distances(
+        vectors, k, id_col=id_col, vec_col=vec_col,
+        q_blocks=q_blocks, v_blocks=v_blocks,
     )
     return (
         kdist.orderBy(F.col("kdist").desc(), F.col(id_col).asc())

@@ -3337,6 +3337,57 @@ def embeddings_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("vec_id"), "community")
 
 
+_KDIST_PS = [0.5, 0.75, 0.9, 0.95, 0.99]
+
+
+@register(
+    "dbscan_kdist_report",
+    oracle=f"""
+WITH d AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         {_DD_L2SQ.format(a="a.embedding", b="b.embedding")} AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vid, dist,
+         row_number() OVER (PARTITION BY vid ORDER BY dist, nid) AS rn
+  FROM d
+),
+kd AS (SELECT dist FROM r WHERE rn = {_DBSCAN_MIN_PTS - 1}),
+qp AS (
+  SELECT unnest({_KDIST_PS}) AS p,
+         unnest(quantile_cont(dist, {_KDIST_PS})) AS kdist
+  FROM kd
+)
+SELECT p, round(kdist, 4) AS kdist FROM qp
+""",
+)
+def dbscan_kdist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DBSCAN eps elbow (Ester et al. 1996 §4.2) as a graded
+    calibration row: percentiles of the sorted (min_pts-1)-distance
+    curve — the standard way to pick eps, sibling of the
+    ivf_tune_{nprobe,candidates,ef} reports.  Oracle-comparable because
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    type-7 linear interpolation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kd = knn_ops.knn_kth_distances(emb, k=_DBSCAN_MIN_PTS - 1)
+    ps = ",".join(str(p) for p in _KDIST_PS)
+    return (
+        kd.agg(
+            F.expr(f"percentile(kdist, array({ps}))").alias("q")
+        )
+        .select(
+            F.posexplode("q").alias("pos", "kdist"),
+        )
+        .select(
+            F.element_at(
+                F.array(*[F.lit(p) for p in _KDIST_PS]), F.col("pos") + 1
+            ).alias("p"),
+            F.round("kdist", 4).alias("kdist"),
+        )
+    )
+
+
 @register("corpus_source_kl", oracle=txt_ops.SOURCE_KL_ORACLE)
 def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram KL(P_source || P_corpus) — the data-mixture

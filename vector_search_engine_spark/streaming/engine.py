@@ -53,6 +53,10 @@ class VectorEngine:
     # orphans; younger ones may belong to a concurrently-publishing
     # writer and are left alone (see __init__).
     _STAGING_GC_AGE_SEC = 600.0
+    # wall-clock floor for dead delta-partition GC (see _compact_assigned
+    # step 4): readers faster than this are race-free regardless of how
+    # frequently compaction fires
+    _DELTA_GC_MIN_AGE_SEC = 120.0
 
     def __init__(
         self,
@@ -146,6 +150,20 @@ class VectorEngine:
             with open(p) as f:
                 return int(json.load(f)["watermark"])
         return -1
+
+    def _gc_watermark(self) -> int:
+        """Watermark as of the PREVIOUS compaction — the upper bound of
+        seq dirs whose grace (one further full cycle) has expired."""
+        p = os.path.join(self.root_dir, "delta_gc_watermark.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(json.load(f)["watermark"])
+        return -1
+
+    def _set_gc_watermark(self, w: int) -> None:
+        p = os.path.join(self.root_dir, "delta_gc_watermark.json")
+        with open(p, "w") as f:
+            json.dump({"watermark": int(w)}, f)
 
     def _set_watermark(self, w: int) -> None:
         p = os.path.join(self.root_dir, "delta_watermark.json")
@@ -710,9 +728,19 @@ class VectorEngine:
         #      3 the folded rows are briefly BOTH indexed and in the delta,
         #      and upsert shadowing keeps results correct (the delta copy
         #      shadows the identical indexed copy);
-        #   4. delta partitions dead since before this compaction are
-        #      GC'd (readers still holding them started two cycles ago —
-        #      past the EBR grace period).
+        #   4. delta partitions dead since before the PREVIOUS compaction
+        #      are GC'd, and only once their files are older than
+        #      _DELTA_GC_MIN_AGE_SEC — two compaction cycles PLUS a wall-
+        #      clock floor of grace.  The single-cycle variant was outrun
+        #      in practice: back-to-back maybe_compact firings during a
+        #      heavy ingest wave shrank "one cycle" to under a second, and
+        #      a concurrently executing merged search that had pinned the
+        #      old seq set hit FileNotFound mid-scan (caught live by the
+        #      r10 sf0.1 bench mixed_rw phase).  The age floor bounds the
+        #      race independently of compaction cadence: any reader faster
+        #      than the floor is safe no matter how often folding runs;
+        #      a reader slower than BOTH guards still fails loudly
+        #      (FileNotFound), never silently wrong.
         # The streaming checkpoint is deliberately KEPT: it tracks source
         # progress, not delta contents — deleting it would make the next
         # ingest_stream over the same source re-read (and re-insert)
@@ -723,12 +751,18 @@ class VectorEngine:
         # in-flight pinned search may be scanning them — same EBR grace
         # as the base cells)
         self.index.invalidate_sidecars()
+        gc_upto = self._gc_watermark()
+        now = time.time()
         for s in self._existing_seqs():
-            if s <= old_watermark:
-                shutil.rmtree(
-                    os.path.join(self.delta_dir, f"_seq={s}"),
-                    ignore_errors=True,
-                )
+            if s <= gc_upto:
+                d = os.path.join(self.delta_dir, f"_seq={s}")
+                try:
+                    age = now - os.path.getmtime(d)
+                except OSError:
+                    continue
+                if age >= self._DELTA_GC_MIN_AGE_SEC:
+                    shutil.rmtree(d, ignore_errors=True)
+        self._set_gc_watermark(old_watermark)
         self._set_watermark(fold_high)
         # keep meta n_vectors current — the W3 trigger policy compares the
         # delta against it.  Only live (non-tombstone) rows add back: a
