@@ -313,13 +313,18 @@ class VectorEngine:
                 [],
                 f"{id_col} long, {vec_col} array<float>{extra_schema}, _seq long",
             )
-        # isin on the partition column: logically-dead partitions awaiting
-        # GC and seqs appended after the snapshot are pruned, not scanned.
-        # _seq is directory-inferred (int by default) — cast to long so the
-        # schema matches the empty-delta branch above exactly
+        # EXPLICIT leaf dirs + basePath (the index vectors() trick): the
+        # pinned seq set IS the read set, so logically-dead partitions
+        # awaiting GC are never even LISTED — a whole-dir read raced its
+        # directory listing against a concurrent GC rmtree (the r10 bench
+        # mixed_rw FileNotFound); live seqs are by construction never
+        # GC'd (> watermark > gc_watermark), so this read cannot race.
+        # _seq is directory-inferred (int by default) — cast to long so
+        # the schema matches the empty-delta branch above exactly
+        dirs = [os.path.join(self.delta_dir, f"_seq={s}") for s in seqs]
         return (
-            self.spark.read.parquet(self.delta_dir)
-            .filter(F.col("_seq").isin(seqs))
+            self.spark.read.option("basePath", self.delta_dir)
+            .parquet(*dirs)
             .select(
                 id_col,
                 vec_col,
