@@ -3337,6 +3337,71 @@ def embeddings_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").alias("vec_id"), "community")
 
 
+_RADIUS_FILTERED_ORACLE = f"""
+WITH q AS ({_DD_QUERIES})
+SELECT q.qid, e.vec_id AS neighbor_id,
+       round({_DD_L2SQ.format(a="e.embedding", b="q.query")}, 4) AS dist_sq
+FROM embeddings e CROSS JOIN q
+WHERE {_DD_L2SQ.format(a="e.embedding", b="q.query")} <= {RADIUS_SQ}
+  AND e.label < 5
+"""
+
+
+@register("ann_ivf_radius_filtered", oracle=_RADIUS_FILTERED_ORACLE)
+def ann_ivf_radius_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered × radius cell of the capability matrix: the metadata
+    predicate narrows the triangle-inequality pruned scan — trivially
+    lossless for range search (the radius is absolute, no k-th-bound
+    interplay), so the brute-force filtered SQL gates it exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf.build_or_load(spark, sf_dir)  # carries label (extra_cols)
+    return idx.radius_search(
+        knn_ops.make_queries(emb), RADIUS_SQ, predicate=F.col("label") < 5
+    )
+
+
+@register("streaming_radius_search_filtered", oracle=_RADIUS_FILTERED_ORACLE)
+def streaming_radius_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered × radius × streaming: the merged range search with a
+    metadata predicate applied to each row's latest version on both
+    sides (pruned indexed scan + live delta scan) — completing the
+    predicate column of the serving matrix for range queries."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400),
+        _fresh_engine_root(),
+        n_centroids=8,
+        extra_cols=("label",),
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 350))
+    return eng.radius_search(
+        knn_ops.make_queries(emb), RADIUS_SQ, predicate=F.col("label") < 5
+    )
+
+
+@register("embeddings_dbscan_ivf", oracle=ORACLES["embeddings_dbscan"])
+def embeddings_dbscan_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN served THROUGH the index: epsilon pairs from
+    ``IVFIndex.radius_search`` (triangle-inequality cell pruning —
+    lossless, so the same recursive-CTE oracle gates it) instead of the
+    quadratic block self-join; the graph steps are identical
+    (``graph.dbscan(pairs=...)``).  The swap demonstrates the documented
+    scale path: pair generation cost goes from N²/blocks GEMM to the
+    pruned probed fraction."""
+    from vector_search_engine_spark.operators.graph import dbscan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf.build_or_load(spark, sf_dir)
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("query"))
+    hits = idx.radius_search(q, _EPS_SQ, round_output=False)
+    pairs = hits.filter(F.col("qid") < F.col("neighbor_id")).select(
+        F.col("qid").alias("id_a"), F.col("neighbor_id").alias("id_b"), "dist_sq"
+    )
+    return dbscan(emb, eps_sq=_EPS_SQ, min_pts=_DBSCAN_MIN_PTS, pairs=pairs)
+
+
 _KDIST_PS = [0.5, 0.75, 0.9, 0.95, 0.99]
 
 
