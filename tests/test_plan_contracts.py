@@ -78,6 +78,9 @@ AUDIT = [
     "embeddings_knn_triangles",
     "embeddings_knn_communities",
     "corpus_source_kl",
+    "doc_bigram_logprob",
+    "ann_ivf_radius_filtered",
+    "embeddings_dbscan_ivf",
 ]
 
 

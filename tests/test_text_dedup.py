@@ -1006,3 +1006,46 @@ def test_source_kl_matches_python_reference(spark, sf_dir):
     }
     assert got == exp
     assert all(v >= 0 for v in got.values())  # KL >= 0 (Gibbs)
+
+
+def test_bigram_logprob_matches_python_reference(spark, sf_dir):
+    import math
+
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.operators import text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    doc_bgs, c12, c1 = {}, {}, {}
+    for r in rows:
+        t = [x for x in r.text.strip().split(" ") if x]
+        bgs = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        if bgs:
+            doc_bgs[r.doc_id] = bgs
+        for b in bgs:
+            c12[b] = c12.get(b, 0) + 1
+            c1[b[0]] = c1.get(b[0], 0) + 1
+    exp = {}
+    for d, bgs in doc_bgs.items():
+        s = sum(math.log(c1[b[0]]) - math.log(c12[b]) for b in bgs)
+        exp[d] = (len(bgs), round(s / len(bgs), 6))
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_neg_logprob)
+        for r in text_ops.bigram_logprob(docs).collect()
+    }
+    assert got == exp
+
+
+def test_bigram_logprob_flags_scrambled_doc(spark):
+    """A document whose transitions never repeat scores strictly higher
+    than one made of the corpus's dominant pattern."""
+    from vector_search_engine_spark.operators import text_ops
+
+    rep = "a b " * 40  # dominant transition a->b, b->a
+    docs = [(1, rep), (2, rep), (3, "a q b r a s b t a u b v")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.avg_neg_logprob
+           for r in text_ops.bigram_logprob(df).collect()}
+    assert got[3] > got[1]
+    # two identical docs score identically
+    assert got[1] == got[2]

@@ -1814,3 +1814,71 @@ SELECT st.source,
 FROM st JOIN tt USING (term) JOIN ns USING (source)
 GROUP BY st.source
 """
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document bigram language-model score — the perplexity-style
+    quality filter (the CCNet/KenLM pass of web-corpus pipelines,
+    LM-trained-on-the-corpus-itself variant): documents whose token
+    transitions are improbable under the corpus's own bigram statistics
+    (gibberish, boilerplate soup, wrong-language fragments) score high.
+
+        score(d) = mean over bigrams (w1,w2) of d of  -ln P(w2|w1),
+        P(w2|w1) = c(w1 w2) / c(w1 ·)
+
+    In-corpus support makes this exactly well-defined with NO smoothing:
+    every bigram a document contains was counted into the model, so
+    c(w1 w2) >= 1 — the same argument as ``source_kl_divergence``.
+    Documents with fewer than 2 tokens have no bigrams and are absent
+    from the output (both sides).
+
+    Plan shape: one explode + (bigram) partial-agg count for the model;
+    prefix totals derive from the MODEL aggregate (one more partial agg
+    on w1 — the corpus's bigram occurrences are never re-aggregated);
+    scoring is one hash join of doc bigrams against the model on the
+    bigram key + one per-doc map-side-partial average."""
+    toks = documents.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    bg = toks.select(
+        "doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("bg")
+    )
+    c12 = bg.groupBy("bg").agg(F.count("*").cast("double").alias("c12"))
+    c1 = (
+        c12.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    model = c12.withColumn("w1", F.split(F.col("bg"), " ")[0]).join(c1, "w1")
+    return (
+        bg.join(model.select("bg", "c12", "c1"), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log("c1") - F.log("c12")), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, unnest({DD_SHINGLES2.format(t="t")}) AS bg FROM tok
+),
+c12 AS (SELECT bg, count(*)::DOUBLE AS c12 FROM bg GROUP BY bg),
+c1 AS (
+  SELECT string_split(bg, ' ')[1] AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+),
+model AS (
+  SELECT c12.bg, c12.c12, c1.c1
+  FROM c12 JOIN c1 ON string_split(c12.bg, ' ')[1] = c1.w1
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln(c1) - ln(c12)), 6) AS avg_neg_logprob
+FROM bg JOIN model USING (bg)
+GROUP BY doc_id
+"""

@@ -3453,6 +3453,16 @@ def dbscan_kdist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_bigram_logprob", oracle=txt_ops.BIGRAM_LOGPROB_ORACLE)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score per document — the perplexity filter of
+    web-corpus pipelines (CCNet shape), with the model trained on the
+    corpus itself so in-corpus support removes the smoothing question
+    entirely (``text_ops.bigram_logprob``): gibberish and boilerplate
+    soup surface as high mean -ln P(w2|w1)."""
+    return txt_ops.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 @register("corpus_source_kl", oracle=txt_ops.SOURCE_KL_ORACLE)
 def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram KL(P_source || P_corpus) — the data-mixture
