@@ -409,3 +409,84 @@ def test_incremental_dedup_matches_python_fold(spark, texts, split):
         sb = norm(t) in seen_norms
         fb = first[norm(t)] == i
         assert got[i] == (sb, fb, (not sb) and fb), (i, t)
+
+
+# -- partitioning invariance (r10) -------------------------------------------
+# The core distributed-correctness property: results must be a function
+# of the DATA, never of the physical layout. Each new r10 operator runs
+# over the same rows at 1 partition and at a prime partition count and
+# must produce identical output.
+
+
+def _layouts(df):
+    return [df.coalesce(1), df.repartition(7)]
+
+
+def test_radius_pairs_partitioning_invariant(spark, embeddings):
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    outs = []
+    for v in _layouts(embeddings):
+        res = knn_ops.radius_pairs_distributed(v, 1.35, q_blocks=3,
+                                               v_blocks=2).collect()
+        outs.append(sorted((r.id_a, r.id_b, r.dist_sq) for r in res))
+    assert outs[0] == outs[1]
+
+
+def test_dbscan_partitioning_invariant(spark, embeddings):
+    from vector_search_engine_spark.operators.graph import dbscan
+
+    outs = []
+    for v in _layouts(embeddings):
+        res = dbscan(v, eps_sq=1.35, min_pts=4).collect()
+        outs.append(sorted((r.vec_id, r.cluster_id, r.role) for r in res))
+    assert outs[0] == outs[1]
+
+
+def test_lof_partitioning_invariant(spark, embeddings):
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    outs = []
+    for v in _layouts(embeddings):
+        res = knn_ops.knn_lof_scores(v, k=5).collect()
+        outs.append(sorted((r.vec_id, r.lof) for r in res))
+    assert outs[0] == outs[1]
+
+
+def test_triangles_and_lpa_partitioning_invariant(spark):
+    import pandas as pd
+
+    from vector_search_engine_spark.operators.graph import (
+        label_propagation,
+        triangle_counts,
+    )
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, (i * 3 + 1) % 60) for i in range(120)]
+            + [(i, (i + 1) % 60) for i in range(60)],
+            columns=["src", "dst"],
+        ),
+        "src long, dst long",
+    )
+    t, l = [], []
+    for e in _layouts(base):
+        t.append(sorted(tuple(r) for r in triangle_counts(e).collect()))
+        l.append(sorted(
+            tuple(r) for r in label_propagation(e, iterations=3).collect()
+        ))
+    assert t[0] == t[1]
+    assert l[0] == l[1]
+
+
+def test_bigram_logprob_partitioning_invariant(spark, sf_dir):
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.operators import text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    outs = []
+    for v in _layouts(docs):
+        res = text_ops.bigram_logprob(v).collect()
+        outs.append(sorted((r.doc_id, r.n_bigrams, r.avg_neg_logprob)
+                           for r in res))
+    assert outs[0] == outs[1]
