@@ -1843,7 +1843,17 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     bg = toks.select(
         "doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("bg")
     )
-    c12 = bg.groupBy("bg").agg(F.count("*").cast("double").alias("c12"))
+    # materialize the MODEL aggregate once: both the prefix totals and
+    # the scoring join derive from c12, and Catalyst does not dedupe
+    # common subplans — without the pin the full corpus is scanned and
+    # re-aggregated twice (seen in the executed plan as 3 FileScans).
+    # c12 is |distinct bigrams| rows — vocabulary-bounded, always far
+    # smaller than the corpus it summarizes.
+    c12 = (
+        bg.groupBy("bg")
+        .agg(F.count("*").cast("double").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     c1 = (
         c12.withColumn("w1", F.split(F.col("bg"), " ")[0])
         .groupBy("w1")
