@@ -260,6 +260,27 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             graph_latencies.append(one_search(tier="graph"))
         graph_recalls = recalls[n_before_graph:]
         graph_ms = np.sort(np.array(graph_latencies[1:]) * 1000.0)
+        # radius serving phase (r10): the merged RANGE search over the
+        # same post-ingest post-delete engine state — the workload class
+        # that exposed the delta-GC race this round (plan-time listing vs
+        # rmtree).  Exactness is a SET equality against brute radius over
+        # the survivor universe, not a recall: range search has no k to
+        # be approximate about.
+        rad_expected = {
+            (r["qid"], r["neighbor_id"])
+            for r in knn_ops.radius_search(survivors, q, 1.5).collect()
+        }
+        rad_latencies = []
+        rad_exact = True
+        for _ in range(5):
+            s0 = time.time()
+            rad_rows = eng.radius_search(q, 1.5).collect()
+            rad_latencies.append(time.time() - s0)
+            rad_exact = rad_exact and (
+                {(r["qid"], r["neighbor_id"]) for r in rad_rows}
+                == rad_expected
+            )
+        rad_ms = np.sort(np.array(rad_latencies) * 1000.0)
         # per-op percentiles from the engine's own S6 metrics sink
         ops = {m["op"]: m for m in eng.recorder.snapshot()}
         ins = ops.get("insert", {})
@@ -301,6 +322,10 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             "search_graph_recall_at_10": round(
                 float(np.mean(graph_recalls)), 4
             ),
+            "search_radius_p50_ms": round(float(np.percentile(rad_ms, 50)), 1),
+            "search_radius_p99_ms": round(float(np.percentile(rad_ms, 99)), 1),
+            "search_radius_hits": len(rad_expected),
+            "search_radius_exact": bool(rad_exact),
             "recall_at_10_mean": round(float(np.mean(float_recalls)), 4),
             "recall_at_10_final": round(float(float_recalls[-1]), 4),
         }
