@@ -3642,58 +3642,97 @@ _GRADE_FIRST: list[str] = [
     #       r9 greens and stay sweep-gated.
     #   lineitem_column_profile → out: column-profile agg stable since
     #       r8; TPC-H agg/join/window/grouping-sets flagships stay.
+    # r11 rotation — r10's verdict names all 27 never-driver-graded
+    # registry queries for this window (the 15 never checked by anyone
+    # plus the 12 the judge verified locally against the identical
+    # DuckDB oracles).  All 27 go in; 23 anchors stay.  The 27 swap-outs
+    # each carry a green driver row from r10 (or earlier) and follow the
+    # standing redundant-twin / stronger-composed-claim policy — every
+    # one stays registered, sweep-gated, and pytest-gated:
+    #   doc_bm25_topk / doc_bm25_topk_capped / hybrid_search_rrf_weighted /
+    #   hybrid_retrieval_eval → out: retrieval family rotates to the two
+    #       never-graded fusion forms (combsum/mmr); all four carry r10
+    #       greens.
+    #   ann_ivf_filtered / _sq4 / _pq_filtered / _filtered_auto /
+    #   _cascade(_filtered) / knn_opq_adc / _bq_filtered /
+    #   _prefix_filtered / _graph(_filtered) / _cosine_sq8 / _ip_cascade
+    #       → out: the full serving-tier matrix went green in r10; the
+    #       family keeps ann_ivf_exact_when_full_probe (the exactness
+    #       anchor every tier composes with) and rotates to the
+    #       never-graded metric×graph cells (cosine/ip graph), the
+    #       radius tiers, the IVF-served classify/DBSCAN compositions,
+    #       and the two tuning reports.
+    #   streaming_merged_search_cascade / _graph / streaming_filtered_
+    #   search(_auto) / index_asof_search_prefix → out: the merged Q4
+    #       contract keeps ingest + delete (W1/W4 anchors) in-window and
+    #       rotates to the never-graded RANGE siblings
+    #       (streaming_radius_search(_filtered)) and the graph-tier
+    #       as-of form (index_asof_search_graph — same snapshot pinning
+    #       through the newest sidecar); all five carry r10 greens.
+    #   ann_ivf_parent_closest → out: multi-vector family keeps
+    #       knn_maxsim (the score with no flat twin); carries r8+r10
+    #       greens.
+    #   dedup_substring_spans → out: dedup_substring_clean composes the
+    #       same span detector and stays; carries r10 green.
+    #   corpus_mixture_sample_weighted / corpus_weighted_sample_es →
+    #       out: both salted-md5 / ES-key sampling forms green r8-r10;
+    #       family stays covered by corpus_decontaminate + doc_chunks.
+    #   corpus_approx_distinct → out: HLL agg stable since r1; the agg
+    #       surface keeps tpch_pricing_summary + lineitem_grouping_sets.
     "knn_exact_l2",
-    # lexical/hybrid retrieval
-    "doc_bm25_topk",
-    "doc_bm25_topk_capped",
-    "hybrid_search_rrf_weighted",
-    "hybrid_retrieval_eval",
-    # IVF index family (reference Q2/Q3/B2) — serving-tier surface
+    # IVF exactness anchor (reference Q2/Q3/B2)
     "ann_ivf_exact_when_full_probe",
-    "ann_ivf_filtered",
-    "ann_ivf_sq4",
-    "ann_ivf_pq_filtered",
-    "ann_ivf_filtered_auto",
-    "ann_ivf_cascade",
-    "ann_ivf_cascade_filtered",
-    "knn_opq_adc",
-    "ann_ivf_bq_filtered",
-    "ann_ivf_prefix_filtered",
-    # graph tier — the reference's actual Q2/Q3 algorithm (r10)
-    "ann_ivf_graph",
-    "ann_ivf_graph_filtered",
-    # metric × quantized-tier matrix (r9, first graded r10)
-    "ann_ivf_cosine_sq8",
-    "ann_ivf_ip_cascade",
-    # streaming engine (reference Q4/S4/W1-W4 — the merged-search
-    # contract through the staged + graph serving tiers, LSM tombstone
-    # deletes, manifest time travel, and the filtered planner route)
-    "streaming_merged_search_cascade",
-    "streaming_merged_search_graph",
+    # graph tier × metric matrix (r10, never graded)
+    "ann_ivf_cosine_graph",
+    "ann_ivf_ip_graph",
+    "index_asof_search_graph",
+    # radius / RANGE family (r10, never graded)
+    "knn_radius_pairs",
+    "ann_ivf_radius_filtered",
+    "ann_ivf_cosine_radius",
+    "streaming_radius_search",
+    "streaming_radius_search_filtered",
+    # density / epsilon family (r10, judge-verified, never driver-graded)
+    "embeddings_dbscan",
+    "embeddings_dbscan_ivf",
+    "dbscan_kdist_report",
+    "embeddings_knn_outliers",
+    "embeddings_lof",
+    "knn_label_classify",
+    "ann_ivf_classify",
+    "knn_collapse_topk",
+    # kNN-graph analytics (r10, judge-verified, never driver-graded)
+    "embeddings_knn_pagerank",
+    "embeddings_knn_triangles",
+    "embeddings_knn_communities",
+    # corpus statistics (r10, judge-verified, never driver-graded)
+    "corpus_frequent_ngrams",
+    "doc_bigram_logprob",
+    "corpus_source_kl",
+    # retrieval fusion forms (r8/r9, never graded)
+    "hybrid_search_combsum",
+    "hybrid_search_mmr",
+    # serving-knob calibration reports (r10, rows-only by nature)
+    "ivf_tune_ef_report",
+    "ivf_tune_candidates_report",
+    # multimodal (frame-hash dedup — rows-only by nature)
+    "multimodal_frame_dedup",
+    "multimodal_metadata_stats",
+    # streaming engine anchors (reference S4/W1/W4)
     "streaming_ingest_search",
     "streaming_delete_search",
-    "streaming_filtered_search",
-    "streaming_filtered_search_auto",
-    "index_asof_search_prefix",
     # multi-vector (parent/child) retrieval
-    "ann_ivf_parent_closest",
     "knn_maxsim",
-    # LLM-pipeline: dedup family (incremental + substring spans r10-new)
+    # LLM-pipeline: dedup family
     "dedup_exact",
     "dedup_semantic",
     "dedup_incremental",
-    "dedup_substring_spans",
     "dedup_substring_clean",
     "simjoin_edit_distance",
     "pipeline_neardup_corpus",
     # LLM-pipeline: corpus ops
-    "corpus_approx_distinct",
-    "corpus_mixture_sample_weighted",
-    "corpus_weighted_sample_es",
     "doc_chunks",
     "corpus_decontaminate",
-    # LLM-pipeline: multimodal
-    "multimodal_metadata_stats",
     # event-time streaming (watermark windows / stateful sessions /
     # interval join / bounded-state dedup)
     "streaming_sessionize",
