@@ -60,6 +60,10 @@ def main() -> None:
     only_vecs = "--only-vecs" in sys.argv
     only_fn = "--only-fn" in sys.argv  # finding-18 section alone
     only_eps = "--only-eps" in sys.argv  # finding-19 section alone
+    if "--only-sidecar" in sys.argv:  # finding-21 section alone
+        _sidecar_section(spark, results)
+        print(json.dumps({"n_vecs": N_VECS, "results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -640,6 +644,149 @@ def _vector_section(spark, results: dict, n_docs: int) -> None:
             }
         )
     )
+
+
+def _sidecar_section(spark, results: dict) -> None:
+    """Finding-21 data source: sidecar maintenance cost under steady-state
+    ingest — full from-scratch rebuild vs the incremental carry-forward
+    (unchanged cells copied from the previous generation, only affected
+    cells re-encoded / re-inserted).  The claim to verify: incremental
+    cost tracks AFFECTED cells, not corpus size."""
+    import shutil
+
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(0, 1, (N_VECS, DIM)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(N_VECS, dtype=np.int64), "embedding": list(V)}
+        )
+    ).cache()
+    emb.count()
+    root = tempfile.mkdtemp(prefix="vse_stress_sidecar_")
+    eng_holder: dict = {}
+    timed(
+        results,
+        "engine_build_100k",
+        lambda: (
+            eng_holder.setdefault(
+                "eng", VectorEngine.create(emb, f"{root}/engine")
+            ).index.stats().count()
+        ),
+    )
+    eng = eng_holder["eng"]
+    idx = eng.index
+    n_cells = idx.meta["n_centroids"]
+    snap0 = idx._read_manifest()
+    timed(
+        results,
+        "graph_full_build_100k",
+        lambda: (idx.ensure_graph(), 1)[1],
+    )
+    timed(results, "sq8_full_build_100k", lambda: (idx.ensure_sq8(), 1)[1])
+
+    # steady-state ingest tick: 500 new vectors (~0.5% of corpus), then
+    # one compaction — the cadence every generation bump comes from
+    delta = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(
+                    N_VECS, N_VECS + 500, dtype=np.int64
+                ),
+                "embedding": list(
+                    (
+                        lambda W: W / np.linalg.norm(W, axis=1, keepdims=True)
+                    )(rng.normal(0, 1, (500, DIM)).astype(np.float32))
+                ),
+            }
+        )
+    )
+    eng.insert(delta)
+    timed(results, "compact_500_of_100k", eng.compact)
+    snap1 = idx._read_manifest()
+    affected = sorted(
+        c
+        for c in snap1["cells"]
+        if dict(snap0["cells"]).get(c) != snap1["cells"][c]
+    )
+    results["cells"] = {
+        "total": int(n_cells),
+        "affected_by_compaction": len(affected),
+    }
+    print(f"  affected cells: {len(affected)}/{n_cells}", file=sys.stderr)
+
+    # incremental path (carry-forward fires: donor = gen0 sidecars)
+    timed(
+        results,
+        "graph_incremental_rebuild_scattered",
+        lambda: (idx.ensure_graph(), 1)[1],
+    )
+    timed(
+        results,
+        "sq8_incremental_rebuild_scattered",
+        lambda: (idx.ensure_sq8(), 1)[1],
+    )
+
+    # second tick, CLUSTERED delta: 500 near-duplicates of one existing
+    # vector — the locality steady-state ingest actually has (one topic /
+    # one tenant / one time bucket); they land in a handful of cells
+    base_vec = V[0] + rng.normal(0, 0.01, (500, DIM)).astype(np.float32)
+    base_vec /= np.linalg.norm(base_vec, axis=1, keepdims=True)
+    delta2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(
+                    N_VECS + 500, N_VECS + 1000, dtype=np.int64
+                ),
+                "embedding": list(base_vec),
+            }
+        )
+    )
+    eng.insert(delta2)
+    snap1b = idx._read_manifest()
+    timed(results, "compact_clustered_500", eng.compact)
+    snap2 = idx._read_manifest()
+    affected2 = sorted(
+        c
+        for c in snap2["cells"]
+        if dict(snap1b["cells"]).get(c) != snap2["cells"][c]
+    )
+    results["cells"]["affected_by_clustered_compaction"] = len(affected2)
+    print(
+        f"  clustered affected cells: {len(affected2)}/{n_cells}",
+        file=sys.stderr,
+    )
+    timed(
+        results,
+        "graph_incremental_rebuild_clustered",
+        lambda: (idx.ensure_graph(), 1)[1],
+    )
+    timed(
+        results,
+        "sq8_incremental_rebuild_clustered",
+        lambda: (idx.ensure_sq8(), 1)[1],
+    )
+
+    # counterfactual: the pre-r11 behavior — full rebuild of the SAME
+    # new generation (carry-forward disabled, dirs removed first)
+    g1 = idx.ensure_graph()
+    s1 = idx.ensure_sq8()
+    shutil.rmtree(g1)
+    shutil.rmtree(s1)
+    idx._sidecar_carry_forward = lambda *a, **k: (None, None)
+    timed(
+        results,
+        "graph_scratch_rebuild",
+        lambda: (idx.ensure_graph(), 1)[1],
+    )
+    timed(
+        results,
+        "sq8_scratch_rebuild",
+        lambda: (idx.ensure_sq8(), 1)[1],
+    )
+    shutil.rmtree(root, ignore_errors=True)
 
 
 def _eps_section(spark, results: dict) -> None:

@@ -832,3 +832,119 @@ def test_delta_gc_defers_two_cycles_with_age_floor(spark, embeddings, engine):
     q = knn_ops.make_queries(embeddings, n=5)
     merged = engine.search(q, k=5, nprobe=engine.index.meta["n_centroids"])
     assert merged.count() == 25
+
+
+def test_sidecar_carry_forward_across_compaction(
+    spark, embeddings, engine, monkeypatch
+):
+    """Compaction rebuilds derived sidecars only for AFFECTED cells (the
+    O(corpus)→O(affected) maintenance fix).  Untouched cells' partitions
+    are exact file copies of the previous generation's (same part-file
+    names and bytes — a rebuild would write fresh task files), and for
+    the sidecars with no dir-global state (graph, SQ8) the carried rows
+    are identical to a forced from-scratch rebuild of the new snapshot
+    (graph determinism: hnsw.py md5 levels + id-ascending inserts; SQ
+    codes: pure per-row function).  BQ/PQ carry their thresholds /
+    codebooks forward explicitly, so their carried partitions equal the
+    donor's AND full-probe search through every tier stays exact."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    import numpy as _np
+
+    idx = engine.index
+    snap0 = idx._read_manifest()
+    g0 = {
+        "graph": idx.ensure_graph(),
+        "sq8": idx.ensure_sq8(),
+        "bq": idx.ensure_bq(),
+        "pq": idx.ensure_pq(m=8)[0],
+    }
+
+    # move 3 vectors far away: shadowed old cells + the receiving cell
+    # get rewritten; the rest of the 8 cells must stay untouched
+    moved = embeddings.filter(F.col("vec_id") < 3).withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: x + F.lit(25.0)).cast(
+            "array<float>"
+        ),
+    )
+    engine.insert(moved)
+    assert engine.compact() > 0
+    snap1 = idx._read_manifest()
+    c0, c1 = dict(snap0["cells"]), dict(snap1["cells"])
+    affected = sorted(c for c in c1 if c0.get(c) != c1[c])
+    untouched = sorted(c for c in c1 if c0.get(c) == c1[c])
+    assert affected and untouched  # the test needs both populations
+
+    def part_files(root: str, cell: str) -> dict[str, bytes]:
+        d = os.path.join(root, f"centroid_id={cell}")
+        return {
+            os.path.basename(p): open(p, "rb").read()
+            for p in _glob.glob(os.path.join(d, "*.parquet"))
+        }
+
+    g1 = {
+        "graph": idx.ensure_graph(),
+        "sq8": idx.ensure_sq8(),
+        "bq": idx.ensure_bq(),
+        "pq": idx.ensure_pq(m=8)[0],
+    }
+    for name in g1:
+        assert g1[name] != g0[name], name
+        for c in untouched:
+            assert part_files(g1[name], c) == part_files(g0[name], c), (
+                name,
+                c,
+            )
+        for c in affected:
+            assert os.path.isdir(
+                os.path.join(g1[name], f"centroid_id={c}")
+            ), (name, c)
+
+    # dir-global state carried forward explicitly (the within-dir
+    # scan/code agreement rule)
+    b0 = _np.load(os.path.join(os.path.dirname(g0["pq"]), "codebooks.npy"))
+    b1 = _np.load(os.path.join(os.path.dirname(g1["pq"]), "codebooks.npy"))
+    assert (b0 == b1).all()
+    with open(os.path.join(g0["bq"], "thresholds.json")) as f:
+        t0 = _json.load(f)
+    with open(os.path.join(g1["bq"], "thresholds.json")) as f:
+        t1 = _json.load(f)
+    assert t0 == t1
+
+    # no-global-state sidecars: carried content == forced from-scratch
+    # rebuild of the SAME snapshot
+    carried = {
+        n: sorted(map(repr, spark.read.parquet(g1[n]).collect()))
+        for n in ("graph", "sq8")
+    }
+    for n in ("graph", "sq8"):
+        _shutil.rmtree(g1[n])
+    monkeypatch.setattr(
+        idx, "_sidecar_carry_forward", lambda *a, **k: (None, None)
+    )
+    assert (
+        sorted(map(repr, spark.read.parquet(idx.ensure_graph()).collect()))
+        == carried["graph"]
+    )
+    assert (
+        sorted(map(repr, spark.read.parquet(idx.ensure_sq8()).collect()))
+        == carried["sq8"]
+    )
+    monkeypatch.undo()
+
+    # every tier still serves exactly at full probe over the compacted
+    # table (the incremental sidecars, not the scratch rebuilds: restore
+    # the carried dirs' role by rebuilding them through the normal path)
+    q = knn_ops.make_queries(embeddings.filter(F.col("vec_id") < 400), n=5)
+    np_full = idx.meta["n_centroids"]
+    fl = _sorted(idx.search(q, k=10, nprobe=np_full))
+    assert fl == _sorted(idx.search_sq8(q, k=10, nprobe=np_full))
+    assert fl == _sorted(idx.search_pq(q, k=10, nprobe=np_full, m=8))
+    assert fl == _sorted(idx.search_bq(
+        q, k=10, nprobe=np_full, candidates_per_cell=10**9
+    ))
+    assert fl == _sorted(idx.search_graph(q, k=10, nprobe=np_full, ef=10**9))
