@@ -6,15 +6,21 @@ extension: treat image/audio/video as opaque ``binary`` columns with typed
 metadata, and implement decode / feature-extract / frame-sample as
 Arrow-batched pandas UDFs over ``mapInPandas``.
 
-Real codec decode (PIL/libav) is STUBBED — those libs are not in this
-container — behind ``decode_real`` which raises ``NotImplementedError``
-unless the optional import succeeds.  The *Spark-side plumbing* (schema,
-partitioning, UDF signatures, Arrow batch shapes) is real and tested via a
-deterministic fake decoder.
+Real codec decode needs no native libs: ``multimodal.codecs`` vendors
+complete pure-Python/NumPy decoders for PPM/PGM/BMP images and RIFF PCM
+WAV audio (plus matching encoders for round-trip tests), and
+``decode_real`` dispatches on payload magic — PIL, when importable,
+extends image coverage to JPEG/PNG at call time.  Unknown codecs raise
+``ValueError`` naming the magic; video containers are declared out of
+scope (SURVEY.md §7) — video pipelines operate on frame slices and
+fingerprints (``frame_sample``/``frame_embeddings``).  A deterministic
+fake decoder (``fake_decode_features``) remains for plumbing tests over
+arbitrary bytes.
 """
 
 from vector_search_engine_spark.multimodal.payload import (  # noqa: F401
     attach_payload,
+    attach_real_payload,
     decode_real,
     fake_decode_features,
     frame_embeddings,

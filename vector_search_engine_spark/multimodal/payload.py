@@ -61,84 +61,140 @@ def attach_payload(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_real(media: DataFrame, media_type: str = "image") -> DataFrame:
-    """REAL codec decode: PIL is imported at CALL time and, when present,
-    image payloads are decoded to pixels and run through the same feature
-    extraction and output schema as ``fake_decode_features`` — the two
-    paths are drop-in replacements.  Without PIL (this container) the
-    import-gate raises ``NotImplementedError`` so the gap is explicit,
-    never a silent wrong answer; ``tests/test_multimodal.py`` exercises
-    the real path under ``skipif(no PIL)`` and the gate unconditionally.
+def _sample_features(
+    doc_id: int, media_type: str, n_bytes: int, px: np.ndarray
+) -> tuple:
+    """The shared post-decode feature row (moments, extremes, entropy)
+    over a flat uint8 sample array — identical math for the real decode
+    and ``fake_decode_features``, so the two are drop-in replacements."""
+    px = np.asarray(px).ravel()
+    if not len(px):
+        px = np.zeros(1, dtype=np.uint8)
+    if px.dtype != np.uint8:  # 16-bit audio → uint8 feature domain
+        px = (
+            (px.astype(np.int64) + 32768) >> 8
+        ).astype(np.uint8)
+    counts = np.bincount(px, minlength=256).astype(np.float64)
+    p = counts[counts > 0] / len(px)
+    return (
+        doc_id,
+        media_type,
+        n_bytes,
+        int(len(px)),
+        round(float(px.mean()), 4),
+        round(float(px.std()), 4),
+        int(px.min()),
+        int(px.max()),
+        round(float(-(p * np.log2(p)).sum()), 4),
+    )
 
-    Only ``media_type='image'`` has a real decoder wired; audio/video
-    need libav and stay gated."""
+
+_FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, n_samples long, "
+    "mean_val double, std_val double, min_val int, max_val int, "
+    "entropy_bits double"
+)
+
+
+def attach_real_payload(documents: DataFrame) -> DataFrame:
+    """Like ``attach_payload`` but the payload is a GENUINE encoded
+    image: each doc's UTF-8 text bytes, tiled/truncated to the meta
+    raster (width × height × 3), encoded as binary PPM (P6) by the
+    vendored codec — so ``decode_real`` exercises a real sniff → parse
+    → raster round-trip end-to-end and the decoded pixel stats are a
+    pure function of the text (deterministic, pytest-pinnable)."""
+    from vector_search_engine_spark.multimodal import codecs
+
+    base = attach_payload(documents).withColumn(
+        "media_type", F.lit("image")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                w, h = int(meta["width"]), int(meta["height"])
+                raw = np.frombuffer(bytes(row.payload), dtype=np.uint8)
+                if not len(raw):
+                    raw = np.zeros(1, dtype=np.uint8)
+                px = np.resize(raw, (h, w, 3))
+                payloads.append(codecs.encode_ppm(px))
+            out = pdf[["doc_id", "media_type", "meta"]].copy()
+            out["payload"] = payloads
+            yield out[["doc_id", "media_type", "payload", "meta"]]
+
+    return base.mapInPandas(
+        encode,
+        schema=(
+            f"doc_id long, media_type string, payload binary, "
+            f"meta {META_SCHEMA}"
+        ),
+    )
+
+
+def decode_real(media: DataFrame, media_type: str = "image") -> DataFrame:
+    """REAL codec decode — zero native dependencies.  Payload bytes are
+    sniffed and decoded by the vendored pure-Python codecs
+    (``multimodal.codecs``: PPM/PGM/BMP images, RIFF PCM WAV audio —
+    complete spec-faithful parsers, not fakes), then run through the
+    same feature extraction and output schema as
+    ``fake_decode_features`` so the two paths are drop-in replacements.
+    When PIL happens to be importable it extends IMAGE coverage to
+    JPEG/PNG at call time; otherwise an unsupported codec raises
+    ``ValueError`` naming the magic — a genuine bad-input error, never
+    a silent wrong answer.
+
+    ``media_type``: 'image' (PPM/PGM/BMP [+ PIL formats]) or 'audio'
+    (WAV PCM).  Video containers (MP4/MKV...) have no pure-Python
+    decoder and are declared out of scope in SURVEY.md §7; video
+    pipelines here operate on frame slices (``frame_sample``) and
+    frame fingerprints instead."""
+    if media_type not in ("image", "audio"):
+        raise ValueError(
+            f"decode_real supports media_type 'image'|'audio', got "
+            f"{media_type!r} (video: see SURVEY.md §7 scope note)"
+        )
+    from vector_search_engine_spark.multimodal import codecs
+
     try:
         import PIL.Image  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real media decode needs PIL/libav, not present in this "
-            "container; use fake_decode_features for the tested plumbing"
-        ) from e
-    if media_type != "image":
-        raise NotImplementedError(
-            f"real decode for media_type={media_type!r} needs libav; "
-            "only 'image' is wired (PIL)"
-        )
-    import io
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from PIL import Image
-
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 buf = bytes(row.payload)
-                px = np.asarray(
-                    Image.open(io.BytesIO(buf)), dtype=np.uint8
-                ).ravel()
-                if not len(px):
-                    px = np.zeros(1, dtype=np.uint8)
-                counts = np.bincount(px, minlength=256).astype(np.float64)
-                p = counts[counts > 0] / len(px)
+                if media_type == "audio":
+                    px, _rate = codecs.decode_wav(buf)
+                else:
+                    try:
+                        px = codecs.decode_image(buf)
+                    except ValueError:
+                        if not has_pil:
+                            raise
+                        import io
+
+                        from PIL import Image
+
+                        px = np.asarray(
+                            Image.open(io.BytesIO(buf)), dtype=np.uint8
+                        )
                 out.append(
-                    (
-                        row.doc_id,
-                        row.media_type,
-                        len(buf),
-                        int(len(px)),
-                        round(float(px.mean()), 4),
-                        round(float(px.std()), 4),
-                        int(px.min()),
-                        int(px.max()),
-                        round(float(-(p * np.log2(p)).sum()), 4),
-                    )
+                    _sample_features(row.doc_id, row.media_type, len(buf), px)
                 )
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "doc_id",
-                    "media_type",
-                    "n_bytes",
-                    "n_samples",
-                    "mean_val",
-                    "std_val",
-                    "min_val",
-                    "max_val",
-                    "entropy_bits",
-                ],
+                out, columns=[f.split()[0] for f in _FEATURE_SCHEMA.split(", ")]
             )
 
     return (
         media.filter(F.col("media_type") == media_type)
         .select("doc_id", "media_type", "payload", "meta")
-        .mapInPandas(
-            extract,
-            schema=(
-                "doc_id long, media_type string, n_bytes long, "
-                "n_samples long, mean_val double, std_val double, "
-                "min_val int, max_val int, entropy_bits double"
-            ),
-        )
+        .mapInPandas(extract, schema=_FEATURE_SCHEMA)
     )
 
 
