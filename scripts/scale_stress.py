@@ -64,6 +64,10 @@ def main() -> None:
         _sidecar_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
         return
+    if "--only-deltagraph" in sys.argv:  # finding-22 section alone
+        _delta_graph_section(results)
+        print(json.dumps({"results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -644,6 +648,54 @@ def _vector_section(spark, results: dict, n_docs: int) -> None:
             }
         )
     )
+
+
+def _delta_graph_section(results: dict) -> None:
+    """Finding-22 data source: would a per-batch mini-graph over the
+    streaming DELTA ever beat the exact vectorized scan it gets today?
+
+    Both candidate kernels run in-process inside a pandas task, so the
+    honest comparison is the kernels themselves: (a) the delta scan's
+    one GEMM over all (queries x delta rows) vs (b) build_cell_graph
+    over the batch + a per-query Python beam walk.  Reports per-query
+    serve cost and the amortization horizon = build_cost /
+    (scan_per_q - walk_per_q) in queries — the number of searches a
+    batch must absorb BEFORE the next compaction invalidates its graph
+    for the build to pay."""
+    from vector_search_engine_spark.operators import hnsw
+
+    rng = np.random.default_rng(11)
+    NQ = 100
+    Q = rng.normal(0, 1, (NQ, DIM)).astype(np.float64)
+    for B in (1_000, 10_000, 50_000):
+        V = rng.normal(0, 1, (B, DIM)).astype(np.float64)
+        ids = np.arange(B, dtype=np.int64)
+        t0 = time.time()
+        # the delta scan's actual shape: one GEMM, all queries at once
+        d = (V * V).sum(axis=1)[None, :] - 2.0 * (Q @ V.T)
+        np.argpartition(d, 10, axis=1)
+        scan_sec = time.time() - t0
+        t0 = time.time()
+        levels, layers = hnsw.build_cell_graph(ids, V.astype(np.float32))
+        levels = np.asarray(levels, dtype=np.int64)
+        build_sec = time.time() - t0
+        t0 = time.time()
+        for i in range(NQ):
+            hnsw.search_cell_graph(ids, V, levels, layers, Q[i], 64)
+        walk_sec = time.time() - t0
+        scan_q, walk_q = scan_sec / NQ, walk_sec / NQ
+        horizon = (
+            build_sec / (scan_q - walk_q) if scan_q > walk_q else None
+        )
+        results[f"delta_{B}"] = {
+            "scan_per_query_ms": round(scan_q * 1e3, 3),
+            "walk_per_query_ms": round(walk_q * 1e3, 3),
+            "graph_build_sec": round(build_sec, 2),
+            "amortize_after_queries": (
+                None if horizon is None else int(horizon)
+            ),
+        }
+        print(f"  delta B={B}: {results[f'delta_{B}']}", file=sys.stderr)
 
 
 def _sidecar_section(spark, results: dict) -> None:

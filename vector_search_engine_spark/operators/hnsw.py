@@ -189,12 +189,17 @@ def search_cell_graph(
     layers: list,
     q: np.ndarray,
     ef: int,
+    stats: dict | None = None,
 ) -> list[tuple[float, int]]:
     """Query one cell's graph (hnsw_index.h:223-262 twin): greedy descent
     from the entry point through the upper layers, level-0 beam with
     ``ef``.  Returns (dist, row_idx) ascending; caller takes global
     top-k.  ``ef >= len(ids)`` is provably exhaustive (module
-    docstring)."""
+    docstring).  ``stats``, when given, records ``dist_evals`` — the
+    number of DISTINCT nodes whose distance the walk computed (the
+    distance cache's size), i.e. the quantity the graph tier exists to
+    bound vs the flat scan's |cell| (measured in scripts/sift_scale.py
+    --large-cells)."""
     n = len(ids)
     if n == 0:
         return []
@@ -208,7 +213,10 @@ def search_cell_graph(
         curr = _greedy_descend(
             q64, V, lambda c, _l=l: layers[_l][c] if layers[_l][c] is not None else (), curr, cache
         )
-    return _search_layer(q64, V, layers[0], curr, max(ef, 1), cache)
+    out = _search_layer(q64, V, layers[0], curr, max(ef, 1), cache)
+    if stats is not None:
+        stats["dist_evals"] = len(cache)
+    return out
 
 
 def graph_rows(cell_id: int, ids: np.ndarray, levels, layers):
