@@ -68,6 +68,10 @@ def main() -> None:
         _delta_graph_section(results)
         print(json.dumps({"results": results}))
         return
+    if "--only-churn" in sys.argv:  # finding-23 section alone
+        _churn_section(spark, results)
+        print(json.dumps({"n_vecs": N_VECS, "results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -648,6 +652,97 @@ def _vector_section(spark, results: dict, n_docs: int) -> None:
             }
         )
     )
+
+
+def _churn_section(spark, results: dict) -> None:
+    """Finding-23 data source (r10 stretch item 8): 100k inserts into a
+    100k-vector engine as 20 ticks of 5k, each tick = insert →
+    threshold compaction (maybe_compact) → one graph-tier merged search
+    — realistic steady-state cadence exercising, together: the
+    hardened two-cycle EBR grace, per-tick generation churn, and the
+    r11 incremental sidecar carry-forward (every compaction bumps the
+    generation; the graph search right after forces the sidecar for
+    the new snapshot).  Exactness is gated live: the final full-probe
+    graph-tier search must equal exact kNN over the logical union."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    rng = np.random.default_rng(13)
+    V = rng.normal(0, 1, (N_VECS, DIM)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+
+    def df_of(lo: int, hi: int, W: np.ndarray):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(lo, hi, dtype=np.int64),
+                    "embedding": list(W),
+                }
+            )
+        )
+
+    root = tempfile.mkdtemp(prefix="vse_stress_churn_")
+    eng = VectorEngine.create(df_of(0, N_VECS, V), f"{root}/engine")
+    n_cells = eng.index.meta["n_centroids"]
+    qids = np.arange(10, dtype=np.int64)
+    queries = (qids, V[:10].astype(np.float64))
+    tick_secs, compactions, graph_secs = [], 0, []
+    t_all = time.time()
+    n_ticks, batch = 20, 5_000
+    for t in range(n_ticks):
+        # clustered around a rotating anchor — the locality regime
+        # carry-forward exists for (finding 21)
+        W = V[(t * 997) % N_VECS] + rng.normal(
+            0, 0.05, (batch, DIM)
+        ).astype(np.float32)
+        W /= np.linalg.norm(W, axis=1, keepdims=True)
+        lo = N_VECS + t * batch
+        t0 = time.time()
+        eng.insert(df_of(lo, lo + batch, W))
+        folded = eng.maybe_compact(max_delta_fraction=0.05)
+        compactions += 1 if folded else 0
+        t1 = time.time()
+        eng.search(queries, k=10, nprobe=4, tier="graph").count()
+        t2 = time.time()
+        tick_secs.append(round(t1 - t0, 2))
+        graph_secs.append(round(t2 - t1, 2))
+        print(
+            f"  tick {t}: ingest+compact {tick_secs[-1]}s "
+            f"(folded {folded}), graph search {graph_secs[-1]}s",
+            file=sys.stderr,
+        )
+    results["churn"] = {
+        "ticks": n_ticks,
+        "batch": batch,
+        "compactions": compactions,
+        "total_sec": round(time.time() - t_all, 2),
+        "ingest_compact_secs": tick_secs,
+        "graph_search_secs": graph_secs,
+        "n_cells": int(n_cells),
+    }
+    # live exactness gate: merged graph tier at full probe + unbounded
+    # beam == exact kNN over the logical union of all live versions
+    t0 = time.time()
+    merged = eng.search(
+        queries, k=10, nprobe=n_cells, tier="graph",
+        candidates_per_cell=10**9,
+    )
+    # latest-wins union: delta versions shadow indexed versions by id
+    delta_rows = eng.delta_latest().select("vec_id", "embedding")
+    union = (
+        eng.index.vectors()
+        .select("vec_id", "embedding")
+        .join(delta_rows.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(delta_rows)
+    )
+    exact = knn_ops.knn_exact(union, queries, k=10)
+    a = [tuple(r) for r in merged.orderBy("qid", "rank").collect()]
+    b = [tuple(r) for r in exact.orderBy("qid", "rank").collect()]
+    results["churn"]["final_exactness"] = a == b
+    results["churn"]["final_check_sec"] = round(time.time() - t0, 2)
+    print(f"  final exactness: {a == b}", file=sys.stderr)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
 
 
 def _delta_graph_section(results: dict) -> None:

@@ -1049,3 +1049,25 @@ def test_bigram_logprob_flags_scrambled_doc(spark):
     assert got[3] > got[1]
     # two identical docs score identically
     assert got[1] == got[2]
+
+
+def test_source_overlap_minhash_tracks_exact(spark, sf_dir):
+    """The bottom-k sketch's Jaccard estimates must track the exact
+    overlap matrix (Broder estimator, k=256 → std err ~1/√k ≈ 0.06;
+    measured mean abs err on the fixture is ~0.007)."""
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.operators import text_ops as t
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.source_a, r.source_b): r.jaccard
+        for r in t.source_overlap(docs).collect()
+    }
+    est = {
+        (r.source_a, r.source_b): r.jaccard_est
+        for r in t.source_overlap_minhash(docs).collect()
+    }
+    assert set(est) >= set(exact)  # sketch emits every pair
+    errs = [abs(exact.get(k, 0.0) - v) for k, v in est.items()]
+    assert max(errs) <= 0.12
+    assert sum(errs) / len(errs) <= 0.05

@@ -1892,3 +1892,153 @@ SELECT doc_id, count(*)::BIGINT AS n_bigrams,
 FROM bg JOIN model USING (bg)
 GROUP BY doc_id
 """
+
+
+def source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Pairwise cross-source shingle overlap — the contamination /
+    provenance matrix of corpus curation (which sources re-host each
+    other's content; which eval source leaked into which train source):
+    for every source pair, the exact Jaccard similarity of their
+    DISTINCT word n-gram (default trigram) sets, plus the raw common
+    count.  Pairs sharing nothing are absent (inner semantics — both
+    sides of the oracle agree).
+
+    Plan shape at 100 TB: one distinct over (source, shingle) — the
+    postings table, bounded by content diversity not corpus size — then
+    a self-equi-join ON THE SHINGLE with map-side partial counting into
+    per-pair aggregates.  Each shingle's join group is at most the
+    number of sources containing it, so pair volume per shingle is
+    bounded by C(S, 2) with S = source count (hundreds in practice),
+    never by corpus rows; there is no all-pairs document join anywhere.
+    For very large S, ``source_overlap_minhash`` trades exactness for a
+    fixed-size per-source sketch."""
+    sh = (
+        documents.select(
+            "source",
+            F.explode(word_shingles(tokens(F.col("text")), n)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("source").alias("source_a"), F.col("n").alias("_na")
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("n").alias("_nb")
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH tok AS (
+  SELECT source, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, unnest({DD_SHINGLES3.format(t="t")}) AS shingle
+  FROM tok
+),
+sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       round(i.n_common / (sa.n + sb.n - i.n_common), 6) AS jaccard
+FROM i
+JOIN sz sa ON sa.source = i.source_a
+JOIN sz sb ON sb.source = i.source_b
+"""
+
+
+def source_overlap_minhash(
+    documents: DataFrame, n: int = 3, k: int = 256
+) -> DataFrame:
+    """Sketch variant of ``source_overlap`` for very large source
+    counts: each source is summarized by its k smallest shingle hashes
+    (one bottom-k MinHash signature per source — a few KB regardless of
+    source size), and the pairwise Jaccard is estimated from the merged
+    bottom-k (Broder 1997: |bottom_k(A ∪ B) ∩ bottom_k(A) ∩ bottom_k(B)|
+    / k).  The shuffle carries S·k rows total instead of the exact
+    join's per-shingle postings — the matrix step becomes independent of
+    content diversity.  Estimates converge to the exact Jaccard (pytest
+    gates agreement on the fixture); output schema mirrors the exact
+    operator with ``jaccard_est``."""
+    sh = (
+        documents.select(
+            "source",
+            F.explode(word_shingles(tokens(F.col("text")), n)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+        .select("source", F.xxhash64("shingle").alias("h"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("h")
+    bottomk = (
+        sh.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    sigs = bottomk.groupBy("source").agg(
+        F.sort_array(F.collect_list("h")).alias("sig"),
+        F.count("*").alias("sig_len"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("a.source") < F.col("b.source")
+    )  # sigs is S rows (one per source) — a broadcast matrix, never corpus-sized
+    # merged bottom-k: smallest k of the union of both signatures; the
+    # estimator counts merged elements present in BOTH signatures
+    kk = F.least(
+        F.lit(k), F.greatest(F.col("a.sig_len"), F.col("b.sig_len"))
+    ).cast("int")
+    merged = F.slice(
+        F.array_sort(
+            F.array_union(F.col("a.sig"), F.col("b.sig"))
+        ),
+        1,
+        kk,
+    )
+    inter_in_merged = F.size(
+        F.array_intersect(
+            F.array_intersect(merged, F.col("a.sig")), F.col("b.sig")
+        )
+    )
+    return pairs.select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.round(inter_in_merged / kk, 6).alias("jaccard_est"),
+    )

@@ -336,3 +336,25 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register("corpus_source_overlap", oracle=txt_ops.SOURCE_OVERLAP_ORACLE)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination/provenance matrix (r11): exact pairwise
+    Jaccard of distinct trigram-shingle sets per source — which sources
+    re-host each other's content / which eval split leaked into which
+    train source.  One (source, shingle) distinct + a shingle-keyed
+    self-join; pair volume per shingle is bounded by the source count,
+    never corpus rows (txt_ops.source_overlap)."""
+    return txt_ops.source_overlap(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_source_overlap_minhash")  # bottom-k estimate → rows-only
+def corpus_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch path of the overlap matrix for very large source counts:
+    per-source bottom-k MinHash signatures (Broder 1997), matrix step
+    shuffles S·k rows independent of content diversity; estimator
+    agreement with the exact operator is pytest-gated."""
+    return txt_ops.source_overlap_minhash(
+        load_table(spark, sf_dir, "documents")
+    )
