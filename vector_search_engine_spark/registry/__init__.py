@@ -267,6 +267,15 @@ _GRADE_FIRST: list[str] = [
     #       family stays covered by corpus_decontaminate + doc_chunks.
     #   corpus_approx_distinct → out: HLL agg stable since r1; the agg
     #       surface keeps tpch_pricing_summary + lineitem_grouping_sets.
+    # r11 second wave — this round's own additions go straight in
+    # (standing policy):
+    #   corpus_source_overlap (oracle-backed contamination matrix) and
+    #   multimodal_real_decode (the r10-item-5 resolution: vendored
+    #   pure-Python codec decode, rows-only by nature).  Swap-outs:
+    #   doc_chunks → out: chunk/packing family stable since r6, green
+    #       r10; corpus_decontaminate keeps the family's window seat.
+    #   streaming_dedup_ingest → out: event-time family keeps
+    #       sessionize + interval_join in-window; carries r9-r10 greens.
     "knn_exact_l2",
     # IVF exactness anchor (reference Q2/Q3/B2)
     "ann_ivf_exact_when_full_probe",
@@ -303,9 +312,10 @@ _GRADE_FIRST: list[str] = [
     # serving-knob calibration reports (r10, rows-only by nature)
     "ivf_tune_ef_report",
     "ivf_tune_candidates_report",
-    # multimodal (frame-hash dedup — rows-only by nature)
+    # multimodal (frame-hash dedup rows-only; real codec decode r11)
     "multimodal_frame_dedup",
     "multimodal_metadata_stats",
+    "multimodal_real_decode",
     # streaming engine anchors (reference S4/W1/W4)
     "streaming_ingest_search",
     "streaming_delete_search",
@@ -319,13 +329,12 @@ _GRADE_FIRST: list[str] = [
     "simjoin_edit_distance",
     "pipeline_neardup_corpus",
     # LLM-pipeline: corpus ops
-    "doc_chunks",
     "corpus_decontaminate",
+    "corpus_source_overlap",
     # event-time streaming (watermark windows / stateful sessions /
     # interval join / bounded-state dedup)
     "streaming_sessionize",
     "streaming_interval_join",
-    "streaming_dedup_ingest",
     # relational core
     "tpch_pricing_summary",
     "tpch_regional_revenue",
