@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     # compact-forward) and the per-source unigram KL-drift diagnostic
     "embeddings_knn_triangles",
     "corpus_source_kl",
+    # r11: the cross-source contamination matrix (distinct shingle
+    # postings + shingle-keyed self-join) and the real-codec multimodal
+    # decode plan (PPM encode → sniff → parse → features, all
+    # mapInPandas; measures the binary-column Arrow round-trip)
+    "corpus_source_overlap",
+    "multimodal_real_decode",
 ]
 
 
