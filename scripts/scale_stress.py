@@ -680,45 +680,60 @@ def _churn_section(spark, results: dict) -> None:
             )
         )
 
-    root = tempfile.mkdtemp(prefix="vse_stress_churn_")
-    eng = VectorEngine.create(df_of(0, N_VECS, V), f"{root}/engine")
-    n_cells = eng.index.meta["n_centroids"]
     qids = np.arange(10, dtype=np.int64)
     queries = (qids, V[:10].astype(np.float64))
-    tick_secs, compactions, graph_secs = [], 0, []
-    t_all = time.time()
     n_ticks, batch = 20, 5_000
-    for t in range(n_ticks):
-        # clustered around a rotating anchor — the locality regime
-        # carry-forward exists for (finding 21)
-        W = V[(t * 997) % N_VECS] + rng.normal(
-            0, 0.05, (batch, DIM)
-        ).astype(np.float32)
-        W /= np.linalg.norm(W, axis=1, keepdims=True)
-        lo = N_VECS + t * batch
-        t0 = time.time()
-        eng.insert(df_of(lo, lo + batch, W))
-        folded = eng.maybe_compact(max_delta_fraction=0.05)
-        compactions += 1 if folded else 0
-        t1 = time.time()
-        eng.search(queries, k=10, nprobe=4, tier="graph").count()
-        t2 = time.time()
-        tick_secs.append(round(t1 - t0, 2))
-        graph_secs.append(round(t2 - t1, 2))
-        print(
-            f"  tick {t}: ingest+compact {tick_secs[-1]}s "
-            f"(folded {folded}), graph search {graph_secs[-1]}s",
-            file=sys.stderr,
-        )
-    results["churn"] = {
-        "ticks": n_ticks,
-        "batch": batch,
-        "compactions": compactions,
-        "total_sec": round(time.time() - t_all, 2),
-        "ingest_compact_secs": tick_secs,
-        "graph_search_secs": graph_secs,
-        "n_cells": int(n_cells),
-    }
+
+    def run_mode(tag: str, hot_cell_factor: float | None) -> "VectorEngine":
+        root = tempfile.mkdtemp(prefix=f"vse_stress_churn_{tag}_")
+        eng = VectorEngine.create(df_of(0, N_VECS, V), f"{root}/engine")
+        tick_secs, compactions, graph_secs = [], 0, []
+        t_all = time.time()
+        mode_rng = np.random.default_rng(13)
+        for t in range(n_ticks):
+            # clustered around a rotating anchor — the locality regime
+            # carry-forward exists for (finding 21)
+            W = V[(t * 997) % N_VECS] + mode_rng.normal(
+                0, 0.05, (batch, DIM)
+            ).astype(np.float32)
+            W /= np.linalg.norm(W, axis=1, keepdims=True)
+            lo = N_VECS + t * batch
+            t0 = time.time()
+            eng.insert(df_of(lo, lo + batch, W))
+            folded = eng.maybe_compact(
+                max_delta_fraction=0.05, hot_cell_factor=hot_cell_factor
+            )
+            compactions += 1 if folded else 0
+            t1 = time.time()
+            eng.search(queries, k=10, nprobe=4, tier="graph").count()
+            t2 = time.time()
+            tick_secs.append(round(t1 - t0, 2))
+            graph_secs.append(round(t2 - t1, 2))
+            print(
+                f"  [{tag}] tick {t}: ingest+compact {tick_secs[-1]}s "
+                f"(folded {folded}), graph search {graph_secs[-1]}s",
+                file=sys.stderr,
+            )
+        results[f"churn_{tag}"] = {
+            "ticks": n_ticks,
+            "batch": batch,
+            "compactions": compactions,
+            "total_sec": round(time.time() - t_all, 2),
+            "ingest_compact_secs": tick_secs,
+            "graph_search_secs": graph_secs,
+            "n_cells": int(len(eng.index.centroid_ids)),
+            "max_graph_search_sec": max(graph_secs),
+        }
+        return eng
+
+    # phase A: carry-forward alone — the hot cell grows unbounded
+    # phase B: + hot-cell splitting (the finding-23 lever): any cell
+    # exceeding 4× the mean splits at compaction, bounding the per-cell
+    # graph rebuild a generation bump can ever cost
+    run_mode("nosplit", None)  # engine A only contributes its timings
+    eng = run_mode("split4x", 4.0)
+    results["churn"] = results["churn_split4x"]  # final gate runs on B
+    n_cells = results["churn"]["n_cells"]
     # live exactness gate: merged graph tier at full probe + unbounded
     # beam == exact kNN over the logical union of all live versions
     t0 = time.time()
@@ -740,9 +755,11 @@ def _churn_section(spark, results: dict) -> None:
     results["churn"]["final_exactness"] = a == b
     results["churn"]["final_check_sec"] = round(time.time() - t0, 2)
     print(f"  final exactness: {a == b}", file=sys.stderr)
+    import glob as _glob
     import shutil
 
-    shutil.rmtree(root, ignore_errors=True)
+    for d in _glob.glob(tempfile.gettempdir() + "/vse_stress_churn_*"):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _delta_graph_section(results: dict) -> None:
