@@ -495,3 +495,62 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core of the undirected support of ``edges`` (Seidman 1983):
+    the maximal subgraph in which every node has degree >= k — the
+    density skeleton of a kNN/near-dup graph (training-data curation:
+    k-core membership separates redundant dense regions from the
+    informative sparse frontier; the complement of the outlier view).
+
+    Synchronous peeling, determinized the LPA way: exactly ``rounds``
+    parallel rounds of "drop every node whose CURRENT degree < k",
+    which is oracle-expressible as unrolled CTEs.  Peeling is monotone
+    (the surviving set only shrinks), so once a round removes nothing
+    the result IS the true k-core fixpoint — callers pin ``rounds`` at
+    a fixture-verified convergence count (pytest asserts round R ==
+    round R+1), and at scale the round count needed is the peeling
+    depth, typically O(log n) on kNN graphs.
+
+    Returns ``(node long, degree long)`` — survivors with their degree
+    INSIDE the core subgraph.  Scale shape per round: one map-side
+    partial degree count + two semi-joins (u and v endpoints) against
+    the (degree >= k) survivor set; per-round lineage cut with an eager
+    localCheckpoint (the CC / PageRank / LPA discipline)."""
+    sym = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    cur = (
+        sym.select("u", "v")
+        .union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)  # pin before the iterative fan-out
+    )
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy("u")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .select(F.col("u").alias("node"), "degree")
+    )

@@ -276,6 +276,10 @@ _GRADE_FIRST: list[str] = [
     #       r10; corpus_decontaminate keeps the family's window seat.
     #   streaming_dedup_ingest → out: event-time family keeps
     #       sessionize + interval_join in-window; carries r9-r10 greens.
+    #   embeddings_epsilon_kcore (r11 third wave, oracle-backed density
+    #       skeleton) in; dedup_incremental → out: carries r10 green,
+    #       family keeps exact/semantic/substring_clean + the composed
+    #       pipeline_neardup_corpus + simjoin rows.
     "knn_exact_l2",
     # IVF exactness anchor (reference Q2/Q3/B2)
     "ann_ivf_exact_when_full_probe",
@@ -302,6 +306,8 @@ _GRADE_FIRST: list[str] = [
     "embeddings_knn_pagerank",
     "embeddings_knn_triangles",
     "embeddings_knn_communities",
+    # graph analytics third wave (r11)
+    "embeddings_epsilon_kcore",
     # corpus statistics (r10, judge-verified, never driver-graded)
     "corpus_frequent_ngrams",
     "doc_bigram_logprob",
@@ -324,7 +330,6 @@ _GRADE_FIRST: list[str] = [
     # LLM-pipeline: dedup family
     "dedup_exact",
     "dedup_semantic",
-    "dedup_incremental",
     "dedup_substring_clean",
     "simjoin_edit_distance",
     "pipeline_neardup_corpus",

@@ -566,3 +566,56 @@ def corpus_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.source_kl_divergence(load_table(spark, sf_dir, "documents"))
 
 
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = [f"""WITH p AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_DD_L2SQ.format(a="a.embedding", b="b.embedding")} <= {_EPS_SQ}
+),
+s0 AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p)"""]
+    # each round references the previous one THREE times (degree count +
+    # two endpoint joins): MATERIALIZED stops DuckDB's default CTE
+    # inlining from expanding the chain into 3^rounds base scans
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+k{i} AS MATERIALIZED (
+  SELECT u AS node FROM s{i - 1} GROUP BY u HAVING count(*) >= {k}),
+s{i} AS MATERIALIZED (
+  SELECT s.u, s.v FROM s{i - 1} s
+  JOIN k{i} a ON a.node = s.u JOIN k{i} b ON b.node = s.v
+)""")
+    parts.append(
+        f"\nSELECT u AS vec_id, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM s{rounds} GROUP BY u"
+    )
+    return "".join(parts)
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 12  # fixture converges at 10 (pytest pins the fixpoint)
+
+
+@register(
+    "embeddings_epsilon_kcore",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+)
+def embeddings_epsilon_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the EPSILON graph (Seidman 1983; ``graph.k_core``):
+    the density skeleton of the near-duplicate neighborhood graph —
+    2-core membership separates cyclic dense regions (redundant content
+    worth downsampling) from the tree-like sparse frontier the outlier
+    family flags from the other side.  Synchronous fixed-round peeling
+    (monotone, so a no-op round certifies the true fixpoint —
+    convergence pytest-pinned at 10 rounds on the fixture, 12 graded
+    for margin); oracle = 12 unrolled degree-filter CTEs over the
+    identical epsilon graph.  The pair generator is the block-GEMM
+    radius self-join — shuffle N·blocks rows, never N²."""
+    from vector_search_engine_spark.operators.graph import k_core
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = knn_ops.radius_pairs_distributed(emb, _EPS_SQ)
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    out = k_core(e, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return out.select(F.col("node").alias("vec_id"), "degree")
