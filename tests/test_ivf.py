@@ -934,3 +934,69 @@ def test_tune_nprobe_meets_target_and_is_minimal(spark, embeddings, index):
             assert prev[0]["recall"] < 0.9
     perfect = index.tune_nprobe(q, target_recall=1.0, k=10)
     assert perfect["recall"] == 1.0 and perfect["nprobe"] <= nc
+
+
+def test_prefix_pca_exact_and_prunes_on_correlated_data(spark, tmp_path):
+    """The PCA-rotated prefix tier: (a) hash-exact vs brute force at
+    full probe on CORRELATED data whose raw leading dims are useless
+    (energy hidden by a random rotation); (b) the rotation actually
+    concentrates energy — the bound-cut survivor fraction collapses in
+    the rotated basis while the raw-basis cut keeps nearly everything
+    (SCALING finding 11's degenerate regime, fixed)."""
+    import numpy as np
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+    from vector_search_engine_spark.operators.ivf import IVFIndex
+    from vector_search_engine_spark.operators.pca import (
+        explained_prefix_energy,
+        pca_rotation,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d, dp = 2000, 32, 8
+    spectrum = np.exp(-np.arange(d) / 3.0)  # strong decay
+    latent = rng.normal(0, 1, (n, d)) * spectrum
+    mix = np.linalg.qr(rng.normal(0, 1, (d, d)))[0]  # hide it from raw dims
+    X = (latent @ mix).astype(np.float32)
+    import pandas as pd
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(X)}
+        )
+    )
+    idx = IVFIndex.build(emb, str(tmp_path / "idx"), n_centroids=8)
+    q = (np.arange(10, dtype=np.int64), X[:10].astype(np.float64))
+    exact = [
+        tuple(r)
+        for r in knn_ops.knn_exact(emb, q, k=10).orderBy("qid", "rank").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in idx.search_prefix_pca(q, k=10, nprobe=8, prefix_dims=dp)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == exact
+
+    # (b) energy + survivor-fraction claim, same bound math as the kernel
+    R = pca_rotation(emb, vec_col="embedding")
+    X64 = X.astype(np.float64)
+    assert explained_prefix_energy(X64, R, dp) > 0.9
+    assert explained_prefix_energy(X64, np.eye(d), dp) < 0.5
+
+    def survivors(basis: np.ndarray) -> float:
+        Z = X64 @ basis
+        kept = 0
+        for qi in range(10):
+            qr = X64[qi] @ basis
+            dpd = ((Z[:, :dp] - qr[:dp]) ** 2).sum(axis=1)
+            lb = np.sqrt(dpd)
+            seed = np.argpartition(lb, 9)[:10]
+            T = np.sqrt(((Z[seed] - qr) ** 2).sum(axis=1)).max()
+            kept += int((lb <= T).sum())
+        return kept / (10 * n)
+
+    frac_pca, frac_raw = survivors(R), survivors(np.eye(d))
+    assert frac_pca < 0.25, frac_pca
+    assert frac_raw > 0.6, frac_raw

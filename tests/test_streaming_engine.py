@@ -432,6 +432,8 @@ def test_merged_search_pq_tier_equals_exact(spark, embeddings, engine):
     assert fl == sq
     s4 = _sorted(engine.search(q, k=10, nprobe=np_full, tier="sq4"))
     assert fl == s4
+    ppca = _sorted(engine.search(q, k=10, nprobe=np_full, tier="prefix_pca"))
+    assert fl == ppca
     casc = _sorted(
         engine.search(
             q, k=10, nprobe=np_full, tier="cascade",

@@ -1170,6 +1170,262 @@ class IVFIndex:
         )
         return _finalize_topk(cand_topk, k, "l2_sq", round_output)
 
+    def ensure_pca_rot(self, snapshot: dict | None = None) -> str:
+        """Write (once) the PCA-rotated float sidecar: per-vector rotated
+        float32 coordinates + the exact float64 norm, partitioned by
+        ``centroid_id`` like the float cells.  The rotation concentrates
+        the corpus's energy into the LEADING dims, which is what makes
+        the prefix-dimension lossless cut actually prune on correlated
+        data (operators/pca.py — SCALING finding 11's degenerate regime,
+        fixed).  Dir-global state is ``rotation.npy``; incremental
+        carry-forward reuses the donor's rotation exactly like BQ
+        thresholds / PQ codebooks, so unchanged cells' partitions are
+        byte-identical file copies (the rotation retrains only on
+        from-scratch builds — recall-neutral: ANY orthogonal R keeps the
+        bound lossless, energy compaction only modulates pruning
+        power)."""
+        from vector_search_engine_spark.operators.pca import pca_rotation
+
+        if snapshot is None:
+            snapshot = self._read_manifest()
+        rot_dir = os.path.join(
+            self.index_dir, f"pcarot_gen{self._sidecar_gen(snapshot)}"
+        )
+        rpath = os.path.join(rot_dir, "rotation.npy")
+        if os.path.exists(os.path.join(rot_dir, "_SUCCESS")) and os.path.exists(
+            rpath
+        ):
+            return rot_dir
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        with _SIDECAR_LOCK:
+            if os.path.exists(
+                os.path.join(rot_dir, "_SUCCESS")
+            ) and os.path.exists(rpath):
+                return rot_dir
+            build_cells, donor = self._sidecar_carry_forward(
+                "pcarot", snapshot, rot_dir
+            )
+            donor_rpath = (
+                os.path.join(donor, "rotation.npy") if donor else None
+            )
+            base = self.vectors(snapshot=snapshot)
+            if (
+                build_cells is not None
+                and donor_rpath
+                and os.path.exists(donor_rpath)
+            ):
+                R = np.load(donor_rpath)
+            else:
+                build_cells = None  # carried rows need the donor rotation
+                R = pca_rotation(base, vec_col=vec_col)
+            if build_cells is not None:
+                if build_cells:
+                    base = base.filter(
+                        F.col("centroid_id").isin(build_cells)
+                    )
+                else:
+                    base = None
+            if base is not None:
+                bc_R = self.spark.sparkContext.broadcast(R)
+
+                def rot(
+                    batches: Iterator[pd.DataFrame],
+                ) -> Iterator[pd.DataFrame]:
+                    R_loc = bc_R.value
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        V = np.stack(pdf[vec_col].to_numpy()).astype(
+                            np.float64
+                        )
+                        Z = V @ R_loc
+                        out = pd.DataFrame(
+                            {
+                                id_col: pdf[id_col].to_numpy(),
+                                vec_col: list(Z.astype(np.float32)),
+                                "vnorm": np.sqrt((V * V).sum(axis=1)),
+                                "centroid_id": pdf[
+                                    "centroid_id"
+                                ].to_numpy(),
+                            }
+                        )
+                        yield out
+
+                rows = base.select(
+                    id_col, vec_col, "centroid_id"
+                ).mapInPandas(
+                    rot,
+                    schema=(
+                        f"{id_col} long, {vec_col} array<float>, "
+                        "vnorm double, centroid_id int"
+                    ),
+                )
+                out_dir = (
+                    rot_dir if build_cells is None else rot_dir + ".build"
+                )
+                rows.repartition(
+                    "centroid_id"
+                ).write.mode("overwrite").partitionBy("centroid_id").parquet(
+                    out_dir
+                )
+                if build_cells is not None:
+                    _merge_built_partitions(out_dir, rot_dir)
+            else:
+                _merge_built_partitions(None, rot_dir)
+            tmp = rpath + ".tmp.npy"
+            np.save(tmp, R)
+            os.rename(tmp, rpath)
+        return rot_dir
+
+    def search_prefix_pca(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        prefix_dims: int = 16,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+        exclude_ids: DataFrame | None = None,
+        predicate=None,
+        snapshot: int | str | None = None,
+        round_output: bool = True,
+    ) -> DataFrame:
+        """Prefix-bound cut in the PCA-ROTATED basis — the fix for the
+        plain prefix tier's degenerate regime (SCALING finding 11: on
+        spectrally flat data the first d′ raw dims carry d′/d of the
+        energy and the cut keeps everything).  Rotation preserves L2
+        (``‖xR − qR‖ = ‖x − q‖``), so the rotated-prefix distance is a
+        TRUE lower bound of the original distance and the cut stays
+        provably lossless — identical results to ``search()`` at the
+        same nprobe, exact at full probe, the same hash-gated oracle.
+
+        float32 storage is accounted for, not assumed away: the sidecar
+        stores each row's EXACT float64 norm, and the kernel widens both
+        bound sides by ``e_v = 2⁻²³·‖v‖ + slack`` (per-element rounding
+        of the stored rotated coordinates is ≤ ulp ≤ |value|·2⁻²⁴; the
+        L2 error across dims is ≤ 2⁻²⁴·‖v‖, doubled for margin) — the
+        same per-row-bounded-error discipline as ``search_sq8``'s
+        lossless cut.  Survivors rejoin the ORIGINAL float table for the
+        exact rescore, so returned distances carry no rotation or
+        storage rounding at all.
+
+        ``predicate`` / ``exclude_ids`` apply before the cut (pre-cut
+        semi-join/anti-join — the quantized tiers' losslessness
+        argument); ``snapshot`` pins codes and rescore base to one
+        manifest generation like every sidecar tier."""
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        spark = self.spark
+        qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
+        if len(qids) == 0:
+            return spark.createDataFrame(
+                [], "qid long, neighbor_id long, rank long, dist_sq double"
+            )
+        snap = (
+            self.manifest_at(snapshot)
+            if snapshot is not None
+            else self._read_manifest()
+        )
+        pairs = self.probe_pairs(
+            qids, Q, nprobe, centroid_set=self._centroids_for(snap)
+        )
+        pairs_df = spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
+                {"qid": "int64", "centroid_id": "int32"}
+            )
+        )
+        needed = sorted({c for _, c in pairs})
+        rot_dir = self.ensure_pca_rot(snapshot=snap)
+        R = np.load(os.path.join(rot_dir, "rotation.npy"))
+        dp = max(1, min(int(prefix_dims), Q.shape[1]))
+        qmap = {
+            int(q): (Q[i].astype(np.float64) @ R)
+            for i, q in enumerate(qids)
+        }
+        bc = spark.sparkContext.broadcast(qmap)
+        rows = spark.read.parquet(rot_dir).filter(
+            F.col("centroid_id").isin(needed)
+        )
+        cand_rows = rows.join(F.broadcast(pairs_df), "centroid_id").select(
+            "qid", id_col, vec_col, "vnorm"
+        )
+        if exclude_ids is not None:
+            cand_rows = cand_rows.join(
+                exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)),
+                id_col,
+                "left_anti",
+            )
+        if predicate is not None:
+            keep_ids = (
+                self.vectors(snapshot=snap)
+                .filter(F.col("centroid_id").isin(needed))
+                .filter(predicate)
+                .select(id_col)
+            )
+            cand_rows = cand_rows.join(keep_ids, id_col, "left_semi")
+
+        def bound_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for qid, grp in pdf.groupby("qid"):
+                    qr = qm[int(qid)]
+                    qp = qr[:dp]
+                    ids = grp[id_col].to_numpy(dtype=np.int64)
+                    Z = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                    vn = grp["vnorm"].to_numpy(dtype=np.float64)
+                    n = len(ids)
+                    # float32-storage error budget (see docstring)
+                    e_v = (2.0 ** -23) * vn + 1e-9
+                    Zp = Z[:, :dp]
+                    dpd = (Zp * Zp).sum(axis=1) - 2.0 * (Zp @ qp) + float(
+                        qp @ qp
+                    )
+                    np.maximum(dpd, 0.0, out=dpd)
+                    lb = np.sqrt(dpd) - e_v
+                    kk = min(k, n)
+                    seed = (
+                        np.argpartition(lb, kk - 1)[:kk]
+                        if n > kk
+                        else np.arange(n)
+                    )
+                    diff = Z[seed] - qr
+                    full = (diff * diff).sum(axis=1)
+                    np.maximum(full, 0.0, out=full)
+                    T = (np.sqrt(full) + e_v[seed]).max()
+                    surv = np.flatnonzero(lb <= T * (1 + 1e-9) + 1e-9)
+                    yield pd.DataFrame(
+                        {"qid": int(qid), "neighbor_id": ids[surv]}
+                    )
+
+        cand = cand_rows.mapInPandas(
+            bound_cut, schema="qid long, neighbor_id long"
+        )
+        # exact re-score on the ORIGINAL floats (same pruned partitions)
+        base = self.vectors(snapshot=snap).filter(
+            F.col("centroid_id").isin(needed)
+        )
+        from vector_search_engine_spark.operators.knn import _queries_df
+
+        qdf = _queries_df(spark, queries, qids, Q, qid_col, qvec_col)
+        from vector_search_engine_spark.functions.vector import l2_sq
+
+        rescored = (
+            cand.join(
+                base.select(F.col(id_col).alias("neighbor_id"), vec_col),
+                "neighbor_id",
+            )
+            .join(F.broadcast(qdf), "qid")
+            .select(
+                "qid",
+                "neighbor_id",
+                l2_sq(F.col(vec_col), F.col(qvec_col)).alias("dist"),
+            )
+        )
+        return _finalize_topk(rescored, k, "l2_sq", round_output)
+
     def search_distributed(
         self,
         queries: DataFrame,
@@ -2416,6 +2672,7 @@ class IVFIndex:
             + glob.glob(os.path.join(self.index_dir, "pq_m*"))
             + glob.glob(os.path.join(self.index_dir, "bq_gen*"))
             + glob.glob(os.path.join(self.index_dir, "graph_m*"))
+            + glob.glob(os.path.join(self.index_dir, "pcarot_gen*"))
         ):
             tag = os.path.basename(d).rsplit("_gen", 1)
             if len(tag) == 2 and tag[1] in retained:

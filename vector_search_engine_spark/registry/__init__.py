@@ -280,10 +280,15 @@ _GRADE_FIRST: list[str] = [
     #       skeleton) in; dedup_incremental → out: carries r10 green,
     #       family keeps exact/semantic/substring_clean + the composed
     #       pipeline_neardup_corpus + simjoin rows.
+    #   ann_ivf_prefix_pca (r11 fourth wave: the rotated-basis lossless
+    #       prefix cut — finding 11's degenerate regime fixed) in;
+    #       dedup_semantic → out: carries r8-r10 greens, Arrow-UDF
+    #       family stays covered by knn_maxsim in-window.
     "knn_exact_l2",
     # IVF exactness anchor (reference Q2/Q3/B2)
     "ann_ivf_exact_when_full_probe",
-    # graph tier × metric matrix (r10, never graded)
+    # serving tiers: graph × metric matrix (r10) + rotated prefix (r11)
+    "ann_ivf_prefix_pca",
     "ann_ivf_cosine_graph",
     "ann_ivf_ip_graph",
     "index_asof_search_graph",
@@ -329,7 +334,6 @@ _GRADE_FIRST: list[str] = [
     "knn_maxsim",
     # LLM-pipeline: dedup family
     "dedup_exact",
-    "dedup_semantic",
     "dedup_substring_clean",
     "simjoin_edit_distance",
     "pipeline_neardup_corpus",

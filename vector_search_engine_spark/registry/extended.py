@@ -387,3 +387,24 @@ def corpus_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # kNN-graph PageRank: fixed iteration count + damping pinned here so the
 # Spark plan and the unrolled-CTE oracle can never drift apart.
+
+
+@register("ann_ivf_prefix_pca", oracle=ORACLES["knn_exact_l2"])
+def ann_ivf_prefix_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-bound cut in the PCA-rotated basis (r11): the fix for the
+    plain prefix tier's flat-spectrum degenerate regime (SCALING finding
+    11 — survivor fraction 1.0 on isotropic data).  Rotation preserves
+    L2 so the bound stays provably lossless; float32 sidecar storage is
+    absorbed by a per-row norm-scaled error budget (the SQ8 discipline);
+    survivors rescore on the ORIGINAL floats.  Exact at every nprobe;
+    graded at full probe against the exact oracle."""
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_mod.build_or_load(spark, sf_dir)
+    return idx.search_prefix_pca(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=idx.meta["n_centroids"],
+        prefix_dims=16,
+    )

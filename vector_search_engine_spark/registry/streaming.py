@@ -577,3 +577,30 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.pack_sequences(load_table(spark, sf_dir, "documents"))
 
 
+
+
+@register(
+    "streaming_merged_search_prefix_pca", oracle=ORACLES["knn_exact_l2"]
+)
+def streaming_merged_search_prefix_pca(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The merged-search contract through the PCA-rotated prefix tier
+    (r11): indexed side = rotated-basis lossless bound cut (float32
+    sidecar storage absorbed by the per-row norm error budget) + exact
+    original-float rescore with shadowed ids excluded pre-cut; delta
+    side exact; one global raw-float64 top-k.  Hash-identical to exact
+    search over the logical union at full probe."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    return eng.search(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        tier="prefix_pca",
+    )

@@ -382,7 +382,8 @@ class VectorEngine:
         tests/test_hnsw.py) though returned distances are always exact.
         The delta side always scans exact floats, deltas are small."""
         if tier not in (
-            "float", "sq8", "sq4", "pq", "bq", "prefix", "cascade", "graph",
+            "float", "sq8", "sq4", "pq", "bq", "prefix", "prefix_pca",
+            "cascade", "graph",
         ):
             raise ValueError(f"unknown search tier {tier!r}")
         id_col = self.index.meta["id_col"]
@@ -424,6 +425,18 @@ class VectorEngine:
             )
         elif tier == "prefix":
             indexed_part = self.index.search_prefix(
+                queries,
+                k=k,
+                nprobe=nprobe,
+                exclude_ids=delta_latest.select(id_col),
+                predicate=predicate,
+                round_output=False,
+            )
+        elif tier == "prefix_pca":
+            # the rotated-basis prefix cut (lossless, float32-storage
+            # error budgeted) inside the merged Q4 contract; shadowed
+            # ids leave pre-cut like every lossless tier
+            indexed_part = self.index.search_prefix_pca(
                 queries,
                 k=k,
                 nprobe=nprobe,
