@@ -72,6 +72,10 @@ def main() -> None:
         _churn_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
         return
+    if "--only-pca" in sys.argv:  # finding-24 section alone
+        _pca_section(spark, results)
+        print(json.dumps({"n_vecs": N_VECS, "results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -652,6 +656,77 @@ def _vector_section(spark, results: dict, n_docs: int) -> None:
             }
         )
     )
+
+
+def _pca_section(spark, results: dict) -> None:
+    """Finding-24 data source: the PCA-rotated prefix tier at 100k, on
+    BOTH regimes — correlated data (decaying spectrum hidden from the
+    raw dims by a random mixing rotation: the tier's favorable case)
+    and the isotropic fixture (flat spectrum: no rotation can compact
+    it — the honest no-gain case).  Compares plain prefix vs PCA prefix
+    vs full float probe: wall + the rotated-basis prefix energy."""
+    from vector_search_engine_spark.operators.ivf import IVFIndex
+    from vector_search_engine_spark.operators.pca import (
+        explained_prefix_energy,
+        pca_rotation,
+    )
+
+    rng = np.random.default_rng(17)
+    dp = 8
+    mix = np.linalg.qr(rng.normal(0, 1, (DIM, DIM)))[0]
+    corpora = {
+        "correlated": (
+            rng.normal(0, 1, (N_VECS, DIM)) * np.exp(-np.arange(DIM) / 6.0)
+        )
+        @ mix,
+        "isotropic": rng.normal(0, 1, (N_VECS, DIM)),
+    }
+    for tag, X in corpora.items():
+        X = X.astype(np.float32)
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(N_VECS, dtype=np.int64),
+                    "embedding": list(X),
+                }
+            )
+        ).cache()
+        emb.count()
+        idx_dir = tempfile.mkdtemp(prefix=f"vse_stress_pca_{tag}_")
+        idx = IVFIndex.build(emb, f"{idx_dir}/index")
+        q = (np.arange(20, dtype=np.int64), X[:20].astype(np.float64))
+        npb = 8
+        sec: dict = {}
+        R = pca_rotation(emb, vec_col="embedding")
+        sec["prefix_energy_raw"] = round(
+            explained_prefix_energy(X[:4096].astype(np.float64), np.eye(DIM), dp), 4
+        )
+        sec["prefix_energy_pca"] = round(
+            explained_prefix_energy(X[:4096].astype(np.float64), R, dp), 4
+        )
+        idx.ensure_pca_rot()  # build charged separately from serving
+        for name, fn in (
+            ("float_probe", lambda: idx.search(q, k=10, nprobe=npb)),
+            (
+                "prefix",
+                lambda: idx.search_prefix(q, k=10, nprobe=npb, prefix_dims=dp),
+            ),
+            (
+                "prefix_pca",
+                lambda: idx.search_prefix_pca(
+                    q, k=10, nprobe=npb, prefix_dims=dp
+                ),
+            ),
+        ):
+            t0 = time.time()
+            n = fn().count()
+            sec[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+        results[tag] = sec
+        print(f"  {tag}: {sec}", file=sys.stderr)
+        emb.unpersist()
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
 
 
 def _churn_section(spark, results: dict) -> None:

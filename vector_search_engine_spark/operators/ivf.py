@@ -1188,8 +1188,10 @@ class IVFIndex:
 
         if snapshot is None:
             snapshot = self._read_manifest()
+        # v2: self-contained layout (original floats ride along); the
+        # versioned tag keeps any v1 dir from aliasing the new schema
         rot_dir = os.path.join(
-            self.index_dir, f"pcarot_gen{self._sidecar_gen(snapshot)}"
+            self.index_dir, f"pcarot_v2_gen{self._sidecar_gen(snapshot)}"
         )
         rpath = os.path.join(rot_dir, "rotation.npy")
         if os.path.exists(os.path.join(rot_dir, "_SUCCESS")) and os.path.exists(
@@ -1204,7 +1206,7 @@ class IVFIndex:
             ) and os.path.exists(rpath):
                 return rot_dir
             build_cells, donor = self._sidecar_carry_forward(
-                "pcarot", snapshot, rot_dir
+                "pcarot_v2", snapshot, rot_dir
             )
             donor_rpath = (
                 os.path.join(donor, "rotation.npy") if donor else None
@@ -1240,10 +1242,17 @@ class IVFIndex:
                             np.float64
                         )
                         Z = V @ R_loc
+                        # self-contained like the graph sidecar: the
+                        # ORIGINAL float vector rides along, so the
+                        # serving kernel finishes exactly in ONE pass
+                        # (bound cut on the rotated prefix, exact full
+                        # distance from the original floats for
+                        # survivors) — no second rescore join
                         out = pd.DataFrame(
                             {
                                 id_col: pdf[id_col].to_numpy(),
-                                vec_col: list(Z.astype(np.float32)),
+                                vec_col: pdf[vec_col].to_numpy(),
+                                "rotvec": list(Z.astype(np.float32)),
                                 "vnorm": np.sqrt((V * V).sum(axis=1)),
                                 "centroid_id": pdf[
                                     "centroid_id"
@@ -1258,7 +1267,7 @@ class IVFIndex:
                     rot,
                     schema=(
                         f"{id_col} long, {vec_col} array<float>, "
-                        "vnorm double, centroid_id int"
+                        "rotvec array<float>, vnorm double, centroid_id int"
                     ),
                 )
                 out_dir = (
@@ -1306,9 +1315,11 @@ class IVFIndex:
         of the stored rotated coordinates is ≤ ulp ≤ |value|·2⁻²⁴; the
         L2 error across dims is ≤ 2⁻²⁴·‖v‖, doubled for margin) — the
         same per-row-bounded-error discipline as ``search_sq8``'s
-        lossless cut.  Survivors rejoin the ORIGINAL float table for the
-        exact rescore, so returned distances carry no rotation or
-        storage rounding at all.
+        lossless cut.  The sidecar is SELF-CONTAINED (the original float
+        vector rides beside the rotated copy, the graph sidecar's
+        trick): survivors get the exact original-float distance inside
+        the same kernel pass — one scan, no rescore join, and returned
+        distances carry no rotation or storage rounding at all.
 
         ``predicate`` / ``exclude_ids`` apply before the cut (pre-cut
         semi-join/anti-join — the quantized tiers' losslessness
@@ -1340,7 +1351,10 @@ class IVFIndex:
         R = np.load(os.path.join(rot_dir, "rotation.npy"))
         dp = max(1, min(int(prefix_dims), Q.shape[1]))
         qmap = {
-            int(q): (Q[i].astype(np.float64) @ R)
+            int(q): (
+                Q[i].astype(np.float64),
+                Q[i].astype(np.float64) @ R,
+            )
             for i, q in enumerate(qids)
         }
         bc = spark.sparkContext.broadcast(qmap)
@@ -1348,7 +1362,7 @@ class IVFIndex:
             F.col("centroid_id").isin(needed)
         )
         cand_rows = rows.join(F.broadcast(pairs_df), "centroid_id").select(
-            "qid", id_col, vec_col, "vnorm"
+            "qid", id_col, vec_col, "rotvec", "vnorm"
         )
         if exclude_ids is not None:
             cand_rows = cand_rows.join(
@@ -1365,21 +1379,23 @@ class IVFIndex:
             )
             cand_rows = cand_rows.join(keep_ids, id_col, "left_semi")
 
-        def bound_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qm = bc.value
+            best: dict[int, list] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 for qid, grp in pdf.groupby("qid"):
-                    qr = qm[int(qid)]
+                    q, qr = qm[int(qid)]
                     qp = qr[:dp]
                     ids = grp[id_col].to_numpy(dtype=np.int64)
-                    Z = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                    Zp = np.stack(
+                        [z[:dp] for z in grp["rotvec"].to_numpy()]
+                    ).astype(np.float64)
                     vn = grp["vnorm"].to_numpy(dtype=np.float64)
                     n = len(ids)
                     # float32-storage error budget (see docstring)
                     e_v = (2.0 ** -23) * vn + 1e-9
-                    Zp = Z[:, :dp]
                     dpd = (Zp * Zp).sum(axis=1) - 2.0 * (Zp @ qp) + float(
                         qp @ qp
                     )
@@ -1391,40 +1407,33 @@ class IVFIndex:
                         if n > kk
                         else np.arange(n)
                     )
-                    diff = Z[seed] - qr
-                    full = (diff * diff).sum(axis=1)
-                    np.maximum(full, 0.0, out=full)
-                    T = (np.sqrt(full) + e_v[seed]).max()
+                    # original floats materialize ONLY for seed +
+                    # survivors — the FLOPs (and copy) saving the cut
+                    # exists to deliver
+                    vec_arr = grp[vec_col].to_numpy()
+                    diff = np.stack(vec_arr[seed]).astype(np.float64) - q
+                    # threshold from EXACT original-float distances — the
+                    # seed's true distances upper-bound the k-th best
+                    T = np.sqrt((diff * diff).sum(axis=1).max())
                     surv = np.flatnonzero(lb <= T * (1 + 1e-9) + 1e-9)
-                    yield pd.DataFrame(
-                        {"qid": int(qid), "neighbor_id": ids[surv]}
+                    diff = np.stack(vec_arr[surv]).astype(np.float64) - q
+                    full = (diff * diff).sum(axis=1)
+                    order = np.lexsort((ids[surv], full))[:kk]
+                    best.setdefault(int(qid), []).append(
+                        (ids[surv][order], full[order])
                     )
+            for qid, parts in best.items():
+                ids = np.concatenate([p[0] for p in parts])
+                d = np.concatenate([p[1] for p in parts])
+                order = np.lexsort((ids, d))[:k]
+                yield pd.DataFrame(
+                    {"qid": qid, "neighbor_id": ids[order], "dist": d[order]}
+                )
 
-        cand = cand_rows.mapInPandas(
-            bound_cut, schema="qid long, neighbor_id long"
+        cand_topk = cand_rows.mapInPandas(
+            local_topk, schema="qid long, neighbor_id long, dist double"
         )
-        # exact re-score on the ORIGINAL floats (same pruned partitions)
-        base = self.vectors(snapshot=snap).filter(
-            F.col("centroid_id").isin(needed)
-        )
-        from vector_search_engine_spark.operators.knn import _queries_df
-
-        qdf = _queries_df(spark, queries, qids, Q, qid_col, qvec_col)
-        from vector_search_engine_spark.functions.vector import l2_sq
-
-        rescored = (
-            cand.join(
-                base.select(F.col(id_col).alias("neighbor_id"), vec_col),
-                "neighbor_id",
-            )
-            .join(F.broadcast(qdf), "qid")
-            .select(
-                "qid",
-                "neighbor_id",
-                l2_sq(F.col(vec_col), F.col(qvec_col)).alias("dist"),
-            )
-        )
-        return _finalize_topk(rescored, k, "l2_sq", round_output)
+        return _finalize_topk(cand_topk, k, "l2_sq", round_output)
 
     def search_distributed(
         self,
@@ -2672,7 +2681,7 @@ class IVFIndex:
             + glob.glob(os.path.join(self.index_dir, "pq_m*"))
             + glob.glob(os.path.join(self.index_dir, "bq_gen*"))
             + glob.glob(os.path.join(self.index_dir, "graph_m*"))
-            + glob.glob(os.path.join(self.index_dir, "pcarot_gen*"))
+            + glob.glob(os.path.join(self.index_dir, "pcarot*"))
         ):
             tag = os.path.basename(d).rsplit("_gen", 1)
             if len(tag) == 2 and tag[1] in retained:
