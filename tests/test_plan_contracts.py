@@ -404,3 +404,64 @@ def test_lpa_histogram_agg_is_partial(spark):
     # the real operator converges this graph to one community
     out = graph_ops.label_propagation(edges, iterations=4)
     assert out.count() == 30
+
+
+def test_source_overlap_joins_on_shingle_never_cartesian(spark, sf_dir):
+    """The contamination matrix's pair generator must be the
+    shingle-keyed equi-join (group size bounded by source count), never
+    an all-pairs product; the sketch variant's only product is the
+    broadcast S-row signature matrix."""
+    plan = _executed_plan(
+        registry.QUERIES["corpus_source_overlap"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    # equi-join on the shingle key: broadcast at fixture scale, shuffle
+    # hash / sort-merge once AQE sees real postings volume
+    assert any(
+        j in plan
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    sketch = _executed_plan(
+        registry.QUERIES["corpus_source_overlap_minhash"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in sketch
+    assert "BroadcastNestedLoopJoin" in sketch  # the S-row matrix, bounded
+
+
+def test_prefix_pca_sidecar_read_prunes_partitions(spark, sf_dir):
+    """The rotated sidecar scan must prune to the probed cells (the
+    tier rides the same centroid_id partitioning as the float cells)."""
+    import numpy as np
+
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_mod.build_or_load(spark, sf_dir)
+    q = knn_ops.make_queries(emb)
+    plan = _executed_plan(idx.search_prefix_pca(q, k=10, nprobe=2))
+    assert "CartesianProduct" not in plan
+    # partition filter on the sidecar scan: centroid_id INSET (the plan
+    # string truncates long filter lists, so assert the filter's head)
+    import re
+
+    m = re.search(r"PartitionFilters: \[\s*centroid_", plan)
+    assert m, "sidecar scan lost its centroid_id partition filter"
+
+
+def test_k_core_rounds_aggregate_before_shuffle(spark, sf_dir):
+    """Each peeling round's degree count must be a partial (map-side)
+    aggregate feeding the exchange — the bounded-shuffle property every
+    iterative operator here maintains."""
+    from vector_search_engine_spark.operators.graph import k_core
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            (F.col("vec_id") % 50).alias("src"),
+            ((F.col("vec_id") * 7 + 3) % 50).alias("dst"),
+        )
+    )
+    plan = _executed_plan(k_core(e, k=2, rounds=2))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
