@@ -1894,7 +1894,9 @@ GROUP BY doc_id
 """
 
 
-def source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
+def source_overlap(
+    documents: DataFrame, n: int = 3, pin_postings: bool = False
+) -> DataFrame:
     """Pairwise cross-source shingle overlap — the contamination /
     provenance matrix of corpus curation (which sources re-host each
     other's content; which eval source leaked into which train source):
@@ -1911,16 +1913,27 @@ def source_overlap(documents: DataFrame, n: int = 3) -> DataFrame:
     bounded by C(S, 2) with S = source count (hundreds in practice),
     never by corpus rows; there is no all-pairs document join anywhere.
     For very large S, ``source_overlap_minhash`` trades exactness for a
-    fixed-size per-source sketch."""
-    sh = (
-        documents.select(
-            "source",
-            F.explode(word_shingles(tokens(F.col("text")), n)).alias(
-                "shingle"
-            ),
-        )
-        .distinct()
-    )
+    fixed-size per-source sketch.
+
+    ``pin_postings``: the distinct postings have THREE consumers (sizes
+    + both self-join sides) and the executed plan shows 4 corpus scans
+    with zero exchange reuse when left lazy.  Pinning them with an eager
+    localCheckpoint collapses that to ONE corpus scan — but pays the
+    string-postings serialization tax finding 3 measured for MinHash
+    (at sf0.1 the pin is a wash: ~5.5 s either way — re-tokenizing 5k
+    docs is as cheap as re-reading 2M checkpointed strings).  Default
+    False (finding 3's resolution: recompute wins at tested scales);
+    set True when the corpus scan itself dominates — cold object
+    storage, very wide rows, or true 100 TB inputs where 4 scans vs 1
+    is the whole game."""
+    sh = documents.select(
+        "source",
+        F.explode(word_shingles(tokens(F.col("text")), n)).alias(
+            "shingle"
+        ),
+    ).distinct()
+    if pin_postings:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
