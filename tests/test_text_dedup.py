@@ -1071,3 +1071,44 @@ def test_source_overlap_minhash_tracks_exact(spark, sf_dir):
     errs = [abs(exact.get(k, 0.0) - v) for k, v in est.items()]
     assert max(errs) <= 0.12
     assert sum(errs) / len(errs) <= 0.05
+
+
+def test_source_psi_matches_python_reference(spark):
+    """PSI over corpus-decile bins vs a direct python computation with
+    the identical bucket rule (1 + #boundaries strictly below)."""
+    import math
+
+    import numpy as np
+
+    from vector_search_engine_spark.operators import text_ops as t
+
+    rng = np.random.default_rng(2)
+    rows = [
+        (int(i), "x", f"src{i % 4}", int(v))
+        for i, v in enumerate(
+            np.concatenate(
+                [rng.integers(10, 100, 300), rng.integers(500, 900, 100)]
+            )
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    got = {r.source: r.psi for r in t.source_psi(docs).collect()}
+
+    vals = np.array([r[3] for r in rows], dtype=float)
+    bounds = [np.percentile(vals, 10 * i) for i in range(1, 10)]
+    def bucket(v): return 1 + sum(v > b for b in bounds)
+    from collections import Counter
+    per = {}
+    corpus = Counter(bucket(v) for v in vals)
+    n = len(vals)
+    for s in {r[2] for r in rows}:
+        sv = [r[3] for r in rows if r[2] == s]
+        cs = Counter(bucket(v) for v in sv)
+        psi = sum(
+            (c / len(sv) - corpus[b] / n)
+            * math.log((c / len(sv)) / (corpus[b] / n))
+            for b, c in cs.items()
+        )
+        assert abs(got[s] - psi) < 1e-5, (s, got[s], psi)

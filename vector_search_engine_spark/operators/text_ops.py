@@ -2055,3 +2055,83 @@ def source_overlap_minhash(
         F.col("b.source").alias("source_b"),
         F.round(inter_in_merged / kk, 6).alias("jaccard_est"),
     )
+
+
+def source_psi(documents: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Per-source Population Stability Index over corpus-decile bins of
+    ``n_chars`` — the standard production drift monitor for a numeric
+    feature (credit-scoring lineage, now the data-pipeline check that a
+    source's length profile diverges from the blend it feeds; the
+    numeric-column sibling of ``source_kl_divergence``'s token form).
+
+        PSI(s) = Σ_{b: p_s(b)>0} (p_s(b) − q(b)) · ln(p_s(b) / q(b))
+
+    over corpus-quantile bins b (boundaries = exact corpus percentiles
+    at i/n_bins; bucket = 1 + #{boundaries strictly below the value} —
+    duplicate boundaries collapse naturally).  Zero-occupancy source
+    bins are EXCLUDED rather than epsilon-smoothed (the same in-support
+    convention as the KL row — exactly well-defined, no smoothing
+    constant to disagree about), documented as a variant of textbook
+    PSI.  q(b) > 0 always holds: corpus quantile bins are nonempty by
+    construction.
+
+    Plan shape: one exact-percentile agg for the boundary row (tiny),
+    boundaries folded into the plan as literals, then one (source, bin)
+    partial-agg count; corpus bin totals derive from that aggregate —
+    the corpus is never re-scanned."""
+    ps = [i / n_bins for i in range(1, n_bins)]
+    row = documents.agg(
+        F.expr(
+            "percentile(n_chars, array("
+            + ",".join(str(p) for p in ps)
+            + "))"
+        ).alias("b")
+    ).collect()[0]["b"]
+    bounds = [float(x) for x in row]
+    bucket = sum(
+        (F.col("n_chars") > F.lit(b)).cast("int") for b in bounds
+    ) + F.lit(1)
+    sb = documents.select(
+        "source", bucket.alias("bin")
+    ).groupBy("source", "bin").agg(F.count("*").cast("double").alias("c_sb"))
+    tb = sb.groupBy("bin").agg(F.sum("c_sb").alias("c_b"))
+    ns = sb.groupBy("source").agg(F.sum("c_sb").alias("n_s"))
+    n_total = float(ns.agg(F.sum("n_s")).collect()[0][0])
+    return (
+        sb.join(tb, "bin")
+        .join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            (
+                (F.col("c_sb") / F.col("n_s") - F.col("c_b") / F.lit(n_total))
+                * F.log(
+                    (F.col("c_sb") / F.col("n_s"))
+                    / (F.col("c_b") / F.lit(n_total))
+                )
+            ).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
+
+
+SOURCE_PSI_ORACLE = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, [{plist}]) AS bs FROM documents
+),
+binned AS (
+  SELECT source,
+         1 + (SELECT count(*) FROM unnest((SELECT bs FROM b)) AS t(x)
+              WHERE n_chars > x) AS bin
+  FROM documents
+),
+sb AS (SELECT source, bin, count(*)::DOUBLE AS c_sb FROM binned GROUP BY 1, 2),
+tb AS (SELECT bin, sum(c_sb) AS c_b FROM sb GROUP BY bin),
+ns AS (SELECT source, sum(c_sb) AS n_s FROM sb GROUP BY source),
+n AS (SELECT sum(n_s) AS n FROM ns)
+SELECT sb.source,
+       round(sum((c_sb / n_s - c_b / (SELECT n FROM n))
+                 * ln((c_sb / n_s) / (c_b / (SELECT n FROM n)))), 6) AS psi
+FROM sb JOIN tb USING (bin) JOIN ns USING (source)
+GROUP BY sb.source
+""".format(plist=",".join(str(i / 10) for i in range(1, 10)))

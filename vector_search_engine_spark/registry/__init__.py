@@ -284,6 +284,9 @@ _GRADE_FIRST: list[str] = [
     #       prefix cut — finding 11's degenerate regime fixed) in;
     #       dedup_semantic → out: carries r8-r10 greens, Arrow-UDF
     #       family stays covered by knn_maxsim in-window.
+    #   corpus_source_psi (r11 fifth wave: numeric-feature drift monitor,
+    #       oracle-backed) in; doc_quality_filter → out: carries r7-r10
+    #       greens, the text family holds six other window rows.
     "knn_exact_l2",
     # IVF exactness anchor (reference Q2/Q3/B2)
     "ann_ivf_exact_when_full_probe",
@@ -317,6 +320,7 @@ _GRADE_FIRST: list[str] = [
     "corpus_frequent_ngrams",
     "doc_bigram_logprob",
     "corpus_source_kl",
+    "corpus_source_psi",
     # retrieval fusion forms (r8/r9, never graded)
     "hybrid_search_combsum",
     "hybrid_search_mmr",
@@ -351,8 +355,6 @@ _GRADE_FIRST: list[str] = [
     "lineitem_grouping_sets",
     # events / semi-structured
     "events_asof_attribution",
-    # text analysis family representative
-    "doc_quality_filter",
 ]
 
 

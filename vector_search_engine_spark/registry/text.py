@@ -358,3 +358,14 @@ def corpus_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
     return txt_ops.source_overlap_minhash(
         load_table(spark, sf_dir, "documents")
     )
+
+
+@register("corpus_source_psi", oracle=txt_ops.SOURCE_PSI_ORACLE)
+def corpus_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Population Stability Index over corpus-decile bins of
+    n_chars (r11) — the standard numeric-feature drift monitor, sibling
+    of the token-distribution KL row: flags a source whose length
+    profile diverges from the blend (txt_ops.source_psi; exact corpus
+    percentile boundaries shared with the DuckDB twin via type-7
+    interpolation, the dbscan_kdist_report precedent)."""
+    return txt_ops.source_psi(load_table(spark, sf_dir, "documents"))
