@@ -490,3 +490,75 @@ def test_bigram_logprob_partitioning_invariant(spark, sf_dir):
         outs.append(sorted((r.doc_id, r.n_bigrams, r.avg_neg_logprob)
                            for r in res))
     assert outs[0] == outs[1]
+
+
+def test_k_core_partitioning_invariant(spark):
+    import pandas as pd
+
+    from vector_search_engine_spark.operators.graph import k_core
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, (i * 5 + 2) % 40) for i in range(160)]
+            + [(i, (i + 1) % 40) for i in range(40)],
+            columns=["src", "dst"],
+        ),
+        "src long, dst long",
+    )
+    outs = []
+    for e in _layouts(base):
+        outs.append(sorted(tuple(r) for r in k_core(e, k=3, rounds=8).collect()))
+    assert outs[0] == outs[1]
+
+
+def test_source_overlap_partitioning_invariant(spark, sf_dir):
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.operators import text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    outs = []
+    for v in _layouts(docs):
+        outs.append(sorted(
+            (r.source_a, r.source_b, r.n_common, r.jaccard)
+            for r in text_ops.source_overlap(v).collect()
+        ))
+    assert outs[0] == outs[1]
+    # the sketch is deterministic too (xxhash64 + sorted bottom-k)
+    sk = []
+    for v in _layouts(docs):
+        sk.append(sorted(
+            (r.source_a, r.source_b, r.jaccard_est)
+            for r in text_ops.source_overlap_minhash(v).collect()
+        ))
+    assert sk[0] == sk[1]
+
+
+def test_source_psi_partitioning_invariant(spark, sf_dir):
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.operators import text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    outs = []
+    for v in _layouts(docs):
+        outs.append(sorted(
+            (r.source, r.psi) for r in text_ops.source_psi(v).collect()
+        ))
+    assert outs[0] == outs[1]
+
+
+def test_prefix_pca_rotation_deterministic(spark, sf_dir):
+    """pca_rotation must be byte-identical across retrains on the same
+    data (sign-pinned eigenbasis, deterministic sample) — the property
+    the sidecar carry-forward byte-identity contract rests on."""
+    import numpy as np
+
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.operators.pca import pca_rotation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    R1 = pca_rotation(emb)
+    R2 = pca_rotation(emb.repartition(7))
+    assert (R1 == R2).all()
+    # orthogonality: the lossless-bound argument needs R'R = I
+    d = R1.shape[0]
+    assert np.allclose(R1.T @ R1, np.eye(d), atol=1e-10)

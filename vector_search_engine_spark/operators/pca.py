@@ -55,6 +55,13 @@ def pca_rotation(
     X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
     if X.ndim != 2 or len(X) == 0:
         raise ValueError("pca_rotation needs a non-empty vector sample")
+    # canonical row order before any float reduction: collect() order
+    # varies with input partitioning, and fp summation is not
+    # commutative in the last ulp — lexsorting the sample makes the
+    # rotation a pure function of the sample SET (the property the
+    # sidecar carry-forward byte-identity contract rests on; pytest
+    # test_prefix_pca_rotation_deterministic caught the gap live)
+    X = X[np.lexsort(X.T[::-1])]
     Xc = X - X.mean(axis=0)
     # covariance eigenbasis; eigh is exact for the symmetric d×d matrix
     # (d is the embedding width — tiny)
