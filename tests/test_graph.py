@@ -405,6 +405,33 @@ def test_k_core_matches_reference_peeling(spark):
         assert again == got, k
 
 
+def test_k_core_certify_runtime_fixpoint(spark):
+    """certify=True is the runtime form of the no-op-round certificate:
+    rounds pinned BELOW the peeling depth raise instead of silently
+    returning a superset of the true core; rounds at/after convergence
+    pass and return the identical result (ADVICE r11 / VERDICT item 4).
+
+    A 12-node path peels from both ends under k=2: depth 6, core empty
+    — deep enough that rounds=2 is a genuine truncation."""
+    import pytest as _pytest
+
+    from vector_search_engine_spark.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(11)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not reach the fixpoint"):
+        k_core(edges, k=2, rounds=2, certify=True).collect()
+    # truncated run WITHOUT certify: silent superset (documents the
+    # failure mode the certificate exists for)
+    assert k_core(edges, k=2, rounds=2).count() > 0
+    # converged run: certificate passes, result matches the pinned form
+    full = sorted(map(tuple, k_core(edges, k=2, rounds=8).collect()))
+    cert = sorted(
+        map(tuple, k_core(edges, k=2, rounds=8, certify=True).collect())
+    )
+    assert cert == full == []
+
+
 def test_epsilon_kcore_registry_fixpoint(spark, sf_dir):
     """The graded rounds (12) sit past the fixture's measured peeling
     depth (10): one more round returns the identical core — the

@@ -1000,3 +1000,56 @@ def test_prefix_pca_exact_and_prunes_on_correlated_data(spark, tmp_path):
     frac_pca, frac_raw = survivors(R), survivors(np.eye(d))
     assert frac_pca < 0.25, frac_pca
     assert frac_raw > 0.6, frac_raw
+
+
+def test_merge_built_partitions_refuses_lost_tmp(tmp_path):
+    """ADVICE r11: a sidecar merge must never publish _SUCCESS when the
+    incremental build's tmp output vanished between the Spark write and
+    the merge (the GC race) — a silent publish would leave a sidecar
+    missing the rebuilt cells' partitions and drop those cells'
+    candidates from every search at that snapshot."""
+    from vector_search_engine_spark.operators.ivf import (
+        _merge_built_partitions,
+    )
+
+    out = tmp_path / "sq8_gen1"
+    out.mkdir()
+    tmp = tmp_path / "sq8_gen1.build"
+    tmp.mkdir()
+    (tmp / "centroid_id=0").mkdir()
+    # tmp lacks Spark's job-level _SUCCESS marker == the output was lost
+    with pytest.raises(RuntimeError, match="refusing to publish"):
+        _merge_built_partitions(str(tmp), str(out))
+    assert not (out / "_SUCCESS").exists()
+    # intact tmp (marker present): merge moves partitions and publishes
+    (tmp / "_SUCCESS").touch()
+    _merge_built_partitions(str(tmp), str(out))
+    assert (out / "_SUCCESS").exists()
+    assert (out / "centroid_id=0").is_dir()
+    assert not tmp.exists()
+
+
+def test_invalidate_sidecars_spares_inflight_build_dirs(index):
+    """ADVICE r11: transient ``<tag>_gen{N}.build`` dirs of a RETAINED
+    generation must survive a concurrent ``invalidate_sidecars`` (the
+    old rsplit('_gen') parse yielded '{N}.build', never matched the
+    retention set, and GC'd the in-flight build mid-flight); evicted
+    generations' dirs — .build or committed — still go."""
+    import os
+
+    gen = index._sidecar_gen(None)
+    assert gen != "raw"
+    keep_build = os.path.join(index.index_dir, f"sq8_gen{gen}.build")
+    dead_build = os.path.join(index.index_dir, "sq8_gen999.build")
+    dead_dir = os.path.join(index.index_dir, "sq8_gen999")
+    for d in (keep_build, dead_build, dead_dir):
+        os.makedirs(d, exist_ok=True)
+    try:
+        index.invalidate_sidecars()
+        assert os.path.isdir(keep_build)
+        assert not os.path.exists(dead_build)
+        assert not os.path.exists(dead_dir)
+    finally:
+        import shutil
+
+        shutil.rmtree(keep_build, ignore_errors=True)

@@ -562,3 +562,28 @@ def test_prefix_pca_rotation_deterministic(spark, sf_dir):
     # orthogonality: the lossless-bound argument needs R'R = I
     d = R1.shape[0]
     assert np.allclose(R1.T @ R1, np.eye(d), atol=1e-10)
+
+
+def test_prefix_pca_rotation_sampled_layout_independent(spark, sf_dir):
+    """The SAMPLED path (corpus > sample_size) must also be a pure
+    function of the data multiset — ADVICE r11 flagged that the old
+    ``.sample(frac).limit(n)`` selection varied with partition layout,
+    narrowing the byte-identical-rebuild contract to unchanged file
+    layouts.  The hash-ranked top-``sample_size`` selection is
+    layout-independent by construction; this pins it at the bit level
+    across repartitionings AND verifies the sample is genuinely proper
+    (different seeds pick different subsets → different rotations)."""
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.operators.pca import pca_rotation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    size = max(8, n // 3)  # force the sampled regime
+    R1 = pca_rotation(emb, sample_size=size)
+    R2 = pca_rotation(emb.repartition(11), sample_size=size)
+    R3 = pca_rotation(emb.coalesce(1), sample_size=size)
+    assert (R1 == R2).all() and (R1 == R3).all()
+    # the subset really is a sample: a different salt selects a
+    # different third of the corpus, so the trained basis moves
+    R_other = pca_rotation(emb, sample_size=size, seed=12345)
+    assert not (R1 == R_other).all()

@@ -503,6 +503,7 @@ def k_core(
     rounds: int = 6,
     src_col: str = "src",
     dst_col: str = "dst",
+    certify: bool = False,
 ) -> DataFrame:
     """k-core of the undirected support of ``edges`` (Seidman 1983):
     the maximal subgraph in which every node has degree >= k — the
@@ -518,6 +519,15 @@ def k_core(
     a fixture-verified convergence count (pytest asserts round R ==
     round R+1), and at scale the round count needed is the peeling
     depth, typically O(log n) on kNN graphs.
+
+    ``certify=True`` enforces that argument AT RUN TIME instead of
+    trusting the caller's pin: one extra peeling round runs after the
+    ``rounds`` loop, and if it still removes anything the function
+    raises (the fixed-round result would be a silent superset of the
+    true core — exactly the failure a deeper-than-fixture peeling
+    order produces at 100 TB).  Cost: one more degree agg + two
+    semi-joins + two counts — the certificate round's survivor set is
+    already computed, so a converged run pays only the counts.
 
     Returns ``(node long, degree long)`` — survivors with their degree
     INSIDE the core subgraph.  Scale shape per round: one map-side
@@ -549,6 +559,25 @@ def k_core(
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
+    if certify:
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        nxt = cur.join(keep, "u", "left_semi").join(
+            keep.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        before, after = cur.count(), nxt.count()
+        if after < before:
+            raise RuntimeError(
+                f"k_core(rounds={rounds}, k={k}) did not reach the "
+                f"fixpoint: a certification round still removed "
+                f"{before - after} directed edges — the fixed-round "
+                "result is a superset of the true k-core; increase "
+                "`rounds` (peeling depth exceeds the pinned count)"
+            )
     return (
         cur.groupBy("u")
         .agg(F.count("*").cast("long").alias("degree"))

@@ -72,8 +72,24 @@ def _merge_built_partitions(tmp: str | None, out_dir: str) -> None:
     target) into ``out_dir`` (already holding the carried-forward
     partitions), then publish with the _SUCCESS marker — the same commit
     point a plain ``df.write.parquet`` uses, so the double-checked
-    ``ensure_*`` fast path can't observe a half-merged dir."""
+    ``ensure_*`` fast path can't observe a half-merged dir.
+
+    Publishing is gated on ``tmp``'s own Spark-written _SUCCESS marker:
+    if anything removed or truncated the tmp dir between the Spark write
+    and this merge (e.g. a GC racing the build — the failure mode
+    ``invalidate_sidecars``'s lock now prevents), we must fail loudly
+    rather than publish a sidecar silently missing the rebuilt cells'
+    partitions (searches at that snapshot would drop those cells'
+    candidates).  A missing partition dir for an EMPTY build cell is
+    legitimate (Spark writes no dir for zero rows), so the guard checks
+    the job-level marker, not per-cell dirs."""
     if tmp is not None:
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError(
+                f"incremental sidecar build lost its tmp output {tmp!r} "
+                "before merge (no _SUCCESS marker); refusing to publish "
+                f"{out_dir!r} — rerun ensure_* to rebuild"
+            )
         for d in glob.glob(os.path.join(tmp, "centroid_id=*")):
             os.rename(d, os.path.join(out_dir, os.path.basename(d)))
         shutil.rmtree(tmp, ignore_errors=True)
@@ -2666,7 +2682,18 @@ class IVFIndex:
         pinned search may still be scanning: the just-superseded snapshot
         stays in the manifest ``history`` for the retention grace window
         (exactly the base cells' EBR rule), and only sidecars of evicted
-        snapshots — plus legacy unversioned dirs — are removed."""
+        snapshots — plus legacy unversioned dirs — are removed.
+
+        Runs under ``_SIDECAR_LOCK``: an ``ensure_*`` build in progress
+        holds that lock while its transient ``<tag>_gen{N}.build`` tmp
+        dir exists, so a compaction committing on another thread can no
+        longer GC the in-flight tmp between the Spark write and
+        ``_merge_built_partitions`` (the merge would otherwise move
+        nothing and still publish _SUCCESS — a sidecar silently missing
+        the rebuilt cells).  Belt-and-braces, ``.build`` suffixes are
+        also stripped before the retention check, so an in-flight build
+        for a RETAINED generation is never GC'd even by a caller that
+        bypasses the lock."""
         m = self._read_manifest() or {}
         retained = {
             str(int(e["snapshot_id"]))
@@ -2675,18 +2702,22 @@ class IVFIndex:
         }
         if m.get("latest_gen") is not None:
             retained.add(str(int(m["latest_gen"])))
-        for d in (
-            glob.glob(os.path.join(self.index_dir, "sq8*"))
-            + glob.glob(os.path.join(self.index_dir, "sq4*"))
-            + glob.glob(os.path.join(self.index_dir, "pq_m*"))
-            + glob.glob(os.path.join(self.index_dir, "bq_gen*"))
-            + glob.glob(os.path.join(self.index_dir, "graph_m*"))
-            + glob.glob(os.path.join(self.index_dir, "pcarot*"))
-        ):
-            tag = os.path.basename(d).rsplit("_gen", 1)
-            if len(tag) == 2 and tag[1] in retained:
-                continue  # still referenced by a retained snapshot
-            shutil.rmtree(d, ignore_errors=True)
+        with _SIDECAR_LOCK:
+            for d in (
+                glob.glob(os.path.join(self.index_dir, "sq8*"))
+                + glob.glob(os.path.join(self.index_dir, "sq4*"))
+                + glob.glob(os.path.join(self.index_dir, "pq_m*"))
+                + glob.glob(os.path.join(self.index_dir, "bq_gen*"))
+                + glob.glob(os.path.join(self.index_dir, "graph_m*"))
+                + glob.glob(os.path.join(self.index_dir, "pcarot*"))
+            ):
+                tag = os.path.basename(d).rsplit("_gen", 1)
+                gen = tag[1] if len(tag) == 2 else ""
+                if gen.endswith(".build"):
+                    gen = gen[: -len(".build")]
+                if len(tag) == 2 and gen in retained:
+                    continue  # still referenced by a retained snapshot
+                shutil.rmtree(d, ignore_errors=True)
 
     def center_map(self, manifest: dict | None = None) -> dict[int, np.ndarray]:
         """centroid_id → float64 centroid vector (broadcastable; a few MB

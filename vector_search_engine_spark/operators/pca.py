@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def pca_rotation(
@@ -39,18 +40,27 @@ def pca_rotation(
     sample: ≤ sample_size·dim floats on the driver, deterministic for a
     fixed seed).
 
+    The sample is LAYOUT-INDEPENDENT: rows are ranked by a salted
+    murmur3 hash of the vector itself (tie-broken by the vector, so the
+    selected multiset is a pure function of the data multiset and the
+    seed — never of file/partition layout), and the global top
+    ``sample_size`` is taken via ``orderBy(...).limit(...)`` — Spark's
+    bounded per-partition-heap ``TakeOrderedAndProject``, no full sort.
+    The previous ``.sample(frac).limit(n)`` path made the trained
+    rotation depend on partition layout once the corpus exceeded
+    ``sample_size``, which narrowed the sidecar byte-identical-rebuild
+    contract to unchanged file layouts (ADVICE r11).
+
     Returns R (d × d, float64, columns = eigenvectors of the sample
     covariance in DESCENDING eigenvalue order) applied as ``x @ R``.
     Deterministic sign convention: each column's largest-|entry|
     component is made positive (eigenvectors are sign-ambiguous;
     rebuilds must be byte-identical for the sidecar carry-forward
     byte-identity contract)."""
-    n_total = vectors.count()
-    frac = min(1.0, (sample_size * 1.1) / max(n_total, 1))
     sample = (
-        vectors.select(vec_col).sample(frac, seed=seed).limit(sample_size)
-        if frac < 1.0
-        else vectors.select(vec_col)
+        vectors.select(vec_col)
+        .orderBy(F.hash(F.lit(int(seed)), F.col(vec_col)), F.col(vec_col))
+        .limit(sample_size)
     )
     X = np.array([r[0] for r in sample.collect()], dtype=np.float64)
     if X.ndim != 2 or len(X) == 0:
