@@ -1053,3 +1053,113 @@ def test_invalidate_sidecars_spares_inflight_build_dirs(index):
         import shutil
 
         shutil.rmtree(keep_build, ignore_errors=True)
+
+
+def test_sq8_distributed_identical_to_search_at_any_nprobe(
+    spark, embeddings, index
+):
+    """The bulk-query quantized tier (r12): search_sq8_distributed must
+    equal search() bit-for-bit at ANY nprobe (the per-batch bound cut is
+    lossless even after the shuffle join scatters a query's candidates
+    across partitions — the subset-composability argument), including
+    the SQ4 nibble path and the filtered form."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    full = index.meta["n_centroids"]
+    for nprobe in (1, 3, full):
+        a = [
+            tuple(r)
+            for r in index.search(q, k=10, nprobe=nprobe)
+            .orderBy("qid", "rank")
+            .collect()
+        ]
+        b = [
+            tuple(r)
+            for r in index.search_sq8_distributed(q, k=10, nprobe=nprobe)
+            .orderBy("qid", "rank")
+            .collect()
+        ]
+        assert a == b, nprobe
+    # SQ4 nibble sidecar through the same path
+    d4 = [
+        tuple(r)
+        for r in index.search_sq8_distributed(q, k=10, nprobe=full, bits=4)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    exact = [
+        tuple(r)
+        for r in index.search(q, k=10, nprobe=full)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert d4 == exact
+    # filtered: predicate applies BEFORE the bound cut (losslessness)
+    fa = [
+        tuple(r)
+        for r in index.search_filtered(
+            q, k=10, nprobe=full, predicate=F.col("label") < 5
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    fb = [
+        tuple(r)
+        for r in index.search_sq8_distributed(
+            q, k=10, nprobe=full, predicate=F.col("label") < 5
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert fa == fb
+
+
+def test_cascade_distributed_exact_unbounded_and_sane_finite_c(
+    spark, embeddings, index
+):
+    """Bulk-query cascade: unbounded stage-1 C at full probe is exact by
+    construction (stage 1 keeps everything, stage 2 lossless); finite C
+    stays a subset of the scored universe with high recall."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    full = index.meta["n_centroids"]
+    exact = [
+        tuple(r)
+        for r in index.search(q, k=10, nprobe=full)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in index.search_cascade_distributed(
+            q, k=10, nprobe=full, candidates_per_cell=10**9
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == exact
+    # also at partial nprobe: equals the per-query cascade's output
+    per_q = [
+        tuple(r)
+        for r in index.search_cascade(
+            q, k=10, nprobe=3, candidates_per_cell=10**9
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    dist = [
+        tuple(r)
+        for r in index.search_cascade_distributed(
+            q, k=10, nprobe=3, candidates_per_cell=10**9
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert dist == per_q
+    # finite C: recall vs exact stays high (BQ stage is the lossy one)
+    gt = {}
+    for r in exact:
+        gt.setdefault(r[0], set()).add(r[1])
+    fin = index.search_cascade_distributed(
+        q, k=10, nprobe=full, candidates_per_cell=40
+    ).collect()
+    hit = sum(1 for r in fin if r.neighbor_id in gt.get(r.qid, set()))
+    assert hit / max(1, len(fin)) >= 0.8

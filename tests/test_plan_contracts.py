@@ -465,3 +465,73 @@ def test_k_core_rounds_aggregate_before_shuffle(spark, sf_dir):
     plan = _executed_plan(k_core(e, k=2, rounds=2))
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_sq8_distributed_prunes_code_scan_floats_only_at_rescore(
+    spark, sf_dir
+):
+    """The bulk-query quantized tier's 100 TB contract (r12): the SQ8
+    code sidecar scan is partition-pruned to the probed cells and reads
+    only (id, code, lo, hi) — never the float vector; every INDEX float
+    scan in the plan is likewise pruned AND appears only as the rescore
+    join side (its columns carry no code bytes).  This is the scan-byte
+    cut the r11 verdict named missing: candidates come from 4× fewer
+    bytes, floats are read for survivors only."""
+    from vector_search_engine_spark.operators import ivf
+
+    spark.catalog.clearCache()
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = index.search_sq8_distributed(
+        knn_ops.make_queries(emb), k=10, nprobe=2
+    )
+    df.collect()
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    code_scans = [ln for ln in scans if "code#" in ln]
+    index_float_scans = [
+        ln
+        for ln in scans
+        if "embedding" in ln.split("ReadSchema")[-1]
+        and "centroid_id#" in ln
+        and "code#" not in ln
+    ]
+    assert code_scans, "no code-sidecar scan found"
+    for ln in code_scans:
+        assert "INSET" in ln, f"code scan not pruned: {ln}"
+        assert (
+            "embedding" not in ln.split("ReadSchema")[-1]
+        ), f"code scan reads float bytes: {ln}"
+    assert index_float_scans, "no rescore float scan found"
+    for ln in index_float_scans:
+        assert "INSET" in ln, f"float scan not pruned: {ln}"
+
+
+def test_cascade_distributed_bq_scan_pruned_no_cartesian(spark, sf_dir):
+    """Bulk-query cascade: the 1-bit BQ scan (stage 1) and the int8 scan
+    (stage 2) are both partition-pruned; all three stages are Arrow
+    kernels (MapInPandas); no cartesian anywhere."""
+    from vector_search_engine_spark.operators import ivf
+
+    spark.catalog.clearCache()
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = index.search_cascade_distributed(
+        knn_ops.make_queries(emb), k=10, nprobe=2, candidates_per_cell=40
+    )
+    df.collect()
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") >= 3  # probes + bq_cut + sq_cut
+    code_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "code#" in ln
+    ]
+    assert len(code_scans) >= 2, "expected both BQ and SQ8 code scans"
+    for ln in code_scans:
+        assert "INSET" in ln, f"code scan not pruned: {ln}"
+        assert (
+            "embedding" not in ln.split("ReadSchema")[-1]
+        ), f"code scan reads float bytes: {ln}"

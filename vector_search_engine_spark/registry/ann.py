@@ -797,6 +797,40 @@ def ann_ivf_distributed_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_ivf_sq8_distributed", oracle=ORACLES["knn_exact_l2"])
+def ann_ivf_sq8_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized ladder on the bulk-query path (r12 — the r11
+    verdict's top item): probe assignment inside the query table's
+    partitions, candidates from a shuffle join with the partition-pruned
+    int8 SQ8 sidecar (4× fewer scan bytes than the float cells), the
+    provably lossless bound cut per (query, batch) slice, exact float
+    rescore of survivors only — hash-identical to the exact flat oracle
+    at full probe, same oracle as ann_ivf_distributed."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_sq8_distributed(
+        knn_ops.make_queries(emb), k=10, nprobe=index.meta["n_centroids"]
+    )
+
+
+@register("ann_ivf_cascade_distributed", oracle=ORACLES["knn_exact_l2"])
+def ann_ivf_cascade_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged BQ→SQ8→float cascade on the bulk-query path (r12):
+    1-bit candidate generation (32× scan cut) → lossless SQ8 bound cut
+    → exact float rescore, all under the no-driver-collect contract
+    (stage-2 candidates shuffle-join the code sidecar — never a
+    broadcast, the list scales with |Q|).  Graded exactly: full probe +
+    unbounded stage-1 cut is hash-identical to the exact flat oracle."""
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return index.search_cascade_distributed(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=index.meta["n_centroids"],
+        candidates_per_cell=10**9,
+    )
+
+
 @register("ann_lsh_search")  # approximate by nature → rows-only
 def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second ANN family: BucketedRandomProjectionLSH bucket join + exact
