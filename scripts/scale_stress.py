@@ -76,6 +76,10 @@ def main() -> None:
         _pca_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
         return
+    if "--only-distq" in sys.argv:  # finding-25 section alone
+        _distq_section(spark, results)
+        print(json.dumps({"n_vecs": N_VECS, "results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -727,6 +731,93 @@ def _pca_section(spark, results: dict) -> None:
         import shutil
 
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def _distq_section(spark, results: dict) -> None:
+    """Finding-25 data source (r11 verdict's top item, delivered r12):
+    the quantized ladder on the BULK-QUERY distributed path, measured
+    at 100k corpus × 100k queries (every vector queries the index —
+    the all-corpus-retrieval shape), nprobe=8, k=6.  Reports wall for
+    float vs SQ8 vs cascade candidate generation, the on-disk bytes of
+    each candidate-stage layout (the scan-byte cut is a property of
+    the layout: float cells vs int8 codes vs packed sign bits — what a
+    100 TB cluster actually reads), and a bit-equality spot check of
+    the sq8 path against the float path on a 50-query subsample."""
+    import shutil
+
+    rng = np.random.default_rng(29)
+    V = rng.normal(0, 1, (N_VECS, DIM)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(N_VECS, dtype=np.int64), "embedding": list(V)}
+        )
+    ).cache()
+    emb.count()
+    idx_dir = tempfile.mkdtemp(prefix="vse_stress_distq_")
+    idx = IVFIndex.build(emb, f"{idx_dir}/index")
+    sq_dir = idx.ensure_sq8()
+    bq_dir = idx.ensure_bq()
+
+    def _du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, fn))
+        return total
+
+    gen_dir = os.path.join(idx.index_dir, "vectors")
+    results["scan_bytes"] = {
+        "float_cells": _du(gen_dir),
+        "sq8_codes": _du(sq_dir),
+        "bq_codes": _du(bq_dir),
+    }
+    results["scan_bytes"]["sq8_cut_x"] = round(
+        results["scan_bytes"]["float_cells"]
+        / max(1, results["scan_bytes"]["sq8_codes"]),
+        2,
+    )
+    results["scan_bytes"]["bq_cut_x"] = round(
+        results["scan_bytes"]["float_cells"]
+        / max(1, results["scan_bytes"]["bq_codes"]),
+        2,
+    )
+    print(f"  scan_bytes: {results['scan_bytes']}", file=sys.stderr)
+
+    qall = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+    )
+    timed(
+        results,
+        "float_distributed_100kq",
+        lambda: idx.search_distributed(qall, k=6, nprobe=8).count(),
+    )
+    timed(
+        results,
+        "sq8_distributed_100kq",
+        lambda: idx.search_sq8_distributed(qall, k=6, nprobe=8).count(),
+    )
+    timed(
+        results,
+        "cascade_distributed_100kq",
+        lambda: idx.search_cascade_distributed(
+            qall, k=6, nprobe=8, candidates_per_cell=48
+        ).count(),
+    )
+    # bit-equality spot check (the oracle gate runs at sf0.01; this pins
+    # the same contract at the stress corpus): sq8 == float on 50 queries
+    qs = qall.filter(F.col("qid") < 50)
+    a = sorted(
+        map(tuple, idx.search_distributed(qs, k=6, nprobe=8).collect())
+    )
+    b = sorted(
+        map(tuple, idx.search_sq8_distributed(qs, k=6, nprobe=8).collect())
+    )
+    results["sq8_eq_float_50q"] = bool(a == b)
+    print(f"  sq8_eq_float_50q: {results['sq8_eq_float_50q']}", file=sys.stderr)
+    emb.unpersist()
+    shutil.rmtree(idx_dir, ignore_errors=True)
 
 
 def _churn_section(spark, results: dict) -> None:

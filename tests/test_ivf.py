@@ -1163,3 +1163,98 @@ def test_cascade_distributed_exact_unbounded_and_sane_finite_c(
     ).collect()
     hit = sum(1 for r in fin if r.neighbor_id in gt.get(r.qid, set()))
     assert hit / max(1, len(fin)) >= 0.8
+
+
+def test_pca_staleness_monitor_and_retrain(spark, tmp_path):
+    """r12 (verdict item 3): the pcarot sidecar's carried-forward
+    rotation is MONITORED — build-time prefix energy persists in the
+    sidecar, carry-forward recomputes it on the current corpus, and the
+    report surfaces the decay; under the default policy a ratio below
+    the documented threshold triggers a from-scratch retrain that
+    restores pruning power.  Exactness holds throughout (any orthogonal
+    R keeps the prefix bound lossless)."""
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    import pandas as pd
+
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    rng = np.random.default_rng(31)
+    d, dp, n_a = 64, 16, 1200
+    mix = np.linalg.qr(rng.normal(0, 1, (d, d)))[0]
+    A = (
+        (rng.normal(0, 1, (n_a, d)) * np.exp(-np.arange(d) / 4.0)) @ mix
+    ).astype(np.float32)
+    df_a = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n_a, dtype=np.int64), "embedding": list(A)}
+        )
+    )
+    eng = VectorEngine.create(df_a, str(tmp_path / "eng"), n_centroids=8)
+    idx = eng.index
+    rot0 = idx.ensure_pca_rot()
+    R0 = np.load(os.path.join(rot0, "rotation.npy"))
+    rep0 = {r.prefix_dims: r for r in idx.pca_energy_report().collect()}
+    assert rep0[dp].energy_ratio == 1.0
+    assert rep0[dp].trained_energy > 0.8  # decaying spectrum recovered
+
+    # drift: 3x the corpus arrives with its energy in R0's TRAILING
+    # dims (offset along the last eigendirection keeps the newcomers in
+    # one cell, so carry-forward genuinely happens for the others)
+    tail_basis = R0[:, -8:]
+    B = (
+        rng.normal(0, 1, (3 * n_a, 8)) @ tail_basis.T + 30.0 * R0[:, -1]
+    ).astype(np.float32)
+    df_b = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": n_a + np.arange(3 * n_a, dtype=np.int64),
+                "embedding": list(B),
+            }
+        )
+    )
+    eng.insert(df_b)
+    assert eng.compact() > 0
+
+    # monitor-only build: donor rotation reused, decay surfaced + flagged
+    rot1 = idx.ensure_pca_rot(min_energy_ratio=None)
+    assert rot1 != rot0
+    assert (np.load(os.path.join(rot1, "rotation.npy")) == R0).all()
+    rep1 = {
+        r.prefix_dims: r
+        for r in idx.pca_energy_report(min_energy_ratio=None).collect()
+    }
+    assert rep1[dp].energy_ratio < 0.5, rep1[dp]
+    assert rep1[dp].stale  # flagged against the documented threshold
+    # exactness unaffected by the stale rotation
+    q = (np.arange(10, dtype=np.int64), np.vstack([A[:5], B[:5]]))
+    nc = idx.meta["n_centroids"]
+    exact = [
+        tuple(r)
+        for r in idx.search(q, k=10, nprobe=nc).orderBy("qid", "rank").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in idx.search_prefix_pca(q, k=10, nprobe=nc, prefix_dims=dp)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == exact
+
+    # enforcement: rebuilding under the default policy retrains
+    _shutil.rmtree(rot1)
+    rot2 = idx.ensure_pca_rot()
+    R2 = np.load(os.path.join(rot2, "rotation.npy"))
+    assert not (R2 == R0).all()  # fresh basis, not the stale donor
+    rep2 = {r.prefix_dims: r for r in idx.pca_energy_report().collect()}
+    assert rep2[dp].energy_ratio == 1.0 and not rep2[dp].stale
+    assert rep2[dp].current_energy > rep1[dp].current_energy + 0.3
+    got2 = [
+        tuple(r)
+        for r in idx.search_prefix_pca(q, k=10, nprobe=nc, prefix_dims=dp)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got2 == exact

@@ -57,6 +57,20 @@ def pca_rotation(
     component is made positive (eigenvectors are sign-ambiguous;
     rebuilds must be byte-identical for the sidecar carry-forward
     byte-identity contract)."""
+    return rotation_from_sample(
+        collect_pca_sample(vectors, vec_col, sample_size, seed)
+    )
+
+
+def collect_pca_sample(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    sample_size: int = 65536,
+    seed: int = 7,
+) -> np.ndarray:
+    """The bounded, layout-independent, canonically-ordered training
+    sample (float64 ndarray) — shared by rotation training and the
+    staleness energy recompute so both see the same selection rule."""
     sample = (
         vectors.select(vec_col)
         .orderBy(F.hash(F.lit(int(seed)), F.col(vec_col)), F.col(vec_col))
@@ -71,7 +85,12 @@ def pca_rotation(
     # rotation a pure function of the sample SET (the property the
     # sidecar carry-forward byte-identity contract rests on; pytest
     # test_prefix_pca_rotation_deterministic caught the gap live)
-    X = X[np.lexsort(X.T[::-1])]
+    return X[np.lexsort(X.T[::-1])]
+
+
+def rotation_from_sample(X: np.ndarray) -> np.ndarray:
+    """Train the sign-pinned eigenbasis from an already-collected sample
+    (see ``pca_rotation`` for the contract)."""
     Xc = X - X.mean(axis=0)
     # covariance eigenbasis; eigh is exact for the symmetric d×d matrix
     # (d is the embedding width — tiny)
@@ -82,6 +101,22 @@ def pca_rotation(
         if R[i, j] < 0:
             R[:, j] = -R[:, j]
     return np.ascontiguousarray(R)
+
+
+def energy_curve(X: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """Cumulative fraction of (centered) sample variance carried by the
+    first 1..d ROTATED dims — ``curve[dp-1]`` is
+    ``explained_prefix_energy(X, R, dp)`` for every dp at once.  This is
+    the monitored quantity behind the rotation-staleness diagnostic:
+    under corpus drift a carried-forward rotation's curve flattens
+    toward the identity's (pruning power decays toward the plain-prefix
+    degenerate regime) while correctness is unaffected (any orthogonal
+    R keeps the prefix bound lossless)."""
+    Xc = X - X.mean(axis=0)
+    Z = Xc @ R
+    per_dim = (Z * Z).sum(axis=0)
+    tot = max(float(per_dim.sum()), 1e-300)
+    return np.cumsum(per_dim) / tot
 
 
 def explained_prefix_energy(X: np.ndarray, R: np.ndarray, dp: int) -> float:

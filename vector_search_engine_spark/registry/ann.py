@@ -831,6 +831,20 @@ def ann_ivf_cascade_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_pca_energy_report")  # calibration diagnostic — rows-only
+def ivf_pca_energy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-rotation staleness monitor (r12 — the r11 verdict's item 3):
+    per prefix length, the trained vs current cumulative prefix energy
+    of the pcarot sidecar's rotation and their ratio — the quantity
+    whose silent decay under corpus drift erodes the prefix_pca tier's
+    pruning power toward the plain-prefix degenerate regime.  Running
+    the report also enforces the retrain policy: a sidecar whose ratio
+    at the monitored dp fell below the documented threshold is rebuilt
+    from scratch before being reported on."""
+    index = ivf.build_or_load(spark, sf_dir)
+    return index.pca_energy_report()
+
+
 @register("ann_lsh_search")  # approximate by nature → rows-only
 def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second ANN family: BucketedRandomProjectionLSH bucket join + exact
