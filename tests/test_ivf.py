@@ -1258,3 +1258,79 @@ def test_pca_staleness_monitor_and_retrain(spark, tmp_path):
         .collect()
     ]
     assert got2 == exact
+
+
+def test_pca_carry_forward_recovers_from_donor_missing_rotation(
+    spark, tmp_path
+):
+    """r13 regression (ADVICE): a pcarot donor can carry _SUCCESS but no
+    rotation.npy (the parquet write publishes _SUCCESS before np.save
+    runs, and _sidecar_carry_forward vets donors on _SUCCESS alone — a
+    crash in that window poisons the donor permanently).  The r12
+    rewrite of ensure_pca_rot dropped the recovery: with build_cells
+    set but no donor rotation, neither branch assigned R and
+    broadcast(R) raised UnboundLocalError on EVERY retry — a crash
+    loop.  The fix mirrors ensure_bq's missing-thresholds rule: discard
+    the donor and retrain from scratch."""
+    import os
+
+    import pandas as pd
+
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    rng = np.random.default_rng(47)
+    d, n = 32, 800
+    A = rng.normal(0, 1, (n, d)).astype(np.float32)
+    df_a = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(A)}
+        )
+    )
+    eng = VectorEngine.create(df_a, str(tmp_path / "eng"), n_centroids=6)
+    idx = eng.index
+    rot0 = idx.ensure_pca_rot()
+    rpath0 = os.path.join(rot0, "rotation.npy")
+    assert os.path.exists(rpath0)
+    # simulate the crash window: donor dir keeps _SUCCESS, loses the npy
+    os.remove(rpath0)
+    assert os.path.exists(os.path.join(rot0, "_SUCCESS"))
+
+    # advance the generation so the poisoned dir becomes the donor
+    B = (rng.normal(0, 1, (200, d)) + 5.0).astype(np.float32)
+    df_b = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": n + np.arange(200, dtype=np.int64),
+                "embedding": list(B),
+            }
+        )
+    )
+    eng.insert(df_b)
+    assert eng.compact() > 0
+
+    # pre-fix: UnboundLocalError here, and on every retry
+    rot1 = idx.ensure_pca_rot()
+    assert rot1 != rot0
+    R1 = np.load(os.path.join(rot1, "rotation.npy"))
+    assert R1.shape == (d, d)
+    # the from-scratch retrain records a fresh baseline
+    import json as _json
+
+    with open(os.path.join(rot1, "energy.json")) as f:
+        e = _json.load(f)
+    assert e["energy_ratio"] == 1.0
+
+    # exactness through the tier after recovery
+    q = (np.arange(6, dtype=np.int64), np.vstack([A[:3], B[:3]]))
+    nc = idx.meta["n_centroids"]
+    exact = [
+        tuple(r)
+        for r in idx.search(q, k=5, nprobe=nc).orderBy("qid", "rank").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in idx.search_prefix_pca(q, k=5, nprobe=nc, prefix_dims=8)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == exact

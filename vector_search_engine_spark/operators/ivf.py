@@ -1297,6 +1297,17 @@ class IVFIndex:
             donor_rpath = (
                 os.path.join(donor, "rotation.npy") if donor else None
             )
+            if build_cells is not None and not (
+                donor_rpath and os.path.exists(donor_rpath)
+            ):
+                # Donor published _SUCCESS but has no rotation.npy —
+                # reachable because the parquet write emits _SUCCESS
+                # before np.save() runs, and carry-forward vets donors
+                # on _SUCCESS alone.  Carried cells would have no
+                # rotation to serve against (and R below would be
+                # unbound).  Same rule as ensure_bq's missing
+                # thresholds.json: discard the donor and retrain.
+                build_cells = None
             base = self.vectors(snapshot=snapshot)
             dp = self._PCA_STALENESS_DP
             energy: dict | None = None
