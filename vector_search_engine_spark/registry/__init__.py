@@ -287,48 +287,94 @@ _GRADE_FIRST: list[str] = [
     #   corpus_source_psi (r11 fifth wave: numeric-feature drift monitor,
     #       oracle-backed) in; doc_quality_filter → out: carries r7-r10
     #       greens, the text family holds six other window rows.
+    # r13 rotation — r11's verdict names the 15 rows never driver-graded
+    # (all judge-verified green that session), and r12 added three more
+    # registry rows after its window froze (sq8/cascade distributed,
+    # pca energy report).  All 18 go in; the 18 swap-outs each carry an
+    # r12 green driver row and follow the standing redundant-twin /
+    # stronger-composed-claim policy — every one stays registered,
+    # sweep-gated, and pytest-gated:
+    #   ann_ivf_prefix_pca → out: the incoming
+    #       streaming_merged_search_prefix_pca runs the IDENTICAL
+    #       rotated-prefix tier through the strictly-larger merged Q4
+    #       contract, and ivf_pca_energy_report monitors the same
+    #       sidecar; r12 green.
+    #   ann_ivf_cosine_graph / ann_ivf_ip_graph → out: the metric
+    #       matrix rotates to the never-graded distributed cells
+    #       (cosine/ip_distributed); the graph tier keeps
+    #       index_asof_search_graph in-window; both r12 green.
+    #   ann_ivf_cosine_radius / ann_ivf_radius_filtered /
+    #   streaming_radius_search → out: the RANGE family keeps
+    #       knn_radius_pairs (self-join form) and
+    #       streaming_radius_search_filtered (radius + filter through
+    #       the merged contract — the strongest composed claim); all
+    #       three r12 green.
+    #   embeddings_dbscan → out: embeddings_dbscan_ivf stays — the
+    #       IVF-served composition under the IDENTICAL oracle; r12 green.
+    #   dbscan_kdist_report / ivf_tune_ef_report /
+    #   ivf_tune_candidates_report → out: the calibration-report family
+    #       rotates to the never-graded ivf_tune_nprobe_report +
+    #       ivf_rebalance_stats; all three r12 healthy.
+    #   embeddings_knn_outliers / knn_label_classify / knn_collapse_topk
+    #       → out: k-distance scoring is embeddings_lof's first stage,
+    #       classify keeps the composed ann_ivf_classify (same oracle),
+    #       collapse is gated by every top-k row; all r12 green.
+    #   embeddings_knn_pagerank / embeddings_knn_communities → out:
+    #       kNN-graph analytics keep triangles + epsilon_kcore in-window
+    #       (the two with per-row exact oracles over the same edge
+    #       builder); both r12 green.
+    #   corpus_source_kl → out: corpus_source_psi stays (binned form of
+    #       the same drift monitor); r12 green.
+    #   hybrid_search_mmr → out: rows-only-by-nature diagnostic; fusion
+    #       family keeps hybrid_search_combsum (oracle-backed); r12
+    #       healthy.
+    #   multimodal_frame_dedup → out: family keeps metadata_stats +
+    #       real_decode; r12 healthy.
     "knn_exact_l2",
+    # metric twin of the anchor (reference Q1 under IP — never graded)
+    "knn_exact_ip",
     # IVF exactness anchor (reference Q2/Q3/B2)
     "ann_ivf_exact_when_full_probe",
-    # serving tiers: graph × metric matrix (r10) + rotated prefix (r11)
-    "ann_ivf_prefix_pca",
-    "ann_ivf_cosine_graph",
-    "ann_ivf_ip_graph",
+    # bulk-query distributed path × metric / filter / quantized ladder
+    # (the 100 TB workhorse — engine.h:100-144's bulk twin)
+    "ann_ivf_cosine_distributed",
+    "ann_ivf_ip_distributed",
+    "ann_ivf_distributed_filtered",
+    "ann_ivf_sq8_distributed",
+    "ann_ivf_cascade_distributed",
+    # serving-tier cells never graded
+    "ann_ivf_cosine_sq8_filtered",
+    "ann_ivf_pq_serving",
+    "knn_bq_rescore",
+    # multi-vector parent retrieval (flat form — composed twin graded r8+)
+    "knn_parent_closest",
+    # graph-tier as-of (snapshot pinning through the newest sidecar)
     "index_asof_search_graph",
-    # radius / RANGE family (r10, never graded)
+    # rotated-prefix tier through the merged Q4 contract + its monitor
+    "streaming_merged_search_prefix_pca",
+    "ivf_pca_energy_report",
+    # serving-knob / engine diagnostics (rows-only by nature)
+    "ivf_tune_nprobe_report",
+    "ivf_rebalance_stats",
+    "streaming_engine_metrics",
+    # radius / RANGE family anchors
     "knn_radius_pairs",
-    "ann_ivf_radius_filtered",
-    "ann_ivf_cosine_radius",
-    "streaming_radius_search",
     "streaming_radius_search_filtered",
-    # density / epsilon family (r10, judge-verified, never driver-graded)
-    "embeddings_dbscan",
+    # density / epsilon family anchors
     "embeddings_dbscan_ivf",
-    "dbscan_kdist_report",
-    "embeddings_knn_outliers",
     "embeddings_lof",
-    "knn_label_classify",
     "ann_ivf_classify",
-    "knn_collapse_topk",
-    # kNN-graph analytics (r10, judge-verified, never driver-graded)
-    "embeddings_knn_pagerank",
+    # kNN-graph analytics anchors
     "embeddings_knn_triangles",
-    "embeddings_knn_communities",
-    # graph analytics third wave (r11)
     "embeddings_epsilon_kcore",
-    # corpus statistics (r10, judge-verified, never driver-graded)
+    # corpus statistics (+ the never-graded raw n-gram agg)
     "corpus_frequent_ngrams",
+    "corpus_ngram_stats",
     "doc_bigram_logprob",
-    "corpus_source_kl",
     "corpus_source_psi",
-    # retrieval fusion forms (r8/r9, never graded)
+    # retrieval fusion
     "hybrid_search_combsum",
-    "hybrid_search_mmr",
-    # serving-knob calibration reports (r10, rows-only by nature)
-    "ivf_tune_ef_report",
-    "ivf_tune_candidates_report",
-    # multimodal (frame-hash dedup rows-only; real codec decode r11)
-    "multimodal_frame_dedup",
+    # multimodal
     "multimodal_metadata_stats",
     "multimodal_real_decode",
     # streaming engine anchors (reference S4/W1/W4)
@@ -336,14 +382,16 @@ _GRADE_FIRST: list[str] = [
     "streaming_delete_search",
     # multi-vector (parent/child) retrieval
     "knn_maxsim",
-    # LLM-pipeline: dedup family
+    # LLM-pipeline: dedup family (+ the never-graded Ed-Join plan report)
     "dedup_exact",
     "dedup_substring_clean",
     "simjoin_edit_distance",
+    "simjoin_edit_distance_stats",
     "pipeline_neardup_corpus",
-    # LLM-pipeline: corpus ops
+    # LLM-pipeline: corpus ops (+ the never-graded MinHash sketch form)
     "corpus_decontaminate",
     "corpus_source_overlap",
+    "corpus_source_overlap_minhash",
     # event-time streaming (watermark windows / stateful sessions /
     # interval join / bounded-state dedup)
     "streaming_sessionize",
