@@ -850,7 +850,9 @@ def _churn_section(spark, results: dict) -> None:
     queries = (qids, V[:10].astype(np.float64))
     n_ticks, batch = 20, 5_000
 
-    def run_mode(tag: str, hot_cell_factor: float | None) -> "VectorEngine":
+    def run_mode(
+        tag: str, hot_cell_factor: float | str | None
+    ) -> "VectorEngine":
         root = tempfile.mkdtemp(prefix=f"vse_stress_churn_{tag}_")
         eng = VectorEngine.create(df_of(0, N_VECS, V), f"{root}/engine")
         tick_secs, compactions, graph_secs = [], 0, []
@@ -889,6 +891,7 @@ def _churn_section(spark, results: dict) -> None:
             "graph_search_secs": graph_secs,
             "n_cells": int(len(eng.index.centroid_ids)),
             "max_graph_search_sec": max(graph_secs),
+            "max_ingest_compact_sec": max(tick_secs),
         }
         return eng
 
@@ -896,9 +899,22 @@ def _churn_section(spark, results: dict) -> None:
     # phase B: + hot-cell splitting (the finding-23 lever): any cell
     # exceeding 4× the mean splits at compaction, bounding the per-cell
     # graph rebuild a generation bump can ever cost
-    run_mode("nosplit", None)  # engine A only contributes its timings
-    eng = run_mode("split4x", 4.0)
-    results["churn"] = results["churn_split4x"]  # final gate runs on B
+    # phase C (r13, verdict item 5): hot_cell_factor="auto" — the split
+    # threshold derives from the MEASURED per-cell graph-build cost
+    # curve so the worst single-cell rebuild stays ≈ target_rebuild_sec,
+    # instead of a factor-of-mean guess that let the clustered hot
+    # cell's tick drift 9 → 17 s in finding 23.
+    # --churn-modes nosplit,split4x,auto selects; default re-measures
+    # the finding-23 lever (split4x) against auto on the same box.
+    modes = {"split4x": 4.0, "auto": "auto", "nosplit": None}
+    sel = "split4x,auto"
+    for i, a in enumerate(sys.argv):
+        if a == "--churn-modes" and i + 1 < len(sys.argv):
+            sel = sys.argv[i + 1]
+    eng = None
+    for tag in sel.split(","):
+        eng = run_mode(tag, modes[tag])
+    results["churn"] = results[f"churn_{sel.split(',')[-1]}"]
     n_cells = results["churn"]["n_cells"]
     # live exactness gate: merged graph tier at full probe + unbounded
     # beam == exact kNN over the logical union of all live versions

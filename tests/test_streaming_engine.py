@@ -950,3 +950,72 @@ def test_sidecar_carry_forward_across_compaction(
         q, k=10, nprobe=np_full, candidates_per_cell=10**9
     ))
     assert fl == _sorted(idx.search_graph(q, k=10, nprobe=np_full, ef=10**9))
+
+
+def test_hot_cell_factor_auto_budget_derived_split(spark, tmp_path):
+    """r13 (r11 verdict item 5): ``hot_cell_factor="auto"`` replaces the
+    factor-of-mean guess with a seconds budget — the split threshold is
+    inverted from a MEASURED per-cell graph-build cost calibration, so
+    the worst post-compaction sidecar rebuild any one cell can cost is
+    bounded by ``target_rebuild_sec``.  A tiny budget must therefore
+    split a swollen cell that a generous factor would keep, searches
+    stay exact through the split, and the threshold is monotone in the
+    budget (a bigger budget never demands a smaller cell)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 20.0, (4, 16))
+    base = np.concatenate(
+        [centers[i] + rng.normal(0, 1.0, (300, 16)) for i in range(4)]
+    ).astype(np.float32)
+    base_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(base), dtype=np.int64),
+                "embedding": [[float(x) for x in v] for v in base],
+            }
+        )
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    eng = VectorEngine.create(base_df, str(tmp_path / "eng"), n_centroids=4)
+
+    # the calibration itself: bounded one-off collect, cached; monotone
+    t_small = eng._auto_max_cell_rows(1e-4)
+    assert eng._graph_build_cost_const is not None  # calibrated once
+    t_big = eng._auto_max_cell_rows(60.0)
+    assert t_big >= t_small >= 1024  # floor: the doubling ladder's base
+    mean = len(base) / 4
+    assert t_small > mean  # never shatters below the mean
+
+    # 2000 rows into ONE region: cell 0 swells to ~2300 > the tiny
+    # budget's threshold (1024) but BELOW a generous 4x-mean factor
+    # (3200) — only the budget-derived policy splits it
+    hot = (centers[0] + rng.normal(0, 1.0, (2000, 16))).astype(np.float32)
+    hot_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(10_000, 10_000 + len(hot), dtype=np.int64),
+                "embedding": [[float(x) for x in v] for v in hot],
+            }
+        )
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    eng.insert(hot_df)
+    n_cells_before = len(eng.index.centroid_ids)
+    folded = eng.maybe_compact(
+        max_delta_fraction=0.05,
+        hot_cell_factor="auto",
+        target_rebuild_sec=1e-4,
+    )
+    assert folded == len(hot)
+    assert len(eng.index.centroid_ids) > n_cells_before
+    occ = {
+        r["centroid_id"]: r["n_vectors"] for r in eng.index.stats().collect()
+    }
+    assert sum(occ.values()) == len(base) + len(hot)
+    # every cell now respects the budget-derived bound
+    assert max(occ.values()) <= t_small
+    # exactness through the split
+    union = base_df.unionByName(hot_df)
+    q = knn_ops.make_queries(union, n=5)
+    merged = eng.search(q, k=10, nprobe=len(eng.index.centroid_ids))
+    exact = knn_ops.knn_exact(union, q, k=10)
+    assert _sorted(merged) == _sorted(exact)
