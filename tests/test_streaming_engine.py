@@ -1019,3 +1019,61 @@ def test_hot_cell_factor_auto_budget_derived_split(spark, tmp_path):
     merged = eng.search(q, k=10, nprobe=len(eng.index.centroid_ids))
     exact = knn_ops.knn_exact(union, q, k=10)
     assert _sorted(merged) == _sorted(exact)
+
+
+def test_search_distributed_merged_equals_exact(spark, embeddings, engine):
+    """r13: the merged Q4 contract for DATASET-SIZED query tables —
+    engine.search_distributed composes the bulk-query index tiers
+    (float / sq8 / cascade) with shadowed-id exclusion and the
+    block-join exact delta scan.  Gate: every tier equals exact kNN
+    over the latest-wins logical union (insert + upsert + tombstone
+    all live), and agrees with the per-query merged path at partial
+    nprobe."""
+    tail = embeddings.filter(F.col("vec_id") >= 400)
+    engine.insert(tail)
+    # upsert: move 3 indexed ids far away (their old versions shadow)
+    moved = (
+        embeddings.filter(F.col("vec_id").between(100, 102))
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x + F.lit(7.0)).cast(
+                "array<float>"
+            ),
+        )
+    )
+    engine.insert(moved)
+    engine.delete([200, 201])
+
+    q = knn_ops.make_queries(embeddings, n=10)
+    nc = engine.index.meta["n_centroids"]
+    # latest-wins logical union minus tombstones
+    delta_latest = engine.delta_latest()
+    delta_live = delta_latest.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding"
+    )
+    union = (
+        engine.index.vectors()
+        .select("vec_id", "embedding")
+        .join(delta_latest.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(delta_live)
+    )
+    exact = knn_ops.knn_exact(union, q, k=10)
+    want = _sorted(exact)
+    for tier in ("float", "sq8", "cascade"):
+        got = engine.search_distributed(
+            q, k=10, nprobe=nc, tier=tier, candidates_per_cell=10**9
+        )
+        assert _sorted(got) == want, tier
+    # partial nprobe: bulk path == per-query merged path, tier by tier
+    a = _sorted(engine.search(q, k=10, nprobe=3))
+    for tier in ("float", "sq8"):
+        b = _sorted(engine.search_distributed(q, k=10, nprobe=3, tier=tier))
+        assert b == a, tier
+    # filtered form: predicate applies to both sides' latest versions
+    pred = F.col("vec_id") % 2 == 0
+    filt_union = union.filter(pred)
+    want_f = _sorted(knn_ops.knn_exact(filt_union, q, k=10))
+    got_f = engine.search_distributed(
+        q, k=10, nprobe=nc, tier="sq8", predicate=pred
+    )
+    assert _sorted(got_f) == want_f

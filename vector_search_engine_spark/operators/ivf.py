@@ -1661,6 +1661,8 @@ class IVFIndex:
         qvec_col: str = "query",
         snapshot: int | str | None = None,
         predicate=None,
+        exclude_ids: DataFrame | None = None,
+        round_output: bool = True,
     ) -> DataFrame:
         """ANN top-k for a LARGE query table — the tier for when ``|Q|``
         itself is a dataset (bulk re-embedding joins, all-corpus retrieval
@@ -1678,7 +1680,10 @@ class IVFIndex:
         Identical results to ``search()`` at the same nprobe (same stable
         centroid ordering; pinned in tests).  ``predicate``: optional
         metadata Column over the index side, applied before the shuffle
-        join (pushed to the scan) — the large-|Q| filtered tier."""
+        join (pushed to the scan) — the large-|Q| filtered tier.
+        ``exclude_ids``: one-column DataFrame of ids to drop PRE-JOIN
+        (anti-join on the index side — the merged engine contract's
+        shadowed-id exclusion; ids never visit the driver)."""
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         # same snapshot discipline as search(): centroids and cells from
@@ -1694,6 +1699,10 @@ class IVFIndex:
         base = self.vectors(snapshot=snap)
         if predicate is not None:
             base = base.filter(predicate)
+        if exclude_ids is not None:
+            base = base.join(
+                exclude_ids.toDF(id_col), id_col, "left_anti"
+            )
         cand = probes.join(base, "centroid_id").select(
             "qid", "query", F.col(id_col), F.col(vec_col)
         )
@@ -1722,7 +1731,7 @@ class IVFIndex:
         cand_topk = cand.mapInPandas(
             batch_topk, schema="qid long, neighbor_id long, dist double"
         )
-        return _finalize_topk(cand_topk, k, "l2_sq")
+        return _finalize_topk(cand_topk, k, "l2_sq", round_output)
 
     def _assign_probes_distributed(
         self,
@@ -1810,6 +1819,7 @@ class IVFIndex:
         predicate=None,
         bits: int = 8,
         round_output: bool = True,
+        exclude_ids: DataFrame | None = None,
     ) -> DataFrame:
         """The quantized ladder on the BULK-QUERY path: ``search_sq8``'s
         two-stage shape (int8 candidate scan + lossless bound cut +
@@ -1865,6 +1875,13 @@ class IVFIndex:
         codes = spark.read.parquet(sq_dir).filter(
             F.col("centroid_id").isin(cells)
         )
+        if exclude_ids is not None:
+            # shadowed-id exclusion PRE-CUT on the code side (merged
+            # engine contract): an excluded id can then never survive
+            # into the rescore, so the float join needs no second guard
+            codes = codes.join(
+                exclude_ids.toDF(id_col), id_col, "left_anti"
+            )
         cand_codes = probes.join(codes, "centroid_id").select(
             "qid", "query", F.col(id_col), "code", "lo", "hi"
         )
@@ -1933,6 +1950,7 @@ class IVFIndex:
         snapshot: int | str | None = None,
         predicate=None,
         round_output: bool = True,
+        exclude_ids: DataFrame | None = None,
     ) -> DataFrame:
         """The staged BQ → SQ8 → float cascade on the BULK-QUERY path —
         ``search_cascade``'s three stages re-expressed under
@@ -1984,6 +2002,12 @@ class IVFIndex:
         bq_codes = spark.read.parquet(bq_dir).filter(
             F.col("centroid_id").isin(cells)
         )
+        if exclude_ids is not None:
+            # shadowed ids leave before stage 1's cut: they can then
+            # never survive into stages 2-3 (merged engine contract)
+            bq_codes = bq_codes.join(
+                exclude_ids.toDF(id_col), id_col, "left_anti"
+            )
         cand_codes = probes.join(bq_codes, "centroid_id").select(
             "qid", "query", F.col(id_col), "code", "dim"
         )

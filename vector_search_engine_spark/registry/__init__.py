@@ -330,6 +330,17 @@ _GRADE_FIRST: list[str] = [
     #       healthy.
     #   multimodal_frame_dedup → out: family keeps metadata_stats +
     #       real_decode; r12 healthy.
+    # r13 second wave — this round's own additions go straight in
+    # (standing policy): streaming_search_distributed +
+    # streaming_search_sq8_distributed (the merged Q4 contract for
+    # dataset-sized query tables — bulk path × LSM view × quantized
+    # ladder, engine.search_distributed).  Swap-outs:
+    #   embeddings_knn_triangles → out: kNN-graph analytics keep
+    #       embeddings_epsilon_kcore (same edge builder, per-row exact
+    #       oracle); triangles r12 green.
+    #   doc_bigram_logprob → out: corpus-stats family keeps
+    #       corpus_source_psi + the incoming corpus_ngram_stats +
+    #       corpus_frequent_ngrams; r12 green.
     "knn_exact_l2",
     # metric twin of the anchor (reference Q1 under IP — never graded)
     "knn_exact_ip",
@@ -364,22 +375,23 @@ _GRADE_FIRST: list[str] = [
     "embeddings_dbscan_ivf",
     "embeddings_lof",
     "ann_ivf_classify",
-    # kNN-graph analytics anchors
-    "embeddings_knn_triangles",
+    # kNN-graph analytics anchor
     "embeddings_epsilon_kcore",
     # corpus statistics (+ the never-graded raw n-gram agg)
     "corpus_frequent_ngrams",
     "corpus_ngram_stats",
-    "doc_bigram_logprob",
     "corpus_source_psi",
     # retrieval fusion
     "hybrid_search_combsum",
     # multimodal
     "multimodal_metadata_stats",
     "multimodal_real_decode",
-    # streaming engine anchors (reference S4/W1/W4)
+    # streaming engine anchors (reference S4/W1/W4) + the r13 bulk-query
+    # merged contract (float + quantized-ladder forms)
     "streaming_ingest_search",
     "streaming_delete_search",
+    "streaming_search_distributed",
+    "streaming_search_sq8_distributed",
     # multi-vector (parent/child) retrieval
     "knn_maxsim",
     # LLM-pipeline: dedup family (+ the never-graded Ed-Join plan report)

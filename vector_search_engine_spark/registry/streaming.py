@@ -604,3 +604,57 @@ def streaming_merged_search_prefix_pca(
         nprobe=eng.index.meta["n_centroids"],
         tier="prefix_pca",
     )
+
+
+@register("streaming_search_distributed", oracle=ORACLES["knn_exact_l2"])
+def streaming_search_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The merged Q4 contract for DATASET-SIZED query tables (r13):
+    engine.search_distributed — IVF bulk path (in-partition probe
+    assignment + centroid_id shuffle join) with shadowed ids anti-joined
+    out pre-cut, plus knn_exact_distributed's block-join delta scan; no
+    per-query data ever visits the driver on either side.  Exact at
+    full probe over the logical union — same oracle as every merged
+    search row.  Reference anchor: engine.h:100-144's serve loop is the
+    per-query analog."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    return eng.search_distributed(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+    )
+
+
+@register(
+    "streaming_search_sq8_distributed", oracle=ORACLES["knn_exact_l2"]
+)
+def streaming_search_sq8_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bulk-query merged contract through the QUANTIZED ladder
+    (r13): the indexed side scans the generation-keyed int8 sidecar (4×
+    fewer bytes), bound-cuts losslessly per (query, batch) slice, and
+    exact-rescores survivors — with shadowed ids excluded BEFORE the
+    cut, so the delta's latest versions win exactly as in the float
+    form.  Hash-identical to exact search over the union at full
+    probe."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    return eng.search_distributed(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        tier="sq8",
+    )

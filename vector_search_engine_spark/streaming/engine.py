@@ -43,6 +43,7 @@ from vector_search_engine_spark.operators.ivf import IVFIndex
 from vector_search_engine_spark.operators.knn import (
     _finalize_topk,
     knn_exact,
+    knn_exact_distributed,
     radius_search as radius_search_exact,
 )
 from vector_search_engine_spark.streaming.metrics import MetricsRecorder
@@ -550,6 +551,90 @@ class VectorEngine:
         ).unionByName(delta_part.select("qid", "neighbor_id", F.col("dist_sq")))
         return _finalize_topk(
             merged.select("qid", "neighbor_id", F.col("dist_sq").alias("dist")),
+            k,
+            "l2_sq",
+        )
+
+    def search_distributed(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        tier: str = "float",
+        candidates_per_cell: int | None = None,
+        predicate=None,
+    ) -> DataFrame:
+        """The merged Q4 contract for DATASET-SIZED query tables — the
+        reference's serve loop (``engine.h:100-144``) answers one query
+        against base+delta; ``search()`` is its per-query-set twin
+        (collect-and-broadcast, bounded |Q| by contract, ``knn.py:70``);
+        this is the bulk twin for when |Q| is itself a dataset (bulk
+        re-embedding joins, all-corpus retrieval passes over a live,
+        continuously-ingesting index).
+
+        Composition — nothing per-query visits the driver on EITHER
+        side:
+
+        * indexed side: ``IVFIndex.search_{,sq8_,cascade_}distributed``
+          (in-partition probe assignment + shuffle join on
+          ``centroid_id``, the quantized tiers reading 4×/32× fewer
+          scan bytes) with shadowed ids removed PRE-CUT by an anti-join
+          against the pinned delta snapshot's id set — the anti-join's
+          build side is the delta (small by the compaction contract),
+          so AQE broadcasts it;
+        * delta side: ``knn_exact_distributed``'s block nested-loop kNN
+          join (|Q|·v_blocks + delta·q_blocks shuffle volume, never
+          |Q|·delta);
+        * one global raw-float64 top-k re-rank, rounding once at output
+          (same tie discipline as ``search``).
+
+        ``tier``: ``"float"`` (exact at any nprobe vs the probed set),
+        ``"sq8"`` (lossless bound cut + exact rescore — identical
+        results to float), or ``"cascade"`` (BQ→SQ8→float; exact when
+        ``candidates_per_cell`` is unbounded, recall-measured when
+        finite).  ``predicate``: metadata Column applied to BOTH sides'
+        latest versions, same semantics as ``search``."""
+        if tier not in ("float", "sq8", "cascade"):
+            raise ValueError(f"unknown distributed tier {tier!r}")
+        id_col = self.index.meta["id_col"]
+        vec_col = self.index.meta["vec_col"]
+        # pin the delta snapshot ONCE (same discipline as search):
+        # exclusion and the delta scan must see identical seq sets
+        delta_latest = self.delta_latest(seqs=self._live_seqs())
+        exclude = delta_latest.select(id_col)
+        if tier == "sq8":
+            indexed_part = self.index.search_sq8_distributed(
+                queries, k=k, nprobe=nprobe, exclude_ids=exclude,
+                predicate=predicate, round_output=False,
+            )
+        elif tier == "cascade":
+            indexed_part = self.index.search_cascade_distributed(
+                queries, k=k, nprobe=nprobe,
+                candidates_per_cell=candidates_per_cell,
+                exclude_ids=exclude, predicate=predicate,
+                round_output=False,
+            )
+        else:
+            indexed_part = self.index.search_distributed(
+                queries, k=k, nprobe=nprobe, exclude_ids=exclude,
+                predicate=predicate, round_output=False,
+            )
+        delta_live = delta_latest.filter(F.col(vec_col).isNotNull())
+        if predicate is not None:
+            delta_live = delta_live.filter(predicate)
+        delta_part = knn_exact_distributed(
+            delta_live, queries, k=k, id_col=id_col, vec_col=vec_col,
+            round_output=False,
+        )
+        merged = indexed_part.select(
+            "qid", "neighbor_id", F.col("dist_sq")
+        ).unionByName(
+            delta_part.select("qid", "neighbor_id", F.col("dist_sq"))
+        )
+        return _finalize_topk(
+            merged.select(
+                "qid", "neighbor_id", F.col("dist_sq").alias("dist")
+            ),
             k,
             "l2_sq",
         )
