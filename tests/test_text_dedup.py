@@ -1112,3 +1112,74 @@ def test_source_psi_matches_python_reference(spark):
             for b, c in cs.items()
         )
         assert abs(got[s] - psi) < 1e-5, (s, got[s], psi)
+
+
+def test_leakage_safe_split_properties(spark, documents):
+    """r13: the split key is the near-dup cluster — so (1) no cluster
+    straddles splits (THE leakage guard), (2) assignment is a pure
+    function of cluster id (re-running or re-partitioning changes
+    nothing), (3) every doc appears exactly once, (4) the bucket ratios
+    roughly honor 80/10/10 at cluster granularity."""
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    pairs = dedup_ops.ngram_jaccard_pairs(documents)
+    clusters = graph_ops.dedup_clusters(documents, pairs)
+    split = text_ops.leakage_safe_split(documents, clusters).cache()
+    n_docs = documents.count()
+    assert split.count() == n_docs
+    assert split.select("doc_id").distinct().count() == n_docs
+    # (1) one split per cluster
+    per_cluster = split.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    # near-dup pairs specifically never straddle
+    straddle = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("doc_a"),
+                         F.col("split").alias("sa")), "doc_a")
+        .join(split.select(F.col("doc_id").alias("doc_b"),
+                           F.col("split").alias("sb")), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    assert straddle.count() == 0
+    # (2) determinism under repartitioning
+    again = text_ops.leakage_safe_split(
+        documents.repartition(7), clusters.repartition(5)
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, split.collect())
+    )
+    # (4) ratios at cluster granularity (binomial tolerance)
+    frac = (
+        split.select("cluster_id", "split").distinct()
+        .groupBy("split").count().collect()
+    )
+    tot = sum(r["count"] for r in frac)
+    by = {r["split"]: r["count"] / tot for r in frac}
+    assert 0.65 < by.get("train", 0) < 0.93
+    assert 0.02 < by.get("val", 0) < 0.25
+    assert 0.02 < by.get("test", 0) < 0.25
+    split.unpersist()
+
+
+def test_mixture_temperature_weights_invariants(spark, documents):
+    """Weights sum to 1; alpha=0.5 compresses the distribution toward
+    uniform (tail sources upsample, head sources downsample); exact
+    counts match a direct agg."""
+    out = text_ops.mixture_temperature_weights(documents).collect()
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-3
+    assert abs(sum(r.nat_share for r in out) - 1.0) < 1e-3
+    for r in out:
+        if r.nat_share < 1.0 / len(out):
+            assert r.upsample_factor >= 1.0, r
+        elif r.nat_share > 1.0 / len(out):
+            assert r.upsample_factor <= 1.0, r
+    direct = {
+        r.source: (r.n, r.c)
+        for r in documents.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("c"))
+        .collect()
+    }
+    for r in out:
+        assert (r.n_docs, r.n_chars) == direct[r.source]

@@ -2135,3 +2135,142 @@ SELECT sb.source,
 FROM sb JOIN tb USING (bin) JOIN ns USING (source)
 GROUP BY sb.source
 """.format(plist=",".join(str(i / 10) for i in range(1, 10)))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (r13) — the assignment key is the
+# near-dup CLUSTER, not the document, so near-duplicates can never
+# straddle splits (the eval-contamination guard a training pipeline
+# needs BEFORE the split, not after)
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "vse-split:"
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    clusters: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Group-aware train/val/test split: every document inherits its
+    near-dup cluster's bucket — a salted 60-bit md5 of the CLUSTER id
+    mod 100 — so two near-duplicate documents land in the same split BY
+    CONSTRUCTION (a doc-keyed hash split leaks: a test doc's near-dup
+    twin trains, and the eval score silently inflates).  Deterministic
+    pure function of (cluster_id, salt, ratios): reproducible across
+    runs, engines and partitionings, same discipline as the salted-md5
+    samplers above.
+
+    ``clusters``: ``(doc_id, cluster_id)`` from
+    ``graph.dedup_clusters`` (transitive closure of near-dup pairs;
+    singletons are their own cluster).  Cost at scale: one broadcast-or
+    -shuffle equi-join on doc_id plus pure column expressions — the
+    clustering itself is the pipeline's existing dedup pass, reused.
+
+    Output: ``(doc_id, cluster_id, bucket, split)``."""
+    b = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.col("cluster_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return (
+        documents.select("doc_id")
+        .join(clusters.select("doc_id", "cluster_id"), "doc_id")
+        .withColumn("bucket", b.cast("long"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "bucket",
+            F.when(F.col("bucket") < train_pct, F.lit("train"))
+            .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+# oracle fragment: needs the cluster CTE prepended by the caller (the
+# registry composes it with graph.DEDUP_CLUSTERS_ORACLE, which lives
+# with the CC operator)
+LEAKAGE_SPLIT_ORACLE_BODY = f"""
+SELECT doc_id, cluster_id,
+       CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(cluster_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 100 AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(cluster_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(cluster_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM cl
+"""
+
+
+def mixture_temperature_weights(
+    documents: DataFrame, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-smoothed source mixture weights — the multilingual /
+    multi-source sampling rule (p_i ∝ share_i^alpha, alpha<1 upsamples
+    the tail; Lample & Conneau 2019's smoothing, used by every
+    data-mixture recipe since): from exact per-source token (char)
+    counts, compute the natural share, the alpha-smoothed normalized
+    weight, and the implied upsample factor.  One groupBy agg over the
+    corpus + one broadcast scalar normalization — no second corpus
+    scan; float math happens on exact LONG sums only, rounded once at
+    output (cross-engine hash discipline)."""
+    stats = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = stats.agg(
+        F.sum("n_chars").cast("double").alias("_tot")
+    )
+    raw = F.pow(F.col("n_chars").cast("double") / F.col("_tot"), F.lit(alpha))
+    scored = stats.crossJoin(F.broadcast(tot)).withColumn("_raw", raw)
+    denom = scored.agg(F.sum("_raw").alias("_denom"))
+    return (
+        scored.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("n_chars") / F.col("_tot"), 6).alias("nat_share"),
+            F.round(F.col("_raw") / F.col("_denom"), 6).alias("weight"),
+            F.round(
+                (F.col("_raw") / F.col("_denom"))
+                / (F.col("n_chars") / F.col("_tot")),
+                4,
+            ).alias("upsample_factor"),
+        )
+    )
+
+
+MIXTURE_TEMPERATURE_ORACLE = """
+WITH stats AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_chars)::DOUBLE AS t FROM stats),
+raw AS (
+  SELECT s.*, pow(s.n_chars / tot.t, 0.5) AS r, tot.t AS t
+  FROM stats s CROSS JOIN tot
+),
+d AS (SELECT sum(r) AS denom FROM raw)
+SELECT source, n_docs, n_chars,
+       round(n_chars / t, 6) AS nat_share,
+       round(r / d.denom, 6) AS weight,
+       round((r / d.denom) / (n_chars / t), 4) AS upsample_factor
+FROM raw CROSS JOIN d
+"""

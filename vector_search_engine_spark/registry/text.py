@@ -283,10 +283,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.dedup_clusters(docs, pairs)
 
 
+@register("corpus_split_leakage_safe", oracle=None)  # oracle set below
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (r13): the split key is the
+    near-dup CLUSTER (transitive closure of the Jaccard pairs), so a
+    test document's near-duplicate twin can never train — the
+    eval-contamination guard applied BEFORE the split.  Deterministic
+    salted-md5 bucketing of the cluster id; oracle replays the identical
+    assignment over the recursive-CTE clusters."""
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = graph_ops.dedup_clusters(
+        docs, dedup_ops.ngram_jaccard_pairs(docs)
+    )
+    return txt_ops.leakage_safe_split(docs, clusters)
+
+
+@register(
+    "corpus_mixture_temperature", oracle=txt_ops.MIXTURE_TEMPERATURE_ORACLE
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixture weights (r13): per-source
+    alpha=0.5 smoothed sampling weights from exact char counts — the
+    data-mixture rule that upsamples tail sources; one agg + scalar
+    normalization, no second corpus scan."""
+    return txt_ops.mixture_temperature_weights(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def _set_graph_oracles() -> None:
     from vector_search_engine_spark.operators import graph as graph_ops
 
     ORACLES["dedup_clusters"] = graph_ops.DEDUP_CLUSTERS_ORACLE
+    ORACLES["corpus_split_leakage_safe"] = f"""
+WITH cl AS ({graph_ops.DEDUP_CLUSTERS_ORACLE})
+{txt_ops.LEAKAGE_SPLIT_ORACLE_BODY}
+"""
     ORACLES["pipeline_neardup_corpus"] = f"""
 WITH cl AS ({graph_ops.DEDUP_CLUSTERS_ORACLE}),
 stats AS ({txt_ops.DOC_STATS_ORACLE.strip()})
