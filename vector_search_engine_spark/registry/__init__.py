@@ -341,6 +341,16 @@ _GRADE_FIRST: list[str] = [
     #   doc_bigram_logprob → out: corpus-stats family keeps
     #       corpus_source_psi + the incoming corpus_ngram_stats +
     #       corpus_frequent_ngrams; r12 green.
+    # r13 third wave — corpus_split_leakage_safe (cluster-keyed
+    # train/val/test assignment, oracle replays the salted-md5 bucket
+    # over recursive-CTE clusters) + corpus_mixture_temperature
+    # (alpha-smoothed source weights) go straight in.  Swap-outs:
+    #   pipeline_neardup_corpus → out: the split row composes the
+    #       IDENTICAL Jaccard-pairs → CC machinery under a strictly
+    #       larger claim (adds the leakage-safe assignment); r12 green.
+    #   knn_maxsim → out: multi-vector family rotates to the incoming
+    #       never-graded knn_parent_closest; maxsim carries r8/r10/r12
+    #       greens and stays sweep- and pytest-gated.
     "knn_exact_l2",
     # metric twin of the anchor (reference Q1 under IP — never graded)
     "knn_exact_ip",
@@ -392,15 +402,15 @@ _GRADE_FIRST: list[str] = [
     "streaming_delete_search",
     "streaming_search_distributed",
     "streaming_search_sq8_distributed",
-    # multi-vector (parent/child) retrieval
-    "knn_maxsim",
     # LLM-pipeline: dedup family (+ the never-graded Ed-Join plan report)
     "dedup_exact",
     "dedup_substring_clean",
     "simjoin_edit_distance",
     "simjoin_edit_distance_stats",
-    "pipeline_neardup_corpus",
-    # LLM-pipeline: corpus ops (+ the never-graded MinHash sketch form)
+    # LLM-pipeline: corpus ops (+ the never-graded MinHash sketch form
+    # and the r13 split / mixture additions)
+    "corpus_split_leakage_safe",
+    "corpus_mixture_temperature",
     "corpus_decontaminate",
     "corpus_source_overlap",
     "corpus_source_overlap_minhash",
