@@ -268,6 +268,116 @@ def _large_cell_rung(spark, vecs, queries, gt, work: str) -> dict:
     return out
 
 
+def _pca_correlated_rung(spark, work: str, n: int) -> dict:
+    """Stretch rung (r11 verdict item 7): the PCA-rotated prefix tier at
+    SIFT scale in its CLAIMED regime — wide (128-dim) vectors whose
+    energy is correlated but hidden from any axis-aligned prefix (a
+    decaying spectrum mixed by a random rotation), large cells (64
+    centroids → ~n/64 rows each).  Finding 24 was honest that the
+    flat-spectrum 100k×64d corpus shows wall parity; this measures
+    whether the FLOPs cut turns into wall at 1M×128d, against both the
+    float scan and the UNROTATED prefix tier (whose bound cannot prune
+    here — its survivor fraction is the degenerate-regime control).
+    All three tiers must return bit-identical rows (lossless)."""
+    d, nq, pfx, ncells, k, nprobe = 128, 200, 16, 64, 10, 4
+    rng = np.random.default_rng(17)
+    scales = np.exp(-np.arange(d) / 12.0)
+    mix = np.linalg.qr(rng.normal(0, 1, (d, d)))[0]
+    path = f"{work}/pca_base.fvecs"
+    dim_le = np.array([d], dtype="<i4").tobytes()
+    out: dict = {
+        "n": n, "dim": d, "prefix_dims": pfx,
+        "n_centroids": ncells, "nprobe": nprobe, "k": k, "nq": nq,
+    }
+    t0 = time.time()
+    chunk = 100_000
+    with open(path, "wb") as f:
+        for lo in range(0, n, chunk):
+            m = min(chunk, n - lo)
+            block = ((rng.normal(0, 1, (m, d)) * scales) @ mix).astype(
+                "<f4"
+            )
+            rec = np.empty((m, d + 1), dtype="<f4")
+            rec[:, 0:1] = np.frombuffer(dim_le, dtype="<f4")
+            rec[:, 1:] = block
+            f.write(rec.tobytes())
+    Q = ((rng.normal(0, 1, (nq, d)) * scales) @ mix).astype(np.float32)
+    out["gen_sec"] = round(time.time() - t0, 2)
+    vecs = scan_fvecs(spark, path)
+    t0 = time.time()
+    idx = IVFIndex.build(vecs, f"{work}/index_pca", n_centroids=ncells)
+    out["ivf_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    rot_dir = idx.ensure_pca_rot()
+    out["pcarot_build_sec"] = round(time.time() - t0, 2)
+    with open(os.path.join(rot_dir, "energy.json")) as f:
+        cum = json.load(f)["trained_cum_energy"]
+    out["energy_at_prefix"] = round(float(cum[pfx - 1]), 4)
+    queries = (np.arange(nq, dtype=np.int64), Q)
+    print(f"pca rung: built in {out['ivf_build_sec']}s + "
+          f"{out['pcarot_build_sec']}s sidecar; energy@{pfx} = "
+          f"{out['energy_at_prefix']}", file=sys.stderr)
+
+    def timed_rows(tag: str, fn) -> list:
+        # cold then warm — the warm number is the honest serve cost
+        # (the cold one pays first-touch parquet/Arrow warmup)
+        t0 = time.time()
+        rows = sorted(map(tuple, fn().collect()))
+        cold = round(time.time() - t0, 2)
+        t0 = time.time()
+        rows = sorted(map(tuple, fn().collect()))
+        out[f"{tag}_search_sec"] = {
+            "cold": cold, "warm": round(time.time() - t0, 2)
+        }
+        print(f"pca rung {tag}: {out[f'{tag}_search_sec']}",
+              file=sys.stderr)
+        return rows
+
+    flat = timed_rows("float", lambda: idx.search(queries, k=k, nprobe=nprobe))
+    pfx_rows = timed_rows(
+        "prefix",
+        lambda: idx.search_prefix(queries, k=k, nprobe=nprobe, prefix_dims=pfx),
+    )
+    ppca_rows = timed_rows(
+        "prefix_pca",
+        lambda: idx.search_prefix_pca(
+            queries, k=k, nprobe=nprobe, prefix_dims=pfx
+        ),
+    )
+    assert pfx_rows == flat, "prefix bound cut must be lossless at 1M"
+    assert ppca_rows == flat, "pca prefix bound cut must be lossless at 1M"
+    out["all_tiers_bit_identical"] = True
+
+    # survivor fractions, sampled driver-side: rotated vs axis-aligned
+    R = np.load(os.path.join(rot_dir, "rotation.npy"))
+    samp = np.stack(
+        [
+            r[0]
+            for r in vecs.select(idx.meta["vec_col"])
+            .sample(min(1.0, 50_000 / max(n, 1)), seed=3)
+            .limit(50_000)
+            .collect()
+        ]
+    ).astype(np.float64)
+    samp_rot = samp @ R
+    fr_plain, fr_rot = [], []
+    for i in range(20):
+        q64 = Q[i].astype(np.float64)
+        qr = q64 @ R
+        dfull = ((samp - q64[None, :]) ** 2).sum(axis=1)
+        kth = np.partition(dfull, k - 1)[k - 1]
+        dp = ((samp[:, :pfx] - q64[None, :pfx]) ** 2).sum(axis=1)
+        dpr = ((samp_rot[:, :pfx] - qr[None, :pfx]) ** 2).sum(axis=1)
+        fr_plain.append(float((dp <= kth).mean()))
+        fr_rot.append(float((dpr <= kth).mean()))
+    out["survivor_fraction_prefix"] = round(float(np.mean(fr_plain)), 4)
+    out["survivor_fraction_prefix_pca"] = round(float(np.mean(fr_rot)), 4)
+    print(f"pca rung survivors: plain {out['survivor_fraction_prefix']} "
+          f"vs rotated {out['survivor_fraction_prefix_pca']}",
+          file=sys.stderr)
+    return out
+
+
 def main() -> None:
     n = 1_000_000
     out_path = "SIFT1M.json"
@@ -278,6 +388,21 @@ def main() -> None:
         out_path = args[args.index("--out") + 1]
 
     spark = get_spark("vse-sift-scale")
+    if "--pca-rung" in args:
+        work = tempfile.mkdtemp(prefix="vse_sift_pca_")
+        try:
+            rung = _pca_correlated_rung(spark, work, n)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        merged: dict = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                merged = json.load(f)
+        merged["prefix_pca_rung"] = rung
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=1)
+        print(json.dumps({"prefix_pca_rung": rung}))
+        return
     work = tempfile.mkdtemp(prefix="vse_sift_")
     results: dict = {"n_vectors": n, "dim": DIM, "n_queries": NQ}
     try:
