@@ -367,3 +367,43 @@ def test_lof_flags_density_boundary_point(spark):
     # metric); the point is the contrast with the boundary point
     assert got[4] <= 1.3
     assert got[100] > 3 * got[4]
+
+
+def test_kcenter_select_matches_numpy_greedy(embeddings, embeddings_np):
+    """r13: the distributed greedy k-center replays the NumPy greedy
+    exactly (anchor = min id; argmax of min-dist with id tie-break),
+    and the selection carries the Gonzalez spread guarantee shape:
+    the radius ladder (dist_sq per step) is non-increasing."""
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    ids, V = embeddings_np
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order].astype(np.float64)
+    k = 8
+    sel = [0]
+    md = ((V - V[0][None, :]) ** 2).sum(axis=1)
+    dists = [0.0]
+    for _ in range(k - 1):
+        live = np.ones(len(ids), bool)
+        live[sel] = False
+        # argmax of min-dist, ties by smallest id
+        best = np.lexsort((ids, -md))
+        for j in best:
+            if live[j]:
+                sel.append(int(j))
+                dists.append(float(md[j]))
+                break
+        md = np.minimum(md, ((V - V[sel[-1]][None, :]) ** 2).sum(axis=1))
+    want = [
+        (r + 1, int(ids[j]), round(d, 4))
+        for r, (j, d) in enumerate(zip(sel, dists))
+    ]
+    got = [
+        (r["rank"], r["vec_id"], r["dist_sq"])
+        for r in knn_ops.kcenter_select(embeddings, k=k)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+    ladder = [d for _, _, d in got[1:]]
+    assert ladder == sorted(ladder, reverse=True)  # non-increasing radius

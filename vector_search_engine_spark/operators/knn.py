@@ -889,3 +889,80 @@ def recall_at_k(results: DataFrame, ground_truth: DataFrame, k: int) -> DataFram
         F.round(F.avg("recall"), 6).alias("recall_at_k"),
         F.count("*").cast("long").alias("n_queries"),
     )
+
+
+def kcenter_select(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 — the classic
+    2-approximation for the k-center objective): start from the
+    smallest id (a deterministic anchor), then ``k-1`` times add the
+    point with the MAXIMUM min-squared-L2 distance to the already
+    selected set, ties broken by smallest id.  The diversity-sampling
+    primitive of training-data curation: pick maximally-spread
+    exemplars under a labeling/inspection budget, seed clustering, or
+    build a coverage probe set — the complement of the density family
+    (outliers score isolation; k-center GUARANTEES spread: every point
+    is within 2× the optimal k-center radius of a selected exemplar).
+
+    Scale shape: the selected set is k rows — it lives on the driver
+    (bounded scalar collect, k·d floats) and enters each round as a
+    PURE COLUMN EXPRESSION (``F.least`` over the k ``l2_sq`` columns —
+    JVM codegen, no UDF, no broadcast join); each round is one scan +
+    ``TakeOrderedAndProject(1)``.  Exactly ``k-1`` scans total —
+    iterative by nature (each selection depends on the last), like the
+    reference's sequential seeding loops, but each step is one
+    distributed pass with only 1 row ever returning to the driver.
+
+    Returns ``(rank, vec_id, dist_sq)`` where ``dist_sq`` is the min
+    squared distance to the PREVIOUSLY selected exemplars (0.0 for the
+    anchor) — i.e. the k-center radius ladder; ``dist_sq`` of the last
+    row upper-bounds twice the optimal k-center radius.  Float64
+    sequential-fold arithmetic identical to the DuckDB oracle's
+    ``list_sum`` (dim order), so selection and distances hash-match."""
+    from vector_search_engine_spark.functions.vector import l2_sq
+
+    first = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(1)
+        .collect()[0]
+    )
+    sel: list[tuple[int, list, float]] = [
+        (int(first[0]), [float(x) for x in first[1]], 0.0)
+    ]
+    for _ in range(int(k) - 1):
+        exprs = [
+            l2_sq(
+                F.col(vec_col),
+                F.array(*[F.lit(x) for x in v]),
+            )
+            for _, v, _ in sel
+        ]
+        mind = exprs[0] if len(exprs) == 1 else F.least(*exprs)
+        chosen = (
+            vectors.filter(
+                ~F.col(id_col).isin([i for i, _, _ in sel])
+            )
+            .select(
+                F.col(id_col), F.col(vec_col), mind.alias("_md")
+            )
+            .orderBy(F.col("_md").desc(), F.col(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        sel.append(
+            (
+                int(chosen[0]),
+                [float(x) for x in chosen[1]],
+                float(chosen[2]),
+            )
+        )
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(r + 1, i, round(d, 4)) for r, (i, _, d) in enumerate(sel)],
+        schema="rank long, vec_id long, dist_sq double",
+    )

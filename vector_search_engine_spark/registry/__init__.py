@@ -351,6 +351,11 @@ _GRADE_FIRST: list[str] = [
     #   knn_maxsim → out: multi-vector family rotates to the incoming
     #       never-graded knn_parent_closest; maxsim carries r8/r10/r12
     #       greens and stays sweep- and pytest-gated.
+    # r13 fourth wave — embeddings_kcenter_coreset (greedy k-center
+    # diversity selection, oracle = unrolled selection CTEs) goes
+    # straight in.  Swap-out: corpus_frequent_ngrams → out: the MG
+    # summary is recount-verified against the SAME raw n-gram agg the
+    # incoming corpus_ngram_stats gates; carries r10/r12 greens.
     "knn_exact_l2",
     # metric twin of the anchor (reference Q1 under IP — never graded)
     "knn_exact_ip",
@@ -388,9 +393,10 @@ _GRADE_FIRST: list[str] = [
     # kNN-graph analytics anchor
     "embeddings_epsilon_kcore",
     # corpus statistics (+ the never-graded raw n-gram agg)
-    "corpus_frequent_ngrams",
     "corpus_ngram_stats",
     "corpus_source_psi",
+    # diversity coreset (r13)
+    "embeddings_kcenter_coreset",
     # retrieval fusion
     "hybrid_search_combsum",
     # multimodal

@@ -619,3 +619,52 @@ def embeddings_epsilon_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     out = k_core(e, k=_KCORE_K, rounds=_KCORE_ROUNDS)
     return out.select(F.col("node").alias("vec_id"), "degree")
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (r13) — diversity sampling with a spread
+# guarantee; oracle = unrolled selection CTEs replaying the identical
+# argmax-of-min-distance greedy step
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int = _KCENTER_K) -> str:
+    dist = _DD_L2SQ.format(a="e.embedding", b="s.embedding")
+    ctes = [
+        'all0 AS (SELECT vec_id, embedding, 0.0::DOUBLE AS md, '
+        '1::BIGINT AS "rank" FROM embeddings ORDER BY vec_id LIMIT 1)'
+    ]
+    for i in range(1, k):
+        ctes.append(f"""pick{i} AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT min({dist}) FROM all{i - 1} s) AS md,
+         {i + 1}::BIGINT AS "rank"
+  FROM embeddings e
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM all{i - 1})
+  ORDER BY md DESC, e.vec_id LIMIT 1
+)""")
+        ctes.append(
+            f"all{i} AS (SELECT * FROM all{i - 1} "
+            f"UNION ALL SELECT * FROM pick{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f'\nSELECT "rank", vec_id, round(md, 4) AS dist_sq FROM all{k - 1}'
+    )
+
+
+@register("embeddings_kcenter_coreset", oracle=_kcenter_oracle())
+def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (r13, Gonzalez 1985): k=8
+    maximally-spread exemplars, anchor = smallest id, each step adds the
+    argmax of min-distance-to-selected (ties by id) — the
+    diversity-sampling / labeling-budget primitive, dual to the density
+    family.  Iterative by nature; each step is one distributed scan +
+    TakeOrdered(1) with a k-row driver state.  Oracle: the identical
+    greedy unrolled as 8 selection CTEs."""
+    return knn_ops.kcenter_select(
+        load_table(spark, sf_dir, "embeddings"), k=_KCENTER_K
+    )
