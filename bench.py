@@ -81,6 +81,14 @@ BENCH_QUERIES = [
     # mapInPandas; measures the binary-column Arrow round-trip)
     "corpus_source_overlap",
     "multimodal_real_decode",
+    # r13: the merged Q4 contract on the bulk-query path (engine built
+    # per call — ingest + distributed sq8 serve in one row), the
+    # cluster-keyed leakage-safe split (near-dup CC + salted bucketing),
+    # and the greedy k-center diversity coreset (8 scan+TakeOrdered(1)
+    # rounds — per-job overhead dominated at this sf)
+    "streaming_search_sq8_distributed",
+    "corpus_split_leakage_safe",
+    "embeddings_kcenter_coreset",
 ]
 
 

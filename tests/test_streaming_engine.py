@@ -1077,3 +1077,48 @@ def test_search_distributed_merged_equals_exact(spark, embeddings, engine):
         q, k=10, nprobe=nc, tier="sq8", predicate=pred
     )
     assert _sorted(got_f) == want_f
+
+
+def test_radius_search_distributed_merged_equals_exact(
+    spark, embeddings, engine
+):
+    """r13: the bulk-query RANGE sibling — distributed merged radius ==
+    brute force over the latest-wins union, through upsert + delete;
+    and the index-level distributed form == the per-query pruned form
+    bit-for-bit."""
+    tail = embeddings.filter(F.col("vec_id") >= 400)
+    engine.insert(tail)
+    moved = embeddings.filter(F.col("vec_id").between(10, 12)).withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: x + F.lit(3.0)).cast(
+            "array<float>"
+        ),
+    )
+    engine.insert(moved)
+    engine.delete([30, 31])
+    q = knn_ops.make_queries(embeddings, n=10)
+    r_sq = 40.0
+    delta_latest = engine.delta_latest()
+    union = (
+        engine.index.vectors()
+        .select("vec_id", "embedding")
+        .join(delta_latest.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(
+            delta_latest.filter(F.col("embedding").isNotNull()).select(
+                "vec_id", "embedding"
+            )
+        )
+    )
+    want = sorted(
+        map(tuple, knn_ops.radius_search(union, q, r_sq).collect())
+    )
+    got = sorted(
+        map(tuple, engine.radius_search_distributed(q, r_sq).collect())
+    )
+    assert got == want
+    # index-level: distributed == per-query pruned form
+    a = sorted(map(tuple, engine.index.radius_search(q, r_sq).collect()))
+    b = sorted(
+        map(tuple, engine.index.radius_search_distributed(q, r_sq).collect())
+    )
+    assert a == b

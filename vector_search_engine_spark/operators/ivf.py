@@ -3668,6 +3668,127 @@ class IVFIndex:
         )
         return out.select("qid", "neighbor_id", d.alias("dist_sq"))
 
+    def radius_search_distributed(
+        self,
+        queries: DataFrame,
+        radius_sq: float,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+        predicate=None,
+        exclude_ids: DataFrame | None = None,
+        round_output: bool = True,
+    ) -> DataFrame:
+        """EXACT range search for DATASET-SIZED query tables — the RANGE
+        sibling of ``search_distributed`` (r13), completing the bulk
+        path's coverage of the serving surface.  Same zero-recall-loss
+        triangle-inequality cell prune as ``radius_search`` (cell probed
+        iff sqrt(d(q,c)) <= r + R_c), but the prune runs INSIDE the
+        query table's partitions: the centroid matrix AND the per-cell
+        radii ship in the UDF closure (both O(cells) — a few MB at 4096
+        cells), so queries never visit the driver.  Probe hits
+        shuffle-join the float cells on ``centroid_id`` (scan pruned to
+        the probed-cell set — one bounded distinct-collect, ≤ n_cells
+        ints, same class as ``_probed_cells_distributed``), and the
+        per-(query, batch) kernel emits exactly the within-radius pairs.
+        Bit-identical to ``radius_search`` / the brute-force oracle.
+
+        ``exclude_ids`` anti-joins the index side pre-scan (merged
+        engine contract); ``predicate`` narrows the scan losslessly
+        (the radius is absolute — no k-th-bound interplay)."""
+        spark = self.spark
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        snap = self._read_manifest()
+        cids, C = self._centroids_for(snap)
+        radii = {
+            int(r["centroid_id"]): float(r["r_sq"])
+            for r in self.vectors(snapshot=snap)
+            .groupBy("centroid_id")
+            .agg(F.max("dist_to_centroid").alias("r_sq"))
+            .collect()
+        }
+        R_cell = np.sqrt(
+            np.array([radii.get(int(c), 0.0) for c in cids], dtype=np.float64)
+        )
+        r = float(np.sqrt(radius_sq))
+        bc = spark.sparkContext.broadcast((cids, C, R_cell, r))
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cids_, C_, Rc_, r_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.stack(pdf[qvec_col].to_numpy()).astype(np.float64)
+                D = l2_sq_matrix(Q, C_)
+                hit = np.sqrt(D) <= (r_ + Rc_)[None, :]
+                qi, ci = np.nonzero(hit)
+                if len(qi) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "qid": pdf[qid_col].to_numpy(dtype=np.int64)[qi],
+                        "query": pdf[qvec_col].to_numpy()[qi],
+                        "centroid_id": cids_[ci].astype(np.int32),
+                    }
+                )
+
+        probes = queries.select(qid_col, qvec_col).mapInPandas(
+            probe, schema="qid long, query array<float>, centroid_id int"
+        )
+        needed = sorted(
+            int(x[0])
+            for x in probes.select("centroid_id").distinct().collect()
+        )
+        if not needed:
+            out0 = spark.createDataFrame(
+                [], "qid long, neighbor_id long, dist_sq double"
+            )
+            return out0
+        base = self.vectors(snapshot=snap).filter(
+            F.col("centroid_id").isin(needed)
+        )
+        if exclude_ids is not None:
+            base = base.join(
+                exclude_ids.toDF(id_col), id_col, "left_anti"
+            )
+        if predicate is not None:
+            base = base.filter(predicate)
+        cand = probes.join(base, "centroid_id").select(
+            "qid", "query", F.col(id_col), F.col(vec_col)
+        )
+
+        def in_radius(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for qid, grp in pdf.groupby("qid"):
+                    q = np.asarray(
+                        grp["query"].iloc[0], dtype=np.float32
+                    ).astype(np.float64)
+                    ids = grp[id_col].to_numpy(dtype=np.int64)
+                    V = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
+                    d = (V * V).sum(axis=1) - 2.0 * (V @ q) + float(q @ q)
+                    np.maximum(d, 0.0, out=d)
+                    hit = d <= radius_sq
+                    if hit.any():
+                        yield pd.DataFrame(
+                            {
+                                "qid": int(qid),
+                                "neighbor_id": ids[hit],
+                                "dist": d[hit],
+                            }
+                        )
+
+        out = cand.mapInPandas(
+            in_radius, schema="qid long, neighbor_id long, dist double"
+        )
+        d = (
+            F.round("dist", 4) if round_output else F.col("dist").cast("double")
+        )
+        return out.select("qid", "neighbor_id", d.alias("dist_sq"))
+
 
 # ---------------------------------------------------------------------------
 # Cached build for the query registry (the driver re-invokes callables in

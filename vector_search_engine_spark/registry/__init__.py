@@ -356,6 +356,17 @@ _GRADE_FIRST: list[str] = [
     # straight in.  Swap-out: corpus_frequent_ngrams → out: the MG
     # summary is recount-verified against the SAME raw n-gram agg the
     # incoming corpus_ngram_stats gates; carries r10/r12 greens.
+    # r13 fifth wave — the bulk-query RANGE pair
+    # (ann_ivf_radius_distributed + streaming_radius_search_distributed,
+    # same brute-force oracle as every radius row) goes straight in.
+    # Swap-outs:
+    #   streaming_radius_search_filtered → out: the RANGE family rotates
+    #       to the never-graded DISTRIBUTED forms; the filter mechanics
+    #       stay gated in-window by ann_ivf_distributed_filtered and the
+    #       sq8 filtered rows; carries r12 green.
+    #   embeddings_dbscan_ivf → out: composed FROM the same radius
+    #       machinery the incoming rows gate; density family keeps lof +
+    #       classify in-window; carries r10/r12 greens.
     "knn_exact_l2",
     # metric twin of the anchor (reference Q1 under IP — never graded)
     "knn_exact_ip",
@@ -383,11 +394,11 @@ _GRADE_FIRST: list[str] = [
     "ivf_tune_nprobe_report",
     "ivf_rebalance_stats",
     "streaming_engine_metrics",
-    # radius / RANGE family anchors
+    # radius / RANGE family anchors (+ the r13 bulk-query pair)
     "knn_radius_pairs",
-    "streaming_radius_search_filtered",
+    "ann_ivf_radius_distributed",
+    "streaming_radius_search_distributed",
     # density / epsilon family anchors
-    "embeddings_dbscan_ivf",
     "embeddings_lof",
     "ann_ivf_classify",
     # kNN-graph analytics anchor

@@ -668,3 +668,35 @@ def embeddings_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ops.kcenter_select(
         load_table(spark, sf_dir, "embeddings"), k=_KCENTER_K
     )
+
+
+@register("ann_ivf_radius_distributed", oracle=_RADIUS_ORACLE)
+def ann_ivf_radius_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search on the BULK-QUERY path (r13): the triangle-inequality
+    cell prune runs inside the query table's partitions (centroids +
+    per-cell radii in the closure), probe hits shuffle-join the pruned
+    float cells — zero recall loss, bit-identical to the per-query form
+    and the brute-force oracle; no per-query data visits the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf.build_or_load(spark, sf_dir)
+    return idx.radius_search_distributed(knn_ops.make_queries(emb), RADIUS_SQ)
+
+
+@register("streaming_radius_search_distributed", oracle=_RADIUS_ORACLE)
+def streaming_radius_search_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The merged RANGE contract for dataset-sized query tables (r13):
+    indexed side = in-partition pruned distributed radius scan with
+    shadowed ids anti-joined out; delta side = broadcast JVM l2_sq
+    filter (delta small by the compaction contract); union is the merge.
+    Same 50-id upsert overlap trap as streaming_radius_search — broken
+    shadowing emits duplicates and fails the row-count gate."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 350))
+    return eng.radius_search_distributed(knn_ops.make_queries(emb), RADIUS_SQ)

@@ -673,6 +673,57 @@ class VectorEngine:
             "qid", "neighbor_id", F.round("dist_sq", 4).alias("dist_sq")
         )
 
+    def radius_search_distributed(
+        self, queries: DataFrame, radius_sq: float, predicate=None
+    ) -> DataFrame:
+        """Merged RANGE search for DATASET-SIZED query tables (r13) —
+        the radius sibling of ``search_distributed``, completing the
+        bulk path's coverage of the merged contract.  Indexed side:
+        ``IVFIndex.radius_search_distributed`` (in-partition
+        triangle-inequality cell prune; queries never visit the driver)
+        with shadowed ids anti-joined out.  Delta side: the delta is
+        small by the compaction contract, so it BROADCASTS against the
+        query table and the within-radius filter runs as a pure JVM
+        column expression (``l2_sq`` + filter — whole-stage codegen, no
+        kernel).  Union is the merge (id sets disjoint by exclusion, no
+        ranking); one rounding at output."""
+        from vector_search_engine_spark.functions.vector import l2_sq
+
+        id_col = self.index.meta["id_col"]
+        vec_col = self.index.meta["vec_col"]
+        delta_latest = self.delta_latest(seqs=self._live_seqs())
+        indexed_part = self.index.radius_search_distributed(
+            queries,
+            radius_sq,
+            exclude_ids=delta_latest.select(id_col),
+            predicate=predicate,
+            round_output=False,
+        )
+        delta_live = delta_latest.filter(F.col(vec_col).isNotNull())
+        if predicate is not None:
+            delta_live = delta_live.filter(predicate)
+        delta_part = (
+            queries.select("qid", "query")
+            .crossJoin(
+                F.broadcast(
+                    delta_live.select(
+                        F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("_v"),
+                    )
+                )
+            )
+            .select(
+                "qid",
+                "neighbor_id",
+                l2_sq(F.col("_v"), F.col("query")).alias("dist_sq"),
+            )
+            .filter(F.col("dist_sq") <= radius_sq)
+        )
+        merged = indexed_part.unionByName(delta_part)
+        return merged.select(
+            "qid", "neighbor_id", F.round("dist_sq", 4).alias("dist_sq")
+        )
+
     def search_timed(
         self, queries: DataFrame, k: int = 10, nprobe: int = 4
     ) -> DataFrame:
