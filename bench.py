@@ -438,16 +438,27 @@ def main() -> None:
         "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
-        # All raw run timings (min is what "queries" reports): lets
-        # cross-round drift be adjudicated as noise vs regression.
-        "queries_runs": runs,
         "mixed_rw": mixed,
         "sf": sf,
     }
     if errors:
         out["errors"] = errors
         out["value_partial"] = total
-    print(json.dumps(out))
+    # The verbose artifact (all raw run timings — min is what "queries"
+    # reports — so cross-round drift can be adjudicated as noise vs
+    # regression) goes to a FILE; stdout carries ONE COMPACT json line.
+    # Rationale: the driver's stdout capture window front-truncated the
+    # old long line every round ("parsed": null in BENCH_r{N}.json) —
+    # the compact line is sized to survive the window and parse.
+    try:
+        details_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+        )
+        with open(details_path, "w") as f:
+            json.dump({**out, "queries_runs": runs}, f, indent=1)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench details write failed: {exc!r}", file=sys.stderr)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -535,3 +535,68 @@ def test_cascade_distributed_bq_scan_pruned_no_cartesian(spark, sf_dir):
         assert (
             "embedding" not in ln.split("ReadSchema")[-1]
         ), f"code scan reads float bytes: {ln}"
+
+
+def test_engine_search_distributed_sq8_excludes_shadowed_pre_cut(
+    spark, sf_dir, tmp_path
+):
+    """r13: the merged bulk-query contract's plan shape — shadowed ids
+    leave the CODE side via an anti-join BEFORE the bound cut (LeftAnti
+    in the executed plan), the code scan reads no float bytes, and no
+    cartesian product appears anywhere (the delta side is the block
+    cogroup, the query side the probe kernel)."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400),
+        str(tmp_path / "eng"),
+        n_centroids=8,
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 350))  # 50-id shadow overlap
+    df = eng.search_distributed(
+        knn_ops.make_queries(emb), k=10, nprobe=8, tier="sq8"
+    )
+    df.collect()
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan, "shadowed-id exclusion missing from plan"
+    code_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "code#" in ln
+    ]
+    assert code_scans, "no code-sidecar scan found"
+    for ln in code_scans:
+        assert (
+            "embedding" not in ln.split("ReadSchema")[-1]
+        ), f"code scan reads float bytes: {ln}"
+
+
+def test_radius_distributed_scan_pruned_no_cartesian(spark, sf_dir):
+    """r13: the bulk-query RANGE path keeps the triangle-inequality
+    prune as a partition filter (INSET on the index float scan) and
+    joins probes to cells by equi-join, never cartesian."""
+    from vector_search_engine_spark.operators import ivf
+    from vector_search_engine_spark.registry.vectors import RADIUS_SQ
+
+    spark.catalog.clearCache()
+    index = ivf.build_or_load(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = index.radius_search_distributed(
+        knn_ops.make_queries(emb), RADIUS_SQ
+    )
+    df.collect()
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    idx_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln
+        and "centroid_id#" in ln
+        and "embedding" in ln.split("ReadSchema")[-1]
+    ]
+    assert idx_scans, "no index float scan found"
+    for ln in idx_scans:
+        assert "INSET" in ln, f"index scan not pruned: {ln}"
