@@ -1334,3 +1334,37 @@ def test_pca_carry_forward_recovers_from_donor_missing_rotation(
         .collect()
     ]
     assert got == exact
+
+
+def test_metric_distributed_quantized_stage_identical(spark, sf_dir):
+    """r13: the metric × quantized × bulk matrix — swapping the
+    candidate stage to sq8/cascade changes NOTHING in the output (the
+    bound cuts are lossless on the normalized / MIPS-augmented L2
+    geometries), at partial nprobe and full probe alike."""
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.operators import ivf, knn as knn_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = knn_ops.make_queries(emb, n=8)
+    for geometry, fn in (
+        ("cosine", ivf.search_cosine_distributed),
+        ("mips", ivf.search_ip_distributed),
+    ):
+        index = ivf.build_or_load(spark, sf_dir, geometry=geometry)
+        for nprobe in (3, index.meta["n_centroids"]):
+            base = sorted(
+                map(tuple, fn(index, emb, q, k=10, nprobe=nprobe).collect())
+            )
+            for tier in ("sq8", "cascade"):
+                got = sorted(
+                    map(
+                        tuple,
+                        fn(
+                            index, emb, q, k=10, nprobe=nprobe, tier=tier,
+                            # cascade stage 1 is the one lossy stage:
+                            # unbounded C is the identity configuration
+                            candidates_per_cell=10**9,
+                        ).collect(),
+                    )
+                )
+                assert got == base, (geometry, nprobe, tier)

@@ -4181,13 +4181,22 @@ def search_cosine_distributed(
     k: int = 10,
     nprobe: int = 4,
     candidate_margin: int = 10,
+    tier: str = "float",
+    candidates_per_cell: int | None = None,
 ) -> DataFrame:
     """Cosine ANN for a LARGE query table: normalization is a column
     expression inside the query table's partitions, candidates come from
     ``search_distributed`` on the normalized geometry (queries never
     visit the driver, no broadcast of |Q|), and the exact-cosine rescore
     joins on (neighbor_id, qid) — both ordinary shuffle joins at large
-    |Q|.  Full probe equals the flat cosine path (pinned in tests)."""
+    |Q|.  Full probe equals the flat cosine path (pinned in tests).
+
+    ``tier``: the candidate stage — ``"float"`` (default), ``"sq8"``
+    (int8 sidecar, 4× fewer candidate-scan bytes), or ``"cascade"``
+    (BQ→SQ8→float).  The lossless bound cuts hold on the normalized
+    geometry (it IS an L2 index), so the candidate set — and therefore
+    the rescored output — is identical to the float stage at the same
+    configuration (r13: the metric × quantized × bulk cell)."""
     from vector_search_engine_spark.functions.vector import (
         cosine_sim,
         normalize,
@@ -4197,9 +4206,20 @@ def search_cosine_distributed(
     normq = queries.select(
         "qid", normalize(F.col("query")).cast("array<float>").alias("query")
     )
-    cand = index.search_distributed(
-        normq, k=k + candidate_margin, nprobe=nprobe
-    ).select("qid", "neighbor_id")
+    if tier == "cascade":
+        cand = index.search_cascade_distributed(
+            normq, k=k + candidate_margin, nprobe=nprobe,
+            candidates_per_cell=candidates_per_cell,
+        )
+    elif tier == "sq8":
+        cand = index.search_sq8_distributed(
+            normq, k=k + candidate_margin, nprobe=nprobe
+        )
+    else:
+        cand = index.search_distributed(
+            normq, k=k + candidate_margin, nprobe=nprobe
+        )
+    cand = cand.select("qid", "neighbor_id")
     rescored = (
         cand.join(
             original_vectors.select(
@@ -4224,12 +4244,18 @@ def search_ip_distributed(
     k: int = 10,
     nprobe: int = 4,
     candidate_margin: int = 10,
+    tier: str = "float",
+    candidates_per_cell: int | None = None,
 ) -> DataFrame:
     """Large-|Q| MIPS tier: queries pad their zero coordinate as a column
     expression inside their partitions, probe the MIPS-augmented index
     via ``search_distributed``, and re-score the exact dot product
     through shuffle joins — no driver collect, no query broadcast.
-    Full probe equals the flat metric='ip' path."""
+    Full probe equals the flat metric='ip' path.
+
+    ``tier``: candidate stage — float / sq8 / cascade, same composition
+    argument as ``search_cosine_distributed`` (the MIPS augmentation is
+    an L2 geometry, so the quantized bound cuts stay lossless)."""
     from vector_search_engine_spark.functions.vector import dot
     from vector_search_engine_spark.operators.knn import _finalize_topk
 
@@ -4239,9 +4265,20 @@ def search_ip_distributed(
             F.col("query").cast("array<double>"), F.array(F.lit(0.0))
         ).cast("array<float>").alias("query"),
     )
-    cand = index.search_distributed(
-        augq, k=k + candidate_margin, nprobe=nprobe
-    ).select("qid", "neighbor_id")
+    if tier == "cascade":
+        cand = index.search_cascade_distributed(
+            augq, k=k + candidate_margin, nprobe=nprobe,
+            candidates_per_cell=candidates_per_cell,
+        )
+    elif tier == "sq8":
+        cand = index.search_sq8_distributed(
+            augq, k=k + candidate_margin, nprobe=nprobe
+        )
+    else:
+        cand = index.search_distributed(
+            augq, k=k + candidate_margin, nprobe=nprobe
+        )
+    cand = cand.select("qid", "neighbor_id")
     rescored = (
         cand.join(
             original_vectors.select(

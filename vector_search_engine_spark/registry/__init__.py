@@ -367,6 +367,16 @@ _GRADE_FIRST: list[str] = [
     #   embeddings_dbscan_ivf → out: composed FROM the same radius
     #       machinery the incoming rows gate; density family keeps lof +
     #       classify in-window; carries r10/r12 greens.
+    # r13 sixth wave — the metric × quantized × bulk cells
+    # (ann_ivf_cosine_sq8_distributed + ann_ivf_ip_sq8_distributed, the
+    # int8 candidate stage under the exact cosine / MIPS oracles) go
+    # straight in.  Swap-outs:
+    #   dedup_substring_clean → out: the span detector stays pytest- and
+    #       sweep-gated; dedup family keeps exact + simjoin + the split
+    #       row (which composes Jaccard pairs + CC); carries r12 green.
+    #   streaming_interval_join → out: event-time family keeps
+    #       sessionize (the custom stateful operator — the stronger
+    #       claim); carries r9-r12 greens.
     "knn_exact_l2",
     # metric twin of the anchor (reference Q1 under IP — never graded)
     "knn_exact_ip",
@@ -379,6 +389,8 @@ _GRADE_FIRST: list[str] = [
     "ann_ivf_distributed_filtered",
     "ann_ivf_sq8_distributed",
     "ann_ivf_cascade_distributed",
+    "ann_ivf_cosine_sq8_distributed",
+    "ann_ivf_ip_sq8_distributed",
     # serving-tier cells never graded
     "ann_ivf_cosine_sq8_filtered",
     "ann_ivf_pq_serving",
@@ -421,7 +433,6 @@ _GRADE_FIRST: list[str] = [
     "streaming_search_sq8_distributed",
     # LLM-pipeline: dedup family (+ the never-graded Ed-Join plan report)
     "dedup_exact",
-    "dedup_substring_clean",
     "simjoin_edit_distance",
     "simjoin_edit_distance_stats",
     # LLM-pipeline: corpus ops (+ the never-graded MinHash sketch form
@@ -431,10 +442,8 @@ _GRADE_FIRST: list[str] = [
     "corpus_decontaminate",
     "corpus_source_overlap",
     "corpus_source_overlap_minhash",
-    # event-time streaming (watermark windows / stateful sessions /
-    # interval join / bounded-state dedup)
+    # event-time streaming (the custom stateful operator)
     "streaming_sessionize",
-    "streaming_interval_join",
     # relational core
     "tpch_pricing_summary",
     "tpch_regional_revenue",

@@ -898,3 +898,37 @@ def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.build_or_load(spark, sf_dir).stats()
 
 
+
+
+@register(
+    "ann_ivf_cosine_sq8_distributed", oracle=ORACLES["knn_exact_cosine"]
+)
+def ann_ivf_cosine_sq8_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metric × quantized × bulk cell (r13): the large-|Q| cosine tier
+    with the int8 sidecar as the candidate stage — the lossless SQ
+    bound cut holds on the normalized geometry (it IS an L2 index), so
+    the candidate set and the exact-cosine rescore are identical to the
+    float stage; candidates come from 4× fewer scan bytes.  Same cosine
+    oracle, exact at full probe."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="cosine")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_cosine_distributed(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"], tier="sq8",
+    )
+
+
+@register("ann_ivf_ip_sq8_distributed", oracle=ORACLES["knn_exact_ip"])
+def ann_ivf_ip_sq8_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS × quantized × bulk cell (r13): the augmented-geometry
+    distributed probe with int8 candidates + exact-dot rescore — the
+    augmentation is an L2 geometry, so the bound cut stays lossless.
+    Same flat MIPS oracle, exact at full probe."""
+    index = ivf.build_or_load(spark, sf_dir, geometry="mips")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf.search_ip_distributed(
+        index, emb, knn_ops.make_queries(emb), k=10,
+        nprobe=index.meta["n_centroids"], tier="sq8",
+    )
