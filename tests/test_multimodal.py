@@ -258,3 +258,69 @@ def test_real_decode_matches_fake_on_identical_raster(spark, sf_dir):
                 assert getattr(r, c) == getattr(f, c), (d, c)
             compared += 1
     assert compared >= 10
+
+
+def test_resize_images_roundtrip_and_idempotence(spark):
+    """r13: area-downscale resize — exact means on evenly-divisible
+    bins (hand-computable 4x2 -> 2x1 case), aspect-ratio + budget
+    invariants on real payloads, byte-identical pass-through for
+    images already within budget."""
+    import pandas as pd
+
+    from vector_search_engine_spark.multimodal import codecs, resize_images
+
+    # exact case: 4 wide x 2 high, max_side=2 -> 2x1; each output pixel
+    # is the mean of a 2x2 block
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    want = np.rint(
+        np.stack(
+            [px[:, :2].mean(axis=(0, 1)), px[:, 2:].mean(axis=(0, 1))]
+        )
+    ).astype(np.uint8)[None, :, :]
+    small = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "media_type": ["image", "image"],
+                "payload": [
+                    bytearray(codecs.encode_ppm(px)),
+                    bytearray(codecs.encode_ppm(small)),
+                ],
+            }
+        )
+    )
+    rows = {
+        r.doc_id: r
+        for r in resize_images(media, max_side=2).collect()
+    }
+    got = codecs.decode_image(bytes(rows[0].payload))
+    assert got.shape == (1, 2, 3)
+    assert (got == want).all()
+    assert (rows[0].width, rows[0].height) == (4, 2)
+    assert (rows[0].new_width, rows[0].new_height) == (2, 1)
+    assert rows[0].new_bytes < rows[0].n_bytes
+    # within budget -> byte-identical pass-through
+    assert bytes(rows[1].payload) == codecs.encode_ppm(small)
+    assert (rows[1].new_width, rows[1].new_height) == (2, 2)
+
+
+def test_resize_images_real_payload_invariants(spark, sf_dir):
+    from vector_search_engine_spark.multimodal import (
+        attach_real_payload,
+        codecs,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = attach_real_payload(docs)
+    out = resize_images(media, max_side=8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert max(r.new_width, r.new_height) <= 8
+        # aspect preserved within integer rounding
+        assert abs(
+            r.new_width / r.new_height - r.width / r.height
+        ) <= 1.0
+        px = codecs.decode_image(bytes(r.payload))
+        assert px.shape[:2] == (r.new_height, r.new_width)

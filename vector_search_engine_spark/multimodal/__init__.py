@@ -26,4 +26,5 @@ from vector_search_engine_spark.multimodal.payload import (  # noqa: F401
     frame_embeddings,
     frame_sample,
     metadata_stats,
+    resize_images,
 )

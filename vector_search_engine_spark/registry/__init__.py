@@ -377,6 +377,12 @@ _GRADE_FIRST: list[str] = [
     #   streaming_interval_join → out: event-time family keeps
     #       sessionize (the custom stateful operator — the stronger
     #       claim); carries r9-r12 greens.
+    # r13 seventh wave — multimodal_resize (area-downscale + re-encode
+    # over the binary column; rows-only by nature).  Swap-out:
+    #   multimodal_real_decode → out: the resize row COMPOSES the same
+    #       attach_real_payload + vendored decode AND adds the
+    #       re-encode leg; real_decode carries r12 healthy and stays
+    #       pytest-gated (raster round-trip vs NumPy).
     "knn_exact_l2",
     # metric twin of the anchor (reference Q1 under IP — never graded)
     "knn_exact_ip",
@@ -424,7 +430,7 @@ _GRADE_FIRST: list[str] = [
     "hybrid_search_combsum",
     # multimodal
     "multimodal_metadata_stats",
-    "multimodal_real_decode",
+    "multimodal_resize",
     # streaming engine anchors (reference S4/W1/W4) + the r13 bulk-query
     # merged contract (float + quantized-ladder forms)
     "streaming_ingest_search",

@@ -107,3 +107,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register("multimodal_resize")  # byte-level re-encode → not SQL
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch image resize (r13): genuine PPM payloads decode, area-
+    downscale to max side 8 (aspect preserved), and re-encode — all in
+    mapInPandas over the binary column; output audits the byte cut
+    (old/new dims + sizes).  Round-trip + idempotence pytest-pinned;
+    completes the decode / feature / RESIZE / frame-sample plumbing
+    quartet."""
+    from vector_search_engine_spark.multimodal import (
+        attach_real_payload,
+        resize_images,
+    )
+
+    media = attach_real_payload(load_table(spark, sf_dir, "documents"))
+    return resize_images(media, max_side=8).drop("payload").orderBy("doc_id")
