@@ -2144,7 +2144,14 @@ GROUP BY sb.source
 # needs BEFORE the split, not after)
 # ---------------------------------------------------------------------------
 
-SPLIT_SALT = "vse-split:"
+# NOTE: distinct from SPLIT_SALT above — that one belongs to the
+# doc-keyed train_val_split; this one keys the CLUSTER-level bucket.
+# (r13 post-sweep fix: the first version of this block reused the name
+# SPLIT_SALT, silently re-binding the module global the older op's
+# default argument resolves at call time — Spark then hashed with the
+# new salt while TRAIN_VAL_SPLIT_ORACLE kept the old one baked in, and
+# the full-registry sweep caught corpus_train_val_split mismatching.)
+CLUSTER_SPLIT_SALT = "vse-cluster-split:"
 
 
 def leakage_safe_split(
@@ -2152,7 +2159,7 @@ def leakage_safe_split(
     clusters: DataFrame,
     train_pct: int = 80,
     val_pct: int = 10,
-    salt: str = SPLIT_SALT,
+    salt: str = CLUSTER_SPLIT_SALT,
 ) -> DataFrame:
     """Group-aware train/val/test split: every document inherits its
     near-dup cluster's bucket — a salted 60-bit md5 of the CLUSTER id
@@ -2207,11 +2214,11 @@ def leakage_safe_split(
 # with the CC operator)
 LEAKAGE_SPLIT_ORACLE_BODY = f"""
 SELECT doc_id, cluster_id,
-       CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(cluster_id AS VARCHAR)), 1, 15))
+       CAST(('0x' || substr(md5('{CLUSTER_SPLIT_SALT}' || CAST(cluster_id AS VARCHAR)), 1, 15))
             AS BIGINT) % 100 AS bucket,
-       CASE WHEN CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(cluster_id AS VARCHAR)), 1, 15))
+       CASE WHEN CAST(('0x' || substr(md5('{CLUSTER_SPLIT_SALT}' || CAST(cluster_id AS VARCHAR)), 1, 15))
                  AS BIGINT) % 100 < 80 THEN 'train'
-            WHEN CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(cluster_id AS VARCHAR)), 1, 15))
+            WHEN CAST(('0x' || substr(md5('{CLUSTER_SPLIT_SALT}' || CAST(cluster_id AS VARCHAR)), 1, 15))
                  AS BIGINT) % 100 < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM cl
