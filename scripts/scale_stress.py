@@ -81,6 +81,10 @@ def main() -> None:
         _distq_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
         return
+    if "--only-distq-merged" in sys.argv:  # finding-28 section alone
+        _distq_merged_section(spark, results)
+        print(json.dumps({"n_vecs": N_VECS, "results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -782,6 +786,88 @@ def _pca_section(spark, results: dict) -> None:
         import shutil
 
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def _distq_merged_section(spark, results: dict) -> None:
+    """Finding-28 data source (r13): the merged Q4 contract on the
+    bulk-query path under LIVE state — 100k indexed + 5k delta inserts
+    (1k of them upserts shadowing indexed ids) + 1k tombstones, a
+    10k-row query table, nprobe=8, k=6.  Measures
+    engine.search_distributed float vs sq8 wall (the anti-join +
+    block-join delta overhead on top of finding 25's index-only
+    numbers) and gates a 50-query exactness spot check against
+    brute-force kNN over the latest-wins union at full probe."""
+    import shutil
+
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    rng = np.random.default_rng(31)
+    V = rng.normal(0, 1, (N_VECS, DIM)).astype(np.float32)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+
+    def df_of(ids: np.ndarray, W: np.ndarray):
+        return spark.createDataFrame(
+            pd.DataFrame({"vec_id": ids, "embedding": list(W)})
+        )
+
+    root = tempfile.mkdtemp(prefix="vse_stress_dqm_")
+    eng = VectorEngine.create(
+        df_of(np.arange(N_VECS, dtype=np.int64), V), f"{root}/engine"
+    )
+    # delta: 4k new + 1k upserts (ids 0..999 moved), then 1k deletes
+    W_new = rng.normal(0, 1, (4_000, DIM)).astype(np.float32)
+    W_new /= np.linalg.norm(W_new, axis=1, keepdims=True)
+    eng.insert(df_of(N_VECS + np.arange(4_000, dtype=np.int64), W_new))
+    W_up = rng.normal(0, 1, (1_000, DIM)).astype(np.float32)
+    W_up /= np.linalg.norm(W_up, axis=1, keepdims=True)
+    eng.insert(df_of(np.arange(1_000, dtype=np.int64), W_up))
+    eng.delete(list(range(2_000, 3_000)))
+    eng.index.ensure_sq8()  # sidecar build charged separately
+
+    nq = 10_000
+    Q = rng.normal(0, 1, (nq, DIM)).astype(np.float32)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"qid": np.arange(nq, dtype=np.int64), "query": list(Q)}
+        )
+    ).cache()
+    qdf.count()
+    out: dict = {"nq": nq, "delta_rows": 5_000, "tombstones": 1_000}
+    for tier in ("float", "sq8"):
+        t0 = time.time()
+        n = eng.search_distributed(qdf, k=6, nprobe=8, tier=tier).count()
+        out[f"{tier}_wall_sec"] = round(time.time() - t0, 2)
+        out[f"{tier}_rows"] = n
+        print(f"  merged distq {tier}: {out[f'{tier}_wall_sec']}s",
+              file=sys.stderr)
+    # exactness spot check: 50 queries, full probe, vs latest-wins union
+    q50 = qdf.filter(F.col("qid") < 50)
+    nc = len(eng.index.centroid_ids)
+    got = sorted(
+        map(
+            tuple,
+            eng.search_distributed(q50, k=6, nprobe=nc, tier="sq8").collect(),
+        )
+    )
+    delta_latest = eng.delta_latest()
+    union = (
+        eng.index.vectors()
+        .select("vec_id", "embedding")
+        .join(delta_latest.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(
+            delta_latest.filter(F.col("embedding").isNotNull()).select(
+                "vec_id", "embedding"
+            )
+        )
+    )
+    want = sorted(map(tuple, knn_ops.knn_exact(union, q50, k=6).collect()))
+    out["exact_on_50q_full_probe"] = bool(got == want)
+    print(f"  merged distq exactness: {out['exact_on_50q_full_probe']}",
+          file=sys.stderr)
+    results["distq_merged"] = out
+    qdf.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
 
 
 def _distq_section(spark, results: dict) -> None:

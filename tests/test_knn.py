@@ -407,3 +407,55 @@ def test_kcenter_select_matches_numpy_greedy(embeddings, embeddings_np):
     assert got == want
     ladder = [d for _, _, d in got[1:]]
     assert ladder == sorted(ladder, reverse=True)  # non-increasing radius
+
+
+def test_block_cogroup_keys_survive_scale(spark):
+    """r13 regression for a scale-dependent silent-loss bug: the block
+    nested-loop cogroups keyed one side with BIGINT (pmod of xxhash64)
+    and the other with INT (explode of sequence); each side
+    hash-partitions by ITS OWN types and Murmur3 hashes int x and long
+    x differently, so at ~5k rows whole (qblock, vblock) cogroups
+    paired a non-empty side with an empty one — knn_exact_distributed
+    dropped ENTIRE query blocks (16/50 queries at 5000 vectors) and
+    radius_pairs_distributed returned 12% of the true pairs at 20k.
+    Invisible at fixture scale, where both sweeps stayed green.  Keys
+    are now cast to one type; this pins the exact sizes that bit."""
+    import pandas as pd
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    rng = np.random.default_rng(31)
+    nv, nq, d = 5000, 50, 16
+    V = rng.normal(0, 1, (nv, d)).astype(np.float32)
+    vec = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(nv, dtype=np.int64), "embedding": list(V)}
+        )
+    )
+    Q = rng.normal(0, 1, (nq, d)).astype(np.float32)
+    q = spark.createDataFrame(
+        pd.DataFrame(
+            {"qid": np.arange(nq, dtype=np.int64), "query": list(Q)}
+        )
+    )
+    out = knn_ops.knn_exact_distributed(vec, q, k=6)
+    assert out.count() == nq * 6
+    assert out.select("qid").distinct().count() == nq
+    # and the values agree with the broadcast exact path
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, knn_ops.knn_exact(vec, q, k=6).collect()))
+    assert a == b
+
+    # radius self-join vs NumPy ground truth at the same scale
+    eps_sq = float(np.quantile(
+        ((V[:200, None, :] - V[None, :200, :]) ** 2).sum(-1), 0.05
+    ))
+    got = knn_ops.radius_pairs_distributed(vec, eps_sq).count()
+    G = V.astype(np.float64)
+    want = 0
+    for i in range(0, nv, 1000):
+        B = G[i:i + 1000]
+        D = (B * B).sum(1)[:, None] - 2 * B @ G.T + (G * G).sum(1)[None, :]
+        ii = np.arange(i, i + len(B))
+        want += int(((D <= eps_sq) & (ii[:, None] < np.arange(nv)[None, :])).sum())
+    assert got == want

@@ -284,16 +284,29 @@ def knn_exact_distributed(
         raise ValueError(f"unknown metric {metric!r}")
     larger_is_better = metric == "cosine"
 
+    # Both sides' grouping keys are cast to ONE type (int).  Without the
+    # casts, pmod(xxhash64) yields BIGINT while explode(sequence) yields
+    # INT — each cogroup side then hash-partitions by ITS OWN types, and
+    # Murmur3 hashes int 2 and long 2 differently, so matching logical
+    # keys can land on different shuffle partitions: the cogroup sees a
+    # non-empty query side with an EMPTY vector side and silently emits
+    # nothing for that whole block.  Caught at 100k by the r13 merged
+    # bulk-path rung (an entire qblock of queries vanished); invisible
+    # at fixture scale where the partitioning happened to coincide.
     qb = queries.select(
         "qid",
         "query",
-        F.pmod(F.xxhash64("qid"), F.lit(q_blocks)).alias("qblock"),
+        F.pmod(F.xxhash64("qid"), F.lit(q_blocks))
+        .cast("int")
+        .alias("qblock"),
         F.explode(F.sequence(F.lit(0), F.lit(v_blocks - 1))).alias("vblock"),
     )
     vb = vectors.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nvec"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(v_blocks)).alias("vblock"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(v_blocks))
+        .cast("int")
+        .alias("vblock"),
         F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qblock"),
     )
 
@@ -512,16 +525,25 @@ def radius_pairs_distributed(
     ``IVFIndex.radius_search`` (triangle-inequality cell pruning); this
     is the exact whole-table baseline that gates it.
     """
+    # same one-type rule for the grouping keys as knn_exact_distributed
+    # (see the comment there): pmod(xxhash64) is BIGINT, explode(sequence)
+    # is INT, and mixed-type sides hash-partition differently — at scale
+    # whole (qblock, vblock) cogroups pair a non-empty side with an empty
+    # one and pairs silently vanish.
     qb = vectors.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("query"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(q_blocks)).alias("qblock"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(q_blocks))
+        .cast("int")
+        .alias("qblock"),
         F.explode(F.sequence(F.lit(0), F.lit(v_blocks - 1))).alias("vblock"),
     )
     vb = vectors.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nvec"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(v_blocks)).alias("vblock"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(v_blocks))
+        .cast("int")
+        .alias("vblock"),
         F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qblock"),
     )
 
