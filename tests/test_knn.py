@@ -459,3 +459,67 @@ def test_block_cogroup_keys_survive_scale(spark):
         ii = np.arange(i, i + len(B))
         want += int(((D <= eps_sq) & (ii[:, None] < np.arange(nv)[None, :])).sum())
     assert got == want
+
+
+def test_block_cogroup_keys_helper_contract(spark):
+    """Finding-28 is fixed BY CONSTRUCTION now: block_cogroup_keys is the
+    single place both cogroup sides' grouping keys are built, and both
+    columns it emits are INT.  This pins (a) the helper's type contract,
+    (b) that both production operators route through it (their built
+    sides carry identical key types), and (c) that the structural guard
+    trips on a deliberately mixed-type frame pair."""
+    import pandas as pd
+    import pytest
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(8, dtype=np.int64),
+                      "embedding": list(np.eye(8, 4, dtype=np.float32))})
+    )
+    own, rep = knn_ops.block_cogroup_keys("vec_id", 4, 3, "qblock", "vblock")
+    built = df.select("vec_id", own, rep)
+    assert built.schema["qblock"].dataType == IntegerType()
+    assert built.schema["vblock"].dataType == IntegerType()
+    # replicate axis covers exactly 0..other_blocks-1 per row
+    reps = built.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in reps] == [3]
+
+    # (c) the guard trips on a mixed-type pair (the pre-fix shape)
+    qb_bad = df.select(
+        F.col("vec_id").alias("qid"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(4)).alias("qblock"),  # BIGINT
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("vblock"),
+    )
+    vb_ok = df.select(
+        F.col("vec_id").alias("nid"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(4)).cast("int").alias("vblock"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("qblock"),
+    )
+    with pytest.raises(AssertionError, match="finding 28"):
+        knn_ops._assert_block_key_types(qb_bad, vb_ok)
+
+
+def test_kcenter_select_fewer_rows_than_k(spark):
+    """k > N returns every row once in selection order instead of
+    IndexError (ADVICE r13); empty input raises ValueError."""
+    import pandas as pd
+    import pytest
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    V = np.array([[0.0, 0.0], [3.0, 0.0], [0.0, 4.0]], dtype=np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(3, dtype=np.int64),
+                      "embedding": list(V)})
+    )
+    out = knn_ops.kcenter_select(df, k=10).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [0, 2, 1]  # anchor, then farthest
+    assert [r["dist_sq"] for r in out] == [0.0, 16.0, 9.0]
+
+    empty = df.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="no rows"):
+        knn_ops.kcenter_select(empty, k=2)

@@ -252,6 +252,54 @@ def knn_exact(
     return _finalize_topk(cand, k, metric, round_output)
 
 
+def block_cogroup_keys(
+    id_col: Column | str, own_blocks: int, other_blocks: int,
+    own_name: str, other_name: str,
+) -> tuple[Column, Column]:
+    """Grouping-key column pair for ONE side of a block nested-loop
+    cogroup: ``(own_block, replicated_other_block)``.
+
+    Both columns are INT **by construction** — this helper exists so the
+    finding-28 bug class (SCALING round 13) cannot be reintroduced by a
+    new call site.  ``pmod(xxhash64(...))`` natively yields BIGINT while
+    ``explode(sequence(...))`` yields INT; Spark hash-partitions each
+    cogroup side by ITS OWN key types, and Murmur3 hashes ``int x`` and
+    ``long x`` differently, so mixed-type sides can send matching
+    logical keys to different shuffle partitions — whole (qblock,
+    vblock) cogroups then pair a non-empty side with an empty one and
+    silently emit nothing.  Invisible at fixture scale where the
+    partitionings coincide; at 100k rows the epsilon graph kept 2% of
+    its true edges.  Every block-cogroup operator
+    (``knn_exact_distributed``, ``radius_pairs_distributed``, future
+    authors) MUST build both sides' keys through this helper;
+    ``_assert_block_key_types`` pins the invariant on the built frames.
+    """
+    own = (
+        F.pmod(F.xxhash64(F.col(id_col) if isinstance(id_col, str) else id_col),
+               F.lit(int(own_blocks)))
+        .cast("int")
+        .alias(own_name)
+    )
+    other = F.explode(
+        F.sequence(F.lit(0), F.lit(int(other_blocks) - 1))
+    ).alias(other_name)
+    return own, other
+
+
+def _assert_block_key_types(qb: DataFrame, vb: DataFrame) -> None:
+    """Plan-time contract: both cogroup inputs hash-partition on key
+    columns of IDENTICAL Spark types (schema check only — no job runs).
+    A mismatch here is exactly the silent-row-loss class of finding 28."""
+    for key in ("qblock", "vblock"):
+        qt, vt = qb.schema[key].dataType, vb.schema[key].dataType
+        if qt != vt:  # pragma: no cover - structural guard
+            raise AssertionError(
+                f"block cogroup key {key!r} type mismatch: query side {qt} "
+                f"vs vector side {vt} — mixed-type keys hash-partition "
+                "differently (finding 28); build keys via block_cogroup_keys"
+            )
+
+
 def knn_exact_distributed(
     vectors: DataFrame,
     queries: DataFrame,
@@ -284,31 +332,19 @@ def knn_exact_distributed(
         raise ValueError(f"unknown metric {metric!r}")
     larger_is_better = metric == "cosine"
 
-    # Both sides' grouping keys are cast to ONE type (int).  Without the
-    # casts, pmod(xxhash64) yields BIGINT while explode(sequence) yields
-    # INT — each cogroup side then hash-partitions by ITS OWN types, and
-    # Murmur3 hashes int 2 and long 2 differently, so matching logical
-    # keys can land on different shuffle partitions: the cogroup sees a
-    # non-empty query side with an EMPTY vector side and silently emits
-    # nothing for that whole block.  Caught at 100k by the r13 merged
-    # bulk-path rung (an entire qblock of queries vanished); invisible
-    # at fixture scale where the partitioning happened to coincide.
-    qb = queries.select(
-        "qid",
-        "query",
-        F.pmod(F.xxhash64("qid"), F.lit(q_blocks))
-        .cast("int")
-        .alias("qblock"),
-        F.explode(F.sequence(F.lit(0), F.lit(v_blocks - 1))).alias("vblock"),
-    )
+    # Grouping keys for BOTH sides come from block_cogroup_keys — one
+    # type (int) by construction; see its docstring for the finding-28
+    # silent-row-loss class this structurally prevents.
+    q_own, q_rep = block_cogroup_keys("qid", q_blocks, v_blocks, "qblock", "vblock")
+    v_own, v_rep = block_cogroup_keys(id_col, v_blocks, q_blocks, "vblock", "qblock")
+    qb = queries.select("qid", "query", q_own, q_rep)
     vb = vectors.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nvec"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(v_blocks))
-        .cast("int")
-        .alias("vblock"),
-        F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qblock"),
+        v_own,
+        v_rep,
     )
+    _assert_block_key_types(qb, vb)
 
     def block_topk(qpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
         if len(qpdf) == 0 or len(vpdf) == 0:
@@ -525,27 +561,23 @@ def radius_pairs_distributed(
     ``IVFIndex.radius_search`` (triangle-inequality cell pruning); this
     is the exact whole-table baseline that gates it.
     """
-    # same one-type rule for the grouping keys as knn_exact_distributed
-    # (see the comment there): pmod(xxhash64) is BIGINT, explode(sequence)
-    # is INT, and mixed-type sides hash-partition differently — at scale
-    # whole (qblock, vblock) cogroups pair a non-empty side with an empty
-    # one and pairs silently vanish.
+    # One-type grouping keys via block_cogroup_keys (the structural
+    # finding-28 guard — see its docstring in this module).
+    q_own, q_rep = block_cogroup_keys(id_col, q_blocks, v_blocks, "qblock", "vblock")
+    v_own, v_rep = block_cogroup_keys(id_col, v_blocks, q_blocks, "vblock", "qblock")
     qb = vectors.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("query"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(q_blocks))
-        .cast("int")
-        .alias("qblock"),
-        F.explode(F.sequence(F.lit(0), F.lit(v_blocks - 1))).alias("vblock"),
+        q_own,
+        q_rep,
     )
     vb = vectors.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nvec"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(v_blocks))
-        .cast("int")
-        .alias("vblock"),
-        F.explode(F.sequence(F.lit(0), F.lit(q_blocks - 1))).alias("qblock"),
+        v_own,
+        v_rep,
     )
+    _assert_block_key_types(qb, vb)
 
     # bound the per-task GEMM tile at ~128 MB float64 regardless of how
     # the caller sized the blocks: a (N/vb, N/qb) cogroup's full distance
@@ -944,15 +976,32 @@ def kcenter_select(
     anchor) — i.e. the k-center radius ladder; ``dist_sq`` of the last
     row upper-bounds twice the optimal k-center radius.  Float64
     sequential-fold arithmetic identical to the DuckDB oracle's
-    ``list_sum`` (dim order), so selection and distances hash-match."""
+    ``list_sum`` (dim order), so selection and distances hash-match.
+
+    Practical (k, d) bound: round r embeds r·d literals into the plan
+    (``F.least`` over r ``l2_sq`` column expressions), so total codegen
+    size grows O(k²·d) across the run.  Fine for the curation regime
+    this targets (k ≤ ~64 exemplars, d ≤ ~1024: the k=64, d=1024 plan
+    is ~65k literals in its last round — well inside Catalyst's 64KB
+    per-method codegen splitter).  For k·d beyond ~10⁶ switch the
+    per-round scorer to a broadcast-NumPy ``mapInPandas`` (the
+    selected-set matrix as one broadcast array instead of literals);
+    selection semantics and output are unchanged.
+
+    Fewer than ``k`` input rows → returns the available exemplars
+    (every input row once, in selection order) rather than erroring;
+    an empty input raises ``ValueError``."""
     from vector_search_engine_spark.functions.vector import l2_sq
 
-    first = (
+    anchor_rows = (
         vectors.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not anchor_rows:
+        raise ValueError("kcenter_select: input has no rows")
+    first = anchor_rows[0]
     sel: list[tuple[int, list, float]] = [
         (int(first[0]), [float(x) for x in first[1]], 0.0)
     ]
@@ -965,7 +1014,7 @@ def kcenter_select(
             for _, v, _ in sel
         ]
         mind = exprs[0] if len(exprs) == 1 else F.least(*exprs)
-        chosen = (
+        chosen_rows = (
             vectors.filter(
                 ~F.col(id_col).isin([i for i, _, _ in sel])
             )
@@ -974,8 +1023,11 @@ def kcenter_select(
             )
             .orderBy(F.col("_md").desc(), F.col(id_col))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not chosen_rows:  # fewer than k input rows: all selected
+            break
+        chosen = chosen_rows[0]
         sel.append(
             (
                 int(chosen[0]),
@@ -984,7 +1036,10 @@ def kcenter_select(
             )
         )
     spark = vectors.sparkSession
+    # rounding via F.round (HALF_UP) — the codebase's single rounding
+    # discipline; Python round() is banker's and diverges from the SQL
+    # oracle on exact 4th-decimal ties
     return spark.createDataFrame(
-        [(r + 1, i, round(d, 4)) for r, (i, _, d) in enumerate(sel)],
+        [(r + 1, i, d) for r, (i, _, d) in enumerate(sel)],
         schema="rank long, vec_id long, dist_sq double",
-    )
+    ).withColumn("dist_sq", F.round("dist_sq", DIST_DECIMALS))

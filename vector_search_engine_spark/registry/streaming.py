@@ -616,15 +616,17 @@ def streaming_search_distributed(
     out pre-cut, plus knn_exact_distributed's block-join delta scan; no
     per-query data ever visits the driver on either side.  Exact at
     full probe over the logical union — same oracle as every merged
-    search row.  Reference anchor: engine.h:100-144's serve loop is the
-    per-query analog."""
+    search row.  Same 50-id upsert overlap trap as the radius sibling
+    (insert >= 350 against a < 400 base): broken shadowing emits the
+    same id from both sides and corrupts the top-k hash.  Reference
+    anchor: engine.h:100-144's serve loop is the per-query analog."""
     from vector_search_engine_spark.streaming.engine import VectorEngine
 
     emb = load_table(spark, sf_dir, "embeddings")
     eng = VectorEngine.create(
         emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
     )
-    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    eng.insert(emb.filter(F.col("vec_id") >= 350))
     return eng.search_distributed(
         knn_ops.make_queries(emb),
         k=10,
@@ -643,15 +645,17 @@ def streaming_search_sq8_distributed(
     fewer bytes), bound-cuts losslessly per (query, batch) slice, and
     exact-rescores survivors — with shadowed ids excluded BEFORE the
     cut, so the delta's latest versions win exactly as in the float
-    form.  Hash-identical to exact search over the union at full
-    probe."""
+    form.  Same 50-id upsert overlap trap as the radius sibling (insert
+    >= 350 against a < 400 base) so the sweep gates the shadowing
+    anti-join too.  Hash-identical to exact search over the union at
+    full probe."""
     from vector_search_engine_spark.streaming.engine import VectorEngine
 
     emb = load_table(spark, sf_dir, "embeddings")
     eng = VectorEngine.create(
         emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
     )
-    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    eng.insert(emb.filter(F.col("vec_id") >= 350))
     return eng.search_distributed(
         knn_ops.make_queries(emb),
         k=10,
