@@ -523,7 +523,7 @@ def test_source_overlap_partitioning_invariant(spark, sf_dir):
             for r in text_ops.source_overlap(v).collect()
         ))
     assert outs[0] == outs[1]
-    # the sketch is deterministic too (xxhash64 + sorted bottom-k)
+    # the sketch is deterministic too (salted md5 + sorted bottom-k)
     sk = []
     for v in _layouts(docs):
         sk.append(sorted(

@@ -1183,3 +1183,27 @@ def test_mixture_temperature_weights_invariants(spark, documents):
     }
     for r in out:
         assert (r.n_docs, r.n_chars) == direct[r.source]
+
+
+def test_minhash_portable_verified_and_recalls(documents):
+    """The portable (salted-md5 family) variant: precision exact by
+    construction (every emitted pair's jaccard recomputed in Python),
+    recall vs the exact pair set in the same band as the xxhash64 row
+    — a different hash family draws different band buckets, but the
+    planted near-dups sit far above the 1-(1-j^4)^4 curve's knee."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ops.ngram_jaccard_pairs(documents).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ops.minhash_lsh_pairs_portable(documents).collect()
+    }
+    docs = {r.doc_id: r for r in documents.collect()}
+    for (a, b), j in lsh.items():
+        sa = _py_shingles(_py_tokens(docs[a].text))
+        sb = _py_shingles(_py_tokens(docs[b].text))
+        assert round(len(sa & sb) / len(sa | sb), 4) == j
+        assert j >= dedup_ops.JACCARD_THRESHOLD
+    found = sum(1 for p in exact if p in lsh)
+    assert found / len(exact) >= 0.8

@@ -555,6 +555,174 @@ def minhash_lsh_pairs(
     return out
 
 
+MINHASH_PORTABLE_SALT = "vse-minhash:"
+
+
+def _salted_md5_long(col, salt: str):
+    """Salted 60-bit md5 → BIGINT — the ``weighted_sample_es`` hash
+    discipline: a pure, cross-engine-reproducible function of the input
+    (15 hex chars = 60 bits, fits a BIGINT in Spark AND DuckDB)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_lsh_pairs_portable(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """``minhash_lsh_pairs`` with a PORTABLE hash family (r14): every
+    hash — the ``num_perm`` MinHash permutations, the band bucket keys,
+    the verify-stage shingle digests — is a salted md5, a pure function
+    of the content string, identically computable by any engine.  The
+    DuckDB oracle (``MINHASH_LSH_PORTABLE_ORACLE``) therefore replays
+    the WHOLE pipeline exactly — signatures, banding, bucket
+    truncation, candidate pairs, exact-Jaccard verification — so the
+    approximate operator's end-to-end output is hash-graded, not just
+    pytest-recall-gated.
+
+    Same plan shape as the production row (one explode → one
+    ``groupBy(doc_id)`` building signature mins + the digest array →
+    band explode → bucket pairs → verify joins; bucket truncation keeps
+    the ``max_bucket`` smallest ids, replayed in SQL as ``row_number <=
+    max_bucket``).  The xxhash64 row stays the serving default — 16
+    seeded long-hashes beat 16 salted string-md5s on CPU — this variant
+    is the cross-engine-reproducibility tier (dedup manifests that must
+    replay bit-identically outside Spark) and the oracle gate for the
+    family's banding/verify machinery."""
+    n_bands = num_perm // band_size
+    post = with_shingles(documents, "_sh").select(
+        "doc_id", F.explode("_sh").alias("s")
+    )
+    aggs = [
+        F.min(
+            _salted_md5_long(F.col("s"), f"{MINHASH_PORTABLE_SALT}{p}:")
+        ).alias(f"_m{p}")
+        for p in range(num_perm)
+    ]
+    compact = post.groupBy("doc_id").agg(
+        F.collect_list(F.md5("s")).alias("sh"), *aggs
+    )
+    bands = compact.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"_m{b * band_size + r}")
+                                    for r in range(band_size)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.withColumn("ids", F.slice("ids", 1, max_bucket))
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    ca = compact.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    cb = compact.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _minhash_portable_oracle(
+    num_perm: int = NUM_PERM,
+    band_size: int = BAND_SIZE,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> str:
+    """DuckDB replay of minhash_lsh_pairs_portable end to end."""
+    n_bands = num_perm // band_size
+    mins = ",\n         ".join(
+        f"min(CAST(('0x' || substr(md5('{MINHASH_PORTABLE_SALT}{p}:' || s), "
+        f"1, 15)) AS BIGINT)) AS m{p}"
+        for p in range(num_perm)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({key}) AS key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(m{b * band_size + r} AS VARCHAR)"
+                for r in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+shl AS (
+  SELECT doc_id, list_distinct({DD_SHINGLES3.format(t="t")}) AS s FROM tok
+),
+ex AS (SELECT doc_id, unnest(s) AS s FROM shl),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+bucket AS (
+  SELECT band, key, doc_id,
+         row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS r,
+         count(*) OVER (PARTITION BY band, key) AS n
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bucket a JOIN bucket b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE a.n > 1 AND a.r <= {max_bucket} AND b.r <= {max_bucket}
+),
+hsh AS (
+  SELECT doc_id, list_transform(s, x -> md5(x)) AS h FROM shl
+  WHERE len(s) > 0
+),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.h, b.h))::DOUBLE AS inter,
+         len(a.h) + len(b.h) AS tot
+  FROM cand c JOIN hsh a ON a.doc_id = c.doc_a
+              JOIN hsh b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(inter / (tot - inter), 4) AS jaccard
+FROM v WHERE inter / (tot - inter) >= {threshold}
+"""
+
+
+MINHASH_LSH_PORTABLE_ORACLE = _minhash_portable_oracle()
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) with banded Hamming join
 # ---------------------------------------------------------------------------

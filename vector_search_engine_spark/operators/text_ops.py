@@ -1994,6 +1994,9 @@ JOIN sz sb ON sb.source = i.source_b
 """
 
 
+MINHASH_OVERLAP_SALT = "vse-overlap:"
+
+
 def source_overlap_minhash(
     documents: DataFrame, n: int = 3, k: int = 256
 ) -> DataFrame:
@@ -2006,7 +2009,16 @@ def source_overlap_minhash(
     join's per-shingle postings — the matrix step becomes independent of
     content diversity.  Estimates converge to the exact Jaccard (pytest
     gates agreement on the fixture); output schema mirrors the exact
-    operator with ``jaccard_est``."""
+    operator with ``jaccard_est``.
+
+    The shingle hash is a salted 60-bit md5 (the ``weighted_sample_es``
+    discipline, r14 — previously xxhash64): the sketch is a pure
+    function of (shingle, salt, k), reproducible across runs, engines
+    and partitionings, so the DuckDB oracle replays the ENTIRE
+    computation exactly (``SOURCE_OVERLAP_MINHASH_ORACLE``) — the row
+    graduated from rows-only to oracle mode.  Hashes are deduped per
+    source before ranking (bottom-k over the hashed SET — Broder's
+    formulation; 60-bit collisions are ~S·D²/2⁶¹, vanishing)."""
     sh = (
         documents.select(
             "source",
@@ -2015,7 +2027,21 @@ def source_overlap_minhash(
             ),
         )
         .distinct()
-        .select("source", F.xxhash64("shingle").alias("h"))
+        .select(
+            "source",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(MINHASH_OVERLAP_SALT), F.col("shingle"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
     )
     from pyspark.sql import Window
 
@@ -2055,6 +2081,46 @@ def source_overlap_minhash(
         F.col("b.source").alias("source_b"),
         F.round(inter_in_merged / kk, 6).alias("jaccard_est"),
     )
+
+
+# DuckDB replay of the ENTIRE sketch — hash, bottom-k ranking, merged
+# bottom-k estimator — exact because the hash is a pure salted-md5
+# function of the shingle (r14; graduates the row from rows-only).
+SOURCE_OVERLAP_MINHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT source, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, unnest({DD_SHINGLES3.format(t="t")}) AS shingle
+  FROM tok
+),
+hs AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5('{{salt}}' || shingle), 1, 15)) AS BIGINT) AS h
+  FROM sh
+),
+bk AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS r
+  FROM hs
+),
+sig AS (
+  SELECT source, list(h ORDER BY h) AS sig, count(*) AS sig_len
+  FROM bk WHERE r <= {{k}} GROUP BY source
+),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.sig AS sa, b.sig AS sb,
+         least({{k}}, greatest(a.sig_len, b.sig_len)) AS kk
+  FROM sig a JOIN sig b ON a.source < b.source
+)
+SELECT source_a, source_b,
+       round(len(list_filter(
+                list_slice(list_sort(list_distinct(list_concat(sa, sb))), 1, kk),
+                x -> list_contains(sa, x) AND list_contains(sb, x)))
+             / kk, 6) AS jaccard_est
+FROM p
+""".replace("{salt}", MINHASH_OVERLAP_SALT).replace("{k}", "256")
 
 
 def source_psi(documents: DataFrame, n_bins: int = 10) -> DataFrame:

@@ -381,6 +381,25 @@ def knn_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq.knn_sq8_rescore(emb, knn_ops.make_queries(emb), k=10)
 
 
+@register("knn_sq8_rescore_exhaustive", oracle=ORACLES["knn_exact_l2"])
+def knn_sq8_rescore_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-C form of the two-stage SQ8 search (r14): with
+    ``candidates_per_partition`` >= partition size the uint8 candidate
+    stage keeps EVERY row, so the exact float re-score is exhaustive and
+    the output is hash-identical to exact kNN — the lossless end of the
+    C ladder, oracle-graded where the default-C serving shape stays
+    rows-only (its pruning is approximate by design, recall pytest-gated)."""
+    from vector_search_engine_spark.operators import sq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq.knn_sq8_rescore(
+        emb,
+        knn_ops.make_queries(emb),
+        k=10,
+        candidates_per_partition=1 << 31,
+    )
+
+
 @register("ann_ivf_sq8", oracle=ORACLES["knn_exact_l2"])
 def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 composed WITHIN IVF cells: the probed partitions' int8 code

@@ -350,6 +350,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_lsh_portable",
+    oracle=dedup_ops.MINHASH_LSH_PORTABLE_ORACLE,
+)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the salted-md5 portable hash family (r14): same
+    banding/truncation/exact-verify machinery as the serving row, but
+    every hash is a pure cross-engine function of the content, so the
+    DuckDB oracle replays signatures → bands → buckets → candidate
+    pairs → Jaccard verify EXACTLY — the family's end-to-end machinery
+    is hash-graded, not just recall-pytest-gated."""
+    return dedup_ops.minhash_lsh_pairs_portable(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 @register("dedup_simhash")  # banded Hamming recall is heuristic → rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming distance 8."""
@@ -383,12 +399,18 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.source_overlap(load_table(spark, sf_dir, "documents"))
 
 
-@register("corpus_source_overlap_minhash")  # bottom-k estimate → rows-only
+@register(
+    "corpus_source_overlap_minhash",
+    oracle=txt_ops.SOURCE_OVERLAP_MINHASH_ORACLE,
+)
 def corpus_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch path of the overlap matrix for very large source counts:
     per-source bottom-k MinHash signatures (Broder 1997), matrix step
-    shuffles S·k rows independent of content diversity; estimator
-    agreement with the exact operator is pytest-gated."""
+    shuffles S·k rows independent of content diversity.  Oracle mode
+    since r14: the hash is a salted 60-bit md5 (pure function of the
+    shingle), so DuckDB replays hash → bottom-k → merged-bottom-k
+    estimator EXACTLY; estimator agreement with the exact operator
+    stays pytest-gated on top."""
     return txt_ops.source_overlap_minhash(
         load_table(spark, sf_dir, "documents")
     )
