@@ -141,6 +141,20 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
     from vector_search_engine_spark.streaming.engine import VectorEngine
 
     root = tempfile.mkdtemp(prefix="vse_bench_mixed_")
+    # r14 (verdict task 1): every phase is wall-stamped and every raw
+    # latency list is exported under "raw" in BENCH_DETAILS.json — the
+    # queries_runs discipline extended to the serving phase, so a
+    # cross-round drift in any mixed_rw aggregate can be adjudicated
+    # (noise vs regression, and WHICH phase moved) from committed data.
+    ph_t0 = time.time()
+    phase_walls: dict[str, float] = {}
+
+    def _phase(name: str) -> None:
+        nonlocal ph_t0
+        now = time.time()
+        phase_walls[name] = round(now - ph_t0, 3)
+        ph_t0 = now
+
     try:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n = emb.count()
@@ -200,6 +214,7 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             )
             return dt
 
+        _phase("setup")
         stream = (
             spark.readStream.schema("vec_id long, embedding array<float>")
             .option("maxFilesPerTrigger", 1)
@@ -218,11 +233,13 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
                 eng.delete(del_batches[len(latencies) - 1])
         qh.awaitTermination(300)
         ingest_wall = time.time() - t0
+        _phase("ingest_with_concurrent_searches")
         concurrent_searches = len(latencies)
         for b in del_batches[len(latencies):]:  # if ingest beat the searches
             eng.delete(b)
         while len(latencies) < 12:  # floor the percentile sample size
             latencies.append(one_search())
+        _phase("float_floor_searches")
         rows_ingested = n - emb.filter(F.col("vec_id") < cut).count()
         lat_ms = np.sort(np.array(latencies) * 1000.0)
         # Snapshot float-tier recalls BEFORE the PQ phase: one_search
@@ -230,6 +247,7 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
         # must be computed from this snapshot or they'd silently mix
         # float- and PQ-tier searches.
         float_recalls = list(recalls)
+        _phase("survivor_gt_and_bookkeeping")
         # PQ serving tier over the same engine state: first call builds
         # the generation-keyed sidecar (reported separately), then warm
         # ADC-scan searches — same survivor recall contract at full probe
@@ -240,6 +258,7 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             pq_latencies.append(one_search(tier="pq"))
         pq_recalls = recalls[len(float_recalls):]
         pq_ms = np.sort(np.array(pq_latencies[1:]) * 1000.0)
+        _phase("pq_phase")
         # BQ serving tier (r8): first call builds the sign-code sidecar;
         # recall vs survivors is a measured property at this C (no
         # lossless bound for sign codes), reported separately
@@ -251,6 +270,7 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             bq_latencies.append(one_search(tier="bq"))
         bq_recalls = recalls[n_before_bq:]
         bq_ms = np.sort(np.array(bq_latencies[1:]) * 1000.0)
+        _phase("bq_phase")
         # cascade serving tier (r9): BQ candidates → lossless SQ8 bound
         # cut → float rescore, reusing the sidecars the BQ phase built
         # plus a fresh SQ8 one on the first call
@@ -262,6 +282,7 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             casc_latencies.append(one_search(tier="cascade"))
         casc_recalls = recalls[n_before_casc:]
         casc_ms = np.sort(np.array(casc_latencies[1:]) * 1000.0)
+        _phase("cascade_phase")
         # graph serving tier (r10): per-cell HNSW walk at the default
         # beam (ef=64 via candidates_per_cell); first call builds the
         # generation-keyed graph sidecar (reported separately).  Finite
@@ -274,6 +295,7 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             graph_latencies.append(one_search(tier="graph"))
         graph_recalls = recalls[n_before_graph:]
         graph_ms = np.sort(np.array(graph_latencies[1:]) * 1000.0)
+        _phase("graph_phase")
         # radius serving phase (r10): the merged RANGE search over the
         # same post-ingest post-delete engine state — the workload class
         # that exposed the delta-GC race this round (plan-time listing vs
@@ -295,6 +317,7 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
                 == rad_expected
             )
         rad_ms = np.sort(np.array(rad_latencies) * 1000.0)
+        _phase("radius_phase")
         # per-op percentiles from the engine's own S6 metrics sink
         ops = {m["op"]: m for m in eng.recorder.snapshot()}
         ins = ops.get("insert", {})
@@ -342,6 +365,17 @@ def _bench_mixed_rw(spark, sf_dir: str) -> dict:
             "search_radius_exact": bool(rad_exact),
             "recall_at_10_mean": round(float(np.mean(float_recalls)), 4),
             "recall_at_10_final": round(float(float_recalls[-1]), 4),
+            # raw per-run data (r14): aggregates above derive from these
+            "raw": {
+                "phase_walls_sec": phase_walls,
+                "float_search_sec": [round(x, 3) for x in latencies],
+                "pq_search_sec": [round(x, 3) for x in pq_latencies],
+                "bq_search_sec": [round(x, 3) for x in bq_latencies],
+                "cascade_search_sec": [round(x, 3) for x in casc_latencies],
+                "graph_search_sec": [round(x, 3) for x in graph_latencies],
+                "radius_search_sec": [round(x, 3) for x in rad_latencies],
+                "recall_trajectory": [round(r, 4) for r in recalls],
+            },
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

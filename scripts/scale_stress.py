@@ -85,6 +85,14 @@ def main() -> None:
         _distq_merged_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
         return
+    if "--only-exactknn" in sys.argv:  # finding-30 section alone
+        _exact_knn_graph_section(spark, results)
+        print(json.dumps({"n_vecs": N_VECS, "results": results}))
+        return
+    if "--only-sift-merged" in sys.argv:  # finding-31 section alone
+        _sift_merged_section(spark, results)
+        print(json.dumps({"results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -1335,3 +1343,261 @@ def _eps_section(spark, results: dict) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def _exact_knn_graph_section(spark, results: dict) -> None:
+    """Finding 30 (r14): EXACT kNN-graph edge build at 100k — block
+    cogroup (geometry-independent N²/blocks GEMM) vs the bounded IVF
+    tier (seed + triangle-verify through per-cell cogroups) on BOTH an
+    isotropic corpus (the bound's worst case) and a 16-cluster corpus
+    (its design case).  Full-probe ``search_distributed`` is EXCLUDED
+    by design at |Q| = N: its join materializes |Q| x N candidate rows
+    (10^10 here) — the reason the bounded tier scans through cogroups.
+
+    Exactness gates: (a) external NumPy brute force on 100 sampled
+    queries (k-th distance equality — the finding-28 discipline: an
+    oracle OUTSIDE the engine); (b) block vs bounded edge-set identity
+    on (qid, neighbor_id, round(dist, 6)).  Also reports the measured
+    verify fan-out (cells/query, host-side replay on a 500-query
+    sample) — the quantity that decides the crossover."""
+    from vector_search_engine_spark.operators.ivf import IVFIndex
+
+    K = 6
+    rng = np.random.default_rng(29)
+    iso = rng.normal(0, 1, (N_VECS, DIM)).astype(np.float32)
+    iso /= np.linalg.norm(iso, axis=1, keepdims=True)
+    centers = rng.normal(0, 6.0, (16, DIM))
+    clu = np.concatenate(
+        [c + rng.normal(0, 0.25, (N_VECS // 16, DIM)) for c in centers]
+    ).astype(np.float32)
+
+    for geo, V in (("iso", iso), ("clustered", clu)):
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(len(V), dtype=np.int64),
+                 "embedding": list(V)}
+            )
+        ).cache()
+        emb.count()
+        qall = emb.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+        )
+        holder: dict = {}
+
+        def block():
+            out = knn_ops.knn_exact_distributed(
+                emb, qall, k=K, q_blocks=16, v_blocks=16, round_output=False
+            )
+            holder["block"] = out.localCheckpoint(eager=True)
+            return holder["block"].count()
+
+        timed(results, f"exactknn_block_{geo}", block)
+
+        idx_dir = tempfile.mkdtemp(prefix=f"vse_exactknn_{geo}_")
+
+        def build():
+            holder["idx"] = IVFIndex.build(emb, f"{idx_dir}/index")
+            return int(holder["idx"].meta["n_centroids"])
+
+        timed(results, f"exactknn_ivf_build_{geo}", build)
+        idx = holder["idx"]
+
+        def bounded():
+            out = idx.search_exact_bounded_distributed(
+                qall, k=K, nprobe_seed=4, round_output=False
+            )
+            holder["bounded"] = out.localCheckpoint(eager=True)
+            return holder["bounded"].count()
+
+        timed(results, f"exactknn_bounded_{geo}", bounded)
+
+        # gate (a): external NumPy k-th distance on 100 sampled queries
+        sample = rng.choice(len(V), 100, replace=False)
+        G = V.astype(np.float64)
+        got_kth = {
+            r["qid"]: r["dist_sq"]
+            for r in holder["block"].filter(F.col("rank") == K)
+            .filter(F.col("qid").isin([int(s) for s in sample]))
+            .collect()
+        }
+        ok_numpy = True
+        for s in sample:
+            d = ((G - G[s]) ** 2).sum(axis=1)
+            want = float(np.sort(d)[K - 1])  # self (d=0) occupies rank 1
+            if abs(got_kth[int(s)] - want) > 1e-6:
+                ok_numpy = False
+                break
+        # gate (b): block vs bounded edge-set identity
+        def edge_view(df):
+            return df.select(
+                "qid", "neighbor_id", F.round("dist_sq", 6).alias("d")
+            )
+        a, b = edge_view(holder["block"]), edge_view(holder["bounded"])
+        mism = a.exceptAll(b).count() + b.exceptAll(a).count()
+        # verify fan-out, host-side replay on 500 queries: cells with
+        # sqrt(d(q,c)) <= sqrt(true d_k) + R_c (the seed bound is >= the
+        # true k-th, so this is a LOWER bound on the fan-out — reported
+        # as the geometry's intrinsic prunability)
+        cids, C = idx._centroids_for(idx._read_manifest())
+        radii = {
+            int(r["centroid_id"]): float(r["rr"])
+            for r in idx.vectors().groupBy("centroid_id")
+            .agg(F.max("dist_to_centroid").alias("rr")).collect()
+        }
+        Rc = np.sqrt(np.array([radii.get(int(c), 0.0) for c in cids]))
+        fs = rng.choice(len(V), 500, replace=False)
+        kth = {
+            r["qid"]: r["dist_sq"]
+            for r in holder["block"].filter(F.col("rank") == K)
+            .filter(F.col("qid").isin([int(s) for s in fs])).collect()
+        }
+        fan = []
+        for s in fs:
+            dqc = np.sqrt(((C - G[s]) ** 2).sum(axis=1))
+            fan.append(int((dqc <= np.sqrt(kth[int(s)]) + Rc).sum()))
+        results[f"exactknn_gates_{geo}"] = {
+            "numpy_kth_exact": ok_numpy,
+            "block_vs_bounded_mismatches": int(mism),
+            "n_cells": int(idx.meta["n_centroids"]),
+            "fanout_cells_mean": round(float(np.mean(fan)), 1),
+            "fanout_cells_p95": int(np.percentile(fan, 95)),
+        }
+        print(f"  exactknn_gates_{geo}: {results[f'exactknn_gates_{geo}']}",
+              file=sys.stderr)
+        emb.unpersist()
+
+
+def _sift_merged_section(spark, results: dict) -> None:
+    """Finding 31 (r14): the merged Q4 bulk contract at the reference's
+    own scale — a SIFT1M-shape corpus (1M x 128 float32, cluster-
+    structured like sift_scale.py's: 1024 seeded centers + sigma-75
+    noise, clipped to 0..255) under LIVE state (40k new inserts + 10k
+    upserts shadowing indexed ids + 10k tombstones).  Measures the
+    |Q| ladder the r13 verdict asked for at 1M:
+
+      * |Q|=10k: engine float tier, scan='join' (the finding-25 shape)
+        vs scan='cogroup' (r14 per-cell GEMM), and the sq8 join tier;
+      * |Q|=100k: scan='cogroup' float only — the join shapes are
+        EXCLUDED by volume at this |Q| (the float join materializes
+        |Q|*nprobe*|cell| ~ 8x10^8 rows x ~1 KB through Arrow; the sq8
+        candidate stage has the same row count — their dataset-|Q|
+        form is the cogroup shape, which is the finding);
+      * exactness: 50-query full-probe sample vs brute-force kNN over
+        the latest-wins union (the finding-28 discipline).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    n, dim, n_centers = 1_000_000, 128, 1024
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(0, 255, (n_centers, dim)).astype(np.float32)
+
+    root = tempfile.mkdtemp(prefix="vse_sift_merged_")
+    base_pq = f"{root}/base.parquet"
+    os.makedirs(base_pq, exist_ok=True)
+
+    def chunk_vecs(lo: int, hi: int) -> np.ndarray:
+        idx = rng.integers(0, n_centers, hi - lo)
+        x = centers[idx] + rng.normal(0, 75.0, (hi - lo, dim)).astype(
+            np.float32
+        )
+        return np.clip(x, 0, 255).astype(np.float32)
+
+    t0 = time.time()
+    for i, lo in enumerate(range(0, n, 100_000)):
+        W = chunk_vecs(lo, lo + 100_000)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(
+                    np.arange(lo, lo + 100_000, dtype=np.int64)
+                ),
+                "embedding": pa.array(
+                    list(W), type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{base_pq}/part-{i:03d}.parquet")
+    results["gen_sec"] = round(time.time() - t0, 2)
+    print(f"  corpus gen: {results['gen_sec']}s", file=sys.stderr)
+
+    base = spark.read.parquet(base_pq)
+    t0 = time.time()
+    eng = VectorEngine.create(base, f"{root}/engine")
+    results["engine_create_sec"] = round(time.time() - t0, 2)
+    print(f"  engine create (1M, nc={eng.index.meta['n_centroids']}): "
+          f"{results['engine_create_sec']}s", file=sys.stderr)
+
+    def df_of(ids: np.ndarray, W: np.ndarray):
+        return spark.createDataFrame(
+            pd.DataFrame({"vec_id": ids, "embedding": list(W)})
+        )
+
+    eng.insert(df_of(n + np.arange(40_000, dtype=np.int64),
+                     chunk_vecs(0, 40_000)))
+    eng.insert(df_of(np.arange(10_000, dtype=np.int64),
+                     chunk_vecs(0, 10_000)))  # upserts shadowing 0..9999
+    eng.delete(list(range(20_000, 30_000)))
+    t0 = time.time()
+    eng.index.ensure_sq8()
+    results["ensure_sq8_sec"] = round(time.time() - t0, 2)
+
+    nprobe = 8
+    for nq in (10_000, 100_000):
+        Q = chunk_vecs(0, nq)
+        qdf = spark.createDataFrame(
+            pd.DataFrame(
+                {"qid": np.arange(nq, dtype=np.int64), "query": list(Q)}
+            )
+        ).cache()
+        qdf.count()
+        shapes = (
+            [("float", "cogroup"), ("float", "join"), ("sq8", "join")]
+            if nq == 10_000
+            else [("float", "cogroup")]
+        )
+        for tier, scan in shapes:
+            t0 = time.time()
+            cnt = eng.search_distributed(
+                qdf, k=6, nprobe=nprobe, tier=tier,
+                **({"scan": scan} if tier == "float" else {}),
+            ).count()
+            key = f"q{nq}_{tier}_{scan}"
+            results[key] = {"sec": round(time.time() - t0, 2), "rows": cnt}
+            print(f"  {key}: {results[key]}", file=sys.stderr)
+        qdf.unpersist()
+
+    # exactness: 50-query full-probe cogroup float + sq8 join vs brute
+    # force over the latest-wins union
+    Q50 = chunk_vecs(0, 50)
+    q50 = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(50, dtype=np.int64),
+                      "query": list(Q50)})
+    ).cache()
+    q50.count()
+    nc = len(eng.index.centroid_ids)
+    got_cg = sorted(map(tuple, eng.search_distributed(
+        q50, k=6, nprobe=nc, tier="float", scan="cogroup").collect()))
+    got_sq8 = sorted(map(tuple, eng.search_distributed(
+        q50, k=6, nprobe=nc, tier="sq8").collect()))
+    delta_latest = eng.delta_latest()
+    union = (
+        eng.index.vectors()
+        .select("vec_id", "embedding")
+        .join(delta_latest.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(
+            delta_latest.filter(F.col("embedding").isNotNull()).select(
+                "vec_id", "embedding"
+            )
+        )
+    )
+    want = sorted(map(tuple, knn_ops.knn_exact(union, q50, k=6).collect()))
+    results["exact_on_50q_full_probe"] = {
+        "cogroup_float": bool(got_cg == want),
+        "sq8": bool(got_sq8 == want),
+    }
+    print(f"  exactness: {results['exact_on_50q_full_probe']}",
+          file=sys.stderr)
+    shutil.rmtree(root, ignore_errors=True)

@@ -656,6 +656,12 @@ def test_search_distributed_identical_to_search(spark, embeddings, index):
         a = index.search(q, k=10, nprobe=nprobe).orderBy("qid", "rank")
         b = index.search_distributed(q, k=10, nprobe=nprobe).orderBy("qid", "rank")
         assert [tuple(r) for r in b.collect()] == [tuple(r) for r in a.collect()]
+        # r14: the cogroup scan shape is the same logical operator —
+        # identical output at every nprobe, only the physical scan differs
+        c = index.search_distributed(
+            q, k=10, nprobe=nprobe, scan="cogroup"
+        ).orderBy("qid", "rank")
+        assert [tuple(r) for r in c.collect()] == [tuple(r) for r in a.collect()]
 
 
 def test_cosine_ivf_full_probe_equals_flat_cosine(spark, embeddings, tmp_path):
@@ -1368,3 +1374,71 @@ def test_metric_distributed_quantized_stage_identical(spark, sf_dir):
                     )
                 )
                 assert got == base, (geometry, nprobe, tier)
+
+
+def test_exact_bounded_distributed_identical_to_exact(spark, embeddings, index):
+    """search_exact_bounded_distributed (r14): seed + triangle-verify must
+    be hash-identical to exact kNN at EVERY seed width — the bound is an
+    upper bound by construction, so exactness cannot depend on it."""
+    q = knn_ops.make_queries(embeddings, n=10)
+    exact = knn_ops.knn_exact(embeddings, q, k=10).orderBy("qid", "rank")
+    want = [tuple(r) for r in exact.collect()]
+    for seed in (1, 2, 8):
+        got = index.search_exact_bounded_distributed(
+            q, k=10, nprobe_seed=seed
+        ).orderBy("qid", "rank")
+        assert [tuple(r) for r in got.collect()] == want
+
+
+def test_exact_bounded_prunes_on_clustered_data(spark, tmp_path):
+    """On a clustered corpus the verify pass must (a) stay exact and
+    (b) actually prune: with 8 well-separated Gaussian clusters and a
+    tight seed bound, the probed (qid, cell) fan-out must be far below
+    the full |Q| x n_cells grid.  Also pins the <k-seed fallback: a
+    query landing in a nearly-empty cell still returns the true top-k."""
+    import pandas as pd
+
+    rng = np.random.default_rng(77)
+    n_per, d, kc = 250, 16, 8
+    centers = rng.normal(0, 10.0, (kc, d))
+    V = np.concatenate(
+        [c + rng.normal(0, 0.3, (n_per, d)) for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(len(V), dtype=np.int64), "embedding": list(V)}
+        )
+    )
+    idx = IVFIndex.build(
+        df, str(tmp_path / "clustered_idx"), n_centroids=kc, extra_cols=()
+    )
+    q = knn_ops.make_queries(df, n=20)
+    exact = knn_ops.knn_exact(df, q, k=5).orderBy("qid", "rank")
+    got = idx.search_exact_bounded_distributed(
+        q, k=5, nprobe_seed=1
+    ).orderBy("qid", "rank")
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in exact.collect()
+    ]
+    # pruning witness: replicate the probe decision host-side — each
+    # query's seed bound must exclude every non-home cell (clusters are
+    # 10-sigma separated, bounds are ~cluster-internal distances)
+    cids, C = idx._centroids_for(idx._read_manifest())
+    seed = idx.search_distributed(q, k=5, nprobe=1, round_output=False)
+    dk = {r["qid"]: r["_dk"] for r in
+          seed.groupBy("qid").agg(F.max("dist_sq").alias("_dk")).collect()}
+    radii = {
+        int(r["centroid_id"]): float(r["r"])
+        for r in idx.vectors()
+        .groupBy("centroid_id")
+        .agg(F.max("dist_to_centroid").alias("r"))
+        .collect()
+    }
+    Rc = np.sqrt(np.array([radii.get(int(c), 0.0) for c in cids]))
+    Qm = np.stack([r["query"] for r in q.orderBy("qid").collect()]).astype(np.float64)
+    qids = [r["qid"] for r in q.orderBy("qid").collect()]
+    probed = 0
+    for i, qid in enumerate(qids):
+        dqc = np.sqrt(((C - Qm[i]) ** 2).sum(axis=1))
+        probed += int((dqc <= np.sqrt(dk[qid]) + Rc).sum())
+    assert probed <= len(qids) * 2  # ~1 cell/query vs the 8-cell grid

@@ -1663,6 +1663,7 @@ class IVFIndex:
         predicate=None,
         exclude_ids: DataFrame | None = None,
         round_output: bool = True,
+        scan: str = "join",
     ) -> DataFrame:
         """ANN top-k for a LARGE query table — the tier for when ``|Q|``
         itself is a dataset (bulk re-embedding joins, all-corpus retrieval
@@ -1683,7 +1684,22 @@ class IVFIndex:
         join (pushed to the scan) — the large-|Q| filtered tier.
         ``exclude_ids``: one-column DataFrame of ids to drop PRE-JOIN
         (anti-join on the index side — the merged engine contract's
-        shadowed-id exclusion; ids never visit the driver)."""
+        shadowed-id exclusion; ids never visit the driver).
+
+        ``scan`` (r14) picks the physical scan shape, identical output:
+
+        * ``"join"`` (default) — probes shuffle-join the cells and the
+          |Q|·nprobe·|cell| candidate rows stream through Arrow into
+          the per-batch kernel.  Right for SERVING-sized query tables:
+          at 10k queries × 100k×64d the volume is ~14 GB (finding 25);
+          at 1M×128d the same shape is ~250 GB of Arrow traffic — the
+          wall the cogroup shape removes.
+        * ``"cogroup"`` — per-cell cogroup (``_cell_cogroup_topk``):
+          one chunked GEMM per probed cell, shuffle volume = probe
+          stubs + each cell once, never materialized candidate pairs.
+          Right for DATASET-SIZED |Q| (kNN-graph builds, all-corpus
+          retrieval passes); SCALING finding 31 measures the crossover
+          at SIFT1M."""
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         # same snapshot discipline as search(): centroids and cells from
@@ -1703,9 +1719,28 @@ class IVFIndex:
             base = base.join(
                 exclude_ids.toDF(id_col), id_col, "left_anti"
             )
-        cand = probes.join(base, "centroid_id").select(
-            "qid", "query", F.col(id_col), F.col(vec_col)
-        )
+        if scan == "cogroup":
+            cand_topk = self._cell_cogroup_topk(probes, base, k)
+        elif scan == "join":
+            cand = probes.join(base, "centroid_id").select(
+                "qid", "query", F.col(id_col), F.col(vec_col)
+            )
+            cand_topk = cand.mapInPandas(
+                self._bulk_l2_topk_kernel(k),
+                schema="qid long, neighbor_id long, dist double",
+            )
+        else:
+            raise ValueError(f"unknown scan shape {scan!r}")
+        return _finalize_topk(cand_topk, k, "l2_sq", round_output)
+
+    def _bulk_l2_topk_kernel(self, k: int):
+        """Per-batch kernel shared by the bulk-|Q| tiers
+        (``search_distributed``, ``search_exact_bounded_distributed``):
+        one exact float64 L2 evaluation + local (dist, id) top-k per
+        (qid, candidate-group); the global window merge keeps the true
+        top-k over all of a query's batches."""
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
 
         def batch_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -1728,10 +1763,220 @@ class IVFIndex:
                         }
                     )
 
-        cand_topk = cand.mapInPandas(
-            batch_topk, schema="qid long, neighbor_id long, dist double"
+        return batch_topk
+
+    def search_exact_bounded_distributed(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe_seed: int = 4,
+        qid_col: str = "qid",
+        qvec_col: str = "query",
+        round_output: bool = True,
+    ) -> DataFrame:
+        """EXACT top-k for DATASET-SIZED query tables at PARTIAL-probe
+        cost — the lossless IVF route for bulk exact-kNN builds (kNN
+        graphs feeding PageRank/LPA/triangles, kNN classify, coresets)
+        on corpora with cluster structure.  Two passes, queries never
+        visiting the driver in either:
+
+          1. **seed** — ``search_distributed`` over ``nprobe_seed``
+             cells; its k-th distance ``d_k`` is an UPPER bound on the
+             true k-th distance (a top-k over a subset can only be
+             farther);
+          2. **verify** — probe exactly the cells the bound cannot
+             exclude: cell c scans iff ``sqrt(d(q, centroid_c)) <=
+             sqrt(d_k) + R_c`` (triangle inequality — the zero-loss
+             prune of ``radius_search_distributed`` with a per-QUERY
+             radius), then one global (dist, id) top-k.
+
+        Every true neighbor lies within ``sqrt(d_k)`` of q, and every
+        point within ``sqrt(d_k)`` of q lives in a cell passing the
+        test, so the output is hash-identical to ``knn_exact`` at ANY
+        ``nprobe_seed`` (oracle-graded: registry ``knn_exact_ivf_bounded``).
+        A query whose seed returns fewer than k rows (nearly-empty
+        probed cells) has no valid bound and probes ALL cells — the
+        honest fallback, never a silent recall loss.
+
+        Scale posture: BOTH passes scan through a per-cell COGROUP, not
+        a row-materializing join — a (cell, its queries, its vectors)
+        group runs ONE chunked GEMM and emits ≤ k rows per query, so
+        shuffle volume is ``|Q|·fanout + N`` rows (probe stubs + each
+        cell once), never the ``|Q|·fanout·|cell|`` candidate rows the
+        ``search_distributed`` join shape would materialize at
+        dataset-sized |Q|.  The verify fan-out is data-adaptive: on
+        clustered corpora d_k is small, most cells fail the triangle
+        test, and the probed fraction is ~the query's own cluster; on
+        isotropic high-dim data d_k concentrates at the bulk distance
+        and the bound excludes little, degenerating toward the full
+        grid — prefer ``knn_exact_distributed`` (block GEMM) there.
+        SCALING r14 (finding 30) records the measured crossover at 100k
+        rows on both geometries.  Reference anchor: ``hnsw_index.h``'s
+        ef-bounded beam plays the same per-query "scan less than
+        everything" role; this is the set-oriented, provably exact
+        analog."""
+        spark = self.spark
+        snap = self._read_manifest()
+        cids, C = self._centroids_for(snap)
+        radii = {
+            int(r["centroid_id"]): float(r["r_sq"])
+            for r in self.vectors(snapshot=snap)
+            .groupBy("centroid_id")
+            .agg(F.max("dist_to_centroid").alias("r_sq"))
+            .collect()
+        }
+        R_cell = np.sqrt(
+            np.array([radii.get(int(c), 0.0) for c in cids], dtype=np.float64)
+        )
+
+        # ---- pass 1: seed top-k over nprobe_seed cells (cogroup scan)
+        probes_seed, _, _ = self._assign_probes_distributed(
+            queries, qid_col, qvec_col, snap, min(nprobe_seed, len(cids))
+        )
+        seed_cand = self._cell_cogroup_topk(
+            probes_seed, self.vectors(snapshot=snap), k
+        )
+        seed = _finalize_topk(seed_cand, k, "l2_sq", round_output=False)
+        bound = seed.groupBy("qid").agg(
+            F.max("dist_sq").alias("_dk"), F.count("*").alias("_nseed")
+        )
+
+        # ---- pass 2: per-query-radius triangle prune, cogroup verify
+        qb = (
+            queries.select(
+                F.col(qid_col).alias("qid"), F.col(qvec_col).alias("query")
+            )
+            .join(bound, "qid", "left")
+            .select(
+                "qid",
+                "query",
+                # no full-k seed → no valid bound → probe everything
+                F.when(F.col("_nseed") >= k, F.sqrt(F.col("_dk")))
+                .otherwise(F.lit(float("inf")))
+                .alias("_r"),
+            )
+        )
+        bc = spark.sparkContext.broadcast((cids, C, R_cell))
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cids_, C_, Rc_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.stack(pdf["query"].to_numpy()).astype(np.float64)
+                D = l2_sq_matrix(Q, C_)
+                r_q = pdf["_r"].to_numpy(dtype=np.float64)
+                hit = np.sqrt(D) <= (r_q[:, None] + Rc_[None, :])
+                qi, ci = np.nonzero(hit)
+                if len(qi) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "qid": pdf["qid"].to_numpy(dtype=np.int64)[qi],
+                        "query": pdf["query"].to_numpy()[qi],
+                        "centroid_id": cids_[ci].astype(np.int32),
+                    }
+                )
+
+        probes = qb.mapInPandas(
+            probe, schema="qid long, query array<float>, centroid_id int"
+        )
+        cand_topk = self._cell_cogroup_topk(
+            probes, self.vectors(snapshot=snap), k
         )
         return _finalize_topk(cand_topk, k, "l2_sq", round_output)
+
+    def _cell_cogroup_topk(
+        self,
+        probes: DataFrame,
+        base: DataFrame,
+        k: int,
+        max_tile_cells: int = 16_000_000,
+    ) -> DataFrame:
+        """Shared scan kernel of the bulk-|Q| exact tiers: cogroup the
+        ``(qid, query, centroid_id)`` probe stubs with the index cells
+        on ``centroid_id`` and run ONE chunked GEMM per cell, emitting
+        the local (dist, id) top-k per query — the cell-blocked twin of
+        ``knn_exact_distributed``'s kernel, so shuffle volume stays
+        ``probe stubs + N`` rows, never the ``|Q|·fanout·|cell|``
+        candidate rows the join scan materializes through Arrow (the
+        shape that caps the join scan at ~10k-query tables — SCALING
+        finding 25/30).  ``base`` is the caller-prepared index side
+        (snapshot pinned, predicate/exclude_ids already applied) with
+        ``(centroid_id, id_col, vec_col)`` columns.
+
+        Both cogroup sides' grouping key is cast to ONE type (int) —
+        the finding-28 discipline (see ``knn.block_cogroup_keys``):
+        mixed int/bigint keys hash-partition differently and silently
+        drop whole cells.  Tile chunking caps the per-task distance
+        matrix at ``max_tile_cells`` float64 cells (~128 MB) no matter
+        how many queries probe one hot cell.  Practical bound: one
+        (cell, its probing queries) cogroup materializes as ONE pandas
+        pair, so per-task memory is O(|cell| + queries probing it) rows
+        — the hot-cell analog of the block join's tile; the engine's
+        hot-cell splitting keeps |cell| bounded."""
+        import pandas as pd  # noqa: F811 — executor-side closure import
+
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        qside = probes.select(
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            "qid",
+            "query",
+        )
+        vside = base.select(
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nvec"),
+        )
+        if qside.schema["centroid_id"].dataType != vside.schema[
+            "centroid_id"
+        ].dataType:  # pragma: no cover - structural guard (finding 28)
+            raise AssertionError("cell cogroup key type mismatch")
+
+        def cell_topk(qpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "dist": pd.Series(dtype="float64"),
+                }
+            )
+            if len(qpdf) == 0 or len(vpdf) == 0:
+                return empty
+            qids = qpdf["qid"].to_numpy(dtype=np.int64)
+            Q = np.stack(qpdf["query"].to_numpy())
+            ids = vpdf["nid"].to_numpy(dtype=np.int64)
+            V = np.stack(vpdf["nvec"].to_numpy())
+            kk = min(k, len(ids))
+            step = max(1, max_tile_cells // max(len(ids), 1))
+            out_qid, out_id, out_dist = [], [], []
+            for c0 in range(0, len(qids), step):
+                qs, Qc = qids[c0 : c0 + step], Q[c0 : c0 + step]
+                D = l2_sq_matrix(V, Qc)  # (n, m_chunk)
+                for j in range(len(qs)):
+                    order = np.lexsort((ids, D[:, j]))[:kk]
+                    out_qid.append(np.full(kk, qs[j], dtype=np.int64))
+                    out_id.append(ids[order])
+                    out_dist.append(D[order, j])
+            if not out_qid:
+                return empty
+            return pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_qid),
+                    "neighbor_id": np.concatenate(out_id),
+                    "dist": np.concatenate(out_dist),
+                }
+            )
+
+        return (
+            qside.groupBy("centroid_id")
+            .cogroup(vside.groupBy("centroid_id"))
+            .applyInPandas(
+                lambda ql, vl: cell_topk(ql, vl),
+                schema="qid long, neighbor_id long, dist double",
+            )
+        )
 
     def _assign_probes_distributed(
         self,

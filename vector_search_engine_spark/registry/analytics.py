@@ -340,7 +340,7 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortizes one GEMM per (qblock, vblock) tile).  At serving scale
     with a clustered geometry the build routes through
     ``IVFIndex.search_exact_bounded_distributed`` (lossless seed+verify
-    prune — SCALING r14); identical output contract, same oracle."""
+    prune — SCALING r14 finding 30); identical output contract, same oracle."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")

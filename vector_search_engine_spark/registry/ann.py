@@ -381,6 +381,39 @@ def knn_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq.knn_sq8_rescore(emb, knn_ops.make_queries(emb), k=10)
 
 
+@register("ann_ivf_cogroup_scan_distributed", oracle=ORACLES["knn_exact_l2"])
+def ann_ivf_cogroup_scan_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bulk path's COGROUP scan shape at full probe (r14): one
+    chunked GEMM per probed cell, shuffle = probe stubs + each cell
+    once — the dataset-sized-|Q| shape that removes the join scan's
+    |Q|·fanout·|cell| Arrow materialization (SCALING finding 31 pins
+    the SIFT1M crossover).  Exact at full probe — identical results to
+    scan='join' at any nprobe (pytest) and to exact kNN here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf.build_or_load(spark, sf_dir)
+    return idx.search_distributed(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=idx.meta["n_centroids"],
+        scan="cogroup",
+    )
+
+
+@register("knn_exact_ivf_bounded", oracle=ORACLES["knn_exact_l2"])
+def knn_exact_ivf_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT kNN at partial-probe cost (r14): seed top-k at nprobe_seed=2
+    gives a per-query k-th-distance upper bound; the verify pass probes
+    only cells the triangle inequality cannot exclude (sqrt(d(q,c)) <=
+    sqrt(d_k) + R_c) and re-ranks globally.  Hash-identical to exact kNN
+    at ANY seed width — the lossless bulk exact-kNN route for clustered
+    corpora (IVFIndex.search_exact_bounded_distributed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf.build_or_load(spark, sf_dir)
+    return idx.search_exact_bounded_distributed(
+        knn_ops.make_queries(emb), k=10, nprobe_seed=2
+    )
+
+
 @register("knn_sq8_rescore_exhaustive", oracle=ORACLES["knn_exact_l2"])
 def knn_sq8_rescore_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded-C form of the two-stage SQ8 search (r14): with

@@ -563,6 +563,7 @@ class VectorEngine:
         tier: str = "float",
         candidates_per_cell: int | None = None,
         predicate=None,
+        scan: str = "join",
     ) -> DataFrame:
         """The merged Q4 contract for DATASET-SIZED query tables — the
         reference's serve loop (``engine.h:100-144``) answers one query
@@ -593,7 +594,10 @@ class VectorEngine:
         results to float), or ``"cascade"`` (BQ→SQ8→float; exact when
         ``candidates_per_cell`` is unbounded, recall-measured when
         finite).  ``predicate``: metadata Column applied to BOTH sides'
-        latest versions, same semantics as ``search``."""
+        latest versions, same semantics as ``search``.  ``scan``
+        (float tier only, r14): the indexed side's physical scan shape
+        — "join" (serving-sized |Q|) or "cogroup" (per-cell GEMM, the
+        dataset-sized-|Q| shape; see IVFIndex.search_distributed)."""
         if tier not in ("float", "sq8", "cascade"):
             raise ValueError(f"unknown distributed tier {tier!r}")
         id_col = self.index.meta["id_col"]
@@ -617,7 +621,7 @@ class VectorEngine:
         else:
             indexed_part = self.index.search_distributed(
                 queries, k=k, nprobe=nprobe, exclude_ids=exclude,
-                predicate=predicate, round_output=False,
+                predicate=predicate, round_output=False, scan=scan,
             )
         delta_live = delta_latest.filter(F.col(vec_col).isNotNull())
         if predicate is not None:
