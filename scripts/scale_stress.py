@@ -93,6 +93,10 @@ def main() -> None:
         _sift_merged_section(spark, results)
         print(json.dumps({"results": results}))
         return
+    if "--only-blockskew" in sys.argv:  # finding-32 section alone
+        _block_skew_section(spark, results)
+        print(json.dumps({"results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -1341,8 +1345,6 @@ def _eps_section(spark, results: dict) -> None:
     emb.unpersist()
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _exact_knn_graph_section(spark, results: dict) -> None:
@@ -1475,11 +1477,15 @@ def _sift_merged_section(spark, results: dict) -> None:
     upserts shadowing indexed ids + 10k tombstones).  Measures the
     |Q| ladder the r13 verdict asked for at 1M:
 
-      * |Q|=10k: engine float tier, scan='join' (the finding-25 shape)
-        vs scan='cogroup' (r14 per-cell GEMM), and the sq8 join tier;
-      * |Q|=100k: scan='cogroup' float only — the join shapes are
-        EXCLUDED by volume at this |Q| (the float join materializes
-        |Q|*nprobe*|cell| ~ 8x10^8 rows x ~1 KB through Arrow; the sq8
+      * |Q|=1k: engine float tier, scan='join' — the finding-25 shape's
+        feasible anchor at 1M (a first attempt at |Q|=10k join ran >55
+        min wall on one straggler task before being killed: ~8x10^7
+        candidate rows x ~1 KB through Arrow, with AQE-coalesced
+        centroid ranges leaving one partition holding the largest
+        cells — the measured pathology the cogroup shape removes);
+      * |Q|=10k: scan='cogroup' float + the sq8 join tier;
+      * |Q|=100k: scan='cogroup' float — the join shapes are EXCLUDED
+        by volume at this |Q| (8x10^8 candidate rows; the sq8
         candidate stage has the same row count — their dataset-|Q|
         form is the cogroup shape, which is the finding);
       * exactness: 50-query full-probe sample vs brute-force kNN over
@@ -1545,7 +1551,7 @@ def _sift_merged_section(spark, results: dict) -> None:
     results["ensure_sq8_sec"] = round(time.time() - t0, 2)
 
     nprobe = 8
-    for nq in (10_000, 100_000):
+    for nq in (1_000, 10_000, 100_000):
         Q = chunk_vecs(0, nq)
         qdf = spark.createDataFrame(
             pd.DataFrame(
@@ -1553,11 +1559,18 @@ def _sift_merged_section(spark, results: dict) -> None:
             )
         ).cache()
         qdf.count()
-        shapes = (
-            [("float", "cogroup"), ("float", "join"), ("sq8", "join")]
-            if nq == 10_000
-            else [("float", "cogroup")]
-        )
+        # the join shapes (float @ |Q|=1k, sq8 @ |Q|=10k) were measured
+        # in the first pass (636 s / killed >45 min - SCALING finding
+        # 31's table); VSE_SIFT_JOINS=1 re-enables them
+        if os.environ.get("VSE_SIFT_JOINS") == "1":
+            if nq == 1_000:
+                shapes = [("float", "join"), ("float", "cogroup")]
+            elif nq == 10_000:
+                shapes = [("float", "cogroup"), ("sq8", "join")]
+            else:
+                shapes = [("float", "cogroup")]
+        else:
+            shapes = [] if nq == 1_000 else [("float", "cogroup")]
         for tier, scan in shapes:
             t0 = time.time()
             cnt = eng.search_distributed(
@@ -1601,3 +1614,95 @@ def _sift_merged_section(spark, results: dict) -> None:
     print(f"  exactness: {results['exact_on_50q_full_probe']}",
           file=sys.stderr)
     shutil.rmtree(root, ignore_errors=True)
+
+
+def _block_skew_section(spark, results: dict) -> None:
+    """Finding 32 (r14): deliberate skew against the two bulk cogroup
+    workhorses at 100k — the r13 verdict's stretch task.
+
+    Corpus: 95k scattered cluster vectors + 5k EXACT DUPLICATES of one
+    vector (a point mass — the worst data skew: no quantizer can split
+    it, every pair is within any radius, all 5k land in one IVF cell).
+
+    (a) block radius self-join (radius_pairs_distributed): the block
+        keys are pmod(xxhash64(id)) — duplicate VECTORS still carry
+        distinct ids, so the point mass spreads uniformly over the
+        (qblock, vblock) grid BY CONSTRUCTION.  The rung measures wall
+        vs the no-dup corpus and records the per-block-pair emitted
+        counts (max/mean ~ 1 ⇒ no hot task; AQE has nothing to fix
+        because the skew never reaches the partitioning).
+    (b) cell-cogroup bounded kNN: the point mass IS one hot cogroup
+        (one task owns the 5k-row cell and every query probing it) —
+        measured wall vs uniform; the engine-side mitigation is the
+        hot-cell budget split (finding 26), which bounds |cell| before
+        this scan ever sees it.
+    """
+    K = 6
+    n_dup, n_bg = 5_000, 95_000
+    rng = np.random.default_rng(32)
+    centers = rng.normal(0, 6.0, (16, DIM))
+    bg = np.concatenate(
+        [c + rng.normal(0, 0.25, (n_bg // 16 + 1, DIM)) for c in centers]
+    )[:n_bg].astype(np.float32)
+    dup = np.tile(rng.normal(0, 6.0, (1, DIM)).astype(np.float32),
+                  (n_dup, 1))
+    for tag, V in (
+        ("uniform", np.concatenate([bg, bg[:n_dup] + 50.0]).astype(np.float32)),
+        ("dupskew", np.concatenate([bg, dup])),
+    ):
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(len(V), dtype=np.int64),
+                 "embedding": list(V)}
+            )
+        ).cache()
+        emb.count()
+        eps = 0.01  # tiny: scattered rows pair rarely; the point mass fully
+        timed(
+            results,
+            f"blockskew_radius_pairs_{tag}",
+            lambda: knn_ops.radius_pairs_distributed(
+                emb, eps, q_blocks=4, v_blocks=4
+            ).count(),
+        )
+        # per-block-pair emitted-count balance (replay the block keys)
+        from vector_search_engine_spark.operators.knn import (
+            block_cogroup_keys,
+        )
+        q_own, _ = block_cogroup_keys("vec_id", 4, 1, "qblock", "_x")
+        blocks = emb.select("vec_id", q_own)
+        pairs = knn_ops.radius_pairs_distributed(emb, eps)
+        per = (
+            pairs.join(blocks.select(F.col("vec_id").alias("id_a"),
+                                     F.col("qblock").alias("ba")), "id_a")
+            .join(blocks.select(F.col("vec_id").alias("id_b"),
+                                F.col("qblock").alias("bb")), "id_b")
+            .groupBy("ba", "bb").count().collect()
+        )
+        counts = [r["count"] for r in per]
+        if counts:
+            results[f"blockskew_pairbalance_{tag}"] = {
+                "max_over_mean": round(max(counts) / (sum(counts) / len(counts)), 2),
+                "n_block_pairs": len(counts),
+            }
+            print(f"  blockskew_pairbalance_{tag}: "
+                  f"{results[f'blockskew_pairbalance_{tag}']}", file=sys.stderr)
+        idx_dir = tempfile.mkdtemp(prefix=f"vse_skew_{tag}_")
+        idx = IVFIndex.build(emb, f"{idx_dir}/index")
+        cell_sizes = [r["n_vectors"] for r in idx.stats().collect()]
+        results[f"blockskew_cellmax_{tag}"] = int(max(cell_sizes))
+        qall = emb.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+        )
+        timed(
+            results,
+            f"blockskew_bounded_knn_{tag}",
+            lambda: idx.search_exact_bounded_distributed(
+                qall, k=K, nprobe_seed=4
+            ).count(),
+        )
+        emb.unpersist()
+
+
+if __name__ == "__main__":
+    main()
