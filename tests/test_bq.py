@@ -37,6 +37,28 @@ def test_hamming_pairs_matches_numpy():
     assert (got == want).all()
 
 
+def test_bq_rescore_exhaustive_is_exact(spark, embeddings):
+    """Unbounded C keeps every candidate, so the float rescore is
+    exhaustive and the output is identical to exact kNN — the lossless
+    end of the 1-bit C ladder (registry row knn_bq_rescore_exhaustive)."""
+    q = knn_ops.make_queries(embeddings)
+    want = [
+        tuple(r)
+        for r in knn_ops.knn_exact(embeddings, q, k=10)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    got = [
+        tuple(r)
+        for r in bq_ops.knn_bq_rescore(
+            embeddings, q, k=10, candidates_per_partition=1 << 31
+        )
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    assert got == want
+
+
 def test_bq_rescore_reports_true_distances_and_recall(spark, embeddings):
     """Returned rows always carry the exact float distance (the rescore
     contract); recall@10 at C=16k is gated at the measured-minus-margin

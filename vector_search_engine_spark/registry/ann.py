@@ -433,6 +433,27 @@ def knn_sq8_rescore_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_bq_rescore_exhaustive", oracle=ORACLES["knn_exact_l2"])
+def knn_bq_rescore_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-C form of the two-stage BQ search (r14): with
+    ``candidates_per_partition`` >= partition size the packed sign-bit
+    candidate stage keeps EVERY row, so the exact float re-score is
+    exhaustive and the output is hash-identical to exact kNN — the
+    lossless end of the 1-bit C ladder, oracle-grading the BQ plumbing
+    (bit packing, asymmetric scoring, rescore join) end to end where the
+    default-C serving shape stays rows-only (1-bit recall is measured,
+    not bounded; pytest-gated)."""
+    from vector_search_engine_spark.operators import bq as bq_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bq_ops.knn_bq_rescore(
+        emb,
+        knn_ops.make_queries(emb),
+        k=10,
+        candidates_per_partition=1 << 31,
+    )
+
+
 @register("ann_ivf_sq8", oracle=ORACLES["knn_exact_l2"])
 def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 composed WITHIN IVF cells: the probed partitions' int8 code
