@@ -1541,7 +1541,22 @@ class IVFIndex:
         ``predicate`` / ``exclude_ids`` apply before the cut (pre-cut
         semi-join/anti-join — the quantized tiers' losslessness
         argument); ``snapshot`` pins codes and rescore base to one
-        manifest generation like every sidecar tier."""
+        manifest generation like every sidecar tier.
+
+        **When to pick this tier (measured, SCALING findings 24 + 24
+        extension):** the cut's pruning is real (≥97% of full-vector
+        distance evaluations skipped at 1M×128d) but the SELF-CONTAINED
+        sidecar stores rotated + original coordinates, so the scan reads
+        ~2× the bytes of the float tier — at 64–128 dims the float scan
+        is already memory-bound and ``search()`` / ``search_sq8()`` win
+        on wall clock (10.9 s vs 8.5 s at 100k×64d; parity-at-best at
+        1M×128d).  This tier is NOT a default: reach for it when (a)
+        dimensionality is high enough that the GEMM, not the scan, is
+        the bound (≥~512 dims), or (b) compute per byte is expensive
+        (CPU-constrained executors), or (c) you need a lossless cut on a
+        spectrally-concentrated corpus where SQ8's 4× byte win is
+        unavailable (e.g. pre-quantized storage is prohibited).
+        Otherwise prefer ``search_sq8`` (byte cut AND wall win)."""
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         spark = self.spark
