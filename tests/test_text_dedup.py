@@ -183,6 +183,75 @@ def test_lang_id_deterministic(documents):
     assert preds <= {"en", "de", "es", "fr", "zh"}
 
 
+def test_token_budget_sample_prefix_and_deterministic(spark, documents):
+    """Kept set is the exact hash-order prefix whose running token sum
+    fits the budget, per source; pure function of (doc_id, salt,
+    budget) — identical on a repartitioned input."""
+    out = text_ops.token_budget_sample(documents, budget=300).collect()
+    assert out, "budget=300 must keep at least one doc per fixture source"
+    by_src: dict[str, list] = {}
+    for r in out:
+        assert r.cum_tokens <= 300
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.rn)
+        # contiguous prefix of the hash walk: rn = 1..m
+        assert [r.rn for r in rows] == list(range(1, len(rows) + 1))
+        # running sum is consistent with the per-doc counts
+        cum = 0
+        for r in rows:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+    got1 = {(r.source, r.doc_id) for r in out}
+    got2 = {
+        (r.source, r.doc_id)
+        for r in text_ops.token_budget_sample(
+            documents.repartition(13), budget=300
+        ).collect()
+    }
+    assert got1 == got2
+
+
+def test_dedup_keep_best_one_per_cluster_quality_ordered(spark, documents):
+    """dedup_keep_best emits exactly one doc per near-dup cluster, and
+    it is the (keep DESC, n_words DESC, doc_id ASC) argmax of the
+    cluster — the quality-aware representative."""
+    from vector_search_engine_spark.operators import dedup as dedup_ops
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    clusters = graph_ops.dedup_clusters(
+        documents, dedup_ops.ngram_jaccard_pairs(documents)
+    )
+    q = text_ops.quality_filter(documents).select("doc_id", "n_words", "keep")
+    full = {
+        r.doc_id: r
+        for r in clusters.join(q, "doc_id").collect()
+    }
+    by_cluster: dict[int, list] = {}
+    for r in full.values():
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("keep").desc(), F.col("n_words").desc(), F.col("doc_id")
+    )
+    kept = (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "n_words", "keep")
+        .collect()
+    )
+    assert len(kept) == len(by_cluster)
+    for r in kept:
+        best = min(
+            by_cluster[r.cluster_id],
+            key=lambda x: (not x.keep, -x.n_words, x.doc_id),
+        )
+        assert r.doc_id == best.doc_id
+
+
 def test_capped_sample_is_exact_and_deterministic(spark, documents):
     out1 = text_ops.capped_source_sample(documents, cap=7)
     counts = {r.source: r.n for r in out1.groupBy("source").agg(F.count("*").alias("n")).collect()}

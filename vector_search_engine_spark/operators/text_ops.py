@@ -294,6 +294,79 @@ def capped_source_sample(documents: DataFrame, cap: int = SAMPLE_CAP) -> DataFra
     )
 
 
+TOKEN_BUDGET = 800  # whitespace tokens per source — bites at every SF
+# (per-source totals: ~1.2k at sf0.001/0.01, ~13k at sf0.1)
+
+
+def token_budget_sample(
+    documents: DataFrame, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Token-budgeted per-source sampling (r14): walk each source's docs
+    in salted-md5 order and keep them while the RUNNING token total
+    stays within ``budget`` — the unit real LLM data mixtures are
+    specified in ("20B tokens of web, 2B of code"), where
+    ``capped_source_sample`` counts documents.  A doc is kept iff the
+    cumulative whitespace-token count INCLUDING it is ≤ budget, so the
+    kept set is a pure function of (doc_id, salt, budget): reproducible
+    across runs, engines and partitionings, and the oracle replays the
+    identical walk in SQL.
+
+    Scale posture: one shuffle on source; the running sum is a window
+    over (hash, doc_id) within the source partition — no driver state,
+    no iteration.  At 100 TB the source cardinality is small (10s–100s)
+    while each source's docs are huge; if one source's partition skews,
+    pre-aggregate by (source, hash-bucket) coarse ranges first — the
+    budget cut only needs the prefix of the hash order, so a
+    ``budget``-bounded early prune per bucket composes losslessly."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        documents.select(
+            "source", "doc_id", h.alias("h"), n_tok.alias("n_tokens")
+        )
+        .withColumn("cum_tokens", cum.cast("long"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("source", "doc_id", "rn", "n_tokens", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_SAMPLE_ORACLE = f"""
+WITH h AS (
+  SELECT source, doc_id,
+         CAST(('0x' || substr(md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h,
+         len({DD_TOKENS.format(t="text")})::BIGINT AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS cum_tokens
+  FROM h
+)
+SELECT source, doc_id, rn, n_tokens, cum_tokens
+FROM r WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
 WEIGHTED_SAMPLE_SALT = "vse-wsample:"
 WEIGHTED_SAMPLE_K = 50
 _U_DENOM = float(1 << 60)  # 60-bit salted hash → uniform u ∈ (0, 1]

@@ -662,3 +662,34 @@ def streaming_search_sq8_distributed(
         nprobe=eng.index.meta["n_centroids"],
         tier="sq8",
     )
+
+
+@register(
+    "streaming_search_cascade_distributed", oracle=ORACLES["knn_exact_l2"]
+)
+def streaming_search_cascade_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bulk-query merged contract through the STAGED cascade (r14 —
+    completes the tier matrix on the live-engine bulk path: float/sq8/
+    cascade × merged): 1-bit candidate generation (32× scan cut) →
+    lossless SQ8 bound cut → exact float rescore on the indexed side,
+    the delta answered by the block kNN join, shadowed ids anti-joined
+    PRE-CUT, one global top-k.  Same 50-id upsert overlap trap as the
+    float/sq8 siblings (insert >= 350 against a < 400 base).  Full probe
+    + unbounded stage-1 keeps the cascade exact, so the row is
+    hash-identical to exact search over the latest-wins union."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 350))
+    return eng.search_distributed(
+        knn_ops.make_queries(emb),
+        k=10,
+        nprobe=eng.index.meta["n_centroids"],
+        tier="cascade",
+        candidates_per_cell=10**9,
+    )

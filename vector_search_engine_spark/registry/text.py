@@ -148,6 +148,19 @@ def corpus_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_token_budget_sample", oracle=txt_ops.TOKEN_BUDGET_SAMPLE_ORACLE
+)
+def corpus_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted per-source sampling (r14): keep each source's docs
+    in salted-md5 order while the running whitespace-token total stays
+    within the budget — the unit LLM data mixtures are actually
+    specified in, where corpus_capped_sample counts documents.  One
+    window per source partition; kept set is a pure function of
+    (doc_id, salt, budget)."""
+    return txt_ops.token_budget_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_weighted_sample_es", oracle=txt_ops.WEIGHTED_SAMPLE_ES_ORACLE
 )
 def corpus_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,6 +313,36 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_ops.leakage_safe_split(docs, clusters)
 
 
+@register("dedup_keep_best", oracle=None)  # oracle set below (graph CTE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse (r14): per transitive-closure
+    cluster keep the BEST document — Gopher `keep` verdict first, then
+    word count, doc_id as the final tie-break — instead of
+    dedup_clusters' min-id canonical.  The shape every production
+    dedup actually ships: when a page and its boilerplate-mangled
+    mirror collide, the clean long one survives.  One window over the
+    cluster key (single shuffle); the pair graph and CC are the
+    bucketed machinery dedup_clusters already grades."""
+    from pyspark.sql import Window
+
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = graph_ops.dedup_clusters(
+        docs, dedup_ops.ngram_jaccard_pairs(docs)
+    )
+    q = txt_ops.quality_filter(docs).select("doc_id", "n_words", "keep")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("keep").desc(), F.col("n_words").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "n_words", "keep")
+    )
+
+
 @register(
     "corpus_mixture_temperature", oracle=txt_ops.MIXTURE_TEMPERATURE_ORACLE
 )
@@ -320,6 +363,19 @@ def _set_graph_oracles() -> None:
     ORACLES["corpus_split_leakage_safe"] = f"""
 WITH cl AS ({graph_ops.DEDUP_CLUSTERS_ORACLE})
 {txt_ops.LEAKAGE_SPLIT_ORACLE_BODY}
+"""
+    ORACLES["dedup_keep_best"] = f"""
+WITH cl AS ({graph_ops.DEDUP_CLUSTERS_ORACLE}),
+q AS ({txt_ops.QUALITY_FILTER_ORACLE.strip()}),
+j AS (
+  SELECT cl.doc_id, cl.cluster_id, cl.cluster_size, q.n_words, q.keep,
+         row_number() OVER (
+           PARTITION BY cl.cluster_id
+           ORDER BY q.keep DESC, q.n_words DESC, cl.doc_id
+         ) AS rn
+  FROM cl JOIN q ON cl.doc_id = q.doc_id
+)
+SELECT doc_id, cluster_id, cluster_size, n_words, keep FROM j WHERE rn = 1
 """
     ORACLES["pipeline_neardup_corpus"] = f"""
 WITH cl AS ({graph_ops.DEDUP_CLUSTERS_ORACLE}),
