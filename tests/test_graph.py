@@ -454,3 +454,49 @@ def test_epsilon_kcore_registry_fixpoint(spark, sf_dir):
         map(tuple, k_core(e, k=_KCORE_K, rounds=_KCORE_ROUNDS + 1).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_hubness_scores_hand_graph(spark):
+    """In-degree counts on a hand digraph, anti-hubs emitted at 0."""
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 2), (2, 1), (4, 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "node long")
+    got = {
+        r["node"]: r["k_occurrence"]
+        for r in graph_ops.hubness_scores(edges, nodes).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 0, 4: 0, 5: 0}
+
+
+def test_mutual_pairs_hand_graph(spark):
+    """Only reciprocal edges survive, canonicalized a<b, self-loops and
+    duplicate directions collapse."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (5, 5), (4, 3)],
+        "src long, dst long",
+    )
+    got = sorted(map(tuple, graph_ops.mutual_pairs(edges).collect()))
+    assert got == [(1, 2), (3, 4)]
+
+
+def test_hubness_totals_and_mutual_subset(spark, sf_dir):
+    """On the fixture kNN graph: k-occurrence sums to |E| (= 5N), and
+    mutual pairs are exactly the symmetric subset of the digraph."""
+    from vector_search_engine_spark.registry.analytics import _PR_K, _knn_edges
+
+    edges = _knn_edges(spark, sf_dir).localCheckpoint(eager=True)
+    n_nodes = load_table(spark, sf_dir, "embeddings").count()
+    hub = graph_ops.hubness_scores(
+        edges,
+        load_table(spark, sf_dir, "embeddings").select("vec_id"),
+    )
+    rows = hub.collect()
+    assert len(rows) == n_nodes
+    assert sum(r["k_occurrence"] for r in rows) == _PR_K * n_nodes
+    dir_set = {(r["src"], r["dst"]) for r in edges.collect()}
+    expect = sorted(
+        (a, b) for (a, b) in dir_set if a < b and (b, a) in dir_set
+    )
+    got = sorted(map(tuple, graph_ops.mutual_pairs(edges).collect()))
+    assert got == expect and len(got) > 0

@@ -588,3 +588,79 @@ def k_core(
         .agg(F.count("*").cast("long").alias("degree"))
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph diagnostics: hubness (k-occurrence) and mutual-kNN pairs
+# ---------------------------------------------------------------------------
+
+
+def hubness_scores(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Per-node k-occurrence over a DIRECTED kNN edge set: ``(node long,
+    k_occurrence long)`` — how many other points list this node among
+    their k nearest neighbors (in-degree of the kNN digraph).
+
+    The standard hubness diagnostic for embedding-space curation
+    (Radovanovic et al., JMLR 2010): in high dimensions the
+    k-occurrence distribution grows a heavy right tail — "hub" points
+    that appear in a large fraction of neighbor lists dominate
+    retrieval and near-dup candidate generation, while "anti-hubs"
+    (k_occurrence = 0) are unreachable.  Both tails are emitted (the
+    anti-hubs via the left join against the full node set), so a
+    curation pipeline can downweight hubs / flag anti-hubs directly.
+
+    Plan: one map-side-combined count aggregation on ``dst`` + one
+    key-partitioned left join against ``nodes`` — no driver structures;
+    at 100 TB the shuffle carries (node, count) longs only.  No
+    reference analog (the reference never inverts its neighbor lists).
+
+    ``edges``: directed (src, dst) — first two columns are used.
+    ``nodes``: one row per node id — first column is used.
+    """
+    src_c, dst_c = edges.columns[0], edges.columns[1]
+    node_c = nodes.columns[0]
+    occ = (
+        edges.select(F.col(dst_c).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("k_occurrence"))
+    )
+    return (
+        nodes.select(F.col(node_c).cast("long").alias("node"))
+        .join(occ, "node", "left")
+        .select(
+            "node",
+            F.coalesce("k_occurrence", F.lit(0)).cast("long").alias("k_occurrence"),
+        )
+    )
+
+
+def mutual_pairs(edges: DataFrame) -> DataFrame:
+    """Mutual (reciprocal) kNN pairs of a DIRECTED kNN edge set:
+    ``(id_a long, id_b long)`` with ``id_a < id_b``, one row per pair
+    where BOTH directions are present (a lists b among its k nearest
+    AND b lists a).
+
+    Mutual-kNN is the classic robust edge filter: the mutual subgraph
+    drops hub-induced asymmetric edges, which is why agglomerative /
+    matching pipelines (entity resolution, near-dup verification,
+    Chinese-whispers clustering) build on reciprocal pairs rather than
+    the raw digraph.  Composes with connected_components / dedup_clusters
+    for a hub-resistant clustering.
+
+    Plan: canonicalize each directed edge to (least, greatest) plus a
+    direction tag, then ONE count-distinct-direction aggregation per
+    canonical pair — a single shuffle on the pair key (no self-join;
+    the naive edges-join-edges form shuffles the edge set twice and
+    doubles the skew exposure on hub keys)."""
+    src_c, dst_c = edges.columns[0], edges.columns[1]
+    canon = edges.select(
+        F.least(F.col(src_c), F.col(dst_c)).cast("long").alias("id_a"),
+        F.greatest(F.col(src_c), F.col(dst_c)).cast("long").alias("id_b"),
+        (F.col(src_c) < F.col(dst_c)).alias("fwd"),
+    ).filter(F.col("id_a") != F.col("id_b"))
+    return (
+        canon.groupBy("id_a", "id_b")
+        .agg(F.count_distinct("fwd").alias("ndir"))
+        .filter(F.col("ndir") == 2)
+        .select("id_a", "id_b")
+    )

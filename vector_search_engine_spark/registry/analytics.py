@@ -700,3 +700,49 @@ def streaming_radius_search_distributed(
     )
     eng.insert(emb.filter(F.col("vec_id") >= 350))
     return eng.radius_search_distributed(knn_ops.make_queries(emb), RADIUS_SQ)
+
+
+@register(
+    "embeddings_knn_hubness",
+    oracle=f"""
+WITH {_KNN_GRAPH_HEAD}
+SELECT n.vec_id, coalesce(o.c, 0) AS k_occurrence
+FROM embeddings n
+LEFT JOIN (SELECT dst, count(*)::BIGINT AS c FROM e GROUP BY dst) o
+       ON n.vec_id = o.dst
+""",
+)
+def embeddings_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence (hubness) over the exact k=5 kNN graph — the
+    in-degree of the kNN digraph, the standard high-dimensional
+    curation diagnostic (hubs dominate neighbor lists; anti-hubs with
+    k_occurrence = 0 are unreachable in retrieval).  Rides the shared
+    block-cogroup edge build; the count agg is map-side combined
+    (graph.hubness_scores)."""
+    from vector_search_engine_spark.operators.graph import hubness_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hubness_scores(
+        _knn_edges(spark, sf_dir), emb.select("vec_id")
+    ).select(F.col("node").alias("vec_id"), "k_occurrence")
+
+
+@register(
+    "embeddings_mutual_knn",
+    oracle=f"""
+WITH {_KNN_GRAPH_HEAD}
+SELECT a.src AS id_a, a.dst AS id_b
+FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+WHERE a.src < a.dst
+""",
+)
+def embeddings_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual (reciprocal) kNN pairs of the exact k=5 kNN graph — the
+    hub-resistant edge filter matching/entity-resolution pipelines
+    build on.  One shuffle on the canonical pair key (the oracle's
+    self-join form is the SQL spec; the Spark plan counts distinct
+    directions per canonical pair instead — same set, half the edge
+    shuffles)."""
+    from vector_search_engine_spark.operators.graph import mutual_pairs
+
+    return mutual_pairs(_knn_edges(spark, sf_dir))
