@@ -22,6 +22,8 @@ squared-L2 convention as everything else (dist is squared, tie-break
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,3 +73,130 @@ def knn_lsh(
         (F.col("_euclid") * F.col("_euclid")).alias("dist"),
     )
     return _finalize_topk(cand, k, "l2_sq")
+
+
+# ---------------------------------------------------------------------------
+# Portable hyperplane LSH — the cross-engine-replayable (oracle-mode) form
+# ---------------------------------------------------------------------------
+
+PORTABLE_LSH_SALT = "lshplane:"  # md5 salt for the plane sign derivation
+PORTABLE_LSH_TABLES = 8          # independent sign-sketch tables
+PORTABLE_LSH_PLANES = 8          # signature bits per table
+PORTABLE_DOT_DECIMALS = 6        # projection rounded before the sign test
+
+
+def _portable_planes(
+    dim: int, n_tables: int, n_planes: int, salt: str
+) -> "np.ndarray":
+    """±1 hyperplane tensor ``(n_tables, n_planes, dim)`` derived from md5
+    parity — a pure cross-engine function of (salt, table, plane, 1-based
+    dim index), so DuckDB rebuilds the identical planes in SQL (``md5``
+    agrees between hashlib and DuckDB).  Sign = parity of the first hex
+    nibble of ``md5(f"{salt}{t}:{p}:{j}")``: +1 on even, −1 on odd."""
+    import hashlib
+
+    P = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for j in range(1, dim + 1):
+                nib = int(
+                    hashlib.md5(f"{salt}{t}:{p}:{j}".encode()).hexdigest()[0],
+                    16,
+                )
+                P[t, p, j - 1] = 1.0 if nib % 2 == 0 else -1.0
+    return P
+
+
+def knn_lsh_portable(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = PORTABLE_LSH_TABLES,
+    n_planes: int = PORTABLE_LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane (sign-random-projection) LSH ANN with
+    Hamming-1 multi-probe — the PORTABLE twin of ``knn_lsh``: every
+    random choice is an md5 parity and every float boundary is rounded,
+    so a SQL engine replays plane derivation → signatures → bucketing →
+    probe expansion → candidate union → exact re-score EXACTLY (the
+    ``minhash_lsh_pairs_portable`` discipline applied to the ANN family,
+    which was otherwise rows-only: MLlib BRP seeds are not replayable).
+
+    * per table ``t``, signature bit ``p`` = ``round(Σ_j s(t,p,j)·v_j, 6)
+      >= 0`` with ``s ∈ {±1}`` from ``_portable_planes``; bits pack
+      big-endian into one BIGINT.  The rounding absorbs engine
+      accumulation-order deltas (~1e-13) except on a measure-zero
+      boundary band — the same exposure class as every rounded-distance
+      oracle in the repo.
+    * multi-probe (Lv et al., VLDB 2007): each query probes its own
+      bucket plus the ``n_planes`` buckets at Hamming distance 1 in
+      EVERY table; candidates are the DISTINCT (query, vector) union
+      across tables (a vector can collide in several tables).
+    * candidates carry only (qid, neighbor_id) stubs through the
+      distinct; vectors and queries re-join once each for the exact
+      squared-L2 JVM re-score, then the global (dist, id) window top-k.
+
+    Scale: shuffle volume is N·n_tables signature stubs +
+    |Q|·n_tables·(n_planes+1) probe stubs; bucket occupancy
+    (≈ N/2^n_planes per table) bounds the join fan-out, and n_planes
+    grows with log2(N) exactly like embedding_lsh_pairs' sizing law.
+    Approximate by nature at finite probes — but the oracle replays the
+    SAME approximation, so the row is hash-gradable; recall vs exact is
+    additionally pytest-gated.  Honest regime note (measured, fixture):
+    the synthetic corpus is angle-concentrated (near-uniform directions,
+    max within-label cosine ~0.47), the adversarial case for sign-LSH —
+    defaults reach recall ≈0.61 while touching ≈26% of the corpus, vs
+    IVF's learned cells at equal recall for far fewer candidates; that
+    trade is WHY IVF is this engine's primary family and LSH the
+    no-training-pass alternative."""
+    from vector_search_engine_spark.functions.vector import l2_sq
+
+    first = vectors.select(vec_col).first()
+    if first is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "qid long, neighbor_id long, rank long, dist_sq double"
+        )
+    dim = len(first[0])
+    P = _portable_planes(dim, n_tables, n_planes, PORTABLE_LSH_SALT)
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sigs_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vs.tolist(), dtype=np.float64)
+        # one einsum per Arrow batch: (B, T, P) sign tensor -> (B, T) sigs
+        dots = np.round(np.einsum("bd,tpd->btp", V, P), PORTABLE_DOT_DECIMALS)
+        sig = ((dots >= 0) * weights).sum(axis=-1).astype(np.int64)
+        return pd.Series(list(sig))
+
+    vsig = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(sigs_udf(F.col(vec_col))).alias("tbl", "sig"),
+    )
+    qsig = queries.select(
+        "qid", F.posexplode(sigs_udf(F.col("query"))).alias("tbl", "sig")
+    )
+    flips = F.array(
+        F.col("sig"),
+        *[F.col("sig").bitwiseXOR(F.lit(int(1 << b))) for b in range(n_planes)],
+    )
+    qprobe = qsig.select("qid", "tbl", F.explode(flips).alias("sig"))
+    cand = (
+        qprobe.join(vsig, ["tbl", "sig"])
+        .select("qid", "neighbor_id")
+        .dropDuplicates(["qid", "neighbor_id"])
+    )
+    va = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    rescored = (
+        cand.join(va, "neighbor_id")
+        .join(queries.select("qid", "query"), "qid")
+        .select(
+            "qid", "neighbor_id", l2_sq(F.col("query"), F.col("nvec")).alias("dist")
+        )
+    )
+    return _finalize_topk(rescored, k, "l2_sq")

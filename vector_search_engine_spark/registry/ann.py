@@ -1005,3 +1005,84 @@ def ann_ivf_ip_sq8_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         index, emb, knn_ops.make_queries(emb), k=10,
         nprobe=index.meta["n_centroids"], tier="sq8",
     )
+
+
+def _lsh_portable_oracle() -> str:
+    from vector_search_engine_spark.operators.lsh import (
+        PORTABLE_DOT_DECIMALS,
+        PORTABLE_LSH_PLANES,
+        PORTABLE_LSH_SALT,
+        PORTABLE_LSH_TABLES,
+    )
+
+    np_ = PORTABLE_LSH_PLANES
+    nt = PORTABLE_LSH_TABLES
+    return f"""
+WITH dims AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+planes AS (
+  SELECT g0.t, g1.p, j.j,
+         CASE WHEN CAST(('0x' || substr(
+                md5('{PORTABLE_LSH_SALT}' || g0.t || ':' || g1.p || ':' || j.j),
+                1, 1)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM generate_series(0, {nt - 1}) g0(t)
+  CROSS JOIN generate_series(0, {np_ - 1}) g1(p)
+  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM dims))) AS j) j
+),
+dots AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         round(sum(pl.s * CAST(e.embedding[pl.j] AS DOUBLE)),
+               {PORTABLE_DOT_DECIMALS}) AS dot
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t, pl.p
+),
+sigs AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN dot >= 0
+                  THEN (1::BIGINT << ({np_ - 1} - p)) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id, t
+),
+probes AS (
+  SELECT s.vec_id AS qid, s.t,
+         CASE WHEN g.b = {np_} THEN s.sig
+              ELSE xor(s.sig, (1::BIGINT << g.b)) END AS sig
+  FROM sigs s CROSS JOIN generate_series(0, {np_}) g(b)
+  WHERE s.vec_id < 20
+),
+cand AS (
+  SELECT DISTINCT p.qid, s.vec_id AS neighbor_id
+  FROM probes p JOIN sigs s ON s.t = p.t AND s.sig = p.sig
+),
+dd AS (
+  SELECT c.qid, c.neighbor_id,
+         {{l2}} AS dist
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.qid
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+),
+r AS (
+  SELECT qid, neighbor_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor_id)
+           AS "rank"
+  FROM dd
+)
+SELECT qid, neighbor_id, "rank", round(dist, 4) AS dist_sq
+FROM r WHERE "rank" <= 10
+""".format(l2=_DD_L2SQ.format(a="a.embedding", b="b.embedding"))
+
+
+@register("ann_lsh_portable", oracle=_lsh_portable_oracle())
+def ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH ANN with Hamming-1 multi-probe,
+    PORTABLE form (r14): every random choice is an md5 parity and every
+    float boundary is rounded, so the DuckDB oracle replays plane
+    derivation → signatures → bucketing → probe expansion → candidate
+    union → exact re-score EXACTLY — the minhash-portable discipline
+    applied to the second ANN family, which until now was rows-only
+    (MLlib BRP seeds are not replayable).  Approximate at finite probes,
+    yet hash-graded, because the oracle runs the same approximation;
+    recall and candidate-fraction vs exact are pytest-gated and the
+    honest fixture-regime numbers live in the operator docstring."""
+    from vector_search_engine_spark.operators import lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh.knn_lsh_portable(emb, knn_ops.make_queries(emb), k=10)
