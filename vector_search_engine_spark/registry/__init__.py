@@ -105,13 +105,21 @@ _GRADE_FIRST: list[str] = [
     #
     # --- r14-touched rows ---
     "knn_sq8_rescore_exhaustive",
+    "knn_bq_rescore_exhaustive",
     "dedup_minhash_lsh_portable",
     "corpus_source_overlap_minhash",
     "streaming_search_distributed",
     "streaming_search_sq8_distributed",
+    "streaming_search_cascade_distributed",
     "embeddings_kcenter_coreset",
     "knn_radius_pairs",
     "knn_exact_distributed",
+    # --- r14 NEW rows (first driver grade) ---
+    "dedup_keep_best",
+    "corpus_token_budget_sample",
+    "embeddings_knn_hubness",
+    "embeddings_mutual_knn",
+    "ann_lsh_portable",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
@@ -143,21 +151,20 @@ _GRADE_FIRST: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "multimodal_features",
-    # --- last graded r5 ---
-    "corpus_capped_sample",
+    # --- last graded r5 (corpus_capped_sample and events_hourly_stats
+    # yielded their slots to first-grade r14 rows: their families stay
+    # represented in-window — corpus_token_budget_sample /
+    # corpus_train_val_split and the six r1-block events rows) ---
     "corpus_train_val_split",
     "dedup_ngram_jaccard_ppjoin",
-    "events_hourly_stats",
     "jsonl_roundtrip",
     "knn_filtered",
     "pipeline_clean_corpus",
-    # --- last graded r6 ---
+    # --- last graded r6 (the rest of this block — events_json_stats,
+    # knn_exact_cosine, knn_pq_adc, knn_radius_search,
+    # knn_self_similarity_pairs — yielded their slots to the five
+    # first-grade r14 rows above; all carry an r6 green + sweep/pytest) ---
     "corpus_pack_sequences",
-    "events_json_stats",
-    "knn_exact_cosine",
-    "knn_pq_adc",
-    "knn_radius_search",
-    "knn_self_similarity_pairs",
 ]
 
 
