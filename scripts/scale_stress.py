@@ -97,6 +97,10 @@ def main() -> None:
         _block_skew_section(spark, results)
         print(json.dumps({"results": results}))
         return
+    if "--only-lsh" in sys.argv:  # finding-33 section alone
+        _lsh_section(spark, results)
+        print(json.dumps({"n_vecs": N_VECS, "results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -1703,6 +1707,121 @@ def _block_skew_section(spark, results: dict) -> None:
         )
         emb.unpersist()
 
+
+def _lsh_section(spark, results: dict) -> None:
+    """Finding 33 (r14): portable multi-table hyperplane LSH at 100k —
+    the no-training-pass ANN family measured against IVF on the same
+    corpus, both geometries (isotropic = sign-LSH's adversarial case,
+    16-cluster = everyone's easy case).  |Q| = 2000; the sizing law
+    sets n_planes = ceil(log2(N)) - 5 = 12 (~24-row buckets/table),
+    n_tables = 8.  Reports wall, recall@10 vs an external NumPy exact
+    oracle on 200 sampled queries, and candidate fraction (DISTINCT
+    candidate stubs / (|Q|*N)) — the quantity that decides LSH-vs-IVF.
+    IVF rides the SAME 2000 queries through search_distributed at
+    nprobe 1/2/4 for the recall-matched wall comparison."""
+    from vector_search_engine_spark.operators import lsh as lsh_ops
+    from vector_search_engine_spark.operators.ivf import IVFIndex
+
+    K = 10
+    NQ = 2000
+    N_SAMPLE = 200
+    n_planes = max(4, int(np.ceil(np.log2(N_VECS))) - 5)
+    rng = np.random.default_rng(33)
+    iso = rng.normal(0, 1, (N_VECS, DIM)).astype(np.float32)
+    iso /= np.linalg.norm(iso, axis=1, keepdims=True)
+    centers = rng.normal(0, 6.0, (16, DIM))
+    clu = np.concatenate(
+        [c + rng.normal(0, 0.25, (N_VECS // 16, DIM)) for c in centers]
+    ).astype(np.float32)
+
+    results["lsh_params"] = {"n_tables": 8, "n_planes": n_planes, "nq": NQ}
+    for geo, V in (("iso", iso), ("clustered", clu)):
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(len(V), dtype=np.int64),
+                 "embedding": list(V)}
+            )
+        ).cache()
+        emb.count()
+        qids = rng.choice(len(V), NQ, replace=False).astype(np.int64)
+        qdf = emb.filter(
+            F.col("vec_id").isin([int(q) for q in qids])
+        ).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+        ).cache()
+        qdf.count()
+        # external exact oracle on a 200-query sample
+        sample = qids[:N_SAMPLE]
+        G = V.astype(np.float64)
+        exact: dict[int, set] = {}
+        for s in sample:
+            d = ((G - G[s]) ** 2).sum(axis=1)
+            order = np.lexsort((np.arange(len(G)), d))[:K]
+            exact[int(s)] = set(int(i) for i in order)
+
+        def recall_of(df) -> float:
+            got: dict[int, set] = {}
+            for r in df.filter(
+                F.col("qid").isin([int(s) for s in sample])
+            ).collect():
+                got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+            return sum(
+                len(exact[s] & got.get(s, set())) for s in exact
+            ) / float(K * len(exact))
+
+        holder: dict = {}
+
+        def lsh_run():
+            out = lsh_ops.knn_lsh_portable(
+                emb, qdf, k=K, n_tables=8, n_planes=n_planes
+            )
+            holder["lsh"] = out.localCheckpoint(eager=True)
+            return holder["lsh"].count()
+
+        timed(results, f"lsh_search_{geo}", lsh_run)
+
+        def cand_count():
+            return lsh_ops.lsh_candidates(
+                emb, qdf, n_tables=8, n_planes=n_planes
+            ).count()
+
+        timed(results, f"lsh_candidates_{geo}", cand_count)
+        n_cand = results[f"lsh_candidates_{geo}"]["rows"]
+        results[f"lsh_quality_{geo}"] = {
+            "recall_at_10": round(recall_of(holder["lsh"]), 4),
+            "cand_fraction": round(n_cand / (NQ * float(N_VECS)), 5),
+        }
+        print(f"  lsh_quality_{geo}: {results[f'lsh_quality_{geo}']}",
+              file=sys.stderr)
+
+        idx_dir = tempfile.mkdtemp(prefix=f"vse_lsh_ivf_{geo}_")
+
+        def build():
+            holder["idx"] = IVFIndex.build(emb, f"{idx_dir}/index")
+            return int(holder["idx"].meta["n_centroids"])
+
+        timed(results, f"lsh_ivf_build_{geo}", build)
+        idx = holder["idx"]
+        # nprobe 10 and 26 of ~316 cells match the LSH candidate
+        # fractions measured on iso (~3.3%) and clustered (~8.4%) — the
+        # equal-scan-budget comparison the finding is about
+        for nprobe in (1, 4, 10, 26):
+            def ivf_run(np_=nprobe):
+                out = idx.search_distributed(qdf, k=K, nprobe=np_)
+                holder["ivf"] = out.localCheckpoint(eager=True)
+                return holder["ivf"].count()
+
+            timed(results, f"lsh_ivf_search_{geo}_np{nprobe}", ivf_run)
+            results[f"lsh_ivf_quality_{geo}_np{nprobe}"] = {
+                "recall_at_10": round(recall_of(holder["ivf"]), 4),
+            }
+            print(
+                f"  lsh_ivf_quality_{geo}_np{nprobe}: "
+                f"{results[f'lsh_ivf_quality_{geo}_np{nprobe}']}",
+                file=sys.stderr,
+            )
+        emb.unpersist()
+        qdf.unpersist()
 
 if __name__ == "__main__":
     main()

@@ -523,3 +523,42 @@ def test_kcenter_select_fewer_rows_than_k(spark):
     empty = df.filter("vec_id < 0")
     with pytest.raises(ValueError, match="no rows"):
         knn_ops.kcenter_select(empty, k=2)
+
+
+def test_intrinsic_dim_twonn_recovers_known_dimension(spark):
+    """TwoNN on data of KNOWN intrinsic dimension embedded in 64 ambient
+    dims: d=5 and d=12 gaussians recover their dimension within 15%
+    (the estimator's documented small-sample bias band), and exact
+    duplicate points are excluded and counted."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    for d_true in (5, 12):
+        X = rng.normal(0, 1, (2000, d_true)).astype(np.float32)
+        pad = np.zeros((2000, 64 - d_true), dtype=np.float32)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(2000, dtype=np.int64),
+                    "embedding": list(np.hstack([X, pad])),
+                }
+            )
+        )
+        r = knn_ops.intrinsic_dim_twonn(df).collect()[0]
+        assert r["n_points"] == 2000 and r["n_dup_dropped"] == 0
+        assert abs(r["intrinsic_dim"] - d_true) / d_true < 0.15
+
+    # duplicates: 3 copies of one point -> those rows have d1 = 0 and
+    # are dropped from the estimate but counted
+    Y = rng.normal(0, 1, (50, 8)).astype(np.float32)
+    Y[1] = Y[0]
+    Y[2] = Y[0]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(50, dtype=np.int64), "embedding": list(Y)}
+        )
+    )
+    r = knn_ops.intrinsic_dim_twonn(df).collect()[0]
+    assert r["n_dup_dropped"] == 3 and r["n_used"] == 47
+    assert r["intrinsic_dim"] is not None

@@ -1043,3 +1043,78 @@ def kcenter_select(
         [(r + 1, i, d) for r, (i, _, d) in enumerate(sel)],
         schema="rank long, vec_id long, dist_sq double",
     ).withColumn("dist_sq", F.round("dist_sq", DIST_DECIMALS))
+
+
+def intrinsic_dim_twonn(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_blocks: int = 4,
+    v_blocks: int = 4,
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al., Scientific
+    Reports 2017) — the standard embedding-space quality metric: for
+    each point, the ratio ``mu = d2/d1`` of its second- to first-nearest
+    neighbor DISTANCE follows ``P(mu > x) = x^-d`` with ``d`` the
+    manifold's intrinsic dimension, independent of the ambient dim, so
+    the MLE is ``d_hat = n_used / sum(ln mu)``.  A corpus whose
+    embeddings claim 64 dims but concentrate on a ~10-dim manifold
+    tells a curation pipeline its index/quantizer budgets are paying
+    for noise dims.
+
+    Points whose nearest neighbor is at distance 0 (duplicate vectors)
+    are EXCLUDED from the sum (``mu`` undefined — the standard TwoNN
+    treatment; run dedup first) and reported in ``n_dup_dropped``.
+    "Zero" is judged on the 4-decimal rounded distance — the engine's
+    GEMM expansion leaves ~1e-9 residue on bit-identical vectors where
+    the oracle's term-by-term subtraction gives exactly 0, so the
+    rounded value is the only cross-engine-stable boundary (the repo's
+    single rounding discipline); the log-ratio uses the same rounded
+    d1/d2 so both engines sum identical terms.
+
+    Output: one row ``(n_points, n_used, n_dup_dropped, intrinsic_dim)``
+    with the estimate rounded to 4 decimals.  Distances here are the
+    engine's squared L2, so ``ln mu = 0.5 * ln(d2_sq/d1_sq)``.
+
+    Plan: the exact 2-NN rides the block-cogroup kNN join (the
+    dataset-sized-|Q| tier — every point is a query), then ONE
+    map-side-combined aggregation of ``ln mu``; no driver structures at
+    any scale."""
+    q = vectors.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("query")
+    )
+    nbrs = knn_exact_distributed(
+        vectors, q, k=3, q_blocks=q_blocks, v_blocks=v_blocks,
+        id_col=id_col, vec_col=vec_col, round_output=False,
+    )
+    # ranks over non-self neighbors (self sits at rank 1 with dist 0)
+    w = Window.partitionBy("qid").orderBy("dist_sq", "neighbor_id")
+    two = (
+        nbrs.filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("qid")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == 1, F.round("dist_sq", DIST_DECIMALS))
+            ).alias("d1"),
+            F.min(
+                F.when(F.col("rn") == 2, F.round("dist_sq", DIST_DECIMALS))
+            ).alias("d2"),
+        )
+    )
+    return two.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.count(F.when(F.col("d1") > 0, 1)).cast("long").alias("n_used"),
+        F.count(F.when(F.col("d1") <= 0, 1)).cast("long").alias("n_dup_dropped"),
+        F.round(
+            F.count(F.when(F.col("d1") > 0, 1)).cast("double")
+            / F.sum(
+                F.when(
+                    F.col("d1") > 0,
+                    0.5 * (F.log(F.col("d2")) - F.log(F.col("d1"))),
+                )
+            ),
+            DIST_DECIMALS,
+        ).alias("intrinsic_dim"),
+    )

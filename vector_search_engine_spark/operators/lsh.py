@@ -107,6 +107,52 @@ def _portable_planes(
     return P
 
 
+def lsh_candidates(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_tables: int = PORTABLE_LSH_TABLES,
+    n_planes: int = PORTABLE_LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate stage of ``knn_lsh_portable``: DISTINCT (qid,
+    neighbor_id) stubs from the multi-table Hamming-1 probe union —
+    exposed separately so tuning reports and scale rungs can measure
+    candidate volume (the quantity that decides LSH-vs-IVF) without
+    paying the re-score."""
+    dim = len(vectors.select(vec_col).first()[0])
+    P = _portable_planes(dim, n_tables, n_planes, PORTABLE_LSH_SALT)
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sigs_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vs.tolist(), dtype=np.float64)
+        # one einsum per Arrow batch: (B, T, P) sign tensor -> (B, T) sigs
+        dots = np.round(np.einsum("bd,tpd->btp", V, P), PORTABLE_DOT_DECIMALS)
+        sig = ((dots >= 0) * weights).sum(axis=-1).astype(np.int64)
+        return pd.Series(list(sig))
+
+    vsig = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(sigs_udf(F.col(vec_col))).alias("tbl", "sig"),
+    )
+    qsig = queries.select(
+        "qid", F.posexplode(sigs_udf(F.col("query"))).alias("tbl", "sig")
+    )
+    flips = F.array(
+        F.col("sig"),
+        *[F.col("sig").bitwiseXOR(F.lit(int(1 << b))) for b in range(n_planes)],
+    )
+    qprobe = qsig.select("qid", "tbl", F.explode(flips).alias("sig"))
+    return (
+        qprobe.join(vsig, ["tbl", "sig"])
+        .select("qid", "neighbor_id")
+        .dropDuplicates(["qid", "neighbor_id"])
+    )
+
+
 def knn_lsh_portable(
     vectors: DataFrame,
     queries: DataFrame,
@@ -158,36 +204,8 @@ def knn_lsh_portable(
         return vectors.sparkSession.createDataFrame(
             [], "qid long, neighbor_id long, rank long, dist_sq double"
         )
-    dim = len(first[0])
-    P = _portable_planes(dim, n_tables, n_planes, PORTABLE_LSH_SALT)
-    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
-
-    @F.pandas_udf("array<long>")
-    def sigs_udf(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        V = np.array(vs.tolist(), dtype=np.float64)
-        # one einsum per Arrow batch: (B, T, P) sign tensor -> (B, T) sigs
-        dots = np.round(np.einsum("bd,tpd->btp", V, P), PORTABLE_DOT_DECIMALS)
-        sig = ((dots >= 0) * weights).sum(axis=-1).astype(np.int64)
-        return pd.Series(list(sig))
-
-    vsig = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode(sigs_udf(F.col(vec_col))).alias("tbl", "sig"),
-    )
-    qsig = queries.select(
-        "qid", F.posexplode(sigs_udf(F.col("query"))).alias("tbl", "sig")
-    )
-    flips = F.array(
-        F.col("sig"),
-        *[F.col("sig").bitwiseXOR(F.lit(int(1 << b))) for b in range(n_planes)],
-    )
-    qprobe = qsig.select("qid", "tbl", F.explode(flips).alias("sig"))
-    cand = (
-        qprobe.join(vsig, ["tbl", "sig"])
-        .select("qid", "neighbor_id")
-        .dropDuplicates(["qid", "neighbor_id"])
+    cand = lsh_candidates(
+        vectors, queries, n_tables, n_planes, id_col=id_col, vec_col=vec_col
     )
     va = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")

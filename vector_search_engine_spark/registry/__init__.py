@@ -120,6 +120,7 @@ _GRADE_FIRST: list[str] = [
     "embeddings_knn_hubness",
     "embeddings_mutual_knn",
     "ann_lsh_portable",
+    "embeddings_intrinsic_dim",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
@@ -158,7 +159,6 @@ _GRADE_FIRST: list[str] = [
     "corpus_train_val_split",
     "dedup_ngram_jaccard_ppjoin",
     "jsonl_roundtrip",
-    "knn_filtered",
     "pipeline_clean_corpus",
     # --- last graded r6 (the rest of this block — events_json_stats,
     # knn_exact_cosine, knn_pq_adc, knn_radius_search,

@@ -746,3 +746,43 @@ def embeddings_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_search_engine_spark.operators.graph import mutual_pairs
 
     return mutual_pairs(_knn_edges(spark, sf_dir))
+
+
+@register(
+    "embeddings_intrinsic_dim",
+    oracle=f"""
+WITH dmat AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         {_DD_L2SQ.format(a="a.embedding", b="b.embedding")} AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT qid, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+  FROM dmat
+),
+two AS (
+  SELECT qid,
+         min(CASE WHEN rn = 1 THEN round(dist, 4) END) AS d1,
+         min(CASE WHEN rn = 2 THEN round(dist, 4) END) AS d2
+  FROM r WHERE rn <= 2 GROUP BY qid
+)
+SELECT count(*)::BIGINT AS n_points,
+       count(CASE WHEN d1 > 0 THEN 1 END)::BIGINT AS n_used,
+       count(CASE WHEN d1 <= 0 THEN 1 END)::BIGINT AS n_dup_dropped,
+       round(count(CASE WHEN d1 > 0 THEN 1 END)
+             / sum(CASE WHEN d1 > 0 THEN 0.5 * (ln(d2) - ln(d1)) END),
+             4) AS intrinsic_dim
+FROM two
+""",
+)
+def embeddings_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding space (Facco
+    2017): MLE d = n / sum(ln(d2/d1)) over every point's two exact
+    nearest neighbors — tells a curation pipeline how many of the
+    ambient dims carry signal (quantizer/index budget planning).
+    Exact 2-NN rides the block-cogroup kNN join; duplicate points
+    (d1 = 0) excluded per the standard treatment and counted
+    (knn.intrinsic_dim_twonn)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.intrinsic_dim_twonn(emb)
