@@ -32,6 +32,7 @@ from vector_search_engine_spark.functions.vector import (
     ip_matrix,
     l2_sq,
     l2_sq_matrix,
+    norm,
 )
 
 DIST_DECIMALS = 4  # outputs pin distances at 1e-4 for oracle hash-parity
@@ -901,6 +902,130 @@ def knn_grouped(
             F.col("rank").cast("long").alias("rank"),
             F.round(F.col("dist"), DIST_DECIMALS).alias("dist_sq"),
         )
+    )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k_pos: int = 3,
+    margin: float = 4.0,
+    k_neg: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training data
+    (no reference analog — the reference serves queries, it does not
+    curate training pairs): for each anchor, the top-``k_neg``
+    DIFFERENT-label neighbors whose distance is at most ``margin`` ×
+    the anchor's ``k_pos``-th same-label (positive) squared distance —
+    negatives close enough to be informative, anchored to each point's
+    own positive scale rather than one global radius.
+
+    ``queries`` must carry the anchor's own label: ``(qid, query,
+    qlabel)``; anchors are excluded from their own positive ranking
+    (``neighbor_id != qid``).  Anchors with fewer than ``k_pos``
+    same-label peers have no positive radius and emit nothing (both
+    sides agree).  ``margin`` multiplies the SQUARED positive radius
+    (margin 4.0 ≡ 2× in true L2).
+
+    Plan shape: ONE broadcast of the query set over the vector scan,
+    then two windows sharing the (qid)-hash shuffle: ``row_number``
+    over (qid, is_same_label) ranks positives and negatives in the
+    same pass, a (qid)-partition ``max(CASE rank=k_pos)`` turns the
+    positive ranking into a per-anchor radius column, and the radius
+    filter keeps a PREFIX of the negative ranking (the filter is on
+    the ordering key), so the negative rank needs no re-numbering.
+    At dataset-sized |Q| route the candidate pass through the block
+    cogroup / bounded-IVF tiers (finding 30) exactly as
+    ``knn_exact_distributed`` does; the window algebra is unchanged."""
+    dist = l2_sq(F.col(vec_col), F.col("query"))
+    cand = (
+        vectors.join(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col(label_col).alias("neighbor_label"),
+            F.col(id_col).alias("neighbor_id"),
+            dist.alias("dist"),
+        )
+    )
+    is_same = (F.col("neighbor_label") == F.col("qlabel")).cast("int")
+    w_grp = Window.partitionBy("qid", "is_same").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    w_q = Window.partitionBy("qid")
+    ranked = (
+        cand.withColumn("is_same", is_same)
+        .withColumn("grp_rank", F.row_number().over(w_grp))
+        .withColumn(
+            "pos_radius",
+            F.max(
+                F.when(
+                    (F.col("is_same") == 1) & (F.col("grp_rank") == k_pos),
+                    F.col("dist"),
+                )
+            ).over(w_q),
+        )
+    )
+    return (
+        ranked.filter(
+            (F.col("is_same") == 0)
+            & (F.col("dist") <= F.lit(float(margin)) * F.col("pos_radius"))
+            & (F.col("grp_rank") <= k_neg)
+        )
+        .select(
+            "qid",
+            "neighbor_id",
+            "neighbor_label",
+            F.col("grp_rank").cast("long").alias("rank"),
+            F.round(F.col("dist"), DIST_DECIMALS).alias("dist_sq"),
+            F.round(F.col("pos_radius"), DIST_DECIMALS).alias("pos_radius_sq"),
+        )
+    )
+
+
+def anisotropy_stats(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-space anisotropy / geometry diagnostic (one row): the
+    EXACT mean pairwise cosine similarity over all N(N−1) ordered pairs
+    without materializing any pair, via the resultant-vector identity
+
+        Σ_{i≠j} û_i·û_j = ‖Σ_i û_i‖² − N      (û = v/‖v‖),
+
+    plus the norm distribution (mean/std) and the mean resultant length
+    R̄ = ‖Σû‖/N (≈0 for isotropic clouds, →1 as directions collapse —
+    the standard anisotropy score of embedding-quality audits).
+
+    Plan shape: one ``posexplode`` scan partial-aggregated to d per-dim
+    component sums (d rows total, never N²), one tiny final agg; the
+    norm stats ride the same scan.  Everything is exact float64
+    arithmetic — a 100 TB corpus costs one pass."""
+    nrm = norm(F.col(vec_col))
+    ex = vectors.select(
+        nrm.alias("nrm"), F.posexplode(vec_col).alias("dim_idx", "x")
+    )
+    per_dim = ex.groupBy("dim_idx").agg(
+        (F.sum(F.col("x").cast("double") / F.col("nrm"))).alias("s")
+    )
+    geom = per_dim.agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+    nstats = vectors.select(nrm.alias("nrm")).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.avg("nrm").alias("mean_norm"),
+        F.stddev_pop("nrm").alias("std_norm"),
+    )
+    n = F.col("n_vectors").cast("double")
+    return nstats.crossJoin(geom).select(
+        "n_vectors",
+        F.round("mean_norm", 6).alias("mean_norm"),
+        F.round("std_norm", 6).alias("std_norm"),
+        F.round((F.col("s2") - n) / (n * (n - F.lit(1.0))), 6).alias(
+            "mean_pairwise_cosine"
+        ),
+        F.round(F.sqrt("s2") / n, 6).alias("resultant_len"),
     )
 
 

@@ -1945,6 +1945,130 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+ZIPF_TOP_N = 200
+
+
+def zipf_fit(documents: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Per-source Zipf rank–frequency fit — the corpus-health diagnostic
+    of web-scale curation (natural language tracks slope ≈ −1; template
+    farms, logs, and OCR noise bend it): OLS of ln(count) on ln(rank)
+    over each source's ``top_n`` most frequent tokens, rank ties broken
+    by token string so the ranking is deterministic on both sides.
+
+        slope = covar_pop(lx, ly) / var_pop(lx),
+        intercept = avg(ly) − slope·avg(lx),  r² = corr(lx, ly)².
+
+    Plan shape at 100 TB: one explode partial-aggregated to per-source
+    token counts (vocabulary-bounded, never corpus-bounded), one window
+    rank per source over that aggregate, and a ``top_n``-row-per-source
+    final agg — the raw corpus is scanned once and only counts shuffle.
+    Sources with fewer than 2 distinct tokens have no variance to fit
+    and are absent (both sides agree)."""
+    from pyspark.sql import Window
+
+    counts = (
+        documents.select(
+            "source", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "source",
+            F.log(F.col("rank").cast("double")).alias("lx"),
+            F.log(F.col("cnt").cast("double")).alias("ly"),
+        )
+    )
+    slope = F.covar_pop("lx", "ly") / F.var_pop("lx")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_ranks"),
+            slope.alias("_slope"),
+            F.avg("ly").alias("_my"),
+            F.avg("lx").alias("_mx"),
+            F.corr("lx", "ly").alias("_r"),
+        )
+        .filter(F.col("_slope").isNotNull())
+        .select(
+            "source",
+            "n_ranks",
+            F.round("_slope", 6).alias("zipf_slope"),
+            F.round(
+                F.col("_my") - F.col("_slope") * F.col("_mx"), 6
+            ).alias("zipf_intercept"),
+            F.round(F.col("_r") * F.col("_r"), 6).alias("r2"),
+        )
+    )
+
+
+ZIPF_FIT_ORACLE = f"""
+WITH counts AS (
+  SELECT source, unnest({DD_TOKENS.format(t="text")}) AS tok
+  FROM documents
+),
+c AS (SELECT source, tok, count(*)::BIGINT AS cnt FROM counts GROUP BY 1, 2),
+r AS (
+  SELECT source,
+         ln(row_number() OVER (PARTITION BY source
+                               ORDER BY cnt DESC, tok ASC)::DOUBLE) AS lx,
+         ln(cnt::DOUBLE) AS ly
+  FROM c
+  QUALIFY row_number() OVER (PARTITION BY source
+                             ORDER BY cnt DESC, tok ASC) <= {ZIPF_TOP_N}
+)
+SELECT source, count(*)::BIGINT AS n_ranks,
+       round(covar_pop(lx, ly) / var_pop(lx), 6) AS zipf_slope,
+       round(avg(ly) - (covar_pop(lx, ly) / var_pop(lx)) * avg(lx), 6)
+         AS zipf_intercept,
+       round(corr(lx, ly) * corr(lx, ly), 6) AS r2
+FROM r
+GROUP BY source
+HAVING covar_pop(lx, ly) / var_pop(lx) IS NOT NULL
+"""
+
+
+QUALITY_N_BUCKETS = 4
+
+
+def quality_buckets(
+    documents: DataFrame, n_buckets: int = QUALITY_N_BUCKETS
+) -> DataFrame:
+    """CCNet-style quality bucketing: per-source ``ntile`` quartiles over
+    the in-corpus bigram-LM score (``bigram_logprob`` — low avg −ln P =
+    head-quality text, high = tail/gibberish), the standard shape for
+    "train on head, sample middle, drop tail" curation recipes.  Order
+    is pinned on the ROUNDED score then doc_id, so tiles are
+    deterministic and oracle-replayable; docs with no bigrams are
+    absent (as in ``bigram_logprob``).
+
+    Plan shape: the bigram-LM pass (one explode + vocabulary-bounded
+    model aggregate + one scoring join), a broadcast-sized join back to
+    (doc_id, source), and one per-source window over doc-count rows."""
+    from pyspark.sql import Window
+
+    scores = bigram_logprob(documents)
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_neg_logprob").asc(), F.col("doc_id").asc()
+    )
+    return (
+        documents.select("doc_id", "source")
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "avg_neg_logprob",
+            F.ntile(n_buckets).over(w).cast("long").alias("quality_bucket"),
+        )
+    )
+
+
 BIGRAM_LOGPROB_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, {DD_TOKENS.format(t="text")} AS t FROM documents
@@ -1964,6 +2088,17 @@ SELECT doc_id, count(*)::BIGINT AS n_bigrams,
        round(avg(ln(c1) - ln(c12)), 6) AS avg_neg_logprob
 FROM bg JOIN model USING (bg)
 GROUP BY doc_id
+"""
+
+
+QUALITY_BUCKETS_ORACLE = f"""
+WITH s AS ({BIGRAM_LOGPROB_ORACLE})
+SELECT d.doc_id, d.source, s.avg_neg_logprob,
+       ntile({QUALITY_N_BUCKETS}) OVER (
+         PARTITION BY d.source
+         ORDER BY s.avg_neg_logprob ASC, d.doc_id ASC
+       )::BIGINT AS quality_bucket
+FROM documents d JOIN s ON d.doc_id = s.doc_id
 """
 
 

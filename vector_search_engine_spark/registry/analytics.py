@@ -786,3 +786,88 @@ def embeddings_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     (knn.intrinsic_dim_twonn)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ops.intrinsic_dim_twonn(emb)
+
+
+@register(
+    "embeddings_hard_negatives",
+    oracle=f"""
+WITH dmat AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS neighbor_id,
+         b.label AS neighbor_label,
+         {_DD_L2SQ.format(a="a.embedding", b="b.embedding")} AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT qid, qlabel, neighbor_id, neighbor_label, dist,
+         row_number() OVER (
+           PARTITION BY qid, (neighbor_label = qlabel)
+           ORDER BY dist, neighbor_id) AS grp_rank
+  FROM dmat
+),
+pos AS (
+  SELECT qid, dist AS pos_radius FROM r
+  WHERE neighbor_label = qlabel AND grp_rank = 3
+)
+SELECT r.qid, r.neighbor_id, r.neighbor_label,
+       r.grp_rank::BIGINT AS "rank",
+       round(r.dist, 4) AS dist_sq,
+       round(p.pos_radius, 4) AS pos_radius_sq
+FROM r JOIN pos p ON r.qid = p.qid
+WHERE r.neighbor_label <> r.qlabel
+  AND r.dist <= 4.0 * p.pos_radius
+  AND r.grp_rank <= 5
+""",
+)
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over the labeled embedding table: every
+    vector anchors, negatives are the top-5 different-label neighbors
+    within 4x the anchor's 3rd same-label squared distance
+    (knn.hard_negatives — the contrastive-training curation op; one
+    broadcast candidate pass + two windows on one (qid) shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("query"),
+        F.col("label").alias("qlabel"),
+    )
+    return knn_ops.hard_negatives(
+        emb, anchors, k_pos=3, margin=4.0, k_neg=5
+    )
+
+
+@register(
+    "embeddings_anisotropy",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_DD_DOT.format(a="embedding", b="embedding")}) AS nrm
+  FROM embeddings
+),
+u AS (
+  SELECT generate_subscripts(embedding, 1) AS dim_idx,
+         CAST(unnest(embedding) AS DOUBLE) / nrm AS x
+  FROM n
+),
+per_dim AS (SELECT dim_idx, sum(x) AS s FROM u GROUP BY dim_idx),
+geom AS (SELECT sum(s * s) AS s2 FROM per_dim),
+ns AS (
+  SELECT count(*)::BIGINT AS n_vectors, avg(nrm) AS mean_norm,
+         stddev_pop(nrm) AS std_norm
+  FROM n
+)
+SELECT n_vectors, round(mean_norm, 6) AS mean_norm,
+       round(std_norm, 6) AS std_norm,
+       round((s2 - n_vectors) / (n_vectors * (n_vectors - 1.0)), 6)
+         AS mean_pairwise_cosine,
+       round(sqrt(s2) / n_vectors, 6) AS resultant_len
+FROM ns, geom
+""",
+)
+def embeddings_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact anisotropy diagnostic of the embedding space: mean pairwise
+    cosine over all N(N-1) ordered pairs via the resultant-vector
+    identity (no pair ever materialized), plus norm mean/std and the
+    mean resultant length (knn.anisotropy_stats; one posexplode scan
+    partial-aggregated to d per-dim sums)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.anisotropy_stats(emb)

@@ -481,3 +481,23 @@ def corpus_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile boundaries shared with the DuckDB twin via type-7
     interpolation, the dbscan_kdist_report precedent)."""
     return txt_ops.source_psi(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_zipf_fit", oracle=txt_ops.ZIPF_FIT_ORACLE)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency OLS fit over the top-200 tokens
+    (txt_ops.zipf_fit) - the corpus-health slope (natural text ~ -1;
+    template/log/OCR sources bend it); ranking deterministic via
+    (count desc, token) ties, fit replayed exactly by DuckDB
+    covar_pop/var_pop/corr."""
+    return txt_ops.zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_quality_buckets", oracle=txt_ops.QUALITY_BUCKETS_ORACLE)
+def doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-source quality quartiles via ntile over the
+    in-corpus bigram-LM score (txt_ops.quality_buckets) - the
+    head/middle/tail split of web-corpus curation recipes; tile order
+    pinned on (rounded score, doc_id) so both engines tile
+    identically."""
+    return txt_ops.quality_buckets(load_table(spark, sf_dir, "documents"))
