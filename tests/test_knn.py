@@ -562,3 +562,109 @@ def test_intrinsic_dim_twonn_recovers_known_dimension(spark):
     r = knn_ops.intrinsic_dim_twonn(df).collect()[0]
     assert r["n_dup_dropped"] == 3 and r["n_used"] == 47
     assert r["intrinsic_dim"] is not None
+
+
+def test_hard_negatives_matches_numpy(spark, embeddings, embeddings_np):
+    import pandas as pd
+
+    ids, V = embeddings_np
+    labels = {
+        r.vec_id: r.label
+        for r in embeddings.select("vec_id", "label").collect()
+    }
+    k_pos, margin, k_neg = 3, 4.0, 5
+    anchors = embeddings.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("query"),
+        F.col("label").alias("qlabel"),
+    )
+    got = {}
+    for r in knn_ops.hard_negatives(
+        embeddings, anchors, k_pos=k_pos, margin=margin, k_neg=k_neg
+    ).collect():
+        got.setdefault(r.qid, []).append(
+            (r.rank, r.neighbor_id, r.neighbor_label, r.dist_sq, r.pos_radius_sq)
+        )
+    G = V.astype(np.float64)
+    order = np.argsort(ids)
+    for qi in range(0, len(ids), 7):  # sample anchors
+        qid = int(ids[qi])
+        d = ((G - G[qi]) ** 2).sum(axis=1)
+        pairs = sorted(
+            (float(d[j]), int(ids[j]))
+            for j in range(len(ids))
+            if ids[j] != qid
+        )
+        same = [(dd, j) for dd, j in pairs if labels[j] == labels[qid]]
+        assert len(same) >= k_pos
+        pos_radius = same[k_pos - 1][0]
+        want = [
+            (dd, j) for dd, j in pairs
+            if labels[j] != labels[qid] and dd <= margin * pos_radius
+        ][:k_neg]
+        rows = sorted(got.get(qid, []))
+        assert len(rows) == len(want)
+        for (rank, nid, nlabel, dist_sq, pr_sq), (dd, j) in zip(rows, want):
+            assert nid == j
+            assert nlabel == labels[j]
+            assert abs(dist_sq - dd) < 1e-3
+            assert abs(pr_sq - pos_radius) < 1e-3
+
+
+def test_hard_negatives_insufficient_positives_emit_nothing(spark):
+    import pandas as pd
+
+    # label 0 has ONE member: no 3rd same-label distance -> no output rows
+    # for that anchor; label 1 has 5 members -> rows exist.
+    rng = np.random.default_rng(5)
+    V = rng.normal(0, 1, (6, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(6, dtype=np.int64),
+                "embedding": list(V),
+                "label": [0, 1, 1, 1, 1, 1],
+            }
+        )
+    )
+    anchors = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("query"),
+        F.col("label").alias("qlabel"),
+    )
+    out = knn_ops.hard_negatives(emb, anchors, k_pos=3, margin=100.0, k_neg=5)
+    qids = {r.qid for r in out.collect()}
+    assert 0 not in qids  # lone-label anchor silent
+    assert qids  # labeled anchors with enough positives do emit
+
+
+def test_anisotropy_matches_numpy(embeddings, embeddings_np):
+    ids, V = embeddings_np
+    G = V.astype(np.float64)
+    nrm = np.sqrt((G**2).sum(axis=1))
+    U = G / nrm[:, None]
+    s2 = float((U.sum(axis=0) ** 2).sum())
+    n = len(G)
+    row = knn_ops.anisotropy_stats(embeddings).collect()[0]
+    assert row.n_vectors == n
+    assert abs(row.mean_norm - nrm.mean()) < 1e-4
+    assert abs(row.std_norm - nrm.std()) < 1e-4
+    assert abs(row.mean_pairwise_cosine - (s2 - n) / (n * (n - 1))) < 1e-5
+    assert abs(row.resultant_len - np.sqrt(s2) / n) < 1e-5
+
+
+def test_anisotropy_collapsed_directions(spark):
+    import pandas as pd
+
+    # every vector the SAME direction, varied magnitude: mean pairwise
+    # cosine and resultant length are exactly 1.
+    base = np.ones(4, dtype=np.float32)
+    V = [base * s for s in (1.0, 2.0, 5.0, 0.5, 3.0)]
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(5, dtype=np.int64), "embedding": V}
+        )
+    )
+    row = knn_ops.anisotropy_stats(emb).collect()[0]
+    assert abs(row.mean_pairwise_cosine - 1.0) < 1e-9
+    assert abs(row.resultant_len - 1.0) < 1e-9

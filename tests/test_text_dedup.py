@@ -1276,3 +1276,51 @@ def test_minhash_portable_verified_and_recalls(documents):
         assert j >= dedup_ops.JACCARD_THRESHOLD
     found = sum(1 for p in exact if p in lsh)
     assert found / len(exact) >= 0.8
+
+
+def test_zipf_fit_against_python(documents):
+    import math
+
+    toks = {}
+    for r in documents.select("source", "text").collect():
+        for t in r.text.strip().split(" "):
+            if t:
+                toks.setdefault(r.source, {}).setdefault(t, 0)
+                toks[r.source][t] += 1
+    got = {r.source: r for r in text_ops.zipf_fit(documents).collect()}
+    assert set(got) == set(toks)
+    for src, counts in toks.items():
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+        lx = [math.log(i + 1) for i in range(len(top))]
+        ly = [math.log(c) for _, c in top]
+        n = len(lx)
+        mx, my = sum(lx) / n, sum(ly) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(lx, ly)) / n
+        var = sum((a - mx) ** 2 for a in lx) / n
+        slope = cov / var
+        r = got[src]
+        assert r.n_ranks == n
+        assert abs(r.zipf_slope - slope) < 1e-4
+        assert abs(r.zipf_intercept - (my - slope * mx)) < 1e-4
+
+
+def test_quality_buckets_tile_properties(documents):
+    out = text_ops.quality_buckets(documents).collect()
+    scores = {
+        r.doc_id: r.avg_neg_logprob
+        for r in text_ops.bigram_logprob(documents).collect()
+    }
+    assert len(out) == len(scores)  # every scored doc bucketed
+    by_src = {}
+    for r in out:
+        assert 1 <= r.quality_bucket <= 4
+        assert r.avg_neg_logprob == scores[r.doc_id]
+        by_src.setdefault(r.source, {}).setdefault(r.quality_bucket, []).append(
+            (r.avg_neg_logprob, r.doc_id)
+        )
+    for src, tiles in by_src.items():
+        sizes = [len(tiles[b]) for b in sorted(tiles)]
+        assert max(sizes) - min(sizes) <= 1  # ntile balance
+        for b in sorted(tiles)[:-1]:
+            if b + 1 in tiles:
+                assert max(tiles[b]) <= min(tiles[b + 1])  # ordered tiles
