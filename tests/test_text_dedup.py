@@ -1324,3 +1324,19 @@ def test_quality_buckets_tile_properties(documents):
         for b in sorted(tiles)[:-1]:
             if b + 1 in tiles:
                 assert max(tiles[b]) <= min(tiles[b + 1])  # ordered tiles
+
+
+def test_pipeline_embedding_curation_structure(spark, sf_dir):
+    from vector_search_engine_spark.registry import QUERIES
+
+    out = QUERIES["pipeline_embedding_curation"](spark, sf_dir).collect()
+    assert out  # quality gate keeps most of the fixture
+    by_cluster = {}
+    for r in out:
+        assert r.quality_score >= 0.5
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rows in by_cluster.items():
+        assert len(rows) == rows[0].cluster_size
+        canon = [r for r in rows if r.is_canonical]
+        assert len(canon) == 1  # exactly one canonical per cluster
+        assert canon[0].doc_id == min(r.doc_id for r in rows) == cid

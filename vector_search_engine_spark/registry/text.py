@@ -501,3 +501,96 @@ def doc_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned on (rounded score, doc_id) so both engines tile
     identically."""
     return txt_ops.quality_buckets(load_table(spark, sf_dir, "documents"))
+
+
+_EMB_CURATION_THR = 0.35
+_DD_COS = (
+    f"({_DD_DOT.format(a='a.embedding', b='b.embedding')}"
+    f" / (sqrt({_DD_DOT.format(a='a.embedding', b='a.embedding')})"
+    f" * sqrt({_DD_DOT.format(a='b.embedding', b='b.embedding')})))"
+)
+
+
+@register(
+    "pipeline_embedding_curation",
+    oracle=f"""
+WITH RECURSIVE stats AS ({txt_ops.DOC_STATS_ORACLE.strip()}),
+kept AS (
+  SELECT doc_id, source, n_tokens, quality_score
+  FROM stats WHERE quality_score >= 0.5
+),
+ke AS (
+  SELECT e.vec_id AS doc_id, e.embedding
+  FROM embeddings e JOIN kept k ON e.vec_id = k.doc_id
+),
+p AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM ke a JOIN ke b ON a.doc_id < b.doc_id
+  WHERE {_DD_COS} >= {_EMB_CURATION_THR}
+),
+edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+cc(node, lbl) AS (
+  SELECT doc_id, doc_id FROM ke
+  UNION
+  SELECT e.u, cc.lbl FROM edges e JOIN cc ON cc.node = e.v
+),
+lab AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node)
+SELECT k.doc_id, k.source, k.n_tokens, k.quality_score,
+       l.cluster_id,
+       count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+       (k.doc_id = l.cluster_id) AS is_canonical
+FROM kept k JOIN lab l ON k.doc_id = l.doc_id
+""",
+)
+def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table curation pipeline (r14): the documents table decides
+    QUALITY, the embeddings table decides REDUNDANCY — quality gate
+    (score >= 0.5) -> align each survivor's embedding row (vec_id =
+    doc_id, the corpus's text<->vector linkage) -> exact cosine>=0.35
+    near-dup pairs among survivors ONLY (dedup never wastes distance
+    evaluations on docs the quality gate already dropped) -> iterative
+    transitive closure -> every kept doc labeled with its semantic
+    cluster and a min-id canonical flag.  The composed shape real
+    multimodal training pipelines run, end-to-end in ONE plan and
+    oracle-graded doc-level (not aggregate-level).  Scale: the pair
+    stage auto-dispatches to the LSH tier past the broadcast bound
+    (simjoin.similarity_pairs contract); CC shuffles edges, never
+    pairs x dims."""
+    from pyspark.sql import Window
+
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = (
+        txt_ops.doc_stats(docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "source", "n_tokens", "quality_score")
+    )
+    kept_emb = emb.join(
+        kept.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    ).select("vec_id", "embedding")
+    pairs = simjoin.similarity_pairs(
+        kept_emb, threshold=_EMB_CURATION_THR, metric="cosine"
+    )
+    comp = graph_ops.connected_components(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    )
+    labeled = kept.join(
+        comp, kept["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality_score",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("cluster_size", F.count("*").over(w).cast("long"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .select(
+            "doc_id", "source", "n_tokens", "quality_score",
+            "cluster_id", "cluster_size", "is_canonical",
+        )
+    )
