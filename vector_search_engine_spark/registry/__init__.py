@@ -121,6 +121,18 @@ _GRADE_FIRST: list[str] = [
     "embeddings_mutual_knn",
     "ann_lsh_portable",
     "embeddings_intrinsic_dim",
+    # --- r14 NEW rows, late wave (first driver grade; five r5/r6-block
+    # rows yielded their slots — corpus_train_val_split,
+    # dedup_ngram_jaccard_ppjoin (oracle-identical twin of the r7-green
+    # dedup_ngram_jaccard), jsonl_roundtrip, pipeline_clean_corpus
+    # (family now represented by the STRONGER doc-level
+    # pipeline_embedding_curation below), corpus_pack_sequences — all
+    # carry prior greens + sweep/pytest) ---
+    "embeddings_hard_negatives",
+    "embeddings_anisotropy",
+    "corpus_zipf_fit",
+    "doc_quality_buckets",
+    "pipeline_embedding_curation",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
@@ -152,19 +164,11 @@ _GRADE_FIRST: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "multimodal_features",
-    # --- last graded r5 (corpus_capped_sample and events_hourly_stats
-    # yielded their slots to first-grade r14 rows: their families stay
-    # represented in-window — corpus_token_budget_sample /
-    # corpus_train_val_split and the six r1-block events rows) ---
-    "corpus_train_val_split",
-    "dedup_ngram_jaccard_ppjoin",
-    "jsonl_roundtrip",
-    "pipeline_clean_corpus",
-    # --- last graded r6 (the rest of this block — events_json_stats,
-    # knn_exact_cosine, knn_pq_adc, knn_radius_search,
-    # knn_self_similarity_pairs — yielded their slots to the five
-    # first-grade r14 rows above; all carry an r6 green + sweep/pytest) ---
-    "corpus_pack_sequences",
+    # (the former r5/r6 staleness block — corpus_train_val_split,
+    # dedup_ngram_jaccard_ppjoin, jsonl_roundtrip, pipeline_clean_corpus,
+    # corpus_pack_sequences — yielded its five slots to the late-wave
+    # r14 rows above; every yielded row keeps its prior green and stays
+    # graded by the full-registry sweep at HEAD each round)
 ]
 
 
