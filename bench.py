@@ -89,6 +89,14 @@ BENCH_QUERIES = [
     "streaming_search_sq8_distributed",
     "corpus_split_leakage_safe",
     "embeddings_kcenter_coreset",
+    # r14: hard-negative mining (one broadcast candidate pass + two
+    # windows on a single (qid) shuffle, dataset-sized anchor set), the
+    # cross-table curation pipeline (quality gate ∘ embedding near-dup
+    # CC, doc-level), and the per-source Zipf rank-frequency fit
+    # (vocabulary-bounded aggregation + top-200 OLS)
+    "embeddings_hard_negatives",
+    "pipeline_embedding_curation",
+    "corpus_zipf_fit",
 ]
 
 

@@ -668,3 +668,23 @@ def test_anisotropy_collapsed_directions(spark):
     row = knn_ops.anisotropy_stats(emb).collect()[0]
     assert abs(row.mean_pairwise_cosine - 1.0) < 1e-9
     assert abs(row.resultant_len - 1.0) < 1e-9
+
+
+def test_hard_negatives_pandas_sql_identical(spark, embeddings):
+    anchors = embeddings.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("query"),
+        F.col("label").alias("qlabel"),
+    )
+    a = sorted(
+        map(tuple, knn_ops.hard_negatives(embeddings, anchors).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            knn_ops.hard_negatives(
+                embeddings, anchors, method="sql"
+            ).collect(),
+        )
+    )
+    assert a == b and a

@@ -914,6 +914,7 @@ def hard_negatives(
     label_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "pandas",
 ) -> DataFrame:
     """Hard-negative mining for contrastive / retrieval training data
     (no reference analog — the reference serves queries, it does not
@@ -930,45 +931,112 @@ def hard_negatives(
     sides agree).  ``margin`` multiplies the SQUARED positive radius
     (margin 4.0 ≡ 2× in true L2).
 
-    Plan shape: ONE broadcast of the query set over the vector scan,
-    then two windows sharing the (qid)-hash shuffle: ``row_number``
-    over (qid, is_same_label) ranks positives and negatives in the
-    same pass, a (qid)-partition ``max(CASE rank=k_pos)`` turns the
-    positive ranking into a per-anchor radius column, and the radius
-    filter keeps a PREFIX of the negative ranking (the filter is on
-    the ordering key), so the negative rank needs no re-numbering.
-    At dataset-sized |Q| route the candidate pass through the block
-    cogroup / bounded-IVF tiers (finding 30) exactly as
-    ``knn_exact_distributed`` does; the window algebra is unchanged."""
-    dist = l2_sq(F.col(vec_col), F.col("query"))
-    cand = (
-        vectors.join(F.broadcast(queries))
-        .filter(F.col(id_col) != F.col("qid"))
-        .select(
-            "qid",
-            "qlabel",
-            F.col(label_col).alias("neighbor_label"),
-            F.col(id_col).alias("neighbor_id"),
-            dist.alias("dist"),
+    ``method='pandas'`` (default) is the GEMM candidate pass — the
+    ``knn_exact`` discipline at dataset-sized anchor sets: anchors
+    (ids, matrix, labels) broadcast once, each scan partition runs ONE
+    label-masked BLAS product and emits only its local top-``k_pos``
+    same-label + top-``k_neg`` different-label rows per anchor, so the
+    shuffle moves ``partitions × (k_pos + k_neg) × |Q|`` rows, never
+    ``N × |Q|``.  ``method='sql'`` is the pure-Catalyst twin (identical
+    results; the oracle's shape).
+
+    Finishing algebra (shared): two windows on one (qid)-hash shuffle —
+    ``row_number`` over (qid, is_same_label) ranks positives and
+    negatives in the same pass, a (qid)-partition ``max(CASE
+    rank=k_pos)`` turns the positive ranking into a per-anchor radius
+    column, and the radius filter keeps a PREFIX of the negative
+    ranking (the filter is on the ordering key), so the negative rank
+    needs no re-numbering."""
+    if method == "sql":
+        dist = l2_sq(F.col(vec_col), F.col("query"))
+        cand = (
+            vectors.join(F.broadcast(queries))
+            .filter(F.col(id_col) != F.col("qid"))
+            .select(
+                "qid",
+                "qlabel",
+                F.col(label_col).alias("neighbor_label"),
+                F.col(id_col).alias("neighbor_id"),
+                dist.alias("dist"),
+            )
         )
-    )
-    is_same = (F.col("neighbor_label") == F.col("qlabel")).cast("int")
+        cand = cand.withColumn(
+            "is_same", (F.col("neighbor_label") == F.col("qlabel")).cast("int")
+        )
+    else:
+        spark = vectors.sparkSession
+        qrows = queries.select("qid", "query", "qlabel").collect()
+        if not qrows:
+            lab_t = vectors.schema[label_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [],
+                f"qid long, neighbor_id long, neighbor_label {lab_t},"
+                " rank long, dist_sq double, pos_radius_sq double",
+            )
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        Q = np.array([np.asarray(r[1], dtype=np.float32) for r in qrows])
+        qlabels = np.array([r[2] for r in qrows], dtype=np.int64)
+        bc = spark.sparkContext.broadcast((qids, Q, qlabels))
+        kp, kn = int(k_pos), int(k_neg)
+
+        def local_cands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qids_, Q_, qlab_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf[id_col].to_numpy(dtype=np.int64)
+                labs = pdf[label_col].to_numpy(dtype=np.int64)
+                V = np.stack(pdf[vec_col].to_numpy())
+                D = l2_sq_matrix(V, Q_)  # rows × anchors, float64
+                same = labs[:, None] == qlab_[None, :]
+                selfmask = ids[:, None] == qids_[None, :]
+                out_q, out_id, out_lab, out_same, out_d = [], [], [], [], []
+                for j in range(len(qids_)):
+                    dj = D[:, j]
+                    for flag, mask, kk in (
+                        (1, same[:, j] & ~selfmask[:, j], kp),
+                        (0, ~same[:, j] & ~selfmask[:, j], kn),
+                    ):
+                        rows = np.flatnonzero(mask)
+                        if len(rows) == 0:
+                            continue
+                        order = np.lexsort((ids[rows], dj[rows]))[:kk]
+                        sel = rows[order]
+                        out_q.append(np.full(len(sel), qids_[j], np.int64))
+                        out_id.append(ids[sel])
+                        out_lab.append(labs[sel])
+                        out_same.append(np.full(len(sel), flag, np.int32))
+                        out_d.append(dj[sel])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "qid": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_id),
+                            "neighbor_label": np.concatenate(out_lab),
+                            "is_same": np.concatenate(out_same),
+                            "dist": np.concatenate(out_d),
+                        }
+                    )
+
+        cand = vectors.select(id_col, label_col, vec_col).mapInPandas(
+            local_cands,
+            schema="qid long, neighbor_id long, neighbor_label long,"
+            " is_same int, dist double",
+        )
     w_grp = Window.partitionBy("qid", "is_same").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
     )
     w_q = Window.partitionBy("qid")
-    ranked = (
-        cand.withColumn("is_same", is_same)
-        .withColumn("grp_rank", F.row_number().over(w_grp))
-        .withColumn(
-            "pos_radius",
-            F.max(
-                F.when(
-                    (F.col("is_same") == 1) & (F.col("grp_rank") == k_pos),
-                    F.col("dist"),
-                )
-            ).over(w_q),
-        )
+    ranked = cand.withColumn(
+        "grp_rank", F.row_number().over(w_grp)
+    ).withColumn(
+        "pos_radius",
+        F.max(
+            F.when(
+                (F.col("is_same") == 1) & (F.col("grp_rank") == k_pos),
+                F.col("dist"),
+            )
+        ).over(w_q),
     )
     return (
         ranked.filter(
@@ -979,7 +1047,11 @@ def hard_negatives(
         .select(
             "qid",
             "neighbor_id",
-            "neighbor_label",
+            # pin the label dtype to the source column's (the GEMM path
+            # stages labels as int64; the oracle sees the table's type)
+            F.col("neighbor_label")
+            .cast(vectors.schema[label_col].dataType)
+            .alias("neighbor_label"),
             F.col("grp_rank").cast("long").alias("rank"),
             F.round(F.col("dist"), DIST_DECIMALS).alias("dist_sq"),
             F.round(F.col("pos_radius"), DIST_DECIMALS).alias("pos_radius_sq"),
