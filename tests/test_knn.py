@@ -688,3 +688,24 @@ def test_hard_negatives_pandas_sql_identical(spark, embeddings):
         )
     )
     assert a == b and a
+
+
+def test_class_scatter_matches_numpy(embeddings, embeddings_np):
+    ids, V = embeddings_np
+    labels = np.array(
+        [r.label for r in embeddings.select("vec_id", "label").collect()]
+    )
+    G = V.astype(np.float64)
+    gmu = G.mean(axis=0)
+    got = {r.label: r for r in knn_ops.class_scatter(embeddings).collect()}
+    assert set(got) == set(np.unique(labels).tolist())
+    for lab in np.unique(labels):
+        X = G[labels == lab]
+        mu = X.mean(axis=0)
+        within = ((X - mu) ** 2).sum(axis=1).mean()
+        between = ((mu - gmu) ** 2).sum()
+        r = got[int(lab)]
+        assert r.n_vectors == len(X)
+        assert abs(r.within_ms - within) < 1e-4
+        assert abs(r.between_sq - between) < 1e-6
+        assert abs(r.fisher_ratio - between / within) < 1e-4

@@ -1101,6 +1101,62 @@ def anisotropy_stats(
     )
 
 
+def class_scatter(
+    vectors: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class scatter decomposition of a labeled embedding space —
+    the Fisher-style separability report of embedding-quality audits:
+    for every label, the EXACT mean squared distance to the class
+    centroid (within-class scatter), the squared distance of the class
+    centroid to the global centroid (between-class scatter), and their
+    ratio (higher = the class is tighter than it is displaced — easy
+    for a classifier; ≤~1 = the class dissolves into the blend).
+
+    Everything reduces to per-(label, dim) moment sums via the
+    variance identity  E‖v−μ_ℓ‖² = E‖v‖² − ‖μ_ℓ‖², so the plan is ONE
+    posexplode scan partial-aggregated to |labels|·d rows (sum x,
+    sum x²), then label-count-sized joins — no pair, no second scan,
+    no driver math; a 100 TB corpus costs one pass."""
+    ex = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim_idx", "x"),
+    ).select("label", "dim_idx", F.col("x").cast("double").alias("x"))
+    per_ld = ex.groupBy("label", "dim_idx").agg(
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+        F.count("*").cast("long").alias("n"),
+    )
+    per_d = per_ld.groupBy("dim_idx").agg(
+        (F.sum("s") / F.sum("n")).alias("gmu")
+    )
+    per_l = (
+        per_ld.join(per_d, "dim_idx")
+        .groupBy("label")
+        .agg(
+            F.first("n").alias("n_vectors"),
+            F.sum("ss").alias("sumsq"),
+            F.sum(
+                (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+            ).alias("mu_sq"),
+            F.sum(
+                (F.col("s") / F.col("n") - F.col("gmu"))
+                * (F.col("s") / F.col("n") - F.col("gmu"))
+            ).alias("between_sq"),
+        )
+    )
+    within = F.col("sumsq") / F.col("n_vectors") - F.col("mu_sq")
+    return per_l.select(
+        "label",
+        F.col("n_vectors"),
+        F.round(within, 6).alias("within_ms"),
+        F.round("between_sq", 6).alias("between_sq"),
+        F.round(F.col("between_sq") / within, 6).alias("fisher_ratio"),
+    )
+
+
 def validate_vectors(
     vectors: DataFrame, dim: int, vec_col: str = "embedding"
 ) -> tuple[DataFrame, DataFrame]:

@@ -871,3 +871,42 @@ def embeddings_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated to d per-dim sums)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ops.anisotropy_stats(emb)
+
+
+@register(
+    "embeddings_class_scatter",
+    oracle="""
+WITH u AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim_idx,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+per_ld AS (
+  SELECT label, dim_idx, sum(x) AS s, sum(x * x) AS ss,
+         count(*)::BIGINT AS n
+  FROM u GROUP BY label, dim_idx
+),
+per_d AS (SELECT dim_idx, sum(s) / sum(n) AS gmu FROM per_ld GROUP BY dim_idx),
+per_l AS (
+  SELECT p.label, min(p.n) AS n_vectors, sum(p.ss) AS sumsq,
+         sum((p.s / p.n) * (p.s / p.n)) AS mu_sq,
+         sum((p.s / p.n - d.gmu) * (p.s / p.n - d.gmu)) AS between_sq
+  FROM per_ld p JOIN per_d d USING (dim_idx)
+  GROUP BY p.label
+)
+SELECT label, n_vectors,
+       round(sumsq / n_vectors - mu_sq, 6) AS within_ms,
+       round(between_sq, 6) AS between_sq,
+       round(between_sq / (sumsq / n_vectors - mu_sq), 6) AS fisher_ratio
+FROM per_l
+""",
+)
+def embeddings_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class Fisher-style scatter report: exact within-class mean
+    squared distance to centroid, between-class centroid displacement,
+    and their ratio — the label-separability audit of embedding
+    quality, one posexplode scan via the variance identity
+    (knn.class_scatter)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.class_scatter(emb)
