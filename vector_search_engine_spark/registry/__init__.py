@@ -130,6 +130,7 @@ _GRADE_FIRST: list[str] = [
     # carry prior greens + sweep/pytest) ---
     "embeddings_hard_negatives",
     "embeddings_anisotropy",
+    "embeddings_class_scatter",
     "corpus_zipf_fit",
     "doc_quality_buckets",
     "pipeline_embedding_curation",
@@ -159,7 +160,8 @@ _GRADE_FIRST: list[str] = [
     # --- last graded r2 ---
     "events_range_join",
     "events_sessionize",
-    "knn_grouped_by_label",
+    # (knn_grouped_by_label — the r3-designated redundant twin — yielded
+    # its slot to embeddings_class_scatter above; r2 green + sweep)
     "dedup_embedding_lsh",
     "dedup_minhash_lsh",
     "dedup_simhash",
