@@ -335,15 +335,21 @@ def mmr_diversify(
     ``candidates``: a per-query ranked shortlist ``(query_id, doc_id,
     <score_col>)`` (e.g. ``hybrid_rrf`` output); ``vectors`` supplies
     the doc embeddings for the diversity term.  Ties break on
-    (value DESC, doc_id ASC) so output is deterministic across runs,
-    partitionings and engines.
+    (value DESC, doc_id ASC), and the selection value (cosine and the
+    MMR combination) is rounded to 6 decimals BEFORE the argmax — the
+    ``hybrid_rrf`` rounded-ranking discipline — so the greedy walk is
+    bit-deterministic across runs, partitionings AND engines (the
+    DuckDB oracle replays the identical unrolled selection).
 
     Plan: one broadcast-ready join to attach embeddings, ONE shuffle
     grouping by query, then a per-query greedy NumPy loop over the
     shortlist (|shortlist| ≤ depth ≈ 10-100 rows — the loop is O(k·n·d)
     on a tiny n; the corpus-sized work already happened upstream).
     Returns ``(query_id, doc_id, rank, mmr_score)``; zero-norm vectors
-    contribute cosine 0 (the ``cosine_sim`` convention)."""
+    contribute cosine 0 (the ``cosine_sim`` convention), and the
+    diversity term is CLAMPED at 0 (``max_sim`` accumulates from 0):
+    anti-correlated candidates never score above pure relevance —
+    the oracle replays the clamp with ``greatest(max(s), 0.0)``."""
     lam = float(lam)
 
     def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -364,7 +370,7 @@ def mmr_diversify(
         remaining = np.ones(n, dtype=bool)
         out_ids, out_scores = [], []
         for _ in range(kk):
-            mmr = lam * rel - (1.0 - lam) * max_sim
+            mmr = np.round(lam * rel - (1.0 - lam) * max_sim, 6)
             mmr_masked = np.where(remaining, mmr, -np.inf)
             # deterministic argmax: highest score, lowest doc_id on ties
             best = np.lexsort((ids, -mmr_masked))[0]
@@ -372,7 +378,7 @@ def mmr_diversify(
             remaining[best] = False
             out_ids.append(ids[best])
             out_scores.append(mmr_masked[best])
-            sims = Vn @ Vn[best]
+            sims = np.round(Vn @ Vn[best], 6)
             np.maximum(max_sim, sims, out=max_sim)
         return pd.DataFrame(
             {
@@ -833,3 +839,86 @@ SELECT query_id,
                i -> 1.0 / log2(i + 1.0))), 6) AS ndcg_at_k
 FROM perq
 """
+
+_DD_DOT_LOCAL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+def _mmr_oracle(k: int = 10, lam: float = 0.7, depth: int = HYBRID_DEPTH) -> str:
+    """Unrolled-greedy MMR oracle (the PageRank-unroll precedent): step
+    i's CTE anti-joins the selected set, takes max rounded cosine to it,
+    and argmaxes the rounded MMR combination — replaying
+    ``mmr_diversify``'s rounded-selection walk exactly.  ``repr`` floats
+    keep the λ / (1−λ) literals bit-identical to the engine's."""
+    lam_r, oml_r = repr(float(lam)), repr(1.0 - float(lam))
+    na = _DD_DOT_LOCAL.format(a="a.embedding", b="a.embedding")
+    nb = _DD_DOT_LOCAL.format(a="b.embedding", b="b.embedding")
+    ab = _DD_DOT_LOCAL.format(a="a.embedding", b="b.embedding")
+    cos = (
+        f"CASE WHEN sqrt({na}) * sqrt({nb}) = 0 THEN 0.0 "
+        f"ELSE {ab} / (sqrt({na}) * sqrt({nb})) END"
+    )
+    parts = [
+        f"""
+WITH {_hybrid_ctes(1.0, 1.0)},
+shortlist AS MATERIALIZED (
+  SELECT query_id, doc_id, rrf AS rel FROM rr WHERE "rank" <= {depth}
+),
+cand AS MATERIALIZED (
+  SELECT s.query_id, s.doc_id, s.rel, e.embedding
+  FROM shortlist s JOIN embeddings e ON s.doc_id = e.vec_id
+),
+csim AS MATERIALIZED (
+  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+         round({cos}, 6) AS s
+  FROM cand a JOIN cand b ON a.query_id = b.query_id
+),
+s1 AS MATERIALIZED (
+  SELECT query_id, doc_id, mmr FROM (
+    SELECT query_id, doc_id, round({lam_r} * rel, 6) AS mmr,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round({lam_r} * rel, 6) DESC, doc_id
+           ) AS rn
+    FROM cand) t WHERE rn = 1
+)"""
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, doc_id FROM s{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""",
+sel{i - 1} AS MATERIALIZED ({prev}),
+m{i} AS (
+  SELECT c.query_id, c.doc_id,
+         round({lam_r} * c.rel - {oml_r} * greatest(max(cs.s), 0.0), 6) AS mmr
+  FROM cand c
+  JOIN sel{i - 1} sl ON sl.query_id = c.query_id
+  JOIN csim cs ON cs.query_id = c.query_id AND cs.db = c.doc_id
+       AND cs.da = sl.doc_id
+  LEFT JOIN sel{i - 1} x
+    ON x.query_id = c.query_id AND x.doc_id = c.doc_id
+  WHERE x.doc_id IS NULL
+  GROUP BY c.query_id, c.doc_id, c.rel
+),
+s{i} AS MATERIALIZED (
+  SELECT query_id, doc_id, mmr FROM (
+    SELECT query_id, doc_id, mmr,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY mmr DESC, doc_id
+           ) AS rn
+    FROM m{i}) t WHERE rn = 1
+)"""
+        )
+    final = "\nUNION ALL\n".join(
+        f'SELECT query_id, doc_id, {i} AS "rank", mmr AS mmr_score FROM s{i}'
+        for i in range(1, k + 1)
+    )
+    parts.append(f"\n{final}")
+    return "".join(parts)
+
+
+MMR_ORACLE = _mmr_oracle()

@@ -134,6 +134,10 @@ _GRADE_FIRST: list[str] = [
     "corpus_zipf_fit",
     "doc_quality_buckets",
     "pipeline_embedding_curation",
+    # --- r14 CONVERTED row (greedy MMR walk now oracle-replayable via
+    # the unrolled-CTE chain; events_range_join — an r3-designated
+    # redundant twin with an r2 green — yielded its slot) ---
+    "hybrid_search_mmr",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
@@ -158,7 +162,6 @@ _GRADE_FIRST: list[str] = [
     "sql_revenue_by_nation",
     "window_function_zoo",
     # --- last graded r2 ---
-    "events_range_join",
     "events_sessionize",
     # (knn_grouped_by_label — the r3-designated redundant twin — yielded
     # its slot to embeddings_class_scatter above; r2 green + sweep)

@@ -298,13 +298,16 @@ def hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.retrieval_eval(run, qrels, k=10)
 
 
-@register("hybrid_search_mmr")  # greedy iterative selection — rows-only
+@register("hybrid_search_mmr", oracle=retrieval.MMR_ORACLE)
 def hybrid_search_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversification over the hybrid shortlist (SIGIR'98): the
     standard near-duplicate-suppression pass a retrieval API runs after
-    fusion.  Greedy argmax selection is iterative, not SQL-expressible —
-    pinned against a from-scratch NumPy reference in
-    tests/test_retrieval.py instead."""
+    fusion.  Oracle mode since r14: the greedy argmax walk rounds its
+    selection value to 6 decimals each step (the hybrid_rrf rounded-
+    ranking discipline), so the DuckDB twin replays it exactly as a
+    k-step unrolled CTE chain (retrieval._mmr_oracle — the PageRank
+    unroll precedent); the from-scratch NumPy reference in
+    tests/test_retrieval.py stays on top."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     nq = len(retrieval.QUERY_TERMS_FIXTURE)
