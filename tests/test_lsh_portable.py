@@ -83,3 +83,31 @@ def test_lsh_portable_empty_and_determinism(spark, sf_dir):
     a = sorted(map(tuple, lsh.knn_lsh_portable(emb, q, k=10).collect()))
     b = sorted(map(tuple, lsh.knn_lsh_portable(emb, q, k=10).collect()))
     assert a == b
+
+
+def test_lsh_pairs_portable_subset_of_exact_with_recall(spark, embeddings):
+    import numpy as np
+
+    from vector_search_engine_spark.operators import lsh as lsh_ops
+
+    got = {
+        (r.id_a, r.id_b): r.sim
+        for r in lsh_ops.lsh_pairs_portable(embeddings, threshold=0.35).collect()
+    }
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    exact = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))): float(S[i, j])
+        for i, j in zip(iu, ju)
+        if S[i, j] >= 0.35
+    }
+    # precision exact: every emitted pair is a true pair with the right sim
+    for (a, b), s in got.items():
+        assert (a, b) in exact
+        assert abs(s - exact[(a, b)]) < 1e-3
+    # non-trivial recall: the any-table collision keeps a real fraction
+    assert exact and len(got) / len(exact) > 0.03

@@ -107,6 +107,22 @@ def _portable_planes(
     return P
 
 
+def _sig_udf(P: "np.ndarray", weights: "np.ndarray"):
+    """Signature pandas UDF over a plane tensor: one einsum per Arrow
+    batch, (B, T, P) rounded sign tensor → (B, T) packed BIGINT sigs."""
+
+    @F.pandas_udf("array<long>")
+    def sigs_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vs.tolist(), dtype=np.float64)
+        dots = np.round(np.einsum("bd,tpd->btp", V, P), PORTABLE_DOT_DECIMALS)
+        sig = ((dots >= 0) * weights).sum(axis=-1).astype(np.int64)
+        return pd.Series(list(sig))
+
+    return sigs_udf
+
+
 def lsh_candidates(
     vectors: DataFrame,
     queries: DataFrame,
@@ -123,16 +139,7 @@ def lsh_candidates(
     dim = len(vectors.select(vec_col).first()[0])
     P = _portable_planes(dim, n_tables, n_planes, PORTABLE_LSH_SALT)
     weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
-
-    @F.pandas_udf("array<long>")
-    def sigs_udf(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        V = np.array(vs.tolist(), dtype=np.float64)
-        # one einsum per Arrow batch: (B, T, P) sign tensor -> (B, T) sigs
-        dots = np.round(np.einsum("bd,tpd->btp", V, P), PORTABLE_DOT_DECIMALS)
-        sig = ((dots >= 0) * weights).sum(axis=-1).astype(np.int64)
-        return pd.Series(list(sig))
+    sigs_udf = _sig_udf(P, weights)
 
     vsig = vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -218,3 +225,68 @@ def knn_lsh_portable(
         )
     )
     return _finalize_topk(rescored, k, "l2_sq")
+
+
+def lsh_pairs_portable(
+    vectors: DataFrame,
+    threshold: float = 0.35,
+    n_tables: int = PORTABLE_LSH_TABLES,
+    n_planes: int = PORTABLE_LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via PORTABLE multi-table hyperplane LSH —
+    the dedup sibling of ``knn_lsh_portable`` and the third member of
+    the salted-portable-hash family (MinHash banding, ANN, and now
+    embedding dedup): candidates are id-ordered pairs colliding in ANY
+    table's exact bucket (no probe expansion — ``embedding_lsh_pairs``'
+    collision semantics), verified by exact cosine ≥ ``threshold``.
+
+    Every random choice is an md5 plane parity and every projection is
+    rounded before the sign test, so a SQL engine replays planes →
+    signatures → bucket self-join → cosine verify EXACTLY; the
+    xxhash64-seeded ``dedup.embedding_lsh_pairs`` stays the CPU-fast
+    serving default (its recall curve pytest-gated), this row makes the
+    family's end-to-end machinery hash-graded.
+
+    Scale shape: N·n_tables signature stubs shuffle on (table, sig);
+    bucket occupancy ≈ N/2^n_planes bounds the self-join fan-out (grow
+    n_planes with log2 N — the ``embedding_lsh_pairs`` sizing law);
+    verify joins embeddings back twice on the DISTINCT candidate stubs."""
+    from vector_search_engine_spark.functions.vector import cosine_sim
+
+    first = vectors.select(vec_col).first()
+    if first is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, sim double"
+        )
+    dim = len(first[0])
+    P = _portable_planes(dim, n_tables, n_planes, PORTABLE_LSH_SALT)
+    weights = (1 << np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+    sigs_udf = _sig_udf(P, weights)
+    vsig = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(sigs_udf(F.col(vec_col))).alias("tbl", "sig"),
+    )
+    a = vsig.select(F.col("vid").alias("id_a"), "tbl", "sig")
+    b = vsig.select(F.col("vid").alias("id_b"), "tbl", "sig")
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    sim = cosine_sim(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )

@@ -138,6 +138,9 @@ _GRADE_FIRST: list[str] = [
     # the unrolled-CTE chain; events_range_join — an r3-designated
     # redundant twin with an r2 green — yielded its slot) ---
     "hybrid_search_mmr",
+    # --- r14 NEW row (portable family member 3; events_sessionize —
+    # the remaining r3-designated redundant twin, r2 green — yields) ---
+    "dedup_embedding_lsh_portable",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
@@ -162,9 +165,9 @@ _GRADE_FIRST: list[str] = [
     "sql_revenue_by_nation",
     "window_function_zoo",
     # --- last graded r2 ---
-    "events_sessionize",
-    # (knn_grouped_by_label — the r3-designated redundant twin — yielded
-    # its slot to embeddings_class_scatter above; r2 green + sweep)
+    # (knn_grouped_by_label and events_sessionize — the r3-designated
+    # redundant twins — yielded their slots to embeddings_class_scatter /
+    # dedup_embedding_lsh_portable above; r2 greens + sweep)
     "dedup_embedding_lsh",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -594,3 +594,77 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id", "cluster_size", "is_canonical",
         )
     )
+
+
+def _lsh_pairs_portable_oracle() -> str:
+    from vector_search_engine_spark.operators.lsh import (
+        PORTABLE_DOT_DECIMALS,
+        PORTABLE_LSH_PLANES,
+        PORTABLE_LSH_SALT,
+        PORTABLE_LSH_TABLES,
+    )
+
+    np_ = PORTABLE_LSH_PLANES
+    nt = PORTABLE_LSH_TABLES
+    cos = (
+        f"CASE WHEN sqrt({_DD_DOT.format(a='a.embedding', b='a.embedding')})"
+        f" * sqrt({_DD_DOT.format(a='b.embedding', b='b.embedding')}) = 0"
+        f" THEN 0.0"
+        f" ELSE {_DD_DOT.format(a='a.embedding', b='b.embedding')}"
+        f" / (sqrt({_DD_DOT.format(a='a.embedding', b='a.embedding')})"
+        f" * sqrt({_DD_DOT.format(a='b.embedding', b='b.embedding')})) END"
+    )
+    return f"""
+WITH dims AS (SELECT len(embedding) AS d FROM embeddings LIMIT 1),
+planes AS (
+  SELECT g0.t, g1.p, j.j,
+         CASE WHEN CAST(('0x' || substr(
+                md5('{PORTABLE_LSH_SALT}' || g0.t || ':' || g1.p || ':' || j.j),
+                1, 1)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM generate_series(0, {nt - 1}) g0(t)
+  CROSS JOIN generate_series(0, {np_ - 1}) g1(p)
+  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM dims))) AS j) j
+),
+dots AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         round(sum(pl.s * CAST(e.embedding[pl.j] AS DOUBLE)),
+               {PORTABLE_DOT_DECIMALS}) AS dot
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t, pl.p
+),
+sigs AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN dot >= 0
+                  THEN (1::BIGINT << ({np_ - 1} - p)) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT sa.vec_id AS id_a, sb.vec_id AS id_b
+  FROM sigs sa JOIN sigs sb
+    ON sa.t = sb.t AND sa.sig = sb.sig AND sa.vec_id < sb.vec_id
+),
+v AS (
+  SELECT c.id_a, c.id_b, {cos} AS sim
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.id_a
+  JOIN embeddings b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(sim, 4) AS sim FROM v WHERE sim >= 0.35
+"""
+
+
+@register("dedup_embedding_lsh_portable", oracle=_lsh_pairs_portable_oracle())
+def dedup_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via PORTABLE multi-table hyperplane LSH
+    (r14): the third member of the salted-md5 portable family (MinHash
+    banding, hyperplane ANN, now embedding dedup) — planes are md5
+    parities, projections round before the sign test, candidates are
+    any-table exact-bucket collisions, verify is exact cosine >= 0.35 —
+    so DuckDB replays the whole pipeline hash-exactly; the
+    xxhash64-seeded dedup_embedding_lsh stays the CPU-fast serving
+    default (lsh.lsh_pairs_portable)."""
+    from vector_search_engine_spark.operators import lsh as lsh_ops
+
+    return lsh_ops.lsh_pairs_portable(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
