@@ -600,3 +600,40 @@ def test_radius_distributed_scan_pruned_no_cartesian(spark, sf_dir):
     assert idx_scans, "no index float scan found"
     for ln in idx_scans:
         assert "INSET" in ln, f"index scan not pruned: {ln}"
+
+
+def test_hard_negatives_gemm_pass_single_exchange_no_nn_join(spark, sf_dir):
+    """r14: the hard-negative candidate pass is a mapInPandas GEMM over
+    the vector scan (no N x |Q| join anywhere), and the two finishing
+    windows share ONE (qid)-hash exchange — row_number over
+    (qid, is_same) and the per-qid radius max must not re-shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("query"),
+        F.col("label").alias("qlabel"),
+    )
+    df = knn_ops.hard_negatives(emb, anchors)
+    df.collect()
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
+    n_exchanges = sum(
+        1
+        for ln in final.splitlines()
+        if "Exchange hashpartitioning" in ln and "qid#" in ln
+    )
+    assert n_exchanges == 1, f"expected one qid exchange, saw {n_exchanges}"
+
+
+def test_pipeline_embedding_curation_no_cartesian_pairs_blocked(spark, sf_dir):
+    """r14: the cross-table pipeline joins embeddings to the quality
+    survivors by id equi-join and generates near-dup pairs through the
+    broadcast-GEMM similarity join — no cartesian product in the
+    executed plan."""
+    df = registry.QUERIES["pipeline_embedding_curation"](spark, sf_dir)
+    df.collect()
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan

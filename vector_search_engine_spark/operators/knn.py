@@ -1027,7 +1027,12 @@ def hard_negatives(
         F.col("dist").asc(), F.col("neighbor_id").asc()
     )
     w_q = Window.partitionBy("qid")
-    ranked = cand.withColumn(
+    # one explicit hash(qid) shuffle serves BOTH windows: hash(qid)
+    # satisfies the (qid, is_same) clustering requirement (same qid ⇒
+    # same partition), so neither Window inserts its own Exchange —
+    # without this the (qid, is_same) window shuffles first and the
+    # (qid) radius window re-shuffles everything a second time.
+    ranked = cand.repartition("qid").withColumn(
         "grp_rank", F.row_number().over(w_grp)
     ).withColumn(
         "pos_radius",
