@@ -97,6 +97,10 @@ def main() -> None:
         _block_skew_section(spark, results)
         print(json.dumps({"results": results}))
         return
+    if "--only-hardneg" in sys.argv:  # finding-34 section alone
+        _hardneg_section(spark, results)
+        print(json.dumps({"n_vecs": N_VECS, "results": results}))
+        return
     if "--only-lsh" in sys.argv:  # finding-33 section alone
         _lsh_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -1822,6 +1826,94 @@ def _lsh_section(spark, results: dict) -> None:
             )
         emb.unpersist()
         qdf.unpersist()
+
+
+def _hardneg_section(spark, results: dict) -> None:
+    """Finding 34 (r14): hard-negative mining at dataset scale — 100k x
+    64d, 16 cluster labels (the contrastive-training shape: label =
+    semantic cluster), EVERY vector an anchor.
+
+    * cogroup tier (method='cogroup'): the only feasible geometry at
+      dataset-|Q| — the broadcast GEMM path's per-batch distance tile is
+      |batch| x 100k x 8 B ~ 8 GB (structurally excluded, like the join
+      shapes in finding 31); the block cogroup GEMMs 16 tiles of
+      (25k x 25k).
+    * external NumPy gate on 100 sampled anchors: positive radius
+      (3rd same-label distance), the negative set within margin x
+      radius, ranks and distances replayed from scratch.
+    """
+    K_POS, MARGIN, K_NEG = 3, 4.0, 5
+    rng = np.random.default_rng(34)
+    centers = rng.normal(0, 1.5, (16, DIM))  # OVERLAPPING clusters:
+    # sigma-6 centers put every cross-label vector outside margin x
+    # radius (zero negatives corpus-wide - the first run's degenerate
+    # config); sigma-1.5 keeps ~97% of anchors with a full negative set
+    labels = rng.integers(0, 16, N_VECS)
+    V = (centers[labels] + rng.normal(0, 1.0, (N_VECS, DIM))).astype(
+        np.float32
+    )
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(N_VECS, dtype=np.int64),
+                "embedding": list(V),
+                "label": labels.astype(np.int64),
+            }
+        )
+    ).cache()
+    emb.count()
+    anchors = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("query"),
+        F.col("label").alias("qlabel"),
+    )
+    holder: dict = {}
+
+    def run():
+        out = knn_ops.hard_negatives(
+            emb, anchors, k_pos=K_POS, margin=MARGIN, k_neg=K_NEG,
+            method="cogroup",
+        )
+        holder["out"] = out.localCheckpoint(eager=True)
+        return holder["out"].count()
+
+    timed(results, "hardneg_cogroup_100k", run)
+
+    # external NumPy gate on 100 sampled anchors
+    sample = rng.choice(N_VECS, 100, replace=False)
+    got: dict[int, list] = {}
+    for r in holder["out"].filter(
+        F.col("qid").isin([int(s) for s in sample])
+    ).collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["neighbor_id"], round(r["dist_sq"], 4))
+        )
+    G = V.astype(np.float64)
+    bad = 0
+    for s in sample:
+        d = ((G - G[s]) ** 2).sum(axis=1)
+        pairs = sorted(
+            (float(d[j]), int(j)) for j in range(N_VECS) if j != s
+        )
+        same = [(dd, j) for dd, j in pairs if labels[j] == labels[s]]
+        pos_radius = same[K_POS - 1][0]
+        want = [
+            (rank + 1, j, round(dd, 4))
+            for rank, (dd, j) in enumerate(
+                [
+                    (dd, j)
+                    for dd, j in pairs
+                    if labels[j] != labels[s] and dd <= MARGIN * pos_radius
+                ][:K_NEG]
+            )
+        ]
+        if sorted(got.get(int(s), [])) != want:
+            bad += 1
+    results["hardneg_exact_100_anchors"] = {"mismatches": int(bad)}
+    print(f"  hardneg_exact_100_anchors: {results['hardneg_exact_100_anchors']}",
+          file=sys.stderr)
+    emb.unpersist()
+
 
 if __name__ == "__main__":
     main()

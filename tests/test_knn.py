@@ -709,3 +709,23 @@ def test_class_scatter_matches_numpy(embeddings, embeddings_np):
         assert abs(r.within_ms - within) < 1e-4
         assert abs(r.between_sq - between) < 1e-6
         assert abs(r.fisher_ratio - between / within) < 1e-4
+
+
+def test_hard_negatives_cogroup_identical_to_pandas(spark, embeddings):
+    anchors = embeddings.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("query"),
+        F.col("label").alias("qlabel"),
+    )
+    a = sorted(
+        map(tuple, knn_ops.hard_negatives(embeddings, anchors).collect())
+    )
+    c = sorted(
+        map(
+            tuple,
+            knn_ops.hard_negatives(
+                embeddings, anchors, method="cogroup"
+            ).collect(),
+        )
+    )
+    assert a == c and a

@@ -938,7 +938,15 @@ def hard_negatives(
     same-label + top-``k_neg`` different-label rows per anchor, so the
     shuffle moves ``partitions × (k_pos + k_neg) × |Q|`` rows, never
     ``N × |Q|``.  ``method='sql'`` is the pure-Catalyst twin (identical
-    results; the oracle's shape).
+    results; the oracle's shape).  ``method='cogroup'`` is the
+    dataset-|Q| scale tier (the ``knn_exact_distributed`` block shape):
+    neither side broadcasts or visits the driver — anchors hash into
+    ``q_blocks`` groups, vectors into ``v_blocks`` (keys via
+    ``block_cogroup_keys``, the finding-28 discipline), each cogroup
+    GEMMs one (qblock, vblock) tile and emits its local per-anchor
+    top-``k_pos``/top-``k_neg`` per label side; the broadcast form's
+    per-batch distance tile is |batch|·|Q| floats and is structurally
+    excluded once |Q| is the dataset.
 
     Finishing algebra (shared): two windows on one (qid)-hash shuffle —
     ``row_number`` over (qid, is_same_label) ranks positives and
@@ -962,6 +970,110 @@ def hard_negatives(
         )
         cand = cand.withColumn(
             "is_same", (F.col("neighbor_label") == F.col("qlabel")).cast("int")
+        )
+    elif method == "cogroup":
+        kp, kn = int(k_pos), int(k_neg)
+        q_blocks = v_blocks = 4
+        q_own, q_rep = block_cogroup_keys(
+            "qid", q_blocks, v_blocks, "qblock", "vblock"
+        )
+        v_own, v_rep = block_cogroup_keys(
+            id_col, v_blocks, q_blocks, "vblock", "qblock"
+        )
+        qb = queries.select("qid", "query", "qlabel", q_own, q_rep)
+        vb = vectors.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nvec"),
+            F.col(label_col).alias("nlabel"),
+            v_own,
+            v_rep,
+        )
+        _assert_block_key_types(qb, vb)
+
+        def block_cands(qpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "neighbor_label": pd.Series(dtype="int64"),
+                    "is_same": pd.Series(dtype="int32"),
+                    "dist": pd.Series(dtype="float64"),
+                }
+            )
+            if len(qpdf) == 0 or len(vpdf) == 0:
+                return empty
+            qids_ = qpdf["qid"].to_numpy(dtype=np.int64)
+            qlab_ = qpdf["qlabel"].to_numpy(dtype=np.int64)
+            Q_ = np.stack(qpdf["query"].to_numpy())
+            ids = vpdf["nid"].to_numpy(dtype=np.int64)
+            labs = vpdf["nlabel"].to_numpy(dtype=np.int64)
+            V = np.stack(vpdf["nvec"].to_numpy())
+            D = l2_sq_matrix(V, Q_)
+            m = len(ids)
+            out_q, out_id, out_lab, out_same, out_d = [], [], [], [], []
+            # column chunks bound the masked-copy memory to rows×CH
+            # doubles; per chunk one VECTORIZED argpartition replaces the
+            # per-column lexsort-over-all-rows (the naive form cost 10×
+            # the GEMM at 25k×25k tiles), with exact (dist, id) ordering
+            # + boundary-tie widening on the tiny survivor sets only.
+            CH = 1024
+            for c0 in range(0, len(qids_), CH):
+                c1 = min(c0 + CH, len(qids_))
+                Dc = D[:, c0:c1]
+                same_c = labs[:, None] == qlab_[None, c0:c1]
+                self_c = ids[:, None] == qids_[None, c0:c1]
+                for flag, mask, kk in (
+                    (1, same_c & ~self_c, kp),
+                    (0, ~same_c & ~self_c, kn),
+                ):
+                    Dm = np.where(mask, Dc, np.inf)
+                    kkc = min(kk, m)
+                    if kkc < m:
+                        part = np.argpartition(Dm, kkc - 1, axis=0)[:kkc]
+                    else:
+                        part = np.tile(
+                            np.arange(m)[:, None], (1, c1 - c0)
+                        )
+                    for j in range(c1 - c0):
+                        rows = part[:, j]
+                        dvals = Dm[rows, j]
+                        fin = dvals < np.inf
+                        if not fin.any():
+                            continue
+                        rows = rows[fin]
+                        b = Dm[rows, j].max()
+                        tied = np.flatnonzero(Dm[:, j] <= b)
+                        if len(tied) > len(rows):
+                            rows = tied
+                        order = np.lexsort((ids[rows], Dm[rows, j]))[:kk]
+                        sel = rows[order]
+                        out_q.append(
+                            np.full(len(sel), qids_[c0 + j], np.int64)
+                        )
+                        out_id.append(ids[sel])
+                        out_lab.append(labs[sel])
+                        out_same.append(np.full(len(sel), flag, np.int32))
+                        out_d.append(D[sel, c0 + j])
+            if not out_q:
+                return empty
+            return pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "neighbor_label": np.concatenate(out_lab),
+                    "is_same": np.concatenate(out_same),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+        cand = (
+            qb.groupby("qblock", "vblock")
+            .cogroup(vb.groupby("qblock", "vblock"))
+            .applyInPandas(
+                block_cands,
+                schema="qid long, neighbor_id long, neighbor_label long,"
+                " is_same int, dist double",
+            )
         )
     else:
         spark = vectors.sparkSession
