@@ -915,6 +915,8 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "pandas",
+    q_blocks: int = 16,
+    v_blocks: int = 16,
 ) -> DataFrame:
     """Hard-negative mining for contrastive / retrieval training data
     (no reference analog — the reference serves queries, it does not
@@ -973,7 +975,9 @@ def hard_negatives(
         )
     elif method == "cogroup":
         kp, kn = int(k_pos), int(k_neg)
-        q_blocks = v_blocks = 4
+        # default 16x16: 256 tiles keep every core busy and each tile's
+        # distance matrix at (N/16)^2 doubles — the finding-30 sizing
+        # (4x4 at 100k leaves half of local[32] idle under 5 GB tiles)
         q_own, q_rep = block_cogroup_keys(
             "qid", q_blocks, v_blocks, "qblock", "vblock"
         )
