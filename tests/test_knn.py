@@ -729,3 +729,43 @@ def test_hard_negatives_cogroup_identical_to_pandas(spark, embeddings):
         )
     )
     assert a == c and a
+
+
+def test_cluster_quality_matches_numpy(spark, embeddings, embeddings_np):
+    """Davies-Bouldin report vs a NumPy reference: per-label
+    mean-Euclidean scatter, the attaining worst neighbor, and the DB
+    component (r14 third wave)."""
+    import numpy as np
+    import pytest
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    ids, V = embeddings_np
+    labels = np.array(
+        [r.label for r in embeddings.select("vec_id", "label").collect()]
+    )
+    # embeddings_np row order matches the same collect() ordering only if
+    # re-collected identically — re-key by vec_id to be safe
+    lab = {r.vec_id: r.label for r in embeddings.select("vec_id", "label").collect()}
+    labels = np.array([lab[i] for i in ids])
+    Vd = V.astype(np.float64)
+    uniq = sorted(set(labels.tolist()))
+    cent = {l: Vd[labels == l].mean(axis=0) for l in uniq}
+    s = {
+        l: float(np.linalg.norm(Vd[labels == l] - cent[l], axis=1).mean())
+        for l in uniq
+    }
+    got = {r.label: r for r in knn_ops.cluster_quality(embeddings).collect()}
+    assert set(got) == set(uniq)
+    for l in uniq:
+        ratios = {
+            j: (s[l] + s[j]) / float(np.linalg.norm(cent[l] - cent[j]))
+            for j in uniq
+            if j != l
+        }
+        best = max(ratios.items(), key=lambda kv: (kv[1], -kv[0]))
+        g = got[l]
+        assert g.n_vectors == int((labels == l).sum())
+        assert g.scatter == pytest.approx(s[l], abs=1e-5)
+        assert g.worst_neighbor == best[0]
+        assert g.db_component == pytest.approx(best[1], abs=1e-5)

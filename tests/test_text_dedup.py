@@ -1340,3 +1340,130 @@ def test_pipeline_embedding_curation_structure(spark, sf_dir):
         canon = [r for r in rows if r.is_canonical]
         assert len(canon) == 1  # exactly one canonical per cluster
         assert canon[0].doc_id == min(r.doc_id for r in rows) == cid
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r14 third wave)
+# ---------------------------------------------------------------------------
+
+
+def _py_dsir_weights(rows, n_buckets=128, target_lang="en", alpha=1.0):
+    """Python replay of text_ops.dsir_weights (md5 bucketing included)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def bucket(g):
+        h = int(hashlib.md5(
+            (text_ops.DSIR_BUCKET_SALT + g).encode()
+        ).hexdigest()[:15], 16)
+        return h % n_buckets
+
+    per_doc, q, p = {}, Counter(), Counter()
+    for r in rows:
+        toks = _py_tokens(r.text)
+        grams = toks + [" ".join(toks[i:i+2]) for i in range(len(toks)-1)]
+        c = Counter(bucket(g) for g in grams)
+        per_doc[r.doc_id] = (r.lang, r.source, c)
+        q.update(c)
+        if r.lang == target_lang:
+            p.update(c)
+    tq, tp, d = sum(q.values()), sum(p.values()), alpha * n_buckets
+    ratio = {
+        b: math.log((p.get(b, 0) + alpha) / (tp + d))
+        - math.log((q[b] + alpha) / (tq + d))
+        for b in q
+    }
+    return {
+        doc_id: (lang, src, sum(c.values()),
+                 sum(n * ratio[b] for b, n in c.items()))
+        for doc_id, (lang, src, c) in per_doc.items()
+    }
+
+
+def test_dsir_weights_match_python(documents):
+    got = {r.doc_id: r for r in text_ops.dsir_weights(documents).collect()}
+    want = _py_dsir_weights(documents.collect())
+    assert set(got) == set(want)
+    for doc_id, (lang, src, n_grams, lr) in want.items():
+        g = got[doc_id]
+        assert (g.lang, g.source, g.n_grams) == (lang, src, n_grams)
+        assert g.log_ratio == pytest.approx(lr, abs=1e-5)
+
+
+def test_dsir_weights_favor_target_language(documents):
+    """The point of DSIR: target-language docs should score higher on
+    average than off-target docs (their n-gram buckets are exactly the
+    ones the target model upweights)."""
+    rows = text_ops.dsir_weights(documents).collect()
+    en = [r.log_ratio for r in rows if r.lang == "en"]
+    rest = [r.log_ratio for r in rows if r.lang != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest) + 0.5
+
+
+def test_dsir_sample_is_gumbel_topk_of_weights(documents):
+    import hashlib
+    import math
+
+    k = text_ops.DSIR_SAMPLE_K
+    sel = text_ops.dsir_sample(documents, k=k).collect()
+    assert len(sel) == k
+    want = _py_dsir_weights(documents.collect())
+
+    def key(doc_id):
+        h = int(hashlib.md5(
+            (text_ops.DSIR_GUMBEL_SALT + str(doc_id)).encode()
+        ).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        # the engine keys on the ROUNDED log_ratio (the emitted value)
+        return round(want[doc_id][3], 6) - math.log(-math.log(u))
+
+    expect = sorted(want, key=lambda d: (-key(d), d))[:k]
+    assert [r.doc_id for r in sorted(sel, key=lambda r: r.rank)] == expect
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (r14 third wave)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_matches_python_bruteforce(documents):
+    got = {
+        (r.doc_a, r.doc_b): (r.cont_ab, r.cont_ba)
+        for r in dedup_ops.containment_pairs(documents).collect()
+    }
+    docs = [(r.doc_id, _py_shingles(_py_tokens(r.text))) for r in documents.collect()]
+    want = {}
+    for i, (ida, sa) in enumerate(docs):
+        for idb, sb in docs[i + 1:]:
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            ca, cb = inter / len(sa), inter / len(sb)
+            lo, hi = (ida, idb) if ida < idb else (idb, ida)
+            if ida > idb:
+                ca, cb = cb, ca
+            if max(ca, cb) >= dedup_ops.CONTAINMENT_THRESHOLD:
+                want[(lo, hi)] = (ca, cb)
+    assert set(got) == set(want)
+    for pair, (ca, cb) in want.items():
+        assert got[pair][0] == pytest.approx(ca, abs=1e-4)
+        assert got[pair][1] == pytest.approx(cb, abs=1e-4)
+
+
+def test_containment_catches_subset_pair_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment = 1.0 but
+    Jaccard tiny AND outside the Jaccard tier's length band — the case
+    this operator exists for."""
+    base = "alpha beta gamma delta epsilon zeta"
+    long_text = base + " " + " ".join(f"tok{i} tok{i+1} filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base, "en", "web", len(base)),
+         (2, long_text, "en", "web", len(long_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = dedup_ops.containment_pairs(df).collect()
+    assert len(rows) == 1 and rows[0].doc_a == 1 and rows[0].doc_b == 2
+    assert rows[0].cont_ab == pytest.approx(1.0)
+    assert rows[0].cont_ba < 0.1
+    assert dedup_ops.ngram_jaccard_pairs(df).count() == 0

@@ -315,6 +315,89 @@ def ngram_jaccard_pairs_ppjoin(
     )
 
 
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(
+    documents: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """All ordered pairs with word-3-gram set CONTAINMENT ≥ threshold in
+    either direction:  C(A→B) = |S(A) ∩ S(B)| / |S(A)|.
+
+    Containment is the ASYMMETRIC dedup measure Jaccard misses: a short
+    document fully embedded in a much longer one (quoted article inside
+    an aggregator page, license boilerplate, chunk-of-a-book) has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 — and the length-band
+    blocking of the Jaccard tier would exclude exactly these pairs.  So
+    this operator deliberately has NO length blocking; the output
+    carries both directions so the caller can distinguish near-subset
+    (one high) from near-duplicate (both high).
+
+    Plan shape: the same single-scan PPJoin-style inverted-index
+    intersection as ``ngram_jaccard_pairs`` (postings computed once,
+    grouped by shingle hash, in-group pair fan-out = per-pair match
+    count; shingles cross the shuffle as xxhash64 longs).  Pairs that
+    share zero shingles never materialize.  Same hot-shingle caveat:
+    when one shingle's postings outgrow a task, route candidate
+    generation through the df-ordered prefix-filter tier."""
+    post = with_shingles(documents, "sh").select(
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("s"),
+    )
+    grouped = (
+        post.groupBy(F.xxhash64("s").alias("s"))
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = (
+        grouped.select(F.explode("ds").alias("x"), "ds")
+        .select("x", F.explode("ds").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+    )
+    inter = pairs.groupBy(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.col("x.n_sh").alias("nsh_a"),
+        F.col("y.n_sh").alias("nsh_b"),
+    ).agg(F.count("*").cast("double").alias("inter"))
+    ca = F.col("inter") / F.col("nsh_a")
+    cb = F.col("inter") / F.col("nsh_b")
+    return (
+        inter.filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 4).alias("cont_ab"),
+            F.round(cb, 4).alias("cont_ba"),
+        )
+    )
+
+
+CONTAINMENT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct({DD_SHINGLES3.format(t="t")}) AS s
+  FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) AS nsh_a, len(b.s) AS nsh_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / nsh_a, 4) AS cont_ab,
+       round(CAST(inter AS DOUBLE) / nsh_b, 4) AS cont_ba
+FROM pairs
+WHERE inter > 0
+  AND greatest(CAST(inter AS DOUBLE) / nsh_a,
+               CAST(inter AS DOUBLE) / nsh_b) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (approximate candidate generation, exact verification)
 # ---------------------------------------------------------------------------

@@ -1278,6 +1278,133 @@ def class_scatter(
     )
 
 
+def cluster_quality(
+    vectors: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Davies–Bouldin cluster-quality report (Davies & Bouldin, TPAMI
+    1979) over a labeled embedding space — the standard partition-quality
+    audit (lower = tighter, better-separated clusters): per label ℓ,
+
+        s_ℓ  = mean ‖x − μ_ℓ‖  over members (EUCLIDEAN, not squared —
+               the index's definition),
+        DB_ℓ = max_{j≠ℓ} (s_ℓ + s_j) / ‖μ_ℓ − μ_j‖,
+
+    with the attaining j reported (the cluster's worst-separated
+    neighbor — the merge candidate).  The global index is avg(DB_ℓ).
+    Complements ``class_scatter``: Fisher ratios use second moments
+    only (one scan, no per-point distance); DB's mean-Euclidean scatter
+    is not a moment identity, so this op pays one broadcast join of the
+    |labels|·d centroid table back onto the exploded points.
+
+    Plan shape at 100 TB: one posexplode scan partial-aggregated to
+    |labels|·d centroid rows; centroids broadcast back onto a second
+    posexplode scan (per-point squared-diff partial agg, keyed by id —
+    map-side combine collapses the d rows per point); one per-label avg;
+    then |labels|² driver-free pair math.  No pair of POINTS ever
+    materializes — only label pairs."""
+    ex = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim_idx", "x"),
+    ).select("id", "label", "dim_idx", F.col("x").cast("double").alias("x"))
+    cent = ex.groupBy("label", "dim_idx").agg(
+        (F.sum("x") / F.count("*")).alias("mu")
+    )
+    per_point = (
+        ex.join(F.broadcast(cent), ["label", "dim_idx"])
+        .groupBy("id", "label")
+        .agg(
+            F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))).alias("dsq")
+        )
+    )
+    per_l = per_point.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.avg(F.sqrt("dsq")).alias("s"),
+    )
+    ca = cent.select(
+        F.col("label").alias("la"), "dim_idx", F.col("mu").alias("ma")
+    )
+    cb = cent.select(
+        F.col("label").alias("lb"), "dim_idx", F.col("mu").alias("mb")
+    )
+    cd = (
+        ca.join(cb, "dim_idx")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+            ).alias("cdist")
+        )
+    )
+    sa = per_l.select(F.col("label").alias("la"), F.col("s").alias("sa"),
+                      "n_vectors")
+    sb = per_l.select(F.col("label").alias("lb"), F.col("s").alias("sb"))
+    ratios = (
+        cd.join(sa, "la")
+        .join(sb, "lb")
+        .withColumn("ratio", (F.col("sa") + F.col("sb")) / F.col("cdist"))
+    )
+    w = Window.partitionBy("la").orderBy(F.col("ratio").desc(), F.col("lb").asc())
+    return (
+        ratios.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("la").alias("label"),
+            "n_vectors",
+            F.round("sa", 6).alias("scatter"),
+            F.col("lb").alias("worst_neighbor"),
+            F.round("ratio", 6).alias("db_component"),
+        )
+    )
+
+
+CLUSTER_QUALITY_ORACLE = """
+WITH u AS (
+  SELECT vec_id AS id, label,
+         generate_subscripts(embedding, 1) AS dim_idx,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim_idx, sum(x) / count(*) AS mu
+  FROM u GROUP BY label, dim_idx
+),
+pp AS (
+  SELECT u.id, u.label, sum((u.x - c.mu) * (u.x - c.mu)) AS dsq
+  FROM u JOIN cent c USING (label, dim_idx)
+  GROUP BY u.id, u.label
+),
+per_l AS (
+  SELECT label, count(*)::BIGINT AS n_vectors, avg(sqrt(dsq)) AS s
+  FROM pp GROUP BY label
+),
+cd AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(sum((a.mu - b.mu) * (a.mu - b.mu))) AS cdist
+  FROM cent a JOIN cent b USING (dim_idx)
+  WHERE a.label != b.label
+  GROUP BY a.label, b.label
+),
+ratios AS (
+  SELECT cd.la, cd.lb, sa.n_vectors, sa.s AS sa, sb.s AS sb,
+         (sa.s + sb.s) / cd.cdist AS ratio
+  FROM cd JOIN per_l sa ON cd.la = sa.label
+          JOIN per_l sb ON cd.lb = sb.label
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY la ORDER BY ratio DESC, lb ASC) AS rn
+  FROM ratios
+)
+SELECT la AS label, n_vectors, round(sa, 6) AS scatter,
+       lb AS worst_neighbor, round(ratio, 6) AS db_component
+FROM r WHERE rn = 1
+"""
+
+
 def validate_vectors(
     vectors: DataFrame, dim: int, vec_col: str = "embedding"
 ) -> tuple[DataFrame, DataFrame]:

@@ -2555,3 +2555,236 @@ SELECT source, n_docs, n_chars,
        round((r / d.denom) / (n_chars / t), 4) AS upsample_factor
 FROM raw CROSS JOIN d
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_N_BUCKETS = 128      # hashed feature dimension (the paper uses 10k at web scale)
+DSIR_ALPHA = 1.0          # Laplace smoothing per bucket
+DSIR_TARGET_LANG = "en"   # target-distribution proxy: English documents
+DSIR_SAMPLE_K = 40
+DSIR_BUCKET_SALT = "vse-dsir-bucket:"
+DSIR_GUMBEL_SALT = "vse-dsir-gumbel:"
+
+
+def _dsir_ratios(documents: DataFrame, n_buckets: int, target_lang: str):
+    """Shared DSIR core: (doc-bucket counts, broadcastable B-row
+    log-ratio table).  Grams = unigrams + word bigrams, ALL occurrences
+    (the paper's hashed n-gram features); bucket = salted 60-bit md5
+    mod ``n_buckets`` — the portable cross-engine hash family (same
+    discipline as the salted-md5 samplers above), so the oracle replays
+    bucketing exactly."""
+    t = tokens(F.col("text"))
+    grams = F.concat(t, word_shingles(t, 2))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(DSIR_BUCKET_SALT), F.col("g"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    ).alias("bucket")
+    # materialize the doc-bucket aggregate once: FIVE branches derive
+    # from it (q model, p model, both totals, the scoring join) and
+    # Catalyst does not dedupe common subplans — without the pin the
+    # corpus is re-scanned and re-exploded per branch (the
+    # bigram_logprob lesson).  Size is ≤ |docs|·n_buckets rows — far
+    # smaller than the gram explosion it summarizes.
+    doc_bucket = (
+        documents.select(
+            "doc_id", "lang", "source", F.explode(grams).alias("g")
+        )
+        .select("doc_id", "lang", "source", bucket)
+        .groupBy("doc_id", "lang", "source", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    q_cnt = doc_bucket.groupBy("bucket").agg(F.sum("c").alias("cq"))
+    p_cnt = (
+        doc_bucket.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("cp"))
+    )
+    # every doc bucket appears in the raw (q) side by construction, so
+    # the q buckets ARE the full observed domain; absent target buckets
+    # smooth to alpha mass.  Totals ride along as 1-row cross joins —
+    # everything after the doc_bucket aggregate is B-row-sized.
+    tq = q_cnt.agg(F.sum("cq").cast("double").alias("_tq"))
+    tp = p_cnt.agg(F.sum("cp").cast("double").alias("_tp"))
+    denom = float(DSIR_ALPHA * n_buckets)
+    ratios = (
+        q_cnt.join(p_cnt, "bucket", "left")
+        .crossJoin(F.broadcast(tq))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("cp"), F.lit(0)).cast("double") + F.lit(DSIR_ALPHA))
+                    / (F.col("_tp") + F.lit(denom))
+                )
+                - F.log(
+                    (F.col("cq").cast("double") + F.lit(DSIR_ALPHA))
+                    / (F.col("_tq") + F.lit(denom))
+                )
+            ).alias("ratio"),
+        )
+    )
+    return doc_bucket, ratios
+
+
+def dsir_weights(
+    documents: DataFrame,
+    n_buckets: int = DSIR_N_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — the
+    importance-resampling data-selection recipe behind domain-targeted
+    pretraining mixes): score every document by how much more likely its
+    hashed-n-gram bag is under a TARGET bag-of-words model than under
+    the RAW corpus model,
+
+        log w(d) = Σ_b c_db · ( ln p̂_target(b) − ln p̂_raw(b) ),
+
+    with Laplace-smoothed bucket models over ``n_buckets`` hashed
+    unigram+bigram features.  Here the target distribution is the
+    corpus's own ``lang == target_lang`` slice — the in-repo stand-in
+    for "quality/domain exemplar set" (Wikipedia-like in the paper).
+
+    Plan shape at 100 TB: ONE corpus scan exploded to gram rows,
+    partial-aggregated to (doc, bucket) counts; both models are B-row
+    aggregates DERIVED from that same aggregate (the corpus is never
+    re-scanned); the log-ratio table (B rows) broadcast-joins back onto
+    the doc-bucket counts and one more doc-keyed partial agg yields the
+    weight.  Two shuffles total (doc-bucket agg, per-doc sum), nothing
+    driver-side.  No reference analog (the reference serves queries; it
+    does not curate corpora)."""
+    doc_bucket, ratios = _dsir_ratios(documents, n_buckets, target_lang)
+    return (
+        doc_bucket.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("ratio")), 6).alias("log_ratio"),
+        )
+        .select("doc_id", "lang", "source", "n_grams", "log_ratio")
+    )
+
+
+def dsir_sample(
+    documents: DataFrame,
+    k: int = DSIR_SAMPLE_K,
+    n_buckets: int = DSIR_N_BUCKETS,
+    target_lang: str = DSIR_TARGET_LANG,
+) -> DataFrame:
+    """DSIR selection step — Gumbel-top-k resampling: add standard
+    Gumbel noise to each document's log importance weight and keep the
+    global top-k,
+
+        key(d) = log w(d) + G_d,   G_d = −ln(−ln u_d),
+
+    which samples WITHOUT replacement with probability ∝ w(d) (the
+    Gumbel-max trick; the exact counterpart of the paper's resampling
+    step).  ``u_d`` derives from a salted 60-bit md5 of the doc id —
+    reproducible across runs/engines/partitionings, and the oracle
+    replays the identical draw (A-ES sampler discipline).
+
+    Plan: the ``dsir_weights`` plan + pure column expressions +
+    ``orderBy().limit(k)`` — TakeOrderedAndProject, per-partition
+    partial top-k; only k rows reach the driver-side merge."""
+    from pyspark.sql import Window
+
+    w = dsir_weights(documents, n_buckets, target_lang)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(DSIR_GUMBEL_SALT), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1).cast("double") / F.lit(_U_DENOM)
+    key = F.col("log_ratio") + (-F.log(-F.log(u)))
+    topk = (
+        w.withColumn("key", key)
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(k)
+    )
+    rw = Window.orderBy(F.col("key").desc(), "doc_id")
+    return topk.withColumn(
+        "rank", F.row_number().over(rw).cast("long")
+    ).select("doc_id", "lang", "source", "log_ratio", "rank")
+
+
+def _dsir_oracle_core(n_buckets: int = DSIR_N_BUCKETS) -> str:
+    """DuckDB replay of the DSIR feature/model/weight pipeline (CTEs up
+    through per-doc ``log_ratio``; callers append the final SELECT)."""
+    denom = float(DSIR_ALPHA * n_buckets)
+    return f"""
+tok AS (
+  SELECT doc_id, lang, source, {DD_TOKENS.format(t="text")} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, source,
+         unnest(list_concat(t, {DD_SHINGLES2.format(t="t")})) AS g
+  FROM tok
+),
+db AS (
+  SELECT doc_id, lang, source,
+         CAST(('0x' || substr(md5('{DSIR_BUCKET_SALT}' || g), 1, 15)) AS BIGINT)
+           % {n_buckets} AS bucket,
+         count(*)::BIGINT AS c
+  FROM grams GROUP BY ALL
+),
+qc AS (SELECT bucket, sum(c) AS cq FROM db GROUP BY bucket),
+pc AS (SELECT bucket, sum(c) AS cp FROM db
+       WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+tq AS (SELECT sum(cq)::DOUBLE AS tq FROM qc),
+tp AS (SELECT sum(cp)::DOUBLE AS tp FROM pc),
+ratios AS (
+  SELECT qc.bucket,
+         ln((coalesce(pc.cp, 0)::DOUBLE + {DSIR_ALPHA!r}) / (tp.tp + {denom!r}))
+         - ln((qc.cq::DOUBLE + {DSIR_ALPHA!r}) / (tq.tq + {denom!r})) AS ratio
+  FROM qc LEFT JOIN pc USING (bucket) CROSS JOIN tq CROSS JOIN tp
+),
+wts AS (
+  SELECT db.doc_id, db.lang, db.source,
+         sum(db.c)::BIGINT AS n_grams,
+         round(sum(db.c * r.ratio), 6) AS log_ratio
+  FROM db JOIN ratios r USING (bucket)
+  GROUP BY db.doc_id, db.lang, db.source
+)"""
+
+
+DSIR_WEIGHTS_ORACLE = f"""
+WITH {_dsir_oracle_core()}
+SELECT doc_id, lang, source, n_grams, log_ratio FROM wts
+"""
+
+
+DSIR_SAMPLE_ORACLE = f"""
+WITH {_dsir_oracle_core()},
+keyed AS (
+  SELECT doc_id, lang, source, log_ratio,
+         log_ratio + (-ln(-ln(
+           (CAST(('0x' || substr(md5('{DSIR_GUMBEL_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) + 1) / {float(1 << 60)!r}))) AS key
+  FROM wts
+),
+r AS (
+  SELECT doc_id, lang, source, log_ratio,
+         row_number() OVER (ORDER BY key DESC, doc_id) AS "rank"
+  FROM keyed
+)
+SELECT doc_id, lang, source, log_ratio, "rank"
+FROM r WHERE "rank" <= {DSIR_SAMPLE_K}
+"""

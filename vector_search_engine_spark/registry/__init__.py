@@ -141,6 +141,17 @@ _GRADE_FIRST: list[str] = [
     # --- r14 NEW row (portable family member 3; events_sessionize —
     # the remaining r3-designated redundant twin, r2 green — yields) ---
     "dedup_embedding_lsh_portable",
+    # --- r14 NEW rows, third wave (first driver grade): DSIR importance
+    # weights + Gumbel-top-k resampling (Xie et al. 2023), asymmetric
+    # containment dedup, Davies–Bouldin cluster quality.  Four slots
+    # yielded from the r1-staleness block below by rows whose FAMILY
+    # keeps window representation (events keeps asof_pandas / cohort /
+    # user_funnel; orders_rollup stands for the rollup/cube twin pair);
+    # every yielded row keeps its r1 green + the full-registry sweep. ---
+    "corpus_dsir_weights",
+    "corpus_dsir_sample",
+    "dedup_containment",
+    "embeddings_cluster_quality",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
@@ -154,12 +165,8 @@ _GRADE_FIRST: list[str] = [
     "doc_token_counts",
     "events_asof_attribution_pandas",
     "events_cohort_retention",
-    "events_daily_pivot",
-    "events_hourly_gapfill",
-    "events_sliding_window",
     "events_user_funnel",
     "orderdate_functions",
-    "orders_cube",
     "orders_rollup",
     "quantity_quantiles",
     "sql_revenue_by_nation",

@@ -910,3 +910,15 @@ def embeddings_class_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (knn.class_scatter)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ops.class_scatter(emb)
+
+
+@register("embeddings_cluster_quality", oracle=knn_ops.CLUSTER_QUALITY_ORACLE)
+def embeddings_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-quality report over the labeled embedding
+    space: per-label mean-Euclidean scatter, the worst-separated
+    neighbor label, and the DB component (s_i+s_j)/d_ij it attains —
+    the merge-candidate audit complementing class_scatter's
+    moment-identity Fisher ratios (knn.cluster_quality; one posexplode
+    scan + broadcast centroid join, label-pair math only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.cluster_quality(emb)

@@ -668,3 +668,35 @@ def dedup_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ops.lsh_pairs_portable(
         load_table(spark, sf_dir, "embeddings"), threshold=0.35
     )
+
+
+@register("corpus_dsir_weights", oracle=txt_ops.DSIR_WEIGHTS_ORACLE)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023): per-document
+    log likelihood-ratio of hashed unigram+bigram features under a
+    target (lang='en') vs raw bag-of-words model — the data-selection
+    scorer of domain-targeted pretraining mixes.  One corpus scan to
+    (doc, bucket) counts; both models derive from that aggregate; the
+    B-row log-ratio table broadcast-joins back (txt_ops.dsir_weights)."""
+    return txt_ops.dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_dsir_sample", oracle=txt_ops.DSIR_SAMPLE_ORACLE)
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step: Gumbel-top-k over the importance weights —
+    samples without replacement with probability proportional to w(d)
+    (the Gumbel-max trick), noise drawn from a salted md5 of doc_id so
+    the draw replays exactly cross-engine; TakeOrderedAndProject keeps
+    only k rows per partition in flight (txt_ops.dsir_sample)."""
+    return txt_ops.dsir_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_containment", oracle=dedup_ops.CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-subset dedup: word-3-gram set containment in
+    both directions over the single-scan inverted-index plan (postings
+    grouped once, pairs sharing zero shingles never materialize).
+    Catches short-doc-inside-long-doc duplication that Jaccard's
+    symmetric union denominator (and its length-band blocking)
+    structurally misses (dedup_ops.containment_pairs)."""
+    return dedup_ops.containment_pairs(load_table(spark, sf_dir, "documents"))
