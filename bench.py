@@ -97,6 +97,12 @@ BENCH_QUERIES = [
     "embeddings_hard_negatives",
     "pipeline_embedding_curation",
     "corpus_zipf_fit",
+    # r14 third wave: DSIR importance resampling (hashed-feature models
+    # + Gumbel-top-k — one pinned corpus scan, broadcast scoring join)
+    # and the asymmetric containment dedup (single-scan inverted index,
+    # unblocked on length by design)
+    "corpus_dsir_sample",
+    "dedup_containment",
 ]
 
 

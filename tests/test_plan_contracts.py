@@ -81,6 +81,11 @@ AUDIT = [
     "doc_bigram_logprob",
     "ann_ivf_radius_filtered",
     "embeddings_dbscan_ivf",
+    # r14 third wave
+    "corpus_dsir_weights",
+    "corpus_dsir_sample",
+    "dedup_containment",
+    "embeddings_cluster_quality",
 ]
 
 
@@ -637,3 +642,64 @@ def test_pipeline_embedding_curation_no_cartesian_pairs_blocked(spark, sf_dir):
     df.collect()
     plan = _executed_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_single_corpus_scan_broadcast_ratio_join(spark, sf_dir):
+    """r14 third wave: the DSIR weight plan must (a) scan+explode the
+    corpus ONCE — the doc-bucket aggregate is pinned and all five model
+    branches derive from the pin, not from re-scans — and (b) join the
+    B-row log-ratio table back by BROADCAST, never a shuffle of the
+    doc-bucket side on the bucket key."""
+    from vector_search_engine_spark.operators import text_ops
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, sf_dir, "documents")
+    df = text_ops.dsir_weights(docs)
+    df.collect()
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    # the documents parquet is read zero times in THIS plan (the pinned
+    # doc_bucket checkpoint replaces it); nothing should re-explode text
+    assert "posexplode" not in final.lower()
+    assert final.lower().count("generate explode") <= 0
+    # the only bucket-keyed exchanges allowed are the MODEL aggregates
+    # (map-side partial HashAggregate first, B-row output); the scoring
+    # join itself must not shuffle the doc-bucket side — with the join
+    # broadcast, every bucket exchange in the plan is preceded by a
+    # partial aggregate
+    for ln_no, ln in enumerate(lines := final.splitlines()):
+        if "Exchange hashpartitioning(bucket" in ln:
+            assert any(
+                "HashAggregate" in prev for prev in lines[ln_no + 1 : ln_no + 3]
+            ), f"bucket exchange without partial agg below it:\n{ln}"
+
+
+def test_containment_single_scan_no_cartesian(spark, sf_dir):
+    """r14 third wave: containment rides the single-scan inverted-index
+    plan — one documents scan feeding the shingle-hash groupBy; pairs
+    materialize only in-group (no join of postings against postings, no
+    cartesian, no broadcast NL join)."""
+    spark.catalog.clearCache()
+    df = registry.QUERIES["dedup_containment"](spark, sf_dir)
+    df.collect()
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert final.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in final  # pairs come from in-group explode
+
+
+def test_cluster_quality_centroids_broadcast_points_never_pair(spark, sf_dir):
+    """r14 third wave: the per-point scatter join must broadcast the
+    |labels|*d centroid table onto the exploded points (a shuffle of
+    N*d point rows on (label, dim) is the scale mistake), and no
+    point-point pair shape may appear anywhere."""
+    spark.catalog.clearCache()
+    df = registry.QUERIES["embeddings_cluster_quality"](spark, sf_dir)
+    df.collect()
+    plan = _executed_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastHashJoin" in final

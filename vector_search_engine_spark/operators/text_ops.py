@@ -2576,8 +2576,17 @@ def _dsir_ratios(documents: DataFrame, n_buckets: int, target_lang: str):
     mod ``n_buckets`` — the portable cross-engine hash family (same
     discipline as the salted-md5 samplers above), so the oracle replays
     bucketing exactly."""
-    t = tokens(F.col("text"))
-    grams = F.concat(t, word_shingles(t, 2))
+    # tokens materialized to a real column, bigrams via MLlib NGram —
+    # a lambda-captured ``word_shingles(tokens(text), 2)`` re-evaluates
+    # the whole split per element (the with_shingles O(tokens²) pitfall),
+    # and NGram's JVM sliding window is byte-identical output
+    from pyspark.ml.feature import NGram
+
+    documents = documents.withColumn("_toks", tokens(F.col("text")))
+    documents = NGram(n=2, inputCol="_toks", outputCol="_bg").transform(
+        documents
+    )
+    grams = F.concat(F.col("_toks"), F.col("_bg"))
     bucket = F.pmod(
         F.conv(
             F.substring(
