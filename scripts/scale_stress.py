@@ -105,6 +105,10 @@ def main() -> None:
         _lsh_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
         return
+    if "--only-dsir" in sys.argv:  # finding-35 section alone
+        _dsir_section(spark, results)
+        print(json.dumps({"results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -1913,6 +1917,124 @@ def _hardneg_section(spark, results: dict) -> None:
     print(f"  hardneg_exact_100_anchors: {results['hardneg_exact_100_anchors']}",
           file=sys.stderr)
     emb.unpersist()
+
+
+
+
+def _dsir_section(spark, results: dict) -> None:
+    """Finding 35 (r14): DSIR + containment at 100k documents.
+
+    Corpus: the sf0.1 documents table fanned 20x (variant suffix keeps
+    near-dup families), lang/source preserved — 100k docs, ~12M gram
+    rows after the unigram+bigram explode.  Pins:
+
+    * dsir_weights / dsir_sample wall at 100k (one pinned scan + B-row
+      broadcast join — the wall should be explode-bound, NOT grow with
+      the number of model branches);
+    * the finding-28 discipline: EXACTNESS ABOVE FIXTURE SCALE — the
+      full 100k weight table is replayed by the DuckDB oracle over the
+      same parquet and compared row-exact (doc_id join, n_grams exact,
+      log_ratio to 1e-9);
+    * containment wall at 100k on the near-dup-family corpus plus a
+      2k-doc slice replayed exactly in DuckDB (the O(N^2) SQL twin caps
+      the oracle, not the operator)."""
+    import duckdb
+
+    base = load_table(spark, SF_DIR, "documents")
+    fan = 20
+    docs = (
+        base.crossJoin(spark.range(fan).select(F.col("id").alias("_v")))
+        .select(
+            (F.col("doc_id") * fan + F.col("_v")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" variant"), F.col("_v")).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    tmp = tempfile.mkdtemp(prefix="dsir100k-")
+    path = os.path.join(tmp, "documents.parquet")
+    docs.coalesce(8).write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path).cache()
+    n = big.count()
+    results["dsir_corpus"] = {"n_docs": n}
+
+    # NOTE: dsir_weights pins its doc-bucket aggregate with an EAGER
+    # localCheckpoint at plan-construction time, so construction happens
+    # inside the timed lambda (constructing outside would silently move
+    # the explode+agg cost out of the measurement)
+    timed(
+        results,
+        "dsir_weights_100k",
+        lambda: txt_ops.dsir_weights(big).count(),
+    )
+    timed(
+        results,
+        "dsir_sample_100k",
+        lambda: txt_ops.dsir_sample(big).count(),
+    )
+    w_df = txt_ops.dsir_weights(big)
+
+    # exactness gate at 100k: DuckDB replays the oracle over the same
+    # parquet; every doc's n_grams must match exactly and log_ratio to
+    # 1e-9 (the oracle rounds at 6; compare pre-round tolerance-free
+    # semantics via the rounded values)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{path}/*.parquet')"
+    )
+    t0 = time.time()
+    want = con.sql(txt_ops.DSIR_WEIGHTS_ORACLE).df()
+    results["dsir_oracle_100k_sec"] = round(time.time() - t0, 2)
+    got = w_df.toPandas()
+    got_s = got.sort_values("doc_id").reset_index(drop=True)
+    want_s = want.sort_values("doc_id").reset_index(drop=True)
+    exact = bool(
+        len(got_s) == len(want_s)
+        and (got_s["doc_id"].values == want_s["doc_id"].values).all()
+        and (got_s["n_grams"].values == want_s["n_grams"].values).all()
+        and np.allclose(
+            got_s["log_ratio"].values, want_s["log_ratio"].values, atol=1e-9
+        )
+    )
+    results["dsir_exactness_100k"] = exact
+    print(f"  dsir_exactness_100k: {exact}", file=sys.stderr)
+
+    # containment: wall at 100k (near-dup families -> ~C(20,2) pairs per
+    # family), exactness on a 2k slice vs the quadratic SQL twin
+    timed(
+        results,
+        "containment_100k",
+        lambda: dedup_ops.containment_pairs(big).count(),
+    )
+    sl = big.filter(F.col("doc_id") < 2000).cache()
+    sl.count()
+    got_sl = (
+        dedup_ops.containment_pairs(sl)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con2 = duckdb.connect()
+    con2.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{path}/*.parquet') WHERE doc_id < 2000"
+    )
+    want_sl = (
+        con2.sql(dedup_ops.CONTAINMENT_ORACLE)
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    cexact = bool(
+        len(got_sl) == len(want_sl)
+        and (got_sl[["doc_a", "doc_b"]].values == want_sl[["doc_a", "doc_b"]].values).all()
+        and np.allclose(got_sl["cont_ab"], want_sl["cont_ab"], atol=1e-9)
+        and np.allclose(got_sl["cont_ba"], want_sl["cont_ba"], atol=1e-9)
+    )
+    results["containment_slice_pairs"] = len(got_sl)
+    results["containment_exactness_2k"] = cexact
+    print(f"  containment_exactness_2k: {cexact} ({len(got_sl)} pairs)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -659,10 +659,29 @@ def test_dsir_single_corpus_scan_broadcast_ratio_join(spark, sf_dir):
     plan = _executed_plan(df)
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
-    # the documents parquet is read zero times in THIS plan (the pinned
-    # doc_bucket checkpoint replaces it); nothing should re-explode text
+    # the gram explode exists exactly ONCE — inside the cached
+    # doc_bucket InMemoryRelation's defining plan — and both consumers
+    # (model aggregation, scoring join) read the cache, not the corpus
     assert "posexplode" not in final.lower()
-    assert final.lower().count("generate explode") <= 0
+    # the gram explode exists exactly ONCE structurally: the plan
+    # printer echoes the cached InMemoryRelation's defining plan at
+    # every InMemoryTableScan, so raw counts over the text double-count
+    # the SAME explode (same expression ids).  A model branch bypassing
+    # the pin would introduce a second explode with FRESH expression
+    # ids — assert the distinct-line set instead.
+    explode_lines = {
+        ln[ln.index("Generate") :]  # normalize codegen-stage prefixes
+        for ln in plan.splitlines()
+        if "Generate explode" in ln
+    }
+    assert len(explode_lines) == 1, explode_lines
+    scan_lines = {
+        ln[ln.index("FileScan") :]
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln
+    }
+    assert len(scan_lines) == 1, scan_lines
+    assert "InMemoryTableScan" in final or "TableCacheQueryStage" in final
     # the only bucket-keyed exchanges allowed are the MODEL aggregates
     # (map-side partial HashAggregate first, B-row output); the scoring
     # join itself must not shuffle the doc-bucket side — with the join

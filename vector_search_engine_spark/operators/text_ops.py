@@ -2597,12 +2597,12 @@ def _dsir_ratios(documents: DataFrame, n_buckets: int, target_lang: str):
         ).cast("long"),
         F.lit(n_buckets),
     ).alias("bucket")
-    # materialize the doc-bucket aggregate once: FIVE branches derive
-    # from it (q model, p model, both totals, the scoring join) and
-    # Catalyst does not dedupe common subplans — without the pin the
-    # corpus is re-scanned and re-exploded per branch (the
-    # bigram_logprob lesson).  Size is ≤ |docs|·n_buckets rows — far
-    # smaller than the gram explosion it summarizes.
+    # materialize the doc-bucket aggregate once: the MODEL branch and
+    # the scoring join both derive from it and Catalyst does not dedupe
+    # common subplans — without the pin the corpus is re-scanned and
+    # re-exploded per branch (the bigram_logprob lesson).  Pinned via
+    # executor cache, not localCheckpoint: ≤ |docs|·n_buckets rows fit
+    # memory-and-disk storage and skip the eager checkpoint write.
     doc_bucket = (
         documents.select(
             "doc_id", "lang", "source", F.explode(grams).alias("g")
@@ -2610,38 +2610,37 @@ def _dsir_ratios(documents: DataFrame, n_buckets: int, target_lang: str):
         .select("doc_id", "lang", "source", bucket)
         .groupBy("doc_id", "lang", "source", "bucket")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .cache()
     )
-    q_cnt = doc_bucket.groupBy("bucket").agg(F.sum("c").alias("cq"))
-    p_cnt = (
-        doc_bucket.filter(F.col("lang") == target_lang)
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("cp"))
+    # BOTH bag-of-words models come out of ONE B-row aggregation —
+    # target counts are a conditional sum, so the pinned aggregate is
+    # scanned once, not once per model.  Every doc bucket appears in
+    # the raw (q) side by construction, so these ARE the full observed
+    # domain; absent target buckets smooth to alpha mass.  Totals ride
+    # along as 1-row broadcast cross joins off the B-row frame.
+    models = doc_bucket.groupBy("bucket").agg(
+        F.sum("c").alias("cq"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.col("c")).otherwise(F.lit(0))
+        ).alias("cp"),
     )
-    # every doc bucket appears in the raw (q) side by construction, so
-    # the q buckets ARE the full observed domain; absent target buckets
-    # smooth to alpha mass.  Totals ride along as 1-row cross joins —
-    # everything after the doc_bucket aggregate is B-row-sized.
-    tq = q_cnt.agg(F.sum("cq").cast("double").alias("_tq"))
-    tp = p_cnt.agg(F.sum("cp").cast("double").alias("_tp"))
+    tot = models.agg(
+        F.sum("cq").cast("double").alias("_tq"),
+        F.sum("cp").cast("double").alias("_tp"),
+    )
     denom = float(DSIR_ALPHA * n_buckets)
-    ratios = (
-        q_cnt.join(p_cnt, "bucket", "left")
-        .crossJoin(F.broadcast(tq))
-        .crossJoin(F.broadcast(tp))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("cp"), F.lit(0)).cast("double") + F.lit(DSIR_ALPHA))
-                    / (F.col("_tp") + F.lit(denom))
-                )
-                - F.log(
-                    (F.col("cq").cast("double") + F.lit(DSIR_ALPHA))
-                    / (F.col("_tq") + F.lit(denom))
-                )
-            ).alias("ratio"),
-        )
+    ratios = models.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("cp").cast("double") + F.lit(DSIR_ALPHA))
+                / (F.col("_tp") + F.lit(denom))
+            )
+            - F.log(
+                (F.col("cq").cast("double") + F.lit(DSIR_ALPHA))
+                / (F.col("_tq") + F.lit(denom))
+            )
+        ).alias("ratio"),
     )
     return doc_bucket, ratios
 
