@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     # unblocked on length by design)
     "corpus_dsir_sample",
     "dedup_containment",
+    "embeddings_effective_rank",
 ]
 
 

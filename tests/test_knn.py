@@ -769,3 +769,36 @@ def test_cluster_quality_matches_numpy(spark, embeddings, embeddings_np):
         assert g.scatter == pytest.approx(s[l], abs=1e-5)
         assert g.worst_neighbor == best[0]
         assert g.db_component == pytest.approx(best[1], abs=1e-5)
+
+
+def test_effective_rank_matches_numpy_and_detects_collapse(spark, embeddings):
+    """PR = tr(C)^2/tr(C^2) vs np.cov on the fixture, and a planted
+    rank-2 corpus must report effective rank ~2 (r14 third wave)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    X = np.array(
+        [r.embedding for r in embeddings.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    C = np.cov(X.T, bias=True)
+    want = float(np.trace(C) ** 2 / (C * C).sum())
+    got = knn_ops.effective_rank(embeddings).collect()[0]
+    assert got.n_vectors == len(X) and got.dim == X.shape[1]
+    assert got.effective_rank == pytest.approx(want, abs=1e-4)
+
+    rng = np.random.default_rng(5)
+    Z = rng.normal(0, 1, (400, 2)) @ rng.normal(0, 1, (2, 32))
+    low = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(400, dtype=np.int64),
+                "embedding": list(Z.astype(np.float32)),
+            }
+        )
+    )
+    pr = knn_ops.effective_rank(low).collect()[0].effective_rank
+    assert 1.0 <= pr <= 2.5

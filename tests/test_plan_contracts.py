@@ -86,6 +86,7 @@ AUDIT = [
     "corpus_dsir_sample",
     "dedup_containment",
     "embeddings_cluster_quality",
+    "embeddings_effective_rank",
 ]
 
 

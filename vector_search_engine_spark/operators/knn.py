@@ -1405,6 +1405,133 @@ FROM r WHERE rn = 1
 """
 
 
+def effective_rank(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Effective rank of the embedding space via the participation
+    ratio — the dimensional-collapse diagnostic of representation
+    learning (Roy & Vetterli 2007's effective rank family; the quantity
+    RankMe-style monitors track): for the population covariance C,
+
+        PR = tr(C)² / tr(C²),    1 ≤ PR ≤ d,
+
+    computed WITHOUT any eigendecomposition — tr(C) is the total
+    variance and tr(C²) = ‖C‖_F² is a pure sum of squared covariance
+    entries, so the whole diagnostic reduces to the exact corpus Gram
+    matrix.  PR ≈ d means isotropic use of all dimensions; PR ≪ d
+    means the space has collapsed onto a few directions (the failure
+    mode `anisotropy_stats` sees via mean cosine, here resolved into an
+    actual dimension count).
+
+    Plan shape at 100 TB: one `mapInPandas` scan emitting ONE partial
+    row per Arrow batch — (n, Σx, X^T X flattened), a d²-float GEMM per
+    batch — then an element-wise reduce over d² indices (posexplode →
+    partial-agg; d² rows total, never N·d²), a broadcast join of the
+    d-row mean sums, and one final aggregate.  Nothing driver-side,
+    nothing proportional to N after the scan."""
+    vec = vec_col
+
+    def gram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec].to_list(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [np.int64(len(X))],
+                    "s": [X.sum(axis=0)],
+                    "g": [(X.T @ X).ravel()],
+                }
+            )
+
+    parts = vectors.select(vec).mapInPandas(
+        gram_batches, schema="n long, s array<double>, g array<double>"
+    )
+    # Catalyst does not dedupe the three consumers of `parts` — pin the
+    # tiny partial table (one row per Arrow batch) so the corpus GEMM
+    # scan runs once
+    parts = parts.localCheckpoint(eager=True)
+    n_tot = parts.agg(F.sum("n").cast("double").alias("_n"))
+    s_sum = (
+        parts.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+    )
+    g_sum = (
+        parts.select(F.posexplode("g").alias("ij", "v"))
+        .groupBy("ij")
+        .agg(F.sum("v").alias("g"))
+    )
+    dim_row = parts.select(F.size("s").alias("d")).limit(1)
+    si = s_sum.select(F.col("i").alias("_i"), F.col("s").alias("_si"))
+    sj = s_sum.select(F.col("i").alias("_j"), F.col("s").alias("_sj"))
+    cells = (
+        g_sum.crossJoin(F.broadcast(dim_row))
+        .withColumn("_i", (F.col("ij") / F.col("d")).cast("long"))
+        .withColumn("_j", F.pmod("ij", F.col("d")).cast("long"))
+        .join(F.broadcast(si), "_i")
+        .join(F.broadcast(sj), "_j")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "c",
+            F.col("g") / F.col("_n")
+            - (F.col("_si") / F.col("_n")) * (F.col("_sj") / F.col("_n")),
+        )
+    )
+    agg = cells.agg(
+        F.first("_n").cast("long").alias("n_vectors"),
+        F.first("d").cast("long").alias("dim"),
+        F.sum(F.when(F.col("_i") == F.col("_j"), F.col("c")).otherwise(0.0)).alias(
+            "_tr"
+        ),
+        F.sum(F.col("c") * F.col("c")).alias("_frob"),
+    )
+    return agg.select(
+        "n_vectors",
+        "dim",
+        F.round("_tr", 6).alias("total_var"),
+        F.round("_frob", 6).alias("frob_sq"),
+        F.round(F.col("_tr") * F.col("_tr") / F.col("_frob"), 6).alias(
+            "effective_rank"
+        ),
+    )
+
+
+EFFECTIVE_RANK_ORACLE = """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+n AS (SELECT count(DISTINCT vec_id)::DOUBLE AS n,
+             max(i)::BIGINT AS d FROM u),
+s AS (SELECT i, sum(x) AS s FROM u GROUP BY i),
+g AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+  FROM u a JOIN u b USING (vec_id)
+  GROUP BY a.i, b.i
+),
+c AS (
+  SELECT g.i, g.j,
+         g.g / n.n - (si.s / n.n) * (sj.s / n.n) AS c
+  FROM g, n
+  JOIN s si ON si.i = g.i
+  JOIN s sj ON sj.i = g.j
+),
+agg AS (
+  SELECT max(n.n)::BIGINT AS n_vectors, max(n.d) AS dim,
+         sum(CASE WHEN c.i = c.j THEN c.c ELSE 0.0 END) AS tr,
+         sum(c.c * c.c) AS frob
+  FROM c, n
+)
+SELECT n_vectors, dim,
+       round(tr, 6) AS total_var,
+       round(frob, 6) AS frob_sq,
+       round(tr * tr / frob, 6) AS effective_rank
+FROM agg
+"""
+
+
 def validate_vectors(
     vectors: DataFrame, dim: int, vec_col: str = "embedding"
 ) -> tuple[DataFrame, DataFrame]:

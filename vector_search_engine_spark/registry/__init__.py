@@ -152,11 +152,13 @@ _GRADE_FIRST: list[str] = [
     "corpus_dsir_sample",
     "dedup_containment",
     "embeddings_cluster_quality",
+    # (+ the participation-ratio effective rank; ann_ivf_recall_curve —
+    # ann family multiply covered in this window — yields its slot)
+    "embeddings_effective_rank",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
     "ann_ivf_probe",
-    "ann_ivf_recall_curve",
     "ann_lsh_search",
     "ivf_index_stats",
     "knn_sq8_rescore",

@@ -922,3 +922,15 @@ def embeddings_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + broadcast centroid join, label-pair math only)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ops.cluster_quality(emb)
+
+
+@register("embeddings_effective_rank", oracle=knn_ops.EFFECTIVE_RANK_ORACLE)
+def embeddings_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation-ratio effective rank of the embedding space —
+    the dimensional-collapse diagnostic (tr(C)^2 / tr(C^2), no
+    eigendecomposition): one mapInPandas Gram scan (d^2 partials per
+    Arrow batch), an element-wise d^2-row reduce, one final aggregate
+    (knn.effective_rank).  Resolves anisotropy into an actual dimension
+    count: PR ~= d isotropic, PR << d collapsed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.effective_rank(emb)
