@@ -923,6 +923,49 @@ def simhash_signatures_jvm(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def _simhash_signatures_oracle() -> str:
+    """DuckDB replay of the 64-bit SimHash signature table — the md5
+    token hashes make the signature a pure deterministic function of
+    the text, so the whole map-only pandas kernel is SQL-replayable:
+    two 32-bit md5 halves per token, 64 per-bit vote sums per doc,
+    HUGEINT bit assembly with an explicit two's-complement wrap for bit
+    63 (BIGINT cast of ≥ 2⁶³ would error).  Token-less docs signature
+    to 0 on both sides (the left join)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN ((CASE WHEN {b} < 32 THEN lo ELSE hi END) "
+        f"// {1 << (b % 32)}) % 2 = 1 THEN 1 ELSE 0 END) AS c{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN 2*c{b} > n THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DD_TOKENS.format(t="text")}) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+  FROM tok
+),
+v AS (SELECT doc_id, count(*) AS n, {votes} FROM h GROUP BY doc_id),
+s AS (
+  SELECT doc_id, {bits} AS u FROM v
+)
+SELECT d.doc_id,
+       coalesce(CAST(CASE WHEN s.u >= 9223372036854775808::HUGEINT
+                          THEN s.u - 18446744073709551616::HUGEINT
+                          ELSE s.u END AS BIGINT), 0) AS simhash
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+SIMHASH_SIGNATURES_ORACLE = _simhash_signatures_oracle()
+
+
 def simhash_pairs(
     documents: DataFrame,
     max_hamming: int = SIMHASH_MAX_HAMMING,

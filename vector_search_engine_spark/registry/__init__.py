@@ -155,12 +155,15 @@ _GRADE_FIRST: list[str] = [
     # (+ the participation-ratio effective rank; ann_ivf_recall_curve —
     # ann family multiply covered in this window — yields its slot)
     "embeddings_effective_rank",
+    # (+ the simhash-family CONVERSION: the md5 signature table is now
+    # oracle-replayable end-to-end — ivf_index_stats, a rows-only
+    # diagnostic whose ivf family is multiply green in-window, yields)
+    "dedup_simhash_signatures",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
     "ann_ivf_probe",
     "ann_lsh_search",
-    "ivf_index_stats",
     "knn_sq8_rescore",
     "brand_distinct_suppliers",
     "doc_fingerprints",

@@ -700,3 +700,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric union denominator (and its length-band blocking)
     structurally misses (dedup_ops.containment_pairs)."""
     return dedup_ops.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_signatures", oracle=dedup_ops.SIMHASH_SIGNATURES_ORACLE)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash SIGNATURE table graded end-to-end: md5 token hashes
+    make every doc's 64-bit signature a pure function of its text, so
+    DuckDB replays the map-only pandas kernel exactly (two md5 halves,
+    64 vote sums, HUGEINT bit assembly with a two's-complement wrap).
+    Converts the simhash family's foundation from rows-only to oracle
+    mode — the banded PAIR row (dedup_simhash) stays rows-only by
+    nature (Hamming-8 banding recall is heuristic; at <=3 the chunk
+    pigeonhole is exact but the fixture has no such pairs to grade)."""
+    return dedup_ops.simhash_signatures(load_table(spark, sf_dir, "documents"))
