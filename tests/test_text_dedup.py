@@ -1467,3 +1467,23 @@ def test_containment_catches_subset_pair_jaccard_misses(spark):
     assert rows[0].cont_ab == pytest.approx(1.0)
     assert rows[0].cont_ba < 0.1
     assert dedup_ops.ngram_jaccard_pairs(df).count() == 0
+
+
+def test_curriculum_order_interleaves_and_is_deterministic(documents):
+    """The composite key (phase, rank, source) must round-robin
+    sources: within a phase, every source's rank-r doc precedes every
+    source's rank-(r+1) doc; ranks are dense per (phase, source); and
+    the whole assignment is a pure function of the corpus."""
+    rows = text_ops.curriculum_order(documents).collect()
+    again = text_ops.curriculum_order(documents).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    from collections import defaultdict
+
+    per_ps = defaultdict(list)
+    for r in rows:
+        assert 1 <= r.phase <= text_ops.QUALITY_N_BUCKETS
+        per_ps[(r.phase, r.source)].append(r.rank)
+    for ranks in per_ps.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # docs with bigrams only (quality_buckets contract)
+    assert len(rows) == text_ops.bigram_logprob(documents).count()

@@ -2557,6 +2557,73 @@ FROM raw CROSS JOIN d
 """
 
 
+CURRICULUM_SALT = "vse-curriculum:"
+
+
+def curriculum_order(documents: DataFrame) -> DataFrame:
+    """Quality-annealed curriculum emission order — the final step that
+    turns a curated corpus into a TRAINING SEQUENCE: documents are
+    phased by their CCNet-style quality tile (``quality_buckets`` —
+    phase 1 = head quality, trained first; the anneal-from-clean recipe)
+    and, within each (phase, source), shuffled deterministically by a
+    salted 60-bit md5 of the doc id.  The global training order is the
+    composite sort key
+
+        (phase ASC, rank ASC, source ASC)
+
+    which ROUND-ROBIN-INTERLEAVES sources at every training step inside
+    a phase (rank r of every source precedes rank r+1 of any source) —
+    the mixing discipline that keeps per-batch source composition
+    stable instead of emitting sources in blocks.
+
+    Scale shape: the ranking windows partition by (phase, source) —
+    phases × sources independent tasks, no global window; materializing
+    the physical order at 100 TB is one
+    ``repartitionByRange("phase", "rank", "source")`` + sorted write.
+    Deterministic pure function of (text, doc_id, salt) — reproducible
+    across runs, engines, partitionings (oracle replays it exactly)."""
+    from pyspark.sql import Window
+
+    b = quality_buckets(documents)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(CURRICULUM_SALT), F.col("doc_id").cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("phase", "source").orderBy("h", "doc_id")
+    return (
+        b.select(
+            "doc_id",
+            "source",
+            F.col("quality_bucket").alias("phase"),
+            h.alias("h"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "source", "phase", "rank")
+    )
+
+
+CURRICULUM_ORDER_ORACLE = f"""
+WITH b AS ({QUALITY_BUCKETS_ORACLE}),
+k AS (
+  SELECT doc_id, source, quality_bucket AS phase,
+         CAST(('0x' || substr(md5('{CURRICULUM_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM b
+)
+SELECT doc_id, source, phase,
+       row_number() OVER (PARTITION BY phase, source ORDER BY h, doc_id)
+         AS "rank"
+FROM k
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
 # ---------------------------------------------------------------------------

@@ -159,12 +159,15 @@ _GRADE_FIRST: list[str] = [
     # oracle-replayable end-to-end — ivf_index_stats, a rows-only
     # diagnostic whose ivf family is multiply green in-window, yields)
     "dedup_simhash_signatures",
+    # (+ the curriculum-order emission row; knn_sq8_rescore — a
+    # rows-only bounded-C tier whose lossless exhaustive twin is
+    # oracle-graded at the top of this window — yields)
+    "corpus_curriculum_order",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
     "ann_ivf_probe",
     "ann_lsh_search",
-    "knn_sq8_rescore",
     "brand_distinct_suppliers",
     "doc_fingerprints",
     "doc_token_counts",

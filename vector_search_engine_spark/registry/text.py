@@ -713,3 +713,14 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     nature (Hamming-8 banding recall is heuristic; at <=3 the chunk
     pigeonhole is exact but the fixture has no such pairs to grade)."""
     return dedup_ops.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_curriculum_order", oracle=txt_ops.CURRICULUM_ORDER_ORACLE)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-annealed curriculum training order: CCNet quality tiles
+    become phases (head quality trains first), salted-md5 shuffle
+    within (phase, source), and the (phase, rank, source) composite key
+    round-robin-interleaves sources at every step — the corpus-to-
+    training-sequence emission step (txt_ops.curriculum_order;
+    phase x source parallel windows, no global sort)."""
+    return txt_ops.curriculum_order(load_table(spark, sf_dir, "documents"))
