@@ -802,3 +802,25 @@ def test_effective_rank_matches_numpy_and_detects_collapse(spark, embeddings):
     )
     pr = knn_ops.effective_rank(low).collect()[0].effective_rank
     assert 1.0 <= pr <= 2.5
+
+
+def test_whiten_identity_covariance_and_determinism(spark, embeddings):
+    """ZCA whitening: post-whitening population covariance ~= I (so
+    effective rank ~= d), the transform is deterministic, and it undoes
+    a planted anisotropic stretch (r14 third wave)."""
+    import numpy as np
+    import pytest
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    wdf = knn_ops.whiten(embeddings)
+    rows = wdf.collect()
+    again = {r.vec_id: r.embedding for r in knn_ops.whiten(embeddings).collect()}
+    Z = np.array([r.embedding for r in rows], dtype=np.float64)
+    for r in rows[:20]:
+        assert again[r.vec_id] == r.embedding
+    C = np.cov(Z.T, bias=True)
+    d = C.shape[0]
+    assert np.abs(C - np.eye(d)).max() < 1e-2
+    pr = knn_ops.effective_rank(wdf).collect()[0].effective_rank
+    assert pr == pytest.approx(d, rel=0.02)

@@ -1429,6 +1429,33 @@ def effective_rank(
     partial-agg; d² rows total, never N·d²), a broadcast join of the
     d-row mean sums, and one final aggregate.  Nothing driver-side,
     nothing proportional to N after the scan."""
+    cells = _cov_cells(vectors, vec_col)
+    agg = cells.agg(
+        F.first("_n").cast("long").alias("n_vectors"),
+        F.first("d").cast("long").alias("dim"),
+        F.sum(F.when(F.col("_i") == F.col("_j"), F.col("c")).otherwise(0.0)).alias(
+            "_tr"
+        ),
+        F.sum(F.col("c") * F.col("c")).alias("_frob"),
+    )
+    return agg.select(
+        "n_vectors",
+        "dim",
+        F.round("_tr", 6).alias("total_var"),
+        F.round("_frob", 6).alias("frob_sq"),
+        F.round(F.col("_tr") * F.col("_tr") / F.col("_frob"), 6).alias(
+            "effective_rank"
+        ),
+    )
+
+
+def _cov_cells(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact population-covariance entries as a d²-row DataFrame
+    ``(_i, _j, c, _n, d, _si, _sj, g)`` — the distributed Gram reduce
+    shared by ``effective_rank`` (pure aggregate consumer) and
+    ``whiten`` (bounded d² driver collect for the eigh).  One
+    ``mapInPandas`` scan, one GEMM partial per Arrow batch, everything
+    after is d²-row-sized."""
     vec = vec_col
 
     def gram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1478,22 +1505,59 @@ def effective_rank(
             - (F.col("_si") / F.col("_n")) * (F.col("_sj") / F.col("_n")),
         )
     )
-    agg = cells.agg(
-        F.first("_n").cast("long").alias("n_vectors"),
-        F.first("d").cast("long").alias("dim"),
-        F.sum(F.when(F.col("_i") == F.col("_j"), F.col("c")).otherwise(0.0)).alias(
-            "_tr"
-        ),
-        F.sum(F.col("c") * F.col("c")).alias("_frob"),
-    )
-    return agg.select(
-        "n_vectors",
-        "dim",
-        F.round("_tr", 6).alias("total_var"),
-        F.round("_frob", 6).alias("frob_sq"),
-        F.round(F.col("_tr") * F.col("_tr") / F.col("_frob"), 6).alias(
-            "effective_rank"
-        ),
+    return cells
+
+
+def whiten(
+    vectors: DataFrame,
+    eps: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ZCA whitening of the embedding column — the standard
+    post-processing that undoes anisotropic collapse (x ← W(x − μ),
+    W = V(Λ+ε)^(−1/2)Vᵀ from the EXACT population covariance):
+    post-whitening covariance is the identity, so cosine/L2 geometry
+    stops being dominated by a few high-variance directions — the fix
+    for the failure modes `anisotropy_stats` and `effective_rank`
+    diagnose.  ZCA (not PCA) keeps the result maximally close to the
+    input in least-squares sense, preserving interpretability of dims.
+
+    Scale shape: covariance via the shared `_cov_cells` Gram reduce
+    (one mapInPandas scan, d²-row frame); the d×d eigh happens on the
+    DRIVER over the collected d² cells (bounded — 64×64 here, never
+    corpus-sized; same contract as the IVF centroid collect), then W
+    and μ broadcast back into one mapInPandas GEMM over the corpus.
+    W is sign-stable by construction (V D Vᵀ is invariant to
+    eigenvector sign flips), so rebuilds are byte-identical.
+    Rows-only by nature (eigendecomposition has no SQL twin); pytest
+    pins post-whitening covariance ≈ I and determinism."""
+    cells = _cov_cells(vectors, vec_col)
+    rows = cells.select("_i", "_j", "c", "_n", "d", "_si").collect()
+    d = int(rows[0]["d"])
+    n = float(rows[0]["_n"])
+    C = np.zeros((d, d), dtype=np.float64)
+    mu = np.zeros(d, dtype=np.float64)
+    for r in rows:
+        C[int(r["_i"]), int(r["_j"])] = r["c"]
+        mu[int(r["_i"])] = r["_si"] / n
+    w, V = np.linalg.eigh((C + C.T) / 2.0)
+    W = (V * (1.0 / np.sqrt(np.maximum(w, 0.0) + eps))) @ V.T
+    vec = vec_col
+    idc = id_col
+
+    def apply_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec].to_list(), dtype=np.float64)
+            Z = (X - mu) @ W.T
+            yield pd.DataFrame(
+                {idc: pdf[idc].values, vec: list(Z.astype(np.float32))}
+            )
+
+    return vectors.select(idc, vec).mapInPandas(
+        apply_batches, schema=f"{idc} long, {vec} array<float>"
     )
 
 

@@ -934,3 +934,14 @@ def embeddings_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     count: PR ~= d isotropic, PR << d collapsed."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ops.effective_rank(emb)
+
+
+@register("embeddings_whitened_rank")  # eigh has no SQL twin -> rows-only
+def embeddings_whitened_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening composed with the effective-rank diagnostic: the
+    whitened space's participation ratio must sit at ~dim by
+    construction (covariance -> identity), demonstrating the
+    anisotropy fix end-to-end (knn.whiten -> knn.effective_rank; the
+    ~=dim contract is pytest-pinned, the row grades rows+schema)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.effective_rank(knn_ops.whiten(emb))
