@@ -109,6 +109,10 @@ def main() -> None:
         _dsir_section(spark, results)
         print(json.dumps({"results": results}))
         return
+    if "--only-rank" in sys.argv:  # finding-36 section alone
+        _rank_section(spark, results)
+        print(json.dumps({"results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -2035,6 +2039,79 @@ def _dsir_section(spark, results: dict) -> None:
     results["containment_slice_pairs"] = len(got_sl)
     results["containment_exactness_2k"] = cexact
     print(f"  containment_exactness_2k: {cexact} ({len(got_sl)} pairs)", file=sys.stderr)
+
+
+
+
+def _rank_section(spark, results: dict) -> None:
+    """Finding 36 (r14): the exact-covariance family at 1M vectors.
+
+    Corpus: 1M x 64 anisotropic Gaussians with a PLANTED 1/k variance
+    spectrum (per-dim scale 1/sqrt(k)) -> analytic participation ratio
+    (sum 1/k)^2 / (sum 1/k^2) ~= 13.9 of 64.  Pins:
+
+    * effective_rank wall at 1M (one mapInPandas Gram scan + d^2-row
+      reduce -- should be scan-bound) and EXACTNESS vs a NumPy replay
+      of the same vectors;
+    * whiten wall at 1M (bounded d^2 collect + eigh + one broadcast-W
+      GEMM scan) and the post-whitening PR ~= 64 contract at scale."""
+    dim = 64
+    n = 1_000_000
+    scales = 1.0 / np.sqrt(np.arange(1, dim + 1, dtype=np.float64))
+
+    def gen(batches):
+        for pdf in batches:
+            rng = np.random.default_rng(int(pdf["id"].iloc[0]) + 99)
+            Z = rng.normal(0, 1, (len(pdf), dim)) * scales[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["id"].values,
+                    "embedding": list(Z.astype(np.float32)),
+                }
+            )
+
+    emb = (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<float>")
+        .cache()
+    )
+    results["rank_corpus"] = {"n_vecs": emb.count(), "dim": dim}
+
+    got = {}
+
+    def run_rank():
+        row = knn_ops.effective_rank(emb).collect()[0]
+        got.update(row.asDict())
+        return 1
+
+    timed(results, "effective_rank_1m", run_rank)
+    results["effective_rank_1m_value"] = got["effective_rank"]
+
+    X = np.array(
+        [r.embedding for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    C = np.cov(X.T, bias=True)
+    want = float(np.trace(C) ** 2 / (C * C).sum())
+    results["effective_rank_1m_numpy"] = round(want, 6)
+    results["rank_exactness_1m"] = bool(abs(got["effective_rank"] - want) < 1e-3)
+    analytic = float(scales.sum() ** 2 / (scales**2).sum())  # scales = sqrt(var)
+    results["rank_analytic_note"] = round(
+        float((scales**2).sum() ** 2 / (scales**4).sum()), 3
+    )
+    del X, C
+
+    wdf = knn_ops.whiten(emb)
+    timed(results, "whiten_1m", lambda: wdf.count())
+    pr_w = knn_ops.effective_rank(knn_ops.whiten(emb)).collect()[0].effective_rank
+    results["whitened_rank_1m"] = pr_w
+    results["whiten_contract_1m"] = bool(abs(pr_w - dim) < 1.0)
+    print(
+        f"  rank_1m: pr={got['effective_rank']} numpy={want:.4f} "
+        f"whitened={pr_w}",
+        file=sys.stderr,
+    )
 
 
 if __name__ == "__main__":
