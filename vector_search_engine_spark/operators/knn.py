@@ -1449,56 +1449,70 @@ def effective_rank(
     )
 
 
-def _cov_cells(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Exact population-covariance entries as a d²-row DataFrame
-    ``(_i, _j, c, _n, d, _si, _sj, g)`` — the distributed Gram reduce
-    shared by ``effective_rank`` (pure aggregate consumer) and
-    ``whiten`` (bounded d² driver collect for the eigh).  One
-    ``mapInPandas`` scan, one GEMM partial per Arrow batch, everything
-    after is d²-row-sized."""
+def _cov_cells(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact population-covariance entries as a (groups·d²)-row
+    DataFrame ``(_grp, _i, _j, c, _n, d, _si, _sj, g)`` — the
+    distributed Gram reduce shared by ``effective_rank`` /
+    ``effective_rank_by`` (pure aggregate consumers) and ``whiten``
+    (bounded d² driver collect for the eigh).  One ``mapInPandas``
+    scan, one GEMM partial per (Arrow batch × group slice); everything
+    after is (groups·d²)-row-sized.  ``group_col=None`` runs the whole
+    corpus as one group (``_grp`` = 0)."""
     vec = vec_col
 
     def gram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(pdf[vec].to_list(), dtype=np.float64)
-            yield pd.DataFrame(
-                {
-                    "n": [np.int64(len(X))],
-                    "s": [X.sum(axis=0)],
-                    "g": [(X.T @ X).ravel()],
-                }
-            )
+            out: dict[str, list] = {"_grp": [], "n": [], "s": [], "g": []}
+            for key, sub in pdf.groupby("_grp", sort=False, dropna=False):
+                X = np.array(sub[vec].to_list(), dtype=np.float64)
+                out["_grp"].append(key)
+                out["n"].append(np.int64(len(X)))
+                out["s"].append(X.sum(axis=0))
+                out["g"].append((X.T @ X).ravel())
+            yield pd.DataFrame(out)
 
-    parts = vectors.select(vec).mapInPandas(
-        gram_batches, schema="n long, s array<double>, g array<double>"
+    gtype = dict(vectors.dtypes)[group_col] if group_col else "int"
+    gexpr = F.col(group_col) if group_col else F.lit(0)
+    parts = vectors.select(gexpr.alias("_grp"), vec).mapInPandas(
+        gram_batches,
+        schema=f"_grp {gtype}, n long, s array<double>, g array<double>",
     )
-    # Catalyst does not dedupe the three consumers of `parts` — pin the
-    # tiny partial table (one row per Arrow batch) so the corpus GEMM
+    # Catalyst does not dedupe the consumers of `parts` — pin the tiny
+    # partial table (≤ groups rows per Arrow batch) so the corpus GEMM
     # scan runs once
     parts = parts.localCheckpoint(eager=True)
-    n_tot = parts.agg(F.sum("n").cast("double").alias("_n"))
+    meta = parts.groupBy("_grp").agg(
+        F.sum("n").cast("double").alias("_n"),
+        F.min(F.size("s")).alias("d"),
+    )
     s_sum = (
-        parts.select(F.posexplode("s").alias("i", "v"))
-        .groupBy("i")
+        parts.select("_grp", F.posexplode("s").alias("i", "v"))
+        .groupBy("_grp", "i")
         .agg(F.sum("v").alias("s"))
     )
     g_sum = (
-        parts.select(F.posexplode("g").alias("ij", "v"))
-        .groupBy("ij")
+        parts.select("_grp", F.posexplode("g").alias("ij", "v"))
+        .groupBy("_grp", "ij")
         .agg(F.sum("v").alias("g"))
     )
-    dim_row = parts.select(F.size("s").alias("d")).limit(1)
-    si = s_sum.select(F.col("i").alias("_i"), F.col("s").alias("_si"))
-    sj = s_sum.select(F.col("i").alias("_j"), F.col("s").alias("_sj"))
+    si = s_sum.select(
+        "_grp", F.col("i").alias("_i"), F.col("s").alias("_si")
+    )
+    sj = s_sum.select(
+        "_grp", F.col("i").alias("_j"), F.col("s").alias("_sj")
+    )
     cells = (
-        g_sum.crossJoin(F.broadcast(dim_row))
+        g_sum.join(F.broadcast(meta), "_grp")
         .withColumn("_i", (F.col("ij") / F.col("d")).cast("long"))
         .withColumn("_j", F.pmod("ij", F.col("d")).cast("long"))
-        .join(F.broadcast(si), "_i")
-        .join(F.broadcast(sj), "_j")
-        .crossJoin(F.broadcast(n_tot))
+        .join(F.broadcast(si), ["_grp", "_i"])
+        .join(F.broadcast(sj), ["_grp", "_j"])
         .withColumn(
             "c",
             F.col("g") / F.col("_n")
@@ -1506,6 +1520,74 @@ def _cov_cells(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
         )
     )
     return cells
+
+
+def effective_rank_by(
+    vectors: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group participation-ratio effective rank — ``effective_rank``
+    sliced by a group column (label, source, language …): each slice's
+    own covariance answers WHICH subpopulation collapsed, the per-slice
+    refinement of the corpus-level diagnostic (a healthy global PR can
+    hide one collapsed source behind a diverse blend).  Same plan
+    shape, one extra group key through the Gram reduce: partials are
+    per (Arrow batch × slice), the reduce is (groups·d²) rows."""
+    cells = _cov_cells(vectors, vec_col, group_col=group_col)
+    agg = cells.groupBy("_grp").agg(
+        F.first("_n").cast("long").alias("n_vectors"),
+        F.first("d").cast("long").alias("dim"),
+        F.sum(F.when(F.col("_i") == F.col("_j"), F.col("c")).otherwise(0.0)).alias(
+            "_tr"
+        ),
+        F.sum(F.col("c") * F.col("c")).alias("_frob"),
+    )
+    return agg.select(
+        F.col("_grp").alias(group_col),
+        "n_vectors",
+        "dim",
+        F.round("_tr", 6).alias("total_var"),
+        F.round(F.col("_tr") * F.col("_tr") / F.col("_frob"), 6).alias(
+            "effective_rank"
+        ),
+    )
+
+
+EFFECTIVE_RANK_BY_LABEL_ORACLE = """
+WITH u AS (
+  SELECT label, vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+n AS (SELECT label, count(DISTINCT vec_id)::DOUBLE AS n,
+             max(i)::BIGINT AS d FROM u GROUP BY label),
+s AS (SELECT label, i, sum(x) AS s FROM u GROUP BY label, i),
+g AS (
+  SELECT a.label, a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+  FROM u a JOIN u b USING (label, vec_id)
+  GROUP BY a.label, a.i, b.i
+),
+c AS (
+  SELECT g.label, g.i, g.j,
+         g.g / n.n - (si.s / n.n) * (sj.s / n.n) AS c
+  FROM g
+  JOIN n USING (label)
+  JOIN s si ON si.label = g.label AND si.i = g.i
+  JOIN s sj ON sj.label = g.label AND sj.i = g.j
+),
+agg AS (
+  SELECT c.label, max(n.n)::BIGINT AS n_vectors, max(n.d) AS dim,
+         sum(CASE WHEN c.i = c.j THEN c.c ELSE 0.0 END) AS tr,
+         sum(c.c * c.c) AS frob
+  FROM c JOIN n USING (label)
+  GROUP BY c.label
+)
+SELECT label, n_vectors, dim,
+       round(tr, 6) AS total_var,
+       round(tr * tr / frob, 6) AS effective_rank
+FROM agg
+"""
 
 
 def whiten(

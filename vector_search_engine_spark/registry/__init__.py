@@ -163,11 +163,13 @@ _GRADE_FIRST: list[str] = [
     # rows-only bounded-C tier whose lossless exhaustive twin is
     # oracle-graded at the top of this window — yields)
     "corpus_curriculum_order",
+    # (+ the per-label effective rank; ann_lsh_search — rows-only, its
+    # lsh family represented in-window by ann_lsh_portable — yields)
+    "embeddings_effective_rank_by_label",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
     "ann_ivf_probe",
-    "ann_lsh_search",
     "brand_distinct_suppliers",
     "doc_fingerprints",
     "doc_token_counts",

@@ -945,3 +945,16 @@ def embeddings_whitened_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~=dim contract is pytest-pinned, the row grades rows+schema)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ops.effective_rank(knn_ops.whiten(emb))
+
+
+@register(
+    "embeddings_effective_rank_by_label",
+    oracle=knn_ops.EFFECTIVE_RANK_BY_LABEL_ORACLE,
+)
+def embeddings_effective_rank_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label participation-ratio effective rank: each label slice's
+    own covariance — the WHICH-slice-collapsed refinement of the
+    corpus diagnostic (knn.effective_rank_by; one group key through
+    the shared Gram reduce, (labels x d^2)-row algebra)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ops.effective_rank_by(emb, group_col="label")
