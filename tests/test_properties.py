@@ -587,3 +587,55 @@ def test_prefix_pca_rotation_sampled_layout_independent(spark, sf_dir):
     # different third of the corpus, so the trained basis moves
     R_other = pca_rotation(emb, sample_size=size, seed=12345)
     assert not (R1 == R_other).all()
+
+
+# word-ish documents: small vocab forces shared shingles and ties
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(_doc, min_size=2, max_size=12))
+@SET
+def test_containment_dominates_jaccard(spark, docs):
+    """For every emitted pair, max(cont_ab, cont_ba) >= jaccard of the
+    same shingle sets, and both containments bound it from above —
+    the set-algebra relationship the asymmetric tier exists for
+    (|A∩B|/min ≥ |A∩B|/|A∪B|); cross-checked against Python sets."""
+    from vector_search_engine_spark.operators import dedup as dedup_ops
+
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = dedup_ops.containment_pairs(df, threshold=0.0).collect()
+
+    def sh(t):
+        toks = [x for x in t.strip().split(" ") if x]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: sh(t) for i, t in enumerate(docs)}
+    for r in got:
+        sa, sb = sets[r.doc_a], sets[r.doc_b]
+        inter = len(sa & sb)
+        assert inter > 0
+        jac = inter / len(sa | sb)
+        assert r.cont_ab == pytest.approx(inter / len(sa), abs=1e-4)
+        assert r.cont_ba == pytest.approx(inter / len(sb), abs=1e-4)
+        assert max(r.cont_ab, r.cont_ba) >= jac - 1e-9
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    d=st.integers(min_value=2, max_value=8),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_participation_ratio_bounds_numpy(n, d, seed):
+    """1 <= PR <= d for any covariance (Cauchy-Schwarz on eigenvalues) —
+    the invariant the effective_rank operator's formula rests on,
+    checked at the NumPy level over random data."""
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 1, (n, d)) * rng.uniform(0.1, 3.0, d)[None, :]
+    C = np.cov(X.T, bias=True)
+    pr = np.trace(C) ** 2 / (C * C).sum()
+    assert 1.0 - 1e-9 <= pr <= d + 1e-9
