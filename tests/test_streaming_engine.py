@@ -1129,3 +1129,28 @@ def test_radius_search_distributed_merged_equals_exact(
         map(tuple, engine.index.radius_search_distributed(q, r_sq).collect())
     )
     assert a == b
+
+
+def test_visible_vectors_set_semantics(spark, embeddings, tmp_path):
+    """visible_vectors == indexed ∖ shadowed ∪ latest-live-delta: the
+    snapshot-export surface must agree with id-set algebra under an
+    upsert overlap, a pure insert, and a tombstone wave (r14)."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    eng = VectorEngine.create(
+        embeddings.filter(F.col("vec_id") < 400),
+        str(tmp_path / "vis_eng"),
+        n_centroids=8,
+    )
+    eng.insert(embeddings.filter(F.col("vec_id") >= 350))
+    eng.delete([0, 1, 2, 397, 499])
+    vis = eng.visible_vectors()
+    ids = sorted(r.vec_id for r in vis.select("vec_id").collect())
+    want = sorted(set(range(500)) - {0, 1, 2, 397, 499})
+    assert ids == want
+    # upserted ids must carry exactly one row (latest wins, no ghosts)
+    assert vis.groupBy("vec_id").count().filter("count > 1").count() == 0
+    # values of an upserted id equal the (identical) newest insert
+    row = vis.filter(F.col("vec_id") == 360).collect()[0]
+    base = embeddings.filter(F.col("vec_id") == 360).collect()[0]
+    assert row.embedding == base.embedding

@@ -166,6 +166,12 @@ _GRADE_FIRST: list[str] = [
     # (+ the per-label effective rank; ann_lsh_search — rows-only, its
     # lsh family represented in-window by ann_lsh_portable — yields)
     "embeddings_effective_rank_by_label",
+    # (+ the visible-set rank row: the new engine.visible_vectors
+    # snapshot-export surface graded through the covariance consumer
+    # with all three visibility hazards planted; dedup_simhash —
+    # rows-only, its signature foundation now oracle-graded in this
+    # window — yields)
+    "streaming_effective_rank",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
@@ -187,7 +193,6 @@ _GRADE_FIRST: list[str] = [
     # dedup_embedding_lsh_portable above; r2 greens + sweep)
     "dedup_embedding_lsh",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "multimodal_features",
     # (the former r5/r6 staleness block — corpus_train_val_split,
     # dedup_ngram_jaccard_ppjoin, jsonl_roundtrip, pipeline_clean_corpus,

@@ -693,3 +693,60 @@ def streaming_search_cascade_distributed(
         tier="cascade",
         candidates_per_cell=10**9,
     )
+
+
+@register(
+    "streaming_effective_rank",
+    oracle="""
+WITH vis AS (SELECT embedding FROM embeddings WHERE vec_id >= 25),
+u AS (
+  SELECT row_number() OVER () AS rid,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM vis
+),
+n AS (SELECT count(DISTINCT rid)::DOUBLE AS n, max(i)::BIGINT AS d FROM u),
+s AS (SELECT i, sum(x) AS s FROM u GROUP BY i),
+g AS (
+  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+  FROM u a JOIN u b USING (rid)
+  GROUP BY a.i, b.i
+),
+c AS (
+  SELECT g.i, g.j, g.g / n.n - (si.s / n.n) * (sj.s / n.n) AS c
+  FROM g, n
+  JOIN s si ON si.i = g.i
+  JOIN s sj ON sj.i = g.j
+),
+agg AS (
+  SELECT max(n.n)::BIGINT AS n_vectors, max(n.d) AS dim,
+         sum(CASE WHEN c.i = c.j THEN c.c ELSE 0.0 END) AS tr,
+         sum(c.c * c.c) AS frob
+  FROM c, n
+)
+SELECT n_vectors, dim, round(tr, 6) AS total_var,
+       round(frob, 6) AS frob_sq,
+       round(tr * tr / frob, 6) AS effective_rank
+FROM agg
+""",
+)
+def streaming_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics over the engine's LIVE VISIBLE SET (r14): the
+    new snapshot-export surface (engine.visible_vectors — indexed rows
+    anti-joined against delta shadows + latest live delta rows) feeds
+    the exact-covariance effective-rank diagnostic.  The build plants
+    all three visibility hazards: a < 400 base, an >= 350 upsert
+    overlap (50 shadowed ids), and a tombstone wave deleting ids < 25 —
+    the visible multiset must equal embeddings[vec_id >= 25] EXACTLY or
+    the participation ratio drifts at the 6th decimal (a ghost row, a
+    double-counted upsert, or an unapplied tombstone all shift the
+    covariance).  Oracle recomputes the rank over that slice."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eng = VectorEngine.create(
+        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+    )
+    eng.insert(emb.filter(F.col("vec_id") >= 350))
+    eng.delete([int(i) for i in range(25)])
+    return knn_ops.effective_rank(eng.visible_vectors())

@@ -348,6 +348,27 @@ class VectorEngine:
             .select(id_col, vec_col, *self._extra)
         )
 
+    def visible_vectors(self) -> DataFrame:
+        """The engine's CURRENT VISIBLE SET as one DataFrame — exactly
+        what a merged search can return: indexed rows whose ids are not
+        shadowed by a newer delta version, plus the latest live
+        (non-tombstone) delta rows.  The snapshot-export / analytics
+        surface: corpus statistics (effective rank, dedup, drift) over
+        the live state without waiting for a compaction to fold the
+        delta in.  One pinned seq snapshot (the ``delta()`` discipline)
+        keeps the view consistent under concurrent ingest; plan shape
+        is the merged-search read path minus the distance math — one
+        anti-join on id against the (small, uncompacted) delta-latest
+        side plus a union."""
+        id_col = self.index.meta["id_col"]
+        vec_col = self.index.meta["vec_col"]
+        seqs = self._live_seqs()
+        latest = self.delta_latest(seqs)
+        base = self.index.vectors().select(id_col, vec_col, *self._extra)
+        return base.join(
+            latest.select(id_col), id_col, "left_anti"
+        ).unionByName(latest.filter(F.col(vec_col).isNotNull()))
+
     # -- read path -----------------------------------------------------------
 
     def search(
