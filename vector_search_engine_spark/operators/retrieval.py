@@ -566,6 +566,76 @@ FROM w JOIN nrm USING (doc_id)
 """
 
 
+TFIDF_KNN_K = 5
+
+
+def doc_tfidf_knn(
+    documents: DataFrame, k: int = TFIDF_KNN_K, n_buckets: int = TFIDF_BUCKETS
+) -> DataFrame:
+    """Top-k most-similar documents per document by COSINE over the
+    hashed TF-IDF vectors — the model-free doc-similarity search that
+    needs no embedding model: since ``doc_tfidf_vectors`` is already
+    L2-normalized, cosine is a plain sparse dot product, computed as an
+    inverted-index join on the bucket key (the BM25 posting discipline
+    — docs sharing zero buckets never pair).
+
+    Cross-engine exactness: the dot product runs over the ROUNDED
+    6-decimal weights (bit-identical inputs on both engines), and
+    ranking keys on ``round(sim, 6)`` with neighbor-id tie-break, so
+    join-order float noise (~1e-16) can never flip a rank.
+
+    Scale: bucket-key fan-out is the standard sparse-similarity cost —
+    at the demo ``n_buckets=64`` every bucket is hot by construction;
+    production sizes ``n_buckets`` at 2^18+ so postings stay df-bounded,
+    and the df-cap / prefix-filter disciplines (`bm25_topk(max_df_...)`,
+    PPJoin) apply unchanged when a corpus still has hot buckets."""
+    from pyspark.sql import Window
+
+    v = doc_tfidf_vectors(documents, n_buckets)
+    a = v.select(
+        F.col("doc_id").alias("doc_id"), "bucket", F.col("weight").alias("wa")
+    )
+    b = v.select(
+        F.col("doc_id").alias("neighbor_id"),
+        "bucket",
+        F.col("weight").alias("wb"),
+    )
+    sims = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_id") != F.col("neighbor_id"))
+        .groupBy("doc_id", "neighbor_id")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 6).alias("sim"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "neighbor_id", "rank", "sim")
+    )
+
+
+DOC_TFIDF_KNN_ORACLE = f"""
+WITH v AS ({DOC_TFIDF_ORACLE}),
+sims AS (
+  SELECT a.doc_id, b.doc_id AS neighbor_id,
+         round(sum(a.weight * b.weight), 6) AS sim
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.doc_id != b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+r AS (
+  SELECT doc_id, neighbor_id, sim,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY sim DESC, neighbor_id ASC
+         ) AS "rank"
+  FROM sims
+)
+SELECT doc_id, neighbor_id, "rank", sim
+FROM r WHERE "rank" <= {TFIDF_KNN_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------

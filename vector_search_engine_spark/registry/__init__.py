@@ -172,6 +172,10 @@ _GRADE_FIRST: list[str] = [
     # rows-only, its signature foundation now oracle-graded in this
     # window — yields)
     "streaming_effective_rank",
+    # (+ the text-to-vector bridge's retrieval consumer;
+    # events_asof_attribution_pandas — the cogroup twin of the
+    # multiply-green events_asof_attribution — yields)
+    "doc_tfidf_knn",
     # --- max staleness: last graded r1 ---
     "knn_exact_l2_sql",
     "ann_ivf_radius",
@@ -179,7 +183,6 @@ _GRADE_FIRST: list[str] = [
     "brand_distinct_suppliers",
     "doc_fingerprints",
     "doc_token_counts",
-    "events_asof_attribution_pandas",
     "events_cohort_retention",
     "events_user_funnel",
     "orderdate_functions",

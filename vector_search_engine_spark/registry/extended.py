@@ -411,3 +411,13 @@ def ann_ivf_prefix_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=idx.meta["n_centroids"],
         prefix_dims=16,
     )
+
+
+@register("doc_tfidf_knn", oracle=retrieval.DOC_TFIDF_KNN_ORACLE)
+def doc_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document similarity search: top-5 neighbors per doc
+    by cosine over the hashed TF-IDF vectors (inverted-index bucket
+    join, rounded-weight dot products so both engines rank identical
+    bits; retrieval.doc_tfidf_knn) — the text-to-vector bridge's
+    retrieval consumer."""
+    return retrieval.doc_tfidf_knn(load_table(spark, sf_dir, "documents"))
