@@ -113,6 +113,10 @@ def main() -> None:
         _rank_section(spark, results)
         print(json.dumps({"results": results}))
         return
+    if "--only-whitenivf" in sys.argv:  # finding-37 section alone
+        _whiten_ivf_section(spark, results)
+        print(json.dumps({"results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -2112,6 +2116,78 @@ def _rank_section(spark, results: dict) -> None:
         f"whitened={pr_w}",
         file=sys.stderr,
     )
+
+
+
+
+def _whiten_ivf_section(spark, results: dict) -> None:
+    """Finding 37 (r14): does ZCA whitening change IVF serving recall?
+
+    The pipeline decision this measures: whitening is attractive for
+    threshold stability (dedup/cosine cuts stop depending on a few
+    dominant directions), but serving happens AFTER the transform — so
+    what does the whitened geometry cost/buy at matched nprobe?  Corpus:
+    100k x 64 with the 1/k variance spectrum (PR ~= 13.8 of 64, finding
+    36's shape).  Each space is scored against ITS OWN exact kNN truth
+    (whitening changes the metric; the question is partitionability,
+    not cross-space agreement): recall@10 over 200 sampled queries,
+    nprobe 1/2/4/8, identical index params."""
+    from vector_search_engine_spark.operators.ivf import IVFIndex
+
+    K, NQ, N_SAMPLE = 10, 1000, 200
+    dim = 64
+    scales = 1.0 / np.sqrt(np.arange(1, dim + 1, dtype=np.float64))
+    rng = np.random.default_rng(37)
+    V = (rng.normal(0, 1, (N_VECS, dim)) * scales[None, :]).astype(np.float32)
+    raw = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(N_VECS, dtype=np.int64), "embedding": list(V)}
+        )
+    ).cache()
+    raw.count()
+    wdf = knn_ops.whiten(raw).cache()
+    wdf.count()
+    qids = rng.choice(N_VECS, NQ, replace=False).astype(np.int64)
+    sample = qids[:N_SAMPLE]
+
+    for name, emb in (("raw", raw), ("whitened", wdf)):
+        Vn = np.zeros((N_VECS, dim), dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").toLocalIterator():
+            Vn[r.vec_id] = r.embedding
+        exact = {}
+        for qv in sample:
+            dsq = ((Vn - Vn[qv]) ** 2).sum(axis=1)
+            order = np.lexsort((np.arange(N_VECS), dsq))[:K]
+            exact[int(qv)] = set(int(i) for i in order)
+        qdf = (
+            emb.filter(F.col("vec_id").isin([int(q) for q in qids]))
+            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("query"))
+            .cache()
+        )
+        qdf.count()
+        idx_dir = tempfile.mkdtemp(prefix=f"vse_whiten_{name}_")
+        idx = IVFIndex.build(emb, f"{idx_dir}/index")
+        results[f"whiten_ivf_cells_{name}"] = int(idx.meta["n_centroids"])
+        for nprobe in (1, 2, 4, 8):
+            t0 = time.time()
+            out = idx.search_distributed(qdf, k=K, nprobe=nprobe)
+            got = {}
+            for r in out.filter(
+                F.col("qid").isin([int(x) for x in sample])
+            ).collect():
+                got.setdefault(r["qid"], set()).add(r["neighbor_id"])
+            rec = sum(
+                len(exact[q] & got.get(q, set())) for q in exact
+            ) / float(K * len(exact))
+            results[f"whiten_ivf_{name}_np{nprobe}"] = {
+                "sec": round(time.time() - t0, 2),
+                "recall_at_10": round(rec, 4),
+            }
+            print(
+                f"  whiten_ivf_{name}_np{nprobe}: "
+                f"{results[f'whiten_ivf_{name}_np{nprobe}']}",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":

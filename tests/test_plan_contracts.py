@@ -87,6 +87,9 @@ AUDIT = [
     "dedup_containment",
     "embeddings_cluster_quality",
     "embeddings_effective_rank",
+    "doc_tfidf_knn",
+    "corpus_curriculum_order",
+    "embeddings_effective_rank_by_label",
 ]
 
 

@@ -1613,9 +1613,18 @@ def whiten(
     W is sign-stable by construction (V D Vᵀ is invariant to
     eigenvector sign flips), so rebuilds are byte-identical.
     Rows-only by nature (eigendecomposition has no SQL twin); pytest
-    pins post-whitening covariance ≈ I and determinism."""
+    pins post-whitening covariance ≈ I and determinism.
+
+    SERVING IMPACT (SCALING finding 37, measured at 100k): whitening
+    raises the intrinsic dimension an ANN index must cover (PR → d by
+    construction), so IVF recall at matched nprobe DROPS on low-PR
+    corpora (0.72 → 0.33 @ nprobe 8 on a PR≈14 corpus).  Whiten for
+    threshold stability; serve from raw space or re-tune nprobe/cells
+    after the transform — `effective_rank` predicts the cost up front."""
     cells = _cov_cells(vectors, vec_col)
     rows = cells.select("_i", "_j", "c", "_n", "d", "_si").collect()
+    if not rows:
+        raise ValueError("whiten: no rows — cannot train a whitening matrix")
     d = int(rows[0]["d"])
     n = float(rows[0]["_n"])
     C = np.zeros((d, d), dtype=np.float64)
