@@ -824,3 +824,24 @@ def test_whiten_identity_covariance_and_determinism(spark, embeddings):
     assert np.abs(C - np.eye(d)).max() < 1e-2
     pr = knn_ops.effective_rank(wdf).collect()[0].effective_rank
     assert pr == pytest.approx(d, rel=0.02)
+
+
+def test_effective_rank_by_label_matches_numpy(spark, embeddings):
+    """Per-label PR vs np.cov per slice (r14 third wave)."""
+    import numpy as np
+    import pytest
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    rows = embeddings.select("vec_id", "label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    got = {r.label: r for r in knn_ops.effective_rank_by(embeddings).collect()}
+    assert set(got) == set(by_label)
+    for lab, vecs in by_label.items():
+        X = np.array(vecs, dtype=np.float64)
+        C = np.cov(X.T, bias=True)
+        want = float(np.trace(C) ** 2 / (C * C).sum())
+        assert got[lab].n_vectors == len(vecs)
+        assert got[lab].effective_rank == pytest.approx(want, abs=1e-4)

@@ -413,3 +413,30 @@ def test_doc_tfidf_vectors_properties(spark, documents):
     rows = retrieval.doc_tfidf_vectors(one).collect()
     d0 = [r for r in rows if r.doc_id == 0]
     assert len(d0) == 1 and d0[0].weight == 1.0
+
+
+def test_doc_tfidf_knn_planted_duplicate_ranks_first(spark):
+    """A verbatim duplicate must be its twin's rank-1 neighbor with
+    cosine 1.0; an unrelated-vocabulary doc never pairs with them
+    unless buckets collide — and ranks below the twin if it does
+    (r14 third wave)."""
+    from vector_search_engine_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s", 22),
+            (2, "alpha beta gamma delta", "en", "s", 22),
+            (3, "zeta eta theta iota kappa", "en", "s", 25),
+            (4, "zeta eta theta iota kappa lam", "en", "s", 29),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_id, r.rank): r
+        for r in retrieval.doc_tfidf_knn(docs, k=2).collect()
+    }
+    assert got[(1, 1)].neighbor_id == 2 and got[(1, 1)].sim == 1.0
+    assert got[(2, 1)].neighbor_id == 1 and got[(2, 1)].sim == 1.0
+    assert got[(3, 1)].neighbor_id == 4
+    assert got[(4, 1)].neighbor_id == 3
+    assert got[(3, 1)].sim > 0.8
