@@ -117,6 +117,10 @@ def main() -> None:
         _whiten_ivf_section(spark, results)
         print(json.dumps({"results": results}))
         return
+    if "--only-contskew" in sys.argv:  # finding-38 section alone
+        _containment_skew_section(spark, results)
+        print(json.dumps({"results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -2015,6 +2019,11 @@ def _dsir_section(spark, results: dict) -> None:
         "containment_100k",
         lambda: dedup_ops.containment_pairs(big).count(),
     )
+    timed(
+        results,
+        "containment_prefix_100k",
+        lambda: dedup_ops.containment_pairs_prefix(big).count(),
+    )
     sl = big.filter(F.col("doc_id") < 2000).cache()
     sl.count()
     got_sl = (
@@ -2188,6 +2197,57 @@ def _whiten_ivf_section(spark, results: dict) -> None:
                 f"{results[f'whiten_ivf_{name}_np{nprobe}']}",
                 file=sys.stderr,
             )
+
+
+
+
+def _containment_skew_section(spark, results: dict) -> None:
+    """Finding 38 (r14): the containment prefix tier on the corpus it
+    exists for — BOILERPLATE-HOT shingles.
+
+    Corpus: 20k docs, each 30 doc-unique tokens + the SAME 15-token
+    license sentence (so ~13 shingles have df = 20k while content
+    shingles have df = 1).  True answer: every pair overlaps ONLY on
+    license shingles -> containment ~ 0.3 < 0.5 -> ZERO qualifying
+    pairs.  The single-scan tier must group each hot shingle's 20k
+    postings into ONE task and explode ~400M in-group pair rows to
+    discover that; the prefix tier's df-ordered prefixes contain only
+    the df=1 content shingles, so candidate generation collapses to
+    nothing.  Both tiers run under the same wall; exactness asserted
+    (both must emit 0 pairs)."""
+    import random
+
+    rng = random.Random(38)
+    n_docs = 20_000
+    license_txt = "this software is provided as is without warranty of any kind express or implied"
+    rows = []
+    for i in range(n_docs):
+        uniq = " ".join(f"w{i}x{j}" for j in range(30))
+        rows.append((i, uniq + " " + license_txt))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": np.arange(n_docs, dtype=np.int64),
+                "text": [t for _, t in rows],
+            }
+        )
+    ).withColumn("n_chars", F.length("text").cast("long")).cache()
+    docs.count()
+
+    timed(
+        results,
+        "cont_prefix_boilerplate_20k",
+        lambda: dedup_ops.containment_pairs_prefix(docs).count(),
+    )
+    timed(
+        results,
+        "cont_singlescan_boilerplate_20k",
+        lambda: dedup_ops.containment_pairs(docs).count(),
+    )
+    results["cont_boilerplate_exact"] = bool(
+        results["cont_prefix_boilerplate_20k"]["rows"] == 0
+        and results["cont_singlescan_boilerplate_20k"]["rows"] == 0
+    )
 
 
 if __name__ == "__main__":

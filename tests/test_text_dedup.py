@@ -1487,3 +1487,27 @@ def test_curriculum_order_interleaves_and_is_deterministic(documents):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     # docs with bigrams only (quality_buckets contract)
     assert len(rows) == text_ops.bigram_logprob(documents).count()
+
+
+def test_containment_prefix_tier_output_identical(documents):
+    """The one-sided prefix-filter tier must emit exactly the
+    single-scan tier's pairs (exactness is the contract; the filter is
+    a candidate-generation optimization only)."""
+    a = sorted(map(tuple, dedup_ops.containment_pairs(documents).collect()))
+    b = sorted(
+        map(tuple, dedup_ops.containment_pairs_prefix(documents).collect())
+    )
+    assert a == b
+
+
+def test_containment_prefix_tier_on_planted_subset(spark):
+    base = "alpha beta gamma delta epsilon zeta"
+    long_text = base + " " + " ".join(f"tok{i} tok{i+1} filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base, "en", "w", len(base)), (2, long_text, "en", "w", len(long_text)),
+         (3, "unrelated words only here now", "en", "w", 29)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = dedup_ops.containment_pairs_prefix(df).collect()
+    assert len(rows) == 1 and (rows[0].doc_a, rows[0].doc_b) == (1, 2)
+    assert rows[0].cont_ab == 1.0

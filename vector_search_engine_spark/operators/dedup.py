@@ -923,6 +923,81 @@ def simhash_signatures_jvm(documents: DataFrame) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def containment_pairs_prefix(
+    documents: DataFrame, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """Output-identical to ``containment_pairs`` (same oracle) with the
+    ONE-SIDED prefix filter — the containment analog of PPJoin's bound:
+    C(A→B) = |A∩B|/|A| ≥ t forces A to share ≥ ⌈t·|A|⌉ shingles with
+    B, so under any global shingle order A must hit B within its FIRST
+    ``|A| − ⌈t·|A|⌉ + 1`` shingles.  Containment is one-sided (the
+    bound constrains only the numerator side's prefix against the
+    OTHER side's full set), and the emitted predicate is
+    ``max(C(A→B), C(B→A)) ≥ t`` — so candidates join PREFIX postings
+    against FULL postings symmetrically: a qualifying pair is found
+    when either side's prefix hits the other's full set.
+
+    Ordering shingles by ascending document frequency puts boilerplate
+    shingles (the hot keys that give the single-scan tier a quadratic
+    in-group ceiling) at the END of every set: a hot shingle's PREFIX
+    postings are near-empty, so its join fan-out collapses to
+    (few prefix stubs) × (full postings) instead of |postings|².
+    Exactness is kept by verifying candidates against full postings
+    (intersection counts, longs only).  Same cost shape as the Jaccard
+    PPJoin tier: +1 df aggregate, +1 per-doc ranking window, candidate
+    verify re-joins full postings — skew INSURANCE, measurably slower
+    on corpora with no hot shingles (SCALING finding 2's law)."""
+    from pyspark.sql import Window
+
+    post = (
+        with_shingles(documents, "sh")
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s0"))
+        .select("doc_id", "n_sh", F.xxhash64("s0").alias("s"))
+    )
+    dfreq = post.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        post.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "s")
+    )
+    full = post.select(F.col("doc_id").alias("doc_f"), "s")
+    cand = (
+        prefix.join(full, "s")
+        .filter(F.col("doc_id") != F.col("doc_f"))
+        .select(
+            F.least("doc_id", "doc_f").alias("doc_a"),
+            F.greatest("doc_id", "doc_f").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pa = post.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("nsh_a"), "s"
+    )
+    pb = post.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nsh_b"), "s"
+    )
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b", "nsh_a", "nsh_b")
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    ca = F.col("inter") / F.col("nsh_a")
+    cb = F.col("inter") / F.col("nsh_b")
+    return (
+        inter.filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 4).alias("cont_ab"),
+            F.round(cb, 4).alias("cont_ba"),
+        )
+    )
+
+
 def _simhash_signatures_oracle() -> str:
     """DuckDB replay of the 64-bit SimHash signature table — the md5
     token hashes make the signature a pure deterministic function of

@@ -724,3 +724,15 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-sequence emission step (txt_ops.curriculum_order;
     phase x source parallel windows, no global sort)."""
     return txt_ops.curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_containment_ppjoin", oracle=dedup_ops.CONTAINMENT_ORACLE)
+def dedup_containment_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-identical containment pairs through the ONE-SIDED prefix
+    filter (C(A->B) >= t forces A's df-ordered prefix to hit B's full
+    set): hot boilerplate shingles fall out of every prefix, so the
+    single-scan tier's quadratic in-group ceiling disappears — skew
+    insurance, same oracle (dedup_ops.containment_pairs_prefix)."""
+    return dedup_ops.containment_pairs_prefix(
+        load_table(spark, sf_dir, "documents")
+    )
