@@ -90,6 +90,7 @@ AUDIT = [
     "doc_tfidf_knn",
     "corpus_curriculum_order",
     "embeddings_effective_rank_by_label",
+    "dedup_containment_ppjoin",
 ]
 
 

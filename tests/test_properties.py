@@ -608,6 +608,14 @@ def test_containment_dominates_jaccard(spark, docs):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     got = dedup_ops.containment_pairs(df, threshold=0.0).collect()
+    # the prefix-filter tier must agree pair-for-pair at a real threshold
+    at_half = sorted(
+        map(tuple, dedup_ops.containment_pairs(df, threshold=0.5).collect())
+    )
+    at_half_prefix = sorted(
+        map(tuple, dedup_ops.containment_pairs_prefix(df, threshold=0.5).collect())
+    )
+    assert at_half == at_half_prefix
 
     def sh(t):
         toks = [x for x in t.strip().split(" ") if x]
