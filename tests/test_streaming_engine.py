@@ -1154,3 +1154,32 @@ def test_visible_vectors_set_semantics(spark, embeddings, tmp_path):
     row = vis.filter(F.col("vec_id") == 360).collect()[0]
     base = embeddings.filter(F.col("vec_id") == 360).collect()[0]
     assert row.embedding == base.embedding
+
+
+def test_visible_vectors_invariant_under_compaction(spark, embeddings, tmp_path):
+    """Compaction must be INVISIBLE to the snapshot-export surface:
+    the (id, vector) multiset of visible_vectors is identical before
+    and after compact() folds the delta (upserts + tombstones applied
+    physically) — the reader-isolation contract extended to the new
+    consumer (r14)."""
+    from vector_search_engine_spark.streaming.engine import VectorEngine
+
+    eng = VectorEngine.create(
+        embeddings.filter(F.col("vec_id") < 400),
+        str(tmp_path / "vis_compact_eng"),
+        n_centroids=8,
+    )
+    eng.insert(embeddings.filter(F.col("vec_id") >= 350))
+    eng.delete([5, 360, 499])
+
+    def snap(df):
+        return sorted(
+            (r.vec_id, tuple(round(float(x), 5) for x in r.embedding))
+            for r in df.collect()
+        )
+
+    before = snap(eng.visible_vectors())
+    assert eng.compact() >= 0
+    after = snap(eng.visible_vectors())
+    assert before == after
+    assert {i for i, _ in after}.isdisjoint({5, 360, 499})
