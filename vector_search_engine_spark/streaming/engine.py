@@ -352,7 +352,10 @@ class VectorEngine:
         """The engine's CURRENT VISIBLE SET as one DataFrame — exactly
         what a merged search can return: indexed rows whose ids are not
         shadowed by a newer delta version, plus the latest live
-        (non-tombstone) delta rows.  The snapshot-export / analytics
+        (non-tombstone) delta rows.  (Reference analog: the snapshot a
+        merged search walks — ``engine.h:105-117`` pins active/immutable
+        buffers + index via shared_ptr copies; here the pinned-seq list
+        + manifest generation play that role, exported as data.)  The snapshot-export / analytics
         surface: corpus statistics (effective rank, dedup, drift) over
         the live state without waiting for a compaction to fold the
         delta in.  One pinned seq snapshot (the ``delta()`` discipline)
