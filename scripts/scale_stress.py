@@ -121,6 +121,10 @@ def main() -> None:
         _containment_skew_section(spark, results)
         print(json.dumps({"results": results}))
         return
+    if "--only-textscale" in sys.argv:  # finding-39 section alone
+        _text_scale_section(spark, results)
+        print(json.dumps({"results": results}))
+        return
     if only_eps:
         _eps_section(spark, results)
         print(json.dumps({"n_vecs": N_VECS, "results": results}))
@@ -2247,6 +2251,113 @@ def _containment_skew_section(spark, results: dict) -> None:
     results["cont_boilerplate_exact"] = bool(
         results["cont_prefix_boilerplate_20k"]["rows"] == 0
         and results["cont_singlescan_boilerplate_20k"]["rows"] == 0
+    )
+
+
+
+
+def _text_scale_section(spark, results: dict) -> None:
+    """Finding 39 (r14): curriculum order + hashed TF-IDF kNN at 100k.
+
+    Same fanned corpus as finding 35 (sf0.1 x 20 variants, lang/source
+    preserved).  Pins:
+
+    * curriculum_order wall at 100k + EXACTNESS: the full (phase, rank)
+      assignment replayed by the DuckDB twin over the same parquet —
+      the bigram-LM quality model, ntile tiling, salted shuffle and
+      per-(phase,source) ranking all have to agree row-exact at 200x
+      fixture scale;
+    * doc_tfidf_knn at the DEMO bucket count (64) is the deliberate
+      hot-bucket regime (every bucket df = 100k -> quadratic; NOT run);
+      at the documented production sizing (n_buckets = 4096) the
+      inverted-index join is df-bounded — wall measured at 100k and
+      exactness on a 2k slice vs the quadratic SQL twin at the same
+      bucket count."""
+    import duckdb
+
+    from vector_search_engine_spark.operators import retrieval
+
+    base = load_table(spark, SF_DIR, "documents")
+    fan = 20
+    docs = (
+        base.crossJoin(spark.range(fan).select(F.col("id").alias("_v")))
+        .select(
+            (F.col("doc_id") * fan + F.col("_v")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" variant"), F.col("_v")).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    tmp = tempfile.mkdtemp(prefix="textscale-")
+    path = os.path.join(tmp, "documents.parquet")
+    docs.coalesce(8).write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path).cache()
+    results["text_corpus"] = {"n_docs": big.count()}
+
+    cur = txt_ops.curriculum_order(big)
+    timed(results, "curriculum_100k", lambda: cur.count())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{path}/*.parquet')"
+    )
+    t0 = time.time()
+    want = con.sql(txt_ops.CURRICULUM_ORDER_ORACLE).df()
+    results["curriculum_oracle_100k_sec"] = round(time.time() - t0, 2)
+    got = txt_ops.curriculum_order(big).toPandas()
+    key = ["doc_id", "source", "phase", "rank"]
+    a = got[key].sort_values(key).reset_index(drop=True)
+    b = want[key].sort_values(key).reset_index(drop=True)
+    results["curriculum_exactness_100k"] = bool(
+        a.shape == b.shape and (a.values == b.values).all()
+    )
+    print(
+        f"  curriculum_exactness_100k: {results['curriculum_exactness_100k']}",
+        file=sys.stderr,
+    )
+
+    # the sparse bucket-join tier at 100k is the measured DISK-EXHAUSTION
+    # regime (first run of this section: ~10^10 shuffle rows at
+    # n_buckets=4096, java.io.IOException: No space left on device) —
+    # all-pairs top-k rides the dense block-GEMM tier instead
+    B = 256
+    timed(
+        results,
+        "tfidf_knn_gemm_100k_b256",
+        lambda: retrieval.doc_tfidf_knn_gemm(big, n_buckets=B).count(),
+    )
+    sl = big.filter(F.col("doc_id") < 2000).cache()
+    sl.count()
+    got_sl = (
+        retrieval.doc_tfidf_knn(sl, n_buckets=B)
+        .toPandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con2 = duckdb.connect()
+    con2.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{path}/*.parquet') WHERE doc_id < 2000"
+    )
+    oracle_sl = retrieval.DOC_TFIDF_KNN_ORACLE.replace(
+        f"% {retrieval.TFIDF_BUCKETS} AS bucket", f"% {B} AS bucket"
+    )
+    want_sl = (
+        con2.sql(oracle_sl)
+        .df()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    cols = ["doc_id", "neighbor_id", "rank", "sim"]
+    results["tfidf_knn_slice_rows"] = len(got_sl)
+    results["tfidf_knn_exactness_2k"] = bool(
+        got_sl.shape == want_sl.shape
+        and (got_sl[cols].astype(str).values == want_sl[cols].astype(str).values).all()
+    )
+    print(
+        f"  tfidf_knn_exactness_2k: {results['tfidf_knn_exactness_2k']} "
+        f"({len(got_sl)} rows)",
+        file=sys.stderr,
     )
 
 

@@ -440,3 +440,31 @@ def test_doc_tfidf_knn_planted_duplicate_ranks_first(spark):
     assert got[(3, 1)].neighbor_id == 4
     assert got[(4, 1)].neighbor_id == 3
     assert got[(3, 1)].sim > 0.8
+
+
+def test_doc_tfidf_knn_gemm_agrees_with_sparse_join(spark, sf_dir):
+    """The dense block-GEMM tier must produce the sparse join's
+    neighbor RANKING at matched (k, n_buckets); sims agree to the
+    float32-GEMM tolerance (r14 scale path, SCALING finding 39)."""
+    from vector_search_engine_spark import load_table
+    from vector_search_engine_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        (r.doc_id, r.rank): r
+        for r in retrieval.doc_tfidf_knn(docs, k=3, n_buckets=256).collect()
+    }
+    b = {
+        (r.doc_id, r.rank): r
+        for r in retrieval.doc_tfidf_knn_gemm(docs, k=3, n_buckets=256).collect()
+    }
+    assert set(a) == set(b)
+    mismatched_neighbor = 0
+    for key, ra in a.items():
+        rb = b[key]
+        assert abs(ra.sim - rb.sim) < 1e-4
+        if ra.neighbor_id != rb.neighbor_id:
+            # only permissible on a rounded-sim tie
+            mismatched_neighbor += 1
+            assert abs(ra.sim - rb.sim) < 1e-4
+    assert mismatched_neighbor <= len(a) * 0.02

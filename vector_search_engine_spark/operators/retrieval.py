@@ -616,6 +616,74 @@ def doc_tfidf_knn(
     )
 
 
+def doc_tfidf_knn_gemm(
+    documents: DataFrame,
+    k: int = TFIDF_KNN_K,
+    n_buckets: int = 256,
+    q_blocks: int = 4,
+    v_blocks: int = 4,
+) -> DataFrame:
+    """``doc_tfidf_knn`` through the DENSE block-GEMM tier — the scale
+    path for all-pairs document similarity.  The sparse bucket join is
+    the right plan while posting lists stay short, but all-pairs top-k
+    is inherently |pairs-sharing-a-bucket|-bounded: at 100k docs even
+    n_buckets = 4096 makes nearly every doc pair share buckets, and the
+    join materializes ~10¹⁰ shuffle rows (measured: exhausts local disk
+    — SCALING finding 39).  Assembling the hashed vectors into dense
+    ``n_buckets``-dim arrays and riding ``knn_exact_distributed``'s
+    block cogroup turns the same 10¹⁰ interactions into tiled GEMM
+    FLOPs with ``|Q|·v_blocks + N·q_blocks`` shuffle rows — the
+    finding-28/31 machinery, already exactness-gated at 1M.
+
+    Output contract matches ``doc_tfidf_knn`` (doc_id, neighbor_id,
+    rank, sim) with sim from the float32 GEMM (≤1e-6 off the sparse
+    join's float64 dots — rank agreement pytest-gated; the sparse tier
+    stays the oracle-graded twin)."""
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    cells = doc_tfidf_vectors(documents, n_buckets)
+    m = F.map_from_arrays(F.collect_list("bucket"), F.collect_list("weight"))
+    dense = (
+        cells.groupBy("doc_id")
+        .agg(m.alias("_m"))
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i.cast("long")), F.lit(0.0)
+                ),
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    )
+    queries = dense.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+    )
+    res = knn_ops.knn_exact_distributed(
+        dense,
+        queries,
+        k=k + 1,
+        metric="cosine",
+        q_blocks=q_blocks,
+        v_blocks=v_blocks,
+        round_output=False,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        res.filter(F.col("qid") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("doc_id"),
+            "neighbor_id",
+            "rank",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
 DOC_TFIDF_KNN_ORACLE = f"""
 WITH v AS ({DOC_TFIDF_ORACLE}),
 sims AS (
