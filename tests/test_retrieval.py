@@ -468,3 +468,54 @@ def test_doc_tfidf_knn_gemm_agrees_with_sparse_join(spark, sf_dir):
             mismatched_neighbor += 1
             assert abs(ra.sim - rb.sim) < 1e-4
     assert mismatched_neighbor <= len(a) * 0.02
+
+
+def test_doc_tfidf_knn_size_aware_dispatch(spark):
+    """Finding 39's routing rule is CODE now (r15): past
+    ``max_join_pairs`` estimated intermediate rows (Σ_b df_b² — the
+    exact sparse-join volume) doc_tfidf_knn warns and routes to the
+    GEMM tier; ``allow_gemm_dispatch=False`` raises at the boundary;
+    an oversize n_buckets makes the dense escape hatch itself unsafe
+    and raises with guidance; and fixture-scale calls at the DEFAULT
+    ceiling keep the oracle-graded sparse plan with no warning."""
+    import warnings
+
+    import pytest
+
+    from vector_search_engine_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en", "s", 22),
+            (2, "alpha beta gamma delta", "en", "s", 22),
+            (3, "zeta eta theta iota kappa", "en", "s", 25),
+            (4, "zeta eta theta iota kappa lam", "en", "s", 29),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # default ceiling: sparse plan, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        base = {
+            (r.doc_id, r.rank): r.neighbor_id
+            for r in retrieval.doc_tfidf_knn(docs, k=2).collect()
+        }
+    # forced over-threshold: warns, routes to GEMM, same ranking
+    with pytest.warns(RuntimeWarning, match="doc_tfidf_knn_gemm"):
+        routed = {
+            (r.doc_id, r.rank): r.neighbor_id
+            for r in retrieval.doc_tfidf_knn(
+                docs, k=2, max_join_pairs=1
+            ).collect()
+        }
+    assert routed == base
+    # opt-out raises at the boundary instead of dispatching
+    with pytest.raises(ValueError, match="max_join_pairs"):
+        retrieval.doc_tfidf_knn(
+            docs, k=2, max_join_pairs=1, allow_gemm_dispatch=False
+        )
+    # oversize dense side: the escape hatch refuses with guidance
+    with pytest.raises(ValueError, match="n_buckets"):
+        retrieval.doc_tfidf_knn(
+            docs, k=2, max_join_pairs=1, n_buckets=2**17
+        )

@@ -1348,7 +1348,13 @@ def cluster_quality(
         .join(sb, "lb")
         .withColumn("ratio", (F.col("sa") + F.col("sb")) / F.col("cdist"))
     )
-    w = Window.partitionBy("la").orderBy(F.col("ratio").desc(), F.col("lb").asc())
+    # Rank on the ROUNDED ratio: Spark and DuckDB sum per-point
+    # distances in different orders, so two label-pair ratios within
+    # float noise could otherwise flip worst_neighbor between engines.
+    # Same cross-engine tie discipline as doc_tfidf_knn's round(sim, 6).
+    w = Window.partitionBy("la").orderBy(
+        F.round("ratio", 6).desc(), F.col("lb").asc()
+    )
     return (
         ratios.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -1396,7 +1402,7 @@ ratios AS (
           JOIN per_l sb ON cd.lb = sb.label
 ),
 r AS (
-  SELECT *, row_number() OVER (PARTITION BY la ORDER BY ratio DESC, lb ASC) AS rn
+  SELECT *, row_number() OVER (PARTITION BY la ORDER BY round(ratio, 6) DESC, lb ASC) AS rn
   FROM ratios
 )
 SELECT la AS label, n_vectors, round(sa, 6) AS scatter,

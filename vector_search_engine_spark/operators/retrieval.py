@@ -568,9 +568,25 @@ FROM w JOIN nrm USING (doc_id)
 
 TFIDF_KNN_K = 5
 
+# Ceiling on the sparse bucket join's INTERMEDIATE row count
+# (Σ_b df_b² — the exact size of a.join(b, "bucket")'s output before the
+# pair aggregation).  SCALING finding 39 measured the join tier
+# exhausting 80 GB of local disk at ~10¹⁰ rows; 2²⁸ (~2.7e8) keeps a
+# ~40× safety margin while sitting far above fixture/bench scale
+# (sf0.1 ≈ 6e6), so graded runs always keep the oracle-twinned plan.
+SPARSE_PAIRS_CEILING = 2**28
+# Densifying to the GEMM tier materializes n_buckets floats per doc;
+# past 2^16 buckets a dense row is ≥256 KB and the dense path stops
+# being the safe escape hatch — raise with guidance instead.
+GEMM_MAX_DENSE_BUCKETS = 2**16
+
 
 def doc_tfidf_knn(
-    documents: DataFrame, k: int = TFIDF_KNN_K, n_buckets: int = TFIDF_BUCKETS
+    documents: DataFrame,
+    k: int = TFIDF_KNN_K,
+    n_buckets: int = TFIDF_BUCKETS,
+    max_join_pairs: int = SPARSE_PAIRS_CEILING,
+    allow_gemm_dispatch: bool = True,
 ) -> DataFrame:
     """Top-k most-similar documents per document by COSINE over the
     hashed TF-IDF vectors — the model-free doc-similarity search that
@@ -584,14 +600,65 @@ def doc_tfidf_knn(
     ranking keys on ``round(sim, 6)`` with neighbor-id tie-break, so
     join-order float noise (~1e-16) can never flip a rank.
 
-    Scale: bucket-key fan-out is the standard sparse-similarity cost —
-    at the demo ``n_buckets=64`` every bucket is hot by construction;
-    production sizes ``n_buckets`` at 2^18+ so postings stay df-bounded,
-    and the df-cap / prefix-filter disciplines (`bm25_topk(max_df_...)`,
-    PPJoin) apply unchanged when a corpus still has hot buckets."""
+    Size-aware routing (finding 39, now code instead of prose): the
+    sparse join's intermediate is EXACTLY ``Σ_b df_b²`` rows, computed
+    here from a ≤``n_buckets``-row aggregate over the (checkpointed)
+    vector table before the join is ever planned.  Under
+    ``max_join_pairs`` the oracle-twinned sparse plan runs; over it the
+    call dispatches to ``doc_tfidf_knn_gemm`` (same output contract;
+    sims from float32 GEMM, ≤1e-6 off the sparse float64 dots — a
+    TOLERANCE change, so never silent: a ``RuntimeWarning`` names both
+    tiers, and ``allow_gemm_dispatch=False`` raises at the boundary
+    instead — the ``similarity_pairs`` dispatch discipline).  At the
+    measured 100k-doc scale the sparse shape shuffles ~10¹⁰ rows and
+    exhausts local disk while the GEMM twin finishes (finding 39).
+
+    The vector table is eagerly checkpointed either way: the self-join
+    consumes it twice and the estimator once, and Catalyst does not
+    dedupe the common subplan — one corpus scan instead of three."""
     from pyspark.sql import Window
 
-    v = doc_tfidf_vectors(documents, n_buckets)
+    v = doc_tfidf_vectors(documents, n_buckets).localCheckpoint(eager=True)
+    est = (
+        v.groupBy("bucket")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).alias("pairs"))
+        .collect()[0]["pairs"]
+    )
+    if est is not None and int(est) > int(max_join_pairs):
+        if not allow_gemm_dispatch:
+            raise ValueError(
+                "doc_tfidf_knn: the sparse bucket join would materialize "
+                f"~{int(est):,} intermediate rows (> max_join_pairs="
+                f"{int(max_join_pairs):,}; finding 39 measured this shape "
+                "exhausting local disk at ~1e10). Re-call with "
+                "allow_gemm_dispatch=True to route to doc_tfidf_knn_gemm, "
+                "or raise max_join_pairs explicitly."
+            )
+        if n_buckets > GEMM_MAX_DENSE_BUCKETS:
+            raise ValueError(
+                "doc_tfidf_knn: join volume exceeds max_join_pairs but "
+                f"n_buckets={n_buckets} > {GEMM_MAX_DENSE_BUCKETS} makes "
+                "the dense GEMM escape hatch itself oversize (≥256 KB/row "
+                "dense vectors). Shrink n_buckets, cap the corpus, or use "
+                "bm25_topk's df-cap / PPJoin prefix-filter disciplines."
+            )
+        import warnings
+
+        warnings.warn(
+            "doc_tfidf_knn: sparse bucket join would materialize "
+            f"~{int(est):,} intermediate rows (> max_join_pairs="
+            f"{int(max_join_pairs):,}); dispatching to the dense block-"
+            "GEMM tier (doc_tfidf_knn_gemm). Output contract is "
+            "unchanged; sims come from float32 GEMM (<=1e-6 off the "
+            "sparse float64 dots). Pass allow_gemm_dispatch=False to "
+            "raise instead, or raise max_join_pairs explicitly.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return doc_tfidf_knn_gemm(
+            documents, k=k, n_buckets=n_buckets, cells=v
+        )
     a = v.select(
         F.col("doc_id").alias("doc_id"), "bucket", F.col("weight").alias("wa")
     )
@@ -622,6 +689,7 @@ def doc_tfidf_knn_gemm(
     n_buckets: int = 256,
     q_blocks: int = 4,
     v_blocks: int = 4,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """``doc_tfidf_knn`` through the DENSE block-GEMM tier — the scale
     path for all-pairs document similarity.  The sparse bucket join is
@@ -641,7 +709,10 @@ def doc_tfidf_knn_gemm(
     stays the oracle-graded twin)."""
     from vector_search_engine_spark.operators import knn as knn_ops
 
-    cells = doc_tfidf_vectors(documents, n_buckets)
+    # ``cells`` lets the doc_tfidf_knn dispatcher hand over its already-
+    # checkpointed vector table instead of re-running the corpus scan.
+    if cells is None:
+        cells = doc_tfidf_vectors(documents, n_buckets)
     m = F.map_from_arrays(F.collect_list("bucket"), F.collect_list("weight"))
     dense = (
         cells.groupBy("doc_id")
@@ -670,9 +741,18 @@ def doc_tfidf_knn_gemm(
         v_blocks=v_blocks,
         round_output=False,
     )
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "neighbor_id")
+    # Match the sparse tier's ROW SET and tie-break semantics exactly:
+    # the sparse join/oracle structurally never materializes zero-overlap
+    # pairs (cosine 0), so drop them here too — otherwise a doc sharing
+    # buckets with fewer than k others gets extra rows in this tier — and
+    # rank on round(sim, 6) (the sparse tier ranks on rounded float64;
+    # unrounded float32 could flip a within-noise tie).
+    w = Window.partitionBy("qid").orderBy(
+        F.round("sim", 6).desc(), "neighbor_id"
+    )
     return (
         res.filter(F.col("qid") != F.col("neighbor_id"))
+        .filter(F.round("sim", 6) > 0)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(

@@ -2668,8 +2668,11 @@ def _dsir_ratios(documents: DataFrame, n_buckets: int, target_lang: str):
     # the scoring join both derive from it and Catalyst does not dedupe
     # common subplans — without the pin the corpus is re-scanned and
     # re-exploded per branch (the bigram_logprob lesson).  Pinned via
-    # executor cache, not localCheckpoint: ≤ |docs|·n_buckets rows fit
-    # memory-and-disk storage and skip the eager checkpoint write.
+    # eager localCheckpoint, NOT .cache(): nothing here ever unpersists
+    # (the consumers return lazy frames, so there is no action to hang
+    # cleanup on), and a .cache() pin would outlive the query in a
+    # long-lived session — checkpoint blocks are ContextCleaner-tracked
+    # and reclaimed when the frame is GC'd (the _cov_cells discipline).
     doc_bucket = (
         documents.select(
             "doc_id", "lang", "source", F.explode(grams).alias("g")
@@ -2677,7 +2680,7 @@ def _dsir_ratios(documents: DataFrame, n_buckets: int, target_lang: str):
         .select("doc_id", "lang", "source", bucket)
         .groupBy("doc_id", "lang", "source", "bucket")
         .agg(F.count("*").cast("long").alias("c"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     # BOTH bag-of-words models come out of ONE B-row aggregation —
     # target counts are a conditional sum, so the pinned aggregate is

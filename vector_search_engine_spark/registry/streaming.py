@@ -698,12 +698,17 @@ def streaming_search_cascade_distributed(
 @register(
     "streaming_effective_rank",
     oracle="""
-WITH vis AS (SELECT embedding FROM embeddings WHERE vec_id >= 25),
-u AS (
-  SELECT row_number() OVER () AS rid,
+WITH u AS (
+  -- rid must be a STABLE key: this CTE is referenced four times (n, s,
+  -- and both sides of the Gram self-join) and DuckDB inlines
+  -- non-materialized CTEs, so a row_number() OVER () rid would be
+  -- re-assigned independently per reference and could pair dimensions
+  -- from DIFFERENT vectors.  vec_id is unique on the visible slice
+  -- (latest-wins collapses the 350-399 upserts to one row per id).
+  SELECT vec_id AS rid,
          generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM vis
+  FROM embeddings WHERE vec_id >= 25
 ),
 n AS (SELECT count(DISTINCT rid)::DOUBLE AS n, max(i)::BIGINT AS d FROM u),
 s AS (SELECT i, sum(x) AS s FROM u GROUP BY i),
