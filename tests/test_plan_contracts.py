@@ -727,3 +727,29 @@ def test_cluster_quality_centroids_broadcast_points_never_pair(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final
     assert "BroadcastHashJoin" in final
+
+
+def test_salted_md5_family_has_one_definition():
+    """r15 (finding-28 lesson applied to hash discipline): every
+    Spark-side 60-bit salted-md5 draw — the primitive ALL portable
+    oracles replay — must route through functions.hashing.  An inline
+    F.substring(F.md5(...), 1, 15) twin anywhere else can drift from
+    the canonical definition without any oracle noticing until the salt
+    or width diverges; this scan makes the single-definition contract
+    structural.  (DuckDB oracle SQL strings legitimately carry the
+    substr(md5(...), 1, 15) REPLAY of the same family, and simhash's
+    two 32-bit conv halves are a different 64-bit derivation — neither
+    matches this pattern.)"""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(
+        __file__
+    ).resolve().parent.parent / "vector_search_engine_spark"
+    pat = re.compile(r"F\.substring\(\s*F\.md5\([^)]*\)\s*,\s*1\s*,\s*15")
+    offenders = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if p.name != "hashing.py" and pat.search(p.read_text())
+    ]
+    assert offenders == [], offenders

@@ -641,13 +641,11 @@ def minhash_lsh_pairs(
 MINHASH_PORTABLE_SALT = "vse-minhash:"
 
 
-def _salted_md5_long(col, salt: str):
-    """Salted 60-bit md5 → BIGINT — the ``weighted_sample_es`` hash
-    discipline: a pure, cross-engine-reproducible function of the input
-    (15 hex chars = 60 bits, fits a BIGINT in Spark AND DuckDB)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15), 16, 10
-    ).cast("long")
+# canonical home since r15: functions.hashing (one definition for every
+# portable-oracle hash draw; this alias keeps the historic private name)
+from vector_search_engine_spark.functions.hashing import (  # noqa: E402
+    salted_md5_long as _salted_md5_long,
+)
 
 
 def minhash_lsh_pairs_portable(
@@ -1318,6 +1316,47 @@ FROM embeddings e LEFT JOIN m ON e.vec_id = m.vid
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     ),
 )
+
+
+def keep_best(
+    documents: DataFrame,
+    clusters: DataFrame,
+    quality: DataFrame | None = None,
+) -> DataFrame:
+    """Quality-aware near-dup collapse (r14; library home r15): per
+    transitive-closure cluster keep the BEST document — Gopher ``keep``
+    verdict first, then word count, ``doc_id`` as the final tie-break —
+    instead of ``graph.dedup_clusters``' min-id canonical.  The shape
+    every production dedup actually ships: when a page and its
+    boilerplate-mangled mirror collide, the clean long one survives.
+
+    ``clusters`` is any frame carrying ``(doc_id, cluster_id,
+    cluster_size)`` — ``graph.dedup_clusters`` output, or an external
+    assignment.  ``quality`` defaults to ``text_ops.quality_filter``
+    over the same documents (``doc_id``, ``n_words``, ``keep``); pass a
+    precomputed frame to reuse one quality scan across pipeline stages
+    (the ``pipeline_text_curation`` composition does).
+
+    One window over the cluster key (single shuffle); the pair graph
+    and CC are the bucketed machinery ``dedup_clusters`` already
+    grades.  No reference analog (the reference serves queries; it
+    does not curate corpora)."""
+    if quality is None:
+        from vector_search_engine_spark.operators import text_ops
+
+        quality = text_ops.quality_filter(documents).select(
+            "doc_id", "n_words", "keep"
+        )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("keep").desc(), F.col("n_words").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.select("doc_id", "cluster_id", "cluster_size")
+        .join(quality.select("doc_id", "n_words", "keep"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "n_words", "keep")
+    )
 
 
 def corpus_dedup_stats(documents: DataFrame) -> DataFrame:

@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_search_engine_spark.functions.hashing import salted_md5_long
 from vector_search_engine_spark.functions.text import DD_TOKENS, tokens
 
 BM25_K1 = 1.2
@@ -491,11 +492,7 @@ def doc_tfidf_vectors(
     doc.  md5-based bucketing is engine-portable (same convention as
     the salted-md5 sampling ops), so two engines build bit-identical
     vectors."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
-        .cast("long")
-        % n_buckets
-    ).alias("bucket")
+    bucket = (salted_md5_long(F.col("term")) % n_buckets).alias("bucket")
     tf = (
         documents.select(
             "doc_id", F.explode(tokens(F.col("text"))).alias("term")

@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_search_engine_spark.functions.hashing import (
+    U_DENOM as _U_DENOM,
+    salted_md5_long,
+)
 from vector_search_engine_spark.functions.text import (
     DD_NORMALIZED,
     DD_SHINGLES2,
@@ -276,15 +280,7 @@ def capped_source_sample(documents: DataFrame, cap: int = SAMPLE_CAP) -> DataFra
     both engines."""
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = salted_md5_long(F.col("doc_id").cast("string"), SAMPLE_SALT)
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     return (
         documents.select("source", "doc_id", h.alias("h"))
@@ -320,15 +316,7 @@ def token_budget_sample(
     ``budget``-bounded early prune per bucket composes losslessly."""
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = salted_md5_long(F.col("doc_id").cast("string"), SAMPLE_SALT)
     n_tok = F.size(tokens(F.col("text"))).cast("long")
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     cum = F.sum("n_tokens").over(
@@ -369,7 +357,7 @@ FROM r WHERE cum_tokens <= {TOKEN_BUDGET}
 
 WEIGHTED_SAMPLE_SALT = "vse-wsample:"
 WEIGHTED_SAMPLE_K = 50
-_U_DENOM = float(1 << 60)  # 60-bit salted hash → uniform u ∈ (0, 1]
+# _U_DENOM (2^60 → uniform u ∈ (0, 1]) now lives in functions.hashing
 
 
 def weighted_sample_es(
@@ -395,20 +383,7 @@ def weighted_sample_es(
     shuffle; the final rank window runs over k rows."""
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(WEIGHTED_SAMPLE_SALT),
-                    F.col("doc_id").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = salted_md5_long(F.col("doc_id").cast("string"), WEIGHTED_SAMPLE_SALT)
     w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
     key = F.log((h + 1).cast("double") / F.lit(_U_DENOM)) / w
     topk = (
@@ -481,15 +456,7 @@ def train_val_split(documents: DataFrame, val_permille: int = VAL_PERMILLE) -> D
     partitionings, and immune to corpus growth (a doc never flips split
     when other docs arrive, unlike fraction-based ``randomSplit``).
     Per-row decision, zero shuffle."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = salted_md5_long(F.col("doc_id").cast("string"), SPLIT_SALT)
     return documents.select(
         "doc_id",
         "source",
@@ -1269,15 +1236,7 @@ def mixture_sample(
         "weight",
         (F.col("weight") * F.col("b")).cast("long").alias("quota"),
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = salted_md5_long(F.col("doc_id").cast("string"), SAMPLE_SALT)
     win = Window.partitionBy("source").orderBy("h", "doc_id")
     ranked = (
         documents.select("source", "doc_id", h.alias("h"))
@@ -2237,16 +2196,7 @@ def source_overlap_minhash(
         .distinct()
         .select(
             "source",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(MINHASH_OVERLAP_SALT), F.col("shingle"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("long")
+            salted_md5_long(F.col("shingle"), MINHASH_OVERLAP_SALT)
             .alias("h"),
         )
         .distinct()
@@ -2452,19 +2402,7 @@ def leakage_safe_split(
 
     Output: ``(doc_id, cluster_id, bucket, split)``."""
     b = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt), F.col("cluster_id").cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
+        salted_md5_long(F.col("cluster_id").cast("string"), salt),
         F.lit(100),
     )
     return (
@@ -2585,17 +2523,7 @@ def curriculum_order(documents: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     b = quality_buckets(documents)
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.lit(CURRICULUM_SALT), F.col("doc_id").cast("string"))
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = salted_md5_long(F.col("doc_id").cast("string"), CURRICULUM_SALT)
     w = Window.partitionBy("phase", "source").orderBy("h", "doc_id")
     return (
         b.select(
@@ -2655,14 +2583,7 @@ def _dsir_ratios(documents: DataFrame, n_buckets: int, target_lang: str):
     )
     grams = F.concat(F.col("_toks"), F.col("_bg"))
     bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(DSIR_BUCKET_SALT), F.col("g"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(n_buckets),
+        salted_md5_long(F.col("g"), DSIR_BUCKET_SALT), F.lit(n_buckets)
     ).alias("bucket")
     # materialize the doc-bucket aggregate once: the MODEL branch and
     # the scoring join both derive from it and Catalyst does not dedupe
@@ -2777,19 +2698,7 @@ def dsir_sample(
     from pyspark.sql import Window
 
     w = dsir_weights(documents, n_buckets, target_lang)
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(DSIR_GUMBEL_SALT), F.col("doc_id").cast("string")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = salted_md5_long(F.col("doc_id").cast("string"), DSIR_GUMBEL_SALT)
     u = (h + 1).cast("double") / F.lit(_U_DENOM)
     key = F.col("log_ratio") + (-F.log(-F.log(u)))
     topk = (

@@ -318,29 +318,17 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup collapse (r14): per transitive-closure
     cluster keep the BEST document — Gopher `keep` verdict first, then
     word count, doc_id as the final tie-break — instead of
-    dedup_clusters' min-id canonical.  The shape every production
-    dedup actually ships: when a page and its boilerplate-mangled
-    mirror collide, the clean long one survives.  One window over the
-    cluster key (single shuffle); the pair graph and CC are the
-    bucketed machinery dedup_clusters already grades."""
-    from pyspark.sql import Window
-
+    dedup_clusters' min-id canonical.  Thin wrapper over
+    ``operators.dedup.keep_best`` (library home since r15); the pair
+    graph and CC are the bucketed machinery dedup_clusters already
+    grades."""
     from vector_search_engine_spark.operators import graph as graph_ops
 
     docs = load_table(spark, sf_dir, "documents")
     clusters = graph_ops.dedup_clusters(
         docs, dedup_ops.ngram_jaccard_pairs(docs)
     )
-    q = txt_ops.quality_filter(docs).select("doc_id", "n_words", "keep")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("keep").desc(), F.col("n_words").desc(), F.col("doc_id")
-    )
-    return (
-        clusters.join(q, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "cluster_id", "cluster_size", "n_words", "keep")
-    )
+    return dedup_ops.keep_best(docs, clusters)
 
 
 @register(
