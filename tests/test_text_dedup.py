@@ -1511,3 +1511,60 @@ def test_containment_prefix_tier_on_planted_subset(spark):
     rows = dedup_ops.containment_pairs_prefix(df).collect()
     assert len(rows) == 1 and (rows[0].doc_a, rows[0].doc_b) == (1, 2)
     assert rows[0].cont_ab == 1.0
+
+
+def test_text_curation_pipeline_composition_contracts(spark, documents):
+    """r15 composed pipeline: the properties only the COMPOSITION can
+    violate — (a) every emitted doc is a keep-best SURVIVOR in the
+    train split (split-before-sample: no val/test doc is ever emitted,
+    and no two emitted docs share a near-dup cluster); (b) the
+    per-source token walk is a PREFIX (cum_tokens reproduces the
+    running sum under the stage's own salted order and never exceeds
+    the budget); (c) phases/ranks are the curriculum contract over the
+    kept set (ranks contiguous per (phase, source))."""
+    import collections
+
+    from vector_search_engine_spark.operators import graph as graph_ops
+    from vector_search_engine_spark.operators import text_ops
+
+    out = text_ops.text_curation_pipeline(documents).collect()
+    assert out, "pipeline emitted nothing"
+
+    # (a) survivor + split discipline
+    clusters = graph_ops.dedup_clusters(
+        documents, dedup_ops.ngram_jaccard_pairs(documents)
+    )
+    survivors = {
+        r.doc_id: r.cluster_id
+        for r in dedup_ops.keep_best(documents, clusters).collect()
+    }
+    split = {
+        r.doc_id: r.split
+        for r in text_ops.leakage_safe_split(documents, clusters).collect()
+    }
+    seen_clusters = set()
+    for r in out:
+        assert r.doc_id in survivors and survivors[r.doc_id] == r.cluster_id
+        assert split[r.doc_id] == "train"
+        assert r.cluster_id not in seen_clusters  # one survivor per cluster
+        seen_clusters.add(r.cluster_id)
+
+    # (b) budget prefix property per source
+    per_src = collections.defaultdict(list)
+    for r in out:
+        per_src[r.source].append(r)
+    for rs in per_src.values():
+        rs.sort(key=lambda r: r.cum_tokens)
+        running = 0
+        for r in rs:
+            running += r.n_tokens
+            assert r.cum_tokens == running
+            assert r.cum_tokens <= text_ops.TOKEN_BUDGET
+
+    # (c) curriculum contract
+    per_ps = collections.defaultdict(list)
+    for r in out:
+        assert 1 <= r.phase <= text_ops.QUALITY_N_BUCKETS
+        per_ps[(r.phase, r.source)].append(r.rank)
+    for ranks in per_ps.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

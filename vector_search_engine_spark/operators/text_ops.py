@@ -2552,6 +2552,170 @@ FROM k
 """
 
 
+def text_curation_pipeline(
+    documents: DataFrame,
+    budget: int = TOKEN_BUDGET,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """The engine's north-star workload composed END-TO-END (r15): the
+    full text-side curation chain a production LLM data pipeline runs
+    on a raw corpus, as ONE graded plan —
+
+        near-dup pairs (exact word-3-gram Jaccard, length-blocked)
+          → transitive-closure clusters (large/small-star CC)
+          → keep-best collapse (Gopher verdict, n_words, doc_id argmax)
+          → leakage-safe split on the CLUSTER key
+          → token-budget mixture sampling WITHIN the train split
+          → curriculum order (quality-tile phases, salted interleave)
+
+    Every stage is individually oracle-graded elsewhere
+    (``dedup_clusters`` / ``dedup_keep_best`` / ``corpus_split_leakage_safe``
+    / ``corpus_token_budget_sample`` / ``corpus_curriculum_order``);
+    this operator grades the COMPOSITION — stage ordering, survivor
+    handoff, and the split-before-sample discipline (sampling after
+    splitting keeps val/test untouched by the budget cut; a
+    sample-first pipeline silently changes eval composition whenever
+    the budget moves).  Quality phases are computed ON THE FINAL
+    TRAINING SET (the bigram LM is fit to what will actually be
+    trained on, the CCNet convention), so docs with no bigrams are
+    absent, as in ``curriculum_order``.
+
+    Output: one row per training-sequence document —
+    ``(doc_id, source, cluster_id, n_tokens, cum_tokens, phase,
+    rank)``; the training order is the composite key (phase ASC,
+    rank ASC, source ASC), deliberately emitted as SORT KEYS rather
+    than one global row_number (an unpartitioned window is the 100 TB
+    anti-pattern; materializing the physical order is one
+    ``repartitionByRange`` + sorted write).
+
+    Scale posture: the corpus is scanned once per stage family
+    (shingle pairs, quality stats, budget walk, curriculum LM) — the
+    stages are inherently multi-pass, but every pass is a full
+    map-side-combined aggregate or a bucketed join; the dedup pair
+    stage is the bucketed machinery ``dedup_clusters`` grades (no
+    all-pairs anywhere), CC checkpoints per round, and the handoff
+    frames between stages are id-keyed and tiny relative to the
+    corpus.  Reference anchor: the analog of the reference's single
+    end-to-end path (server.cpp:72-112) for the curation workload."""
+    from vector_search_engine_spark.operators import dedup as dedup_ops
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    pairs = dedup_ops.ngram_jaccard_pairs(documents)
+    clusters = graph_ops.dedup_clusters(documents, pairs)
+    survivors = dedup_ops.keep_best(documents, clusters)
+    split = leakage_safe_split(
+        survivors.select("doc_id"), survivors, train_pct, val_pct
+    )
+    train_ids = split.filter(F.col("split") == "train").select(
+        "doc_id", "cluster_id"
+    )
+    train_docs = documents.join(train_ids.select("doc_id"), "doc_id")
+    budgeted = token_budget_sample(train_docs, budget)
+    kept_docs = documents.join(budgeted.select("doc_id"), "doc_id")
+    order = curriculum_order(kept_docs)
+    return (
+        order.join(
+            budgeted.select("doc_id", "n_tokens", "cum_tokens"), "doc_id"
+        )
+        .join(train_ids, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "cluster_id",
+            "n_tokens",
+            "cum_tokens",
+            "phase",
+            "rank",
+        )
+    )
+
+
+def text_curation_oracle(clusters_oracle: str) -> str:
+    """DuckDB replay of the COMPOSED pipeline, doc-level: takes the
+    cluster-assignment statement (``graph.DEDUP_CLUSTERS_ORACLE`` — it
+    lives with the CC operator) and chains keep-best → cluster-keyed
+    split → per-source token-budget walk → curriculum phases/ranks
+    fit ON the final kept set, mirroring each stage's own oracle.  All
+    CTEs join on doc_id (stable keys — no row_number-over-nothing rid
+    hazard), so DuckDB's CTE inlining cannot mispair rows."""
+    return f"""
+WITH cl AS ({clusters_oracle}),
+qf AS ({QUALITY_FILTER_ORACLE.strip()}),
+kb AS (
+  SELECT doc_id, cluster_id FROM (
+    SELECT cl.doc_id, cl.cluster_id,
+           row_number() OVER (
+             PARTITION BY cl.cluster_id
+             ORDER BY qf.keep DESC, qf.n_words DESC, cl.doc_id
+           ) AS rn
+    FROM cl JOIN qf USING (doc_id)
+  ) WHERE rn = 1
+),
+tr AS (
+  SELECT d.doc_id, d.source, d.text, kb.cluster_id
+  FROM documents d JOIN kb USING (doc_id)
+  WHERE CAST(('0x' || substr(md5('{CLUSTER_SPLIT_SALT}'
+          || CAST(kb.cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 100 < 80
+),
+tbh AS (
+  SELECT source, doc_id, cluster_id,
+         CAST(('0x' || substr(md5('{SAMPLE_SALT}'
+             || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+         len({DD_TOKENS.format(t="text")})::BIGINT AS n_tokens
+  FROM tr
+),
+kept AS (
+  SELECT * FROM (
+    SELECT source, doc_id, cluster_id, n_tokens,
+           sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS cum_tokens
+    FROM tbh
+  ) WHERE cum_tokens <= {TOKEN_BUDGET}
+),
+kd AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN kept USING (doc_id)
+),
+ktok AS (SELECT doc_id, {DD_TOKENS.format(t="text")} AS t FROM kd),
+kbg AS (
+  SELECT doc_id, unnest({DD_SHINGLES2.format(t="t")}) AS bg FROM ktok
+),
+kc12 AS (SELECT bg, count(*)::DOUBLE AS c12 FROM kbg GROUP BY bg),
+kc1 AS (
+  SELECT string_split(bg, ' ')[1] AS w1, sum(c12) AS c1 FROM kc12 GROUP BY 1
+),
+kmodel AS (
+  SELECT kc12.bg, kc12.c12, kc1.c1
+  FROM kc12 JOIN kc1 ON string_split(kc12.bg, ' ')[1] = kc1.w1
+),
+ks AS (
+  SELECT doc_id, round(avg(ln(c1) - ln(c12)), 6) AS avg_neg_logprob
+  FROM kbg JOIN kmodel USING (bg)
+  GROUP BY doc_id
+),
+kph AS (
+  SELECT kd.doc_id, kd.source,
+         ntile({QUALITY_N_BUCKETS}) OVER (
+           PARTITION BY kd.source
+           ORDER BY ks.avg_neg_logprob ASC, kd.doc_id ASC
+         )::BIGINT AS phase,
+         CAST(('0x' || substr(md5('{CURRICULUM_SALT}'
+             || CAST(kd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM kd JOIN ks USING (doc_id)
+)
+SELECT kph.doc_id, kph.source, kept.cluster_id, kept.n_tokens,
+       kept.cum_tokens, kph.phase,
+       row_number() OVER (
+         PARTITION BY kph.phase, kph.source ORDER BY kph.h, kph.doc_id
+       ) AS "rank"
+FROM kph JOIN kept ON kph.doc_id = kept.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
 # ---------------------------------------------------------------------------

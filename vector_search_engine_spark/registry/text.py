@@ -331,6 +331,21 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.keep_best(docs, clusters)
 
 
+@register("pipeline_text_curation", oracle=None)  # oracle set below (graph CTE)
+def pipeline_text_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-side composed pipeline (r15): near-dup clusters →
+    keep-best collapse → leakage-safe cluster-keyed split →
+    token-budget sampling within train → curriculum order, as ONE
+    plan with a doc-level oracle.  Grades the COMPOSITION (stage
+    ordering, survivor handoff, split-before-sample) that the six
+    individually-graded stage rows cannot see.  Twin of
+    pipeline_embedding_curation for the documents table — the
+    engine's north-star workload end-to-end."""
+    return txt_ops.text_curation_pipeline(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 @register(
     "corpus_mixture_temperature", oracle=txt_ops.MIXTURE_TEMPERATURE_ORACLE
 )
@@ -365,6 +380,9 @@ j AS (
 )
 SELECT doc_id, cluster_id, cluster_size, n_words, keep FROM j WHERE rn = 1
 """
+    ORACLES["pipeline_text_curation"] = txt_ops.text_curation_oracle(
+        graph_ops.DEDUP_CLUSTERS_ORACLE
+    )
     ORACLES["pipeline_neardup_corpus"] = f"""
 WITH cl AS ({graph_ops.DEDUP_CLUSTERS_ORACLE}),
 stats AS ({txt_ops.DOC_STATS_ORACLE.strip()})
