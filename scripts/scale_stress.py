@@ -93,6 +93,14 @@ def main() -> None:
         _sift_merged_section(spark, results)
         print(json.dumps({"results": results}))
         return
+    if "--only-graphedge1m" in sys.argv:  # finding-40 section alone
+        _graph_edge_1m_section(spark, results)
+        print(json.dumps({"results": results}))
+        return
+    if "--only-mixedsf1" in sys.argv:  # finding-41 section alone
+        _mixed_rw_sf1_section(spark, results)
+        print(json.dumps({"results": results}))
+        return
     if "--only-blockskew" in sys.argv:  # finding-32 section alone
         _block_skew_section(spark, results)
         print(json.dumps({"results": results}))
@@ -1495,6 +1503,254 @@ def _exact_knn_graph_section(spark, results: dict) -> None:
         print(f"  exactknn_gates_{geo}: {results[f'exactknn_gates_{geo}']}",
               file=sys.stderr)
         emb.unpersist()
+
+
+def _mixed_rw_sf1_section(spark, results: dict) -> None:
+    """Finding 41 (r15, the r14 verdict's stretch task): the mixed
+    read/write serving bench at sf1 — 20k vectors, 10x the ONLY scale
+    the serving path has ever been measured at (bench sf0.1 = 2k).
+    Reuses ``bench._bench_mixed_rw`` VERBATIM (same phase structure,
+    same survivor-recall contract, same raw-lists export) on a
+    synthesized 10x corpus, so every aggregate is column-for-column
+    comparable with the committed BENCH_DETAILS.json history.  The
+    quantities only this rung can see: compaction cadence under the
+    auto hot-cell budget at 10x delta volume, sidecar (PQ/BQ/SQ8/graph)
+    rebuild walls over 10x cells rows, and whether search p50 scales
+    with corpus size (full-probe scan: expect ~10x) while insert
+    throughput holds.  Reference anchor: client_bench.cpp:39-49 — the
+    reference's only serving SLA shape."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import bench as bench_mod
+
+    n, dim, n_clusters = 20_000, 64, 16
+    rng = np.random.default_rng(41)
+    centers = rng.normal(0, 6.0, (n_clusters, dim))
+    idx = rng.integers(0, n_clusters, n)
+    W = (centers[idx] + rng.normal(0, 0.25, (n, dim))).astype(np.float32)
+
+    root = tempfile.mkdtemp(prefix="vse_mixed_sf1_")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(W), type=pa.list_(pa.float32())),
+            }
+        ),
+        f"{root}/embeddings.parquet",
+    )
+    t0 = time.time()
+    results["mixed_rw_sf1"] = bench_mod._bench_mixed_rw(spark, root)
+    results["total_wall_sec"] = round(time.time() - t0, 2)
+    results["n_vectors"] = n
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _graph_edge_1m_section(spark, results: dict) -> None:
+    """Finding 40 (r15): the graph-analytics EDGE BUILD at 1M — where
+    finding 30's 100k crossover claim earns trust.  Same clustered
+    geometry family as finding 30 (well-separated gaussian clusters,
+    the real-embedding regime where the triangle bound prunes), scaled:
+    64 clusters, 64 dims, corpus written as parquet chunks (the
+    finding-31 generator discipline).
+
+    Ladder:
+      * 300k: block cogroup (32x32) vs bounded tier, full edge-set
+        identity + external NumPy k-th-distance gate — the mid rung
+        that measures how the 100k 5x win compounds;
+      * 1M: bounded tier + NumPy gate on 100 sampled queries + an
+        8-iteration PageRank over the built 6M-edge graph (the
+        consumer the build exists for).  The 1M BLOCK build is
+        excluded BY MEASUREMENT, not assumption: the per-tile lexsort
+        + GEMM cost is N-squared (validated 100k -> 300k), putting the
+        1M wall at ~3 h on this box — the finding-31 kill discipline
+        (report the law and the measured points, don't burn the box
+        proving the asymptote).
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vector_search_engine_spark.operators import graph as graph_ops
+    from vector_search_engine_spark.operators.ivf import IVFIndex
+
+    K = 6
+    DIMG = 64
+    N_CLUSTERS = 64
+    rng = np.random.default_rng(40)
+    centers = rng.normal(0, 6.0, (N_CLUSTERS, DIMG))
+
+    root = tempfile.mkdtemp(prefix="vse_graphedge1m_")
+
+    def write_corpus(n: int, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        chunk = 100_000
+        for i, lo in enumerate(range(0, n, chunk)):
+            m = min(chunk, n - lo)
+            idx = rng.integers(0, N_CLUSTERS, m)
+            W = (centers[idx] + rng.normal(0, 0.25, (m, DIMG))).astype(
+                np.float32
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(
+                            np.arange(lo, lo + m, dtype=np.int64)
+                        ),
+                        "embedding": pa.array(
+                            list(W), type=pa.list_(pa.float32())
+                        ),
+                    }
+                ),
+                f"{path}/part-{i:03d}.parquet",
+            )
+
+    def numpy_gate(emb_df, got_block_or_bounded, n: int, n_sample: int = 100):
+        """External k-th-distance gate: NumPy brute force over the FULL
+        corpus (chunked) on sampled queries — the finding-28 discipline
+        (an oracle outside the engine)."""
+        sample = rng.choice(n, n_sample, replace=False).astype(np.int64)
+        rows = emb_df.filter(
+            F.col("vec_id").isin([int(s) for s in sample])
+        ).collect()
+        qv = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+              for r in rows}
+        got_kth = {
+            r["qid"]: r["dist_sq"]
+            for r in got_block_or_bounded.filter(F.col("rank") == K)
+            .filter(F.col("qid").isin([int(s) for s in sample]))
+            .collect()
+        }
+        # chunked brute force: kth over the whole corpus per sample
+        best = {int(s): np.full(K, np.inf) for s in sample}
+        it = emb_df.select("vec_id", "embedding").toLocalIterator(True)
+        buf_ids, buf_vecs = [], []
+
+        def flush():
+            if not buf_ids:
+                return
+            V = np.stack(buf_vecs).astype(np.float64)
+            # self stays in: rank 1 is (d=0, self), as in finding 30
+            for s, q in qv.items():
+                d = ((V - q) ** 2).sum(axis=1)
+                merged = np.sort(np.concatenate([best[int(s)], d]))[:K]
+                best[int(s)] = merged
+            buf_ids.clear()
+            buf_vecs.clear()
+
+        for r in it:
+            buf_ids.append(r["vec_id"])
+            buf_vecs.append(r["embedding"])
+            if len(buf_ids) >= 100_000:
+                flush()
+        flush()
+        return all(
+            abs(got_kth[int(s)] - float(best[int(s)][K - 1])) <= 1e-6 * (1 + best[int(s)][K - 1])
+            for s in sample
+        )
+
+    holder: dict = {}
+
+    # --- 300k rung: block vs bounded, identity + gate ---
+    # (VSE_GRAPHEDGE_NS="20000,50000" shrinks both rungs for smoke runs)
+    ns_env = os.environ.get("VSE_GRAPHEDGE_NS")
+    n3, n1m_override = (
+        (int(ns_env.split(",")[0]), int(ns_env.split(",")[1]))
+        if ns_env
+        else (300_000, 1_000_000)
+    )
+    p3 = f"{root}/c300k.parquet"
+    t0 = time.time()
+    write_corpus(n3, p3)
+    results["gen_300k_sec"] = round(time.time() - t0, 2)
+    emb3 = spark.read.parquet(p3)
+    q3 = emb3.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+    )
+
+    def block3():
+        out = knn_ops.knn_exact_distributed(
+            emb3, q3, k=K, q_blocks=32, v_blocks=32, round_output=False
+        )
+        holder["block3"] = out.localCheckpoint(eager=True)
+        return holder["block3"].count()
+
+    timed(results, "graphedge_block_300k", block3)
+
+    def build3():
+        holder["idx3"] = IVFIndex.build(emb3, f"{root}/idx300k")
+        return int(holder["idx3"].meta["n_centroids"])
+
+    timed(results, "graphedge_ivf_build_300k", build3)
+
+    def bounded3():
+        out = holder["idx3"].search_exact_bounded_distributed(
+            q3, k=K, nprobe_seed=4, round_output=False
+        )
+        holder["bounded3"] = out.localCheckpoint(eager=True)
+        return holder["bounded3"].count()
+
+    timed(results, "graphedge_bounded_300k", bounded3)
+
+    def edge_view(df):
+        return df.select(
+            "qid", "neighbor_id", F.round("dist_sq", 6).alias("d")
+        )
+
+    a, b = edge_view(holder["block3"]), edge_view(holder["bounded3"])
+    mism = a.exceptAll(b).count() + b.exceptAll(a).count()
+    results["gates_300k"] = {
+        "block_vs_bounded_mismatches": int(mism),
+        "numpy_kth_exact": bool(numpy_gate(emb3, holder["bounded3"], n3)),
+        "n_cells": int(holder["idx3"].meta["n_centroids"]),
+    }
+    print(f"  gates_300k: {results['gates_300k']}", file=sys.stderr)
+
+    # --- 1M rung: bounded only (block excluded by the measured N² law) ---
+    n1m = n1m_override
+    p1m = f"{root}/c1m.parquet"
+    t0 = time.time()
+    write_corpus(n1m, p1m)
+    results["gen_1m_sec"] = round(time.time() - t0, 2)
+    emb1m = spark.read.parquet(p1m)
+    q1m = emb1m.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("query")
+    )
+
+    def build1m():
+        holder["idx1m"] = IVFIndex.build(emb1m, f"{root}/idx1m")
+        return int(holder["idx1m"].meta["n_centroids"])
+
+    timed(results, "graphedge_ivf_build_1m", build1m)
+
+    def bounded1m():
+        out = holder["idx1m"].search_exact_bounded_distributed(
+            q1m, k=K, nprobe_seed=4, round_output=False
+        )
+        holder["bounded1m"] = out.localCheckpoint(eager=True)
+        return holder["bounded1m"].count()
+
+    timed(results, "graphedge_bounded_1m", bounded1m)
+    results["gates_1m"] = {
+        "numpy_kth_exact": bool(numpy_gate(emb1m, holder["bounded1m"], n1m)),
+        "n_cells": int(holder["idx1m"].meta["n_centroids"]),
+    }
+    print(f"  gates_1m: {results['gates_1m']}", file=sys.stderr)
+
+    # the consumer: 8-iteration PageRank over the 6M-edge mutual graph
+    def pr1m():
+        edges = holder["bounded1m"].select(
+            F.col("qid").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        pr = graph_ops.pagerank(edges, iterations=8)
+        return pr.count()
+
+    timed(results, "graphedge_pagerank_1m", pr1m)
+    shutil.rmtree(root, ignore_errors=True)
 
 
 def _sift_merged_section(spark, results: dict) -> None:

@@ -79,129 +79,86 @@ from vector_search_engine_spark.registry import analytics  # noqa: E402,F401
 # events_range_join, events_sessionize — families multiply covered in r1/r2)
 # made room for the 7 oracle-backed queries that had never been graded.
 _GRADE_FIRST: list[str] = [
-    # r14 window — two principles, per the r13 verdict's task 6:
-    #   (1) this round's touched rows go straight in (standing policy):
-    #       the two NEW oracle rows (knn_sq8_rescore_exhaustive — the
-    #       lossless unbounded-C end of the SQ8 ladder;
-    #       dedup_minhash_lsh_portable — the salted-md5 family whose
-    #       banding/verify pipeline DuckDB replays end-to-end), the
-    #       CONVERTED row (corpus_source_overlap_minhash: rows-only →
-    #       oracle via the salted-md5 bottom-k), the two bulk merged
-    #       rows that gained the 50-id upsert trap
-    #       (streaming_search_distributed / _sq8_), the kcenter row
-    #       (F.round discipline), and the two block-cogroup consumers of
-    #       the new structural key helper (knn_radius_pairs,
-    #       knn_exact_distributed — the finding-28 machinery).
-    #   (2) every remaining slot goes MAX-STALENESS-FIRST: all 198
-    #       registry rows now have ≥1 driver grade (r13 milestone), so
-    #       the honest window is the one re-grading what has gone
-    #       longest unwatched — the age-1 block (last graded in
-    #       CORRECTNESS_r1), then age-2, then age-5/6.  Every r13-window
-    #       row rotated out carries an r13 green and stays sweep- and
-    #       pytest-gated (ORACLE_SWEEP artifacts grade the full registry
-    #       at HEAD each round).
-    # The r6–r13 per-round rotation ledgers that used to live here are
-    # in git history (registry/__init__.py as of tag/commit b7f9882).
+    # r15 window — same two principles as r14 (standing policy):
+    #   (1) rows this round TOUCHED go straight in: the new composed
+    #       pipeline row; the GEMM-dispatch / rounding / oracle-rid /
+    #       checkpoint fixes; and every consumer of the consolidated
+    #       salted-md5 hash family (functions/hashing.py) — a helper
+    #       migration is exactly the class of change the window exists
+    #       to catch.
+    #   (2) every remaining slot goes MAX-STALENESS-FIRST among
+    #       oracle-backed rows (ages computed from CORRECTNESS_r1-r14):
+    #       the five never-graded rows first (incl. the judge-requested
+    #       knn_exact_ivf_bounded and dedup_containment_ppjoin, and
+    #       embeddings_whitened_rank — rows-only by nature but never
+    #       once driver-run), then the age-1/2/5/6/7 blocks.  The four
+    #       r14-window rows-only diagnostics (ann_ivf_probe,
+    #       dedup_embedding_lsh, dedup_minhash_lsh, multimodal_features)
+    #       rotate out per the r14 verdict; rows-only-by-nature rows
+    #       with a prior grade (ann_ivf_recall_curve, knn_sq8_rescore,
+    #       ann_lsh_search, ivf_index_stats, dedup_simhash) stay in the
+    #       tail — the sweep and pytest grade them at HEAD each round.
+    # The r6-r14 rotation ledgers live in git history.
     #
-    # --- r14-touched rows ---
-    "knn_sq8_rescore_exhaustive",
-    "knn_bq_rescore_exhaustive",
-    "dedup_minhash_lsh_portable",
-    "corpus_source_overlap_minhash",
-    "streaming_search_distributed",
-    "streaming_search_sq8_distributed",
-    "streaming_search_cascade_distributed",
-    "embeddings_kcenter_coreset",
-    "knn_radius_pairs",
-    "knn_exact_distributed",
-    # --- r14 NEW rows (first driver grade) ---
-    "dedup_keep_best",
-    "corpus_token_budget_sample",
-    "embeddings_knn_hubness",
-    "embeddings_mutual_knn",
-    "ann_lsh_portable",
-    "embeddings_intrinsic_dim",
-    # --- r14 NEW rows, late wave (first driver grade; five r5/r6-block
-    # rows yielded their slots — corpus_train_val_split,
-    # dedup_ngram_jaccard_ppjoin (oracle-identical twin of the r7-green
-    # dedup_ngram_jaccard), jsonl_roundtrip, pipeline_clean_corpus
-    # (family now represented by the STRONGER doc-level
-    # pipeline_embedding_curation below), corpus_pack_sequences — all
-    # carry prior greens + sweep/pytest) ---
-    "embeddings_hard_negatives",
-    "embeddings_anisotropy",
-    "embeddings_class_scatter",
-    "corpus_zipf_fit",
-    "doc_quality_buckets",
-    "pipeline_embedding_curation",
-    # --- r14 CONVERTED row (greedy MMR walk now oracle-replayable via
-    # the unrolled-CTE chain; events_range_join — an r3-designated
-    # redundant twin with an r2 green — yielded its slot) ---
-    "hybrid_search_mmr",
-    # --- r14 NEW row (portable family member 3; events_sessionize —
-    # the remaining r3-designated redundant twin, r2 green — yields) ---
-    "dedup_embedding_lsh_portable",
-    # --- r14 NEW rows, third wave (first driver grade): DSIR importance
-    # weights + Gumbel-top-k resampling (Xie et al. 2023), asymmetric
-    # containment dedup, Davies–Bouldin cluster quality.  Four slots
-    # yielded from the r1-staleness block below by rows whose FAMILY
-    # keeps window representation (events keeps asof_pandas / cohort /
-    # user_funnel; orders_rollup stands for the rollup/cube twin pair);
-    # every yielded row keeps its r1 green + the full-registry sweep. ---
+    # --- never driver-graded (age 0) ---
+    "pipeline_text_curation",
+    "knn_exact_ivf_bounded",
+    "dedup_containment_ppjoin",
+    "ann_ivf_cogroup_scan_distributed",
+    "embeddings_whitened_rank",
+    # --- r15-touched: dispatch/rounding/oracle fixes ---
+    "doc_tfidf_knn",
+    "embeddings_cluster_quality",
+    "streaming_effective_rank",
     "corpus_dsir_weights",
     "corpus_dsir_sample",
-    "dedup_containment",
-    "embeddings_cluster_quality",
-    # (+ the participation-ratio effective rank; ann_ivf_recall_curve —
-    # ann family multiply covered in this window — yields its slot)
-    "embeddings_effective_rank",
-    # (+ the simhash-family CONVERSION: the md5 signature table is now
-    # oracle-replayable end-to-end — ivf_index_stats, a rows-only
-    # diagnostic whose ivf family is multiply green in-window, yields)
-    "dedup_simhash_signatures",
-    # (+ the curriculum-order emission row; knn_sq8_rescore — a
-    # rows-only bounded-C tier whose lossless exhaustive twin is
-    # oracle-graded at the top of this window — yields)
+    "dedup_keep_best",
+    # --- r15-touched: salted-md5 family consumers (helper migration) ---
+    "corpus_token_budget_sample",
     "corpus_curriculum_order",
-    # (+ the per-label effective rank; ann_lsh_search — rows-only, its
-    # lsh family represented in-window by ann_lsh_portable — yields)
-    "embeddings_effective_rank_by_label",
-    # (+ the visible-set rank row: the new engine.visible_vectors
-    # snapshot-export surface graded through the covariance consumer
-    # with all three visibility hazards planted; dedup_simhash —
-    # rows-only, its signature foundation now oracle-graded in this
-    # window — yields)
-    "streaming_effective_rank",
-    # (+ the text-to-vector bridge's retrieval consumer;
-    # events_asof_attribution_pandas — the cogroup twin of the
-    # multiply-green events_asof_attribution — yields)
-    "doc_tfidf_knn",
-    # --- max staleness: last graded r1 ---
-    "knn_exact_l2_sql",
-    "ann_ivf_radius",
-    "ann_ivf_probe",
-    "brand_distinct_suppliers",
-    "doc_fingerprints",
-    "doc_token_counts",
-    "events_cohort_retention",
-    "events_user_funnel",
-    "orderdate_functions",
-    "orders_rollup",
-    "quantity_quantiles",
-    "sql_revenue_by_nation",
-    "window_function_zoo",
+    "corpus_split_leakage_safe",
+    "dedup_minhash_lsh_portable",
+    "corpus_source_overlap_minhash",
+    "corpus_mixture_sample",
+    "corpus_mixture_sample_weighted",
+    "corpus_capped_sample",
+    "corpus_weighted_sample_es",
+    "doc_tfidf_vectors",
+    # --- judge-requested return (yielded its slot in r14) ---
+    "corpus_pack_sequences",
+    # --- staleness: last graded r1 ---
+    "orders_cube",
+    "events_hourly_gapfill",
+    "events_daily_pivot",
+    "events_sliding_window",
+    "events_asof_attribution_pandas",
     # --- last graded r2 ---
-    # (knn_grouped_by_label and events_sessionize — the r3-designated
-    # redundant twins — yielded their slots to embeddings_class_scatter /
-    # dedup_embedding_lsh_portable above; r2 greens + sweep)
-    "dedup_embedding_lsh",
-    "dedup_minhash_lsh",
-    "multimodal_features",
-    # (the former r5/r6 staleness block — corpus_train_val_split,
-    # dedup_ngram_jaccard_ppjoin, jsonl_roundtrip, pipeline_clean_corpus,
-    # corpus_pack_sequences — yielded its five slots to the late-wave
-    # r14 rows above; every yielded row keeps its prior green and stays
-    # graded by the full-registry sweep at HEAD each round)
+    "knn_grouped_by_label",
+    "events_sessionize",
+    "events_range_join",
+    # --- last graded r5 ---
+    "knn_filtered",
+    "jsonl_roundtrip",
+    "events_hourly_stats",
+    "pipeline_clean_corpus",
+    "dedup_ngram_jaccard_ppjoin",
+    "corpus_train_val_split",
+    # --- last graded r6 ---
+    "knn_radius_search",
+    "knn_exact_cosine",
+    "knn_self_similarity_pairs",
+    "knn_pq_adc",
+    "events_json_stats",
+    "streaming_compacted_search",
+    # --- last graded r7 (family-spread pick of 8 from the 13) ---
+    "vector_norms",
+    "bvecs_roundtrip",
+    "ann_ivf_sq8",
+    "ann_ivf_cosine",
+    "tpch_top_unshipped_orders",
+    "doc_stats",
+    "dedup_clusters",
+    "streaming_upsert_search",
 ]
 
 
