@@ -104,6 +104,12 @@ BENCH_QUERIES = [
     "corpus_dsir_sample",
     "dedup_containment",
     "embeddings_effective_rank",
+    # r15: the composed text-side curation pipeline — dedup CC ∘
+    # keep-best ∘ cluster-keyed split ∘ token-budget sample ∘ curriculum
+    # order in ONE plan (the north-star workload end-to-end; the CC pair
+    # stage is the same machinery corpus_split_leakage_safe already
+    # times, so the delta over that row is the composition's own cost)
+    "pipeline_text_curation",
 ]
 
 
