@@ -340,7 +340,14 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortizes one GEMM per (qblock, vblock) tile).  At serving scale
     with a clustered geometry the build routes through
     ``IVFIndex.search_exact_bounded_distributed`` (lossless seed+verify
-    prune — SCALING r14 finding 30); identical output contract, same oracle."""
+    prune); identical output contract, same oracle — proven
+    edge-set-identical at 300k and NumPy-gated at 1M (SCALING findings
+    30/40: bounded wins 4.9× at 100k, 15.8× at 300k, builds the full
+    6M-edge exact graph at 1M in 364 s where the block form's
+    two-point-measured N² law sits at ~3.9 h).  The block form stays
+    the BENCH-sf default: at 2k vectors its whole wall (0.47 s) is
+    under the bounded tier's IVF build alone (~2 s); crossover is in
+    the tens-of-thousands on clustered corpora."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
