@@ -13,8 +13,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vector_search_engine_spark.functions.hashing import (
-    U_DENOM as _U_DENOM,
     salted_md5_long,
+    salted_md5_unit,
 )
 from vector_search_engine_spark.functions.text import (
     DD_NORMALIZED,
@@ -357,7 +357,6 @@ FROM r WHERE cum_tokens <= {TOKEN_BUDGET}
 
 WEIGHTED_SAMPLE_SALT = "vse-wsample:"
 WEIGHTED_SAMPLE_K = 50
-# _U_DENOM (2^60 → uniform u ∈ (0, 1]) now lives in functions.hashing
 
 
 def weighted_sample_es(
@@ -383,9 +382,9 @@ def weighted_sample_es(
     shuffle; the final rank window runs over k rows."""
     from pyspark.sql import Window
 
-    h = salted_md5_long(F.col("doc_id").cast("string"), WEIGHTED_SAMPLE_SALT)
+    u = salted_md5_unit(F.col("doc_id").cast("string"), WEIGHTED_SAMPLE_SALT)
     w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
-    key = F.log((h + 1).cast("double") / F.lit(_U_DENOM)) / w
+    key = F.log(u) / w
     topk = (
         documents.select(
             "doc_id",
@@ -2862,8 +2861,7 @@ def dsir_sample(
     from pyspark.sql import Window
 
     w = dsir_weights(documents, n_buckets, target_lang)
-    h = salted_md5_long(F.col("doc_id").cast("string"), DSIR_GUMBEL_SALT)
-    u = (h + 1).cast("double") / F.lit(_U_DENOM)
+    u = salted_md5_unit(F.col("doc_id").cast("string"), DSIR_GUMBEL_SALT)
     key = F.col("log_ratio") + (-F.log(-F.log(u)))
     topk = (
         w.withColumn("key", key)
