@@ -664,29 +664,17 @@ def test_dsir_single_corpus_scan_broadcast_ratio_join(spark, sf_dir):
     plan = _executed_plan(df)
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final
-    # the gram explode exists exactly ONCE — inside the cached
-    # doc_bucket InMemoryRelation's defining plan — and both consumers
-    # (model aggregation, scoring join) read the cache, not the corpus
+    # r15: the doc-bucket aggregate is pinned with an EAGER
+    # localCheckpoint (ContextCleaner-tracked, unlike the r14 .cache()
+    # the advisor flagged as never-unpersisted), so the single
+    # corpus-scan+explode happened in the checkpoint's own job and the
+    # weight plan derives every branch from the checkpoint RDD: the
+    # executed plan must contain NO corpus FileScan and NO gram explode
+    # at all — a model branch bypassing the pin would re-introduce both.
+    assert "Scan ExistingRDD" in final, final
+    assert "FileScan parquet" not in plan
+    assert "Generate explode" not in plan
     assert "posexplode" not in final.lower()
-    # the gram explode exists exactly ONCE structurally: the plan
-    # printer echoes the cached InMemoryRelation's defining plan at
-    # every InMemoryTableScan, so raw counts over the text double-count
-    # the SAME explode (same expression ids).  A model branch bypassing
-    # the pin would introduce a second explode with FRESH expression
-    # ids — assert the distinct-line set instead.
-    explode_lines = {
-        ln[ln.index("Generate") :]  # normalize codegen-stage prefixes
-        for ln in plan.splitlines()
-        if "Generate explode" in ln
-    }
-    assert len(explode_lines) == 1, explode_lines
-    scan_lines = {
-        ln[ln.index("FileScan") :]
-        for ln in plan.splitlines()
-        if "FileScan parquet" in ln
-    }
-    assert len(scan_lines) == 1, scan_lines
-    assert "InMemoryTableScan" in final or "TableCacheQueryStage" in final
     # the only bucket-keyed exchanges allowed are the MODEL aggregates
     # (map-side partial HashAggregate first, B-row output); the scoring
     # join itself must not shuffle the doc-bucket side — with the join
