@@ -206,3 +206,42 @@ def test_bq_centering_rescues_nonnegative_data(spark):
     for r in codes:
         bits = np.unpackbits(np.frombuffer(r.code, dtype=np.uint8))[:32]
         assert bits.all()
+
+
+def test_sign_tier_default_budget_warns_on_big_cells(spark):
+    """Finding 41 guard (r15): when the default stage-1 budget (8*k) is
+    below the average cell population, search_bq/search_cascade warn
+    that sign codes may not order within-cluster candidates; an
+    explicit candidates_per_cell silences it.  Zero-job heuristic —
+    build-time meta only."""
+    import tempfile
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+
+    from vector_search_engine_spark.operators.ivf import IVFIndex
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(0, 1, (2000, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(2000, dtype=np.int64), "embedding": list(V)}
+        )
+    )
+    idx = IVFIndex.build(
+        emb, tempfile.mkdtemp(prefix="vse_bqwarn_") + "/i", n_centroids=2
+    )  # avg cell 1000 >> 8*k
+    q = emb.limit(2).select(
+        emb.vec_id.alias("qid"), emb.embedding.alias("query")
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        idx.search_bq(q, k=10, nprobe=2).count()
+        assert any("finding 41" in str(x.message) for x in w)
+        w.clear()
+        idx.search_cascade(q, k=10, nprobe=2).count()
+        assert any("finding 41" in str(x.message) for x in w)
+        w.clear()
+        idx.search_bq(q, k=10, nprobe=2, candidates_per_cell=1500).count()
+        assert not any("finding 41" in str(x.message) for x in w)

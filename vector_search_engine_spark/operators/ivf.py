@@ -2242,6 +2242,8 @@ class IVFIndex:
         vec_col = self.meta["vec_col"]
         dim = self.meta["dim"]
         spark = self.spark
+        if candidates_per_cell is None:
+            self._warn_default_sign_budget(k, "search_cascade")
         C = candidates_per_cell or 8 * k
         snap = (
             self.manifest_at(snapshot)
@@ -2771,6 +2773,32 @@ class IVFIndex:
             os.rename(tmp, tpath)
         return bq_dir
 
+    def _warn_default_sign_budget(self, k: int, tier: str) -> None:
+        """Finding 41 guard: on tightly-clustered corpora the 1-bit
+        asymmetric score stops ordering WITHIN a cluster, so when the
+        default stage-1 budget (8·k) is far below the average cell
+        population the survivor set is effectively arbitrary and recall
+        collapses (measured: 0.33 at default vs 1.000 at
+        candidates_per_cell ≈ cell size on a 16-cluster 20k corpus —
+        SCALING.md finding 41).  Zero-job heuristic from build-time
+        meta; passing candidates_per_cell explicitly silences it."""
+        avg_cell = self.meta.get("n_vectors", 0) / max(
+            1, int(self.meta["n_centroids"])
+        )
+        if 8 * k < avg_cell:
+            import warnings
+
+            warnings.warn(
+                f"{tier}: default stage-1 candidate budget (8*k={8 * k}) "
+                f"is below the average cell population (~{avg_cell:.0f}); "
+                "on clustered corpora 1-bit sign codes cannot order "
+                "within-cluster candidates and recall may collapse "
+                "(SCALING.md finding 41). Pass candidates_per_cell >= "
+                "the expected cell population, or use the sq8/pq tiers.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
     def search_bq(
         self,
         queries: DataFrame,
@@ -2801,6 +2829,8 @@ class IVFIndex:
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         spark = self.spark
+        if candidates_per_cell is None:
+            self._warn_default_sign_budget(k, "search_bq")
         C = candidates_per_cell or 8 * k
         qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
         if len(qids) == 0:
@@ -2961,6 +2991,8 @@ class IVFIndex:
         vec_col = self.meta["vec_col"]
         dim = self.meta["dim"]
         spark = self.spark
+        if candidates_per_cell is None:
+            self._warn_default_sign_budget(k, "search_cascade")
         C = candidates_per_cell or 8 * k
         qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
         if len(qids) == 0:
