@@ -101,6 +101,10 @@ def main() -> None:
         _mixed_rw_sf1_section(spark, results)
         print(json.dumps({"results": results}))
         return
+    if "--only-pipeline100k" in sys.argv:  # finding-42 section alone
+        _pipeline_scale_section(spark, results)
+        print(json.dumps({"results": results}))
+        return
     if "--only-blockskew" in sys.argv:  # finding-32 section alone
         _block_skew_section(spark, results)
         print(json.dumps({"results": results}))
@@ -1503,6 +1507,76 @@ def _exact_knn_graph_section(spark, results: dict) -> None:
         print(f"  exactknn_gates_{geo}: {results[f'exactknn_gates_{geo}']}",
               file=sys.stderr)
         emb.unpersist()
+
+
+def _pipeline_scale_section(spark, results: dict) -> None:
+    """Finding 42 (r15): the composed text-curation pipeline at 100k
+    docs — the r14 verdict's done-criterion for the composition row.
+    Same fanned corpus as findings 35/39 (sf0.1 × 20 near-identical
+    variants, lang/source preserved — a worst-case dense-duplicate
+    corpus: every base doc becomes a 20-variant near-dup cluster), so
+    the dedup/keep-best stages do REAL work: ~95% of the corpus must
+    collapse before the split/budget/curriculum stages run.
+
+    Pins: end-to-end wall at 100k; stage accounting (survivor count ≈
+    n_docs/20, emitted ⊆ train split, per-source budget ceiling) — the
+    composition invariants from the pytest, re-checked at 200× fixture
+    scale on driver-collected AGGREGATES only (counts and maxes, never
+    rows)."""
+    base = load_table(spark, SF_DIR, "documents")
+    fan = 20
+    docs = (
+        base.crossJoin(spark.range(fan).select(F.col("id").alias("_v")))
+        .select(
+            (F.col("doc_id") * fan + F.col("_v")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" variant"), F.col("_v")).alias(
+                "text"
+            ),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    tmp = tempfile.mkdtemp(prefix="pipescale-")
+    path = os.path.join(tmp, "documents.parquet")
+    docs.coalesce(8).write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path).cache()
+    n_docs = big.count()
+    results["corpus"] = {"n_docs": n_docs}
+
+    out_holder: dict = {}
+
+    def run():
+        out = txt_ops.text_curation_pipeline(big).localCheckpoint(eager=True)
+        out_holder["out"] = out
+        return out.count()
+
+    timed(results, "pipeline_100k", run)
+    out = out_holder["out"]
+    # stage accounting, aggregates only
+    agg = out.agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count("*").alias("n_rows"),
+        F.max("cum_tokens").alias("max_cum"),
+    ).collect()[0]
+    budget_ok = int(agg["max_cum"]) <= txt_ops.TOKEN_BUDGET
+    one_per_cluster = int(agg["n_clusters"]) == int(agg["n_rows"])
+    # the 20-variant fan must collapse: survivors before split/budget
+    from vector_search_engine_spark.operators import dedup as dedup_ops
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    clusters = graph_ops.dedup_clusters(
+        big, dedup_ops.ngram_jaccard_pairs(big)
+    )
+    n_survivors = dedup_ops.keep_best(big, clusters).count()
+    results["gates"] = {
+        "emitted_rows": int(agg["n_rows"]),
+        "one_per_cluster": bool(one_per_cluster),
+        "budget_ceiling_ok": bool(budget_ok),
+        "keepbest_survivors": int(n_survivors),
+        "collapse_ratio": round(n_docs / max(1, n_survivors), 2),
+    }
+    print(f"  gates: {results['gates']}", file=sys.stderr)
 
 
 def _mixed_rw_sf1_section(spark, results: dict) -> None:
