@@ -419,6 +419,48 @@ def _bench_ivf_build(spark, sf_dir: str):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _bench_mixed_rw_sf1(spark) -> dict:
+    """The finding-41 sf1 serving rung as a first-class bench mode (r15
+    verdict task 9): ``_bench_mixed_rw`` VERBATIM on a synthesized
+    20k × 64d 16-cluster corpus — 10× bench sf0.1 and the clustered
+    geometry that exposed the sign-tier stage-1 budget collapse.  Same
+    JSON schema as ``mixed_rw`` (it IS the same function on a bigger
+    corpus), so every aggregate stays column-for-column comparable with
+    the BENCH_DETAILS.json history.  Run via ``bench.py --mixed-sf1``."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n, dim, n_clusters = 20_000, 64, 16
+    rng = np.random.default_rng(41)
+    centers = rng.normal(0, 6.0, (n_clusters, dim))
+    which = rng.integers(0, n_clusters, n)
+    W = (centers[which] + rng.normal(0, 0.25, (n, dim))).astype(np.float32)
+    root = tempfile.mkdtemp(prefix="vse_mixed_sf1_")
+    try:
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "embedding": pa.array(
+                        list(W), type=pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            f"{root}/embeddings.parquet",
+        )
+        t0 = time.time()
+        res = _bench_mixed_rw(spark, root)
+        res["total_wall_sec"] = round(time.time() - t0, 2)
+        res["n_vectors"] = n
+        return res
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -428,6 +470,26 @@ def main() -> None:
     from vector_search_engine_spark.session import get_spark
 
     spark = get_spark("vse-bench")
+
+    # --mixed-sf1: run ONLY the finding-41 sf1 serving rung and write
+    # the artifact from json.dump (r15 verdict task 4: rung JSONs must
+    # be machine-readable — tee'd stdout interleaves JVM GC warnings).
+    if "--mixed-sf1" in sys.argv:
+        res = _bench_mixed_rw_sf1(spark)
+        out = {
+            "metric": "mixed_rw_sf1_wall",
+            "value": res.get("total_wall_sec"),
+            "unit": "sec",
+            "results": {"mixed_rw_sf1": res},
+            "sf": 1.0,
+        }
+        out_path = "MIXED_RW_SF1.json"
+        if "--out" in sys.argv:
+            out_path = sys.argv[sys.argv.index("--out") + 1]
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out, separators=(",", ":")))
+        return
 
     # Warm the JVM/Arrow paths so per-query numbers measure the engine,
     # not classloading (reference benches also exclude setup), and warm the

@@ -1593,34 +1593,15 @@ def _mixed_rw_sf1_section(spark, results: dict) -> None:
     with corpus size (full-probe scan: expect ~10x) while insert
     throughput holds.  Reference anchor: client_bench.cpp:39-49 — the
     reference's only serving SLA shape."""
-    import shutil
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     import bench as bench_mod
 
-    n, dim, n_clusters = 20_000, 64, 16
-    rng = np.random.default_rng(41)
-    centers = rng.normal(0, 6.0, (n_clusters, dim))
-    idx = rng.integers(0, n_clusters, n)
-    W = (centers[idx] + rng.normal(0, 0.25, (n, dim))).astype(np.float32)
-
-    root = tempfile.mkdtemp(prefix="vse_mixed_sf1_")
-    pq.write_table(
-        pa.table(
-            {
-                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
-                "embedding": pa.array(list(W), type=pa.list_(pa.float32())),
-            }
-        ),
-        f"{root}/embeddings.parquet",
-    )
-    t0 = time.time()
-    results["mixed_rw_sf1"] = bench_mod._bench_mixed_rw(spark, root)
-    results["total_wall_sec"] = round(time.time() - t0, 2)
-    results["n_vectors"] = n
-    shutil.rmtree(root, ignore_errors=True)
+    # r16: the rung is a first-class bench mode now (bench.py
+    # --mixed-sf1); this section delegates so there is ONE definition
+    # of the corpus geometry and phase structure.
+    res = bench_mod._bench_mixed_rw_sf1(spark)
+    results["mixed_rw_sf1"] = res
+    results["total_wall_sec"] = res.get("total_wall_sec")
+    results["n_vectors"] = res.get("n_vectors")
 
 
 def _graph_edge_1m_section(spark, results: dict) -> None:

@@ -208,40 +208,108 @@ def test_bq_centering_rescues_nonnegative_data(spark):
         assert bits.all()
 
 
-def test_sign_tier_default_budget_warns_on_big_cells(spark):
-    """Finding 41 guard (r15): when the default stage-1 budget (8*k) is
-    below the average cell population, search_bq/search_cascade warn
-    that sign codes may not order within-cluster candidates; an
-    explicit candidates_per_cell silences it.  Zero-job heuristic —
-    build-time meta only."""
-    import tempfile
-    import warnings
-
+def _skewed_clustered_index(spark, tmpdir, n_hot=1800, n_cold=200, d=8):
+    """Two far-apart gaussian clusters with a 9:1 population skew →
+    kmeans(2) lands one HOT cell far above the average cell size."""
     import numpy as np
     import pandas as pd
 
     from vector_search_engine_spark.operators.ivf import IVFIndex
 
     rng = np.random.default_rng(3)
-    V = rng.normal(0, 1, (2000, 8)).astype(np.float32)
+    hot = rng.normal(0, 0.2, (n_hot, d)) + 5.0
+    cold = rng.normal(0, 0.2, (n_cold, d)) - 5.0
+    V = np.vstack([hot, cold]).astype(np.float32)
     emb = spark.createDataFrame(
         pd.DataFrame(
-            {"vec_id": np.arange(2000, dtype=np.int64), "embedding": list(V)}
+            {
+                "vec_id": np.arange(len(V), dtype=np.int64),
+                "embedding": list(V),
+            }
         )
     )
-    idx = IVFIndex.build(
-        emb, tempfile.mkdtemp(prefix="vse_bqwarn_") + "/i", n_centroids=2
-    )  # avg cell 1000 >> 8*k
-    q = emb.limit(2).select(
+    idx = IVFIndex.build(emb, tmpdir + "/i", n_centroids=2)
+    return idx, emb
+
+
+def test_sign_tier_auto_budget_derives_from_actual_cell_sizes(spark, tmp_path):
+    """Finding 41 fix (r16): with candidates_per_cell unset, the stage-1
+    budget auto-derives PER PROBED CELL from that cell's ACTUAL
+    population (manifest footer counts) — not 8·k, not the average.  On
+    a skewed layout the hot cell's budget must equal the hot cell's own
+    row count (the average would under-budget it)."""
+    idx, _ = _skewed_clustered_index(spark, str(tmp_path))
+    snap = idx._read_manifest()
+    pops = {
+        int(r["centroid_id"]): int(r["n_vectors"])
+        for r in idx.stats().collect()
+    }
+    hot = max(pops, key=pops.get)
+    cold = min(pops, key=pops.get)
+    assert pops[hot] >= 3 * pops[cold]  # the skew the test needs
+    avg = sum(pops.values()) / len(pops)
+    budgets = idx._auto_sign_budget(10, snap, sorted(pops), "t")
+    assert budgets[hot] == pops[hot]  # ACTUAL hot population
+    assert budgets[hot] > avg  # not the average-derived number
+    assert budgets[cold] == max(80, pops[cold])  # 8·k floor
+
+
+def test_sign_tier_default_budget_exact_on_clustered_no_warning(spark, tmp_path):
+    """Finding 41 done-criterion: default-budget search_bq / search_cascade
+    on a clustered corpus return the EXACT top-k (budget = cell
+    population ⇒ stage 1 keeps everything, later stages are exact /
+    lossless) and emit NO finding-41 warning."""
+    import warnings
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    idx, emb = _skewed_clustered_index(spark, str(tmp_path))
+    q = emb.limit(3).select(
         emb.vec_id.alias("qid"), emb.embedding.alias("query")
+    )
+    exact = sorted(
+        (r.qid, r.rank, r.neighbor_id)
+        for r in knn_ops.knn_exact(emb, q, k=10).collect()
     )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        idx.search_bq(q, k=10, nprobe=2).count()
-        assert any("finding 41" in str(x.message) for x in w)
-        w.clear()
-        idx.search_cascade(q, k=10, nprobe=2).count()
-        assert any("finding 41" in str(x.message) for x in w)
-        w.clear()
-        idx.search_bq(q, k=10, nprobe=2, candidates_per_cell=1500).count()
+        got_bq = sorted(
+            (r.qid, r.rank, r.neighbor_id)
+            for r in idx.search_bq(q, k=10, nprobe=2).collect()
+        )
+        got_casc = sorted(
+            (r.qid, r.rank, r.neighbor_id)
+            for r in idx.search_cascade(q, k=10, nprobe=2).collect()
+        )
         assert not any("finding 41" in str(x.message) for x in w)
+    assert got_bq == exact
+    assert got_casc == exact
+
+
+def test_sign_tier_auto_budget_cap_and_raw_layout_warn(spark, tmp_path, monkeypatch):
+    """The two degraded paths still warn: (a) a probed cell above
+    AUTO_SIGN_BUDGET_CAP keeps the cap (bounded rescore) with a
+    RuntimeWarning; (b) a pre-manifest raw layout (no footer table)
+    falls back to 8·k with the original finding-41 warning."""
+    import warnings
+
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+
+    idx, _ = _skewed_clustered_index(spark, str(tmp_path))
+    snap = idx._read_manifest()
+    pops = {
+        int(r["centroid_id"]): int(r["n_vectors"])
+        for r in idx.stats().collect()
+    }
+    hot = max(pops, key=pops.get)
+    monkeypatch.setattr(ivf_mod, "AUTO_SIGN_BUDGET_CAP", 128)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        budgets = idx._auto_sign_budget(10, snap, sorted(pops), "t")
+        assert any("capped" in str(x.message) for x in w)
+    assert budgets[hot] == 128
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        budgets = idx._auto_sign_budget(10, None, [0, 1], "t")
+        assert any("finding 41" in str(x.message) for x in w)
+    assert budgets == {0: 80, 1: 80}

@@ -734,7 +734,22 @@ def test_salted_md5_family_has_one_definition():
     pkg = pathlib.Path(
         __file__
     ).resolve().parent.parent / "vector_search_engine_spark"
-    pat = re.compile(r"F\.substring\(\s*F\.md5\([^)]*\)\s*,\s*1\s*,\s*15")
+    # Non-greedy [\s\S] spans NESTED parens and newlines (r15's [^)]*
+    # stopped at the first inner ')' and missed 3 of 4 historical
+    # inline-twin shapes — r16 advisor fix); the trailing ", 1, 15"
+    # still excludes simhash's width-8 halves.
+    pat = re.compile(r"F\.substring\(\s*F\.md5\([\s\S]*?\)\s*,\s*1\s*,\s*15")
+    # self-test: the pattern must catch every historical inline-twin
+    # shape it was written for, and still skip the simhash width-8 form
+    historical = [
+        'F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 15)',
+        'F.substring(F.md5(F.col("term")), 1, 15)',
+        'F.substring(\n    F.md5(F.concat_ws("|", F.lit(s), F.col("doc_id"))),\n    1, 15)',
+        'F.substring(F.md5(key), 1, 15)',
+    ]
+    for form in historical:
+        assert pat.search(form), f"guard regex must match: {form}"
+    assert not pat.search('F.substring(F.md5("tok"), 1, 8)')
     offenders = [
         str(p)
         for p in pkg.rglob("*.py")

@@ -65,6 +65,14 @@ _SIDECAR_LOCK = threading.Lock()
 # where cand1 is |Q|·N rows and MUST NOT be collected to the driver)
 _CASCADE_BROADCAST_ROWS = 5_000_000
 
+# ceiling on the AUTO-derived per-cell sign-tier stage-1 budget (finding
+# 41): the default budget is each probed cell's own population, which
+# bounds the exact-rescore set by the cell size; above this cap the
+# derivation keeps the cap and warns instead, so one pathological hot
+# cell can't turn the default into a full-probe rescore of 10^8 rows.
+# Explicit candidates_per_cell overrides both the derivation and the cap.
+AUTO_SIGN_BUDGET_CAP = 65_536
+
 
 def _merge_built_partitions(tmp: str | None, out_dir: str) -> None:
     """Finish an incremental sidecar build: move the freshly built
@@ -2219,9 +2227,10 @@ class IVFIndex:
         1. probes (in-partition assignment) shuffle-join the 1-bit BQ
            sidecar on ``centroid_id`` (32× scan-byte cut, pruned to the
            probed cells); the asymmetric sign score keeps the top
-           ``candidates_per_cell`` per (query, Arrow batch) — the only
-           lossy stage, same per-batch budget semantics as the
-           per-query cascade;
+           ``candidates_per_cell`` per (query, cell slice of an Arrow
+           batch) — the only lossy stage, same per-batch budget
+           semantics (and the same finding-41 per-cell auto-derived
+           default when unset) as the per-query cascade;
         2. stage-1 survivors shuffle-join the int8 SQ8 sidecar on id —
            a SHUFFLE join by design, never the per-query form's
            broadcast: the candidate list scales with |Q| here, so
@@ -2242,9 +2251,7 @@ class IVFIndex:
         vec_col = self.meta["vec_col"]
         dim = self.meta["dim"]
         spark = self.spark
-        if candidates_per_cell is None:
-            self._warn_default_sign_budget(k, "search_cascade")
-        C = candidates_per_cell or 8 * k
+        C = int(candidates_per_cell) if candidates_per_cell else 8 * k
         snap = (
             self.manifest_at(snapshot)
             if snapshot is not None
@@ -2259,6 +2266,13 @@ class IVFIndex:
             queries, qid_col, qvec_col, snap, nprobe
         )
         cells = self._probed_cells_distributed(probes, nprobe, n_cells, snap)
+        budget_map = (
+            self._auto_sign_budget(
+                k, snap, cells, "search_cascade_distributed"
+            )
+            if candidates_per_cell is None
+            else None
+        )
 
         # ---- stage 1: BQ asymmetric top-C over the probed 1-bit codes
         bq_codes = spark.read.parquet(bq_dir).filter(
@@ -2271,7 +2285,7 @@ class IVFIndex:
                 exclude_ids.toDF(id_col), id_col, "left_anti"
             )
         cand_codes = probes.join(bq_codes, "centroid_id").select(
-            "qid", "query", F.col(id_col), "code", "dim"
+            "qid", "query", "centroid_id", F.col(id_col), "code", "dim"
         )
         if predicate is not None:
             keep_ids = (
@@ -2283,11 +2297,14 @@ class IVFIndex:
             cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
 
         def bq_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # per (query, cell slice of an Arrow batch); budget = the
+            # auto-derived cell population (finding 41) unless the
+            # caller passed an explicit uniform candidates_per_cell
             thr_ = bc_thr.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for qid, grp in pdf.groupby("qid"):
+                for (qid, cid), grp in pdf.groupby(["qid", "centroid_id"]):
                     q = (
                         np.asarray(
                             grp["query"].iloc[0], dtype=np.float32
@@ -2303,7 +2320,11 @@ class IVFIndex:
                         raw.reshape(len(ids), -1), axis=1
                     )[:, :d]
                     s = (2.0 * bits_ - 1.0) @ q
-                    keep = min(C, len(ids))
+                    cap_c = (
+                        C if budget_map is None
+                        else budget_map.get(int(cid), C)
+                    )
+                    keep = min(cap_c, len(ids))
                     sel = (
                         np.argpartition(-s, keep - 1)[:keep]
                         if len(ids) > keep
@@ -2773,31 +2794,69 @@ class IVFIndex:
             os.rename(tmp, tpath)
         return bq_dir
 
-    def _warn_default_sign_budget(self, k: int, tier: str) -> None:
-        """Finding 41 guard: on tightly-clustered corpora the 1-bit
-        asymmetric score stops ordering WITHIN a cluster, so when the
-        default stage-1 budget (8·k) is far below the average cell
-        population the survivor set is effectively arbitrary and recall
-        collapses (measured: 0.33 at default vs 1.000 at
-        candidates_per_cell ≈ cell size on a 16-cluster 20k corpus —
-        SCALING.md finding 41).  Zero-job heuristic from build-time
-        meta; passing candidates_per_cell explicitly silences it."""
-        avg_cell = self.meta.get("n_vectors", 0) / max(
-            1, int(self.meta["n_centroids"])
-        )
-        if 8 * k < avg_cell:
-            import warnings
+    def _auto_sign_budget(
+        self, k: int, snap: dict | None, cells, tier: str
+    ) -> dict[int, int]:
+        """Finding 41 default (r16): derive the stage-1 sign-code budget
+        PER PROBED CELL from that cell's ACTUAL population — not the 8·k
+        constant (measured recall collapse to 0.33 on a 16-cluster 20k
+        corpus) and not the average cell size (a skewed layout hides hot
+        cells far above the average).  Within a tight cluster 1-bit sign
+        codes stop ordering candidates, so the only budget that provably
+        keeps the true top-k in the survivor set is the cell's own row
+        count — and finding 41 measured that full-cell budget CHEAPER
+        than the broken default (6.7 s vs 11.6 s at 20k), so correctness
+        here costs nothing.  Populations come from the PINNED snapshot's
+        parquet-footer counts (``_snapshot_counts`` — zero Spark jobs,
+        memoized per generation), so the derivation is driver-side
+        metadata only.
 
+        Cells above ``AUTO_SIGN_BUDGET_CAP`` keep the cap (bounding the
+        exact-rescore set) with a RuntimeWarning; a pre-manifest raw
+        layout (no footer table) falls back to 8·k with the original
+        finding-41 warning.  Explicit ``candidates_per_cell`` bypasses
+        the derivation entirely — the perf knob for callers who know
+        their geometry (reference anchor: ``ef_search``,
+        ``hnsw_index.h:256`` — the recall knob must have a sane
+        default)."""
+        import warnings
+
+        floor = 8 * k
+        counts = self._snapshot_counts(snap)
+        if not counts:
             warnings.warn(
-                f"{tier}: default stage-1 candidate budget (8*k={8 * k}) "
-                f"is below the average cell population (~{avg_cell:.0f}); "
-                "on clustered corpora 1-bit sign codes cannot order "
-                "within-cluster candidates and recall may collapse "
-                "(SCALING.md finding 41). Pass candidates_per_cell >= "
-                "the expected cell population, or use the sq8/pq tiers.",
+                f"{tier}: no per-cell population table (pre-manifest raw "
+                f"layout) — falling back to the fixed stage-1 budget "
+                f"(8*k={floor}); on clustered corpora 1-bit sign codes "
+                "cannot order within-cluster candidates and recall may "
+                "collapse (SCALING.md finding 41). Pass "
+                "candidates_per_cell >= the expected cell population, "
+                "or use the sq8/pq tiers.",
                 RuntimeWarning,
                 stacklevel=3,
             )
+            return {int(c): floor for c in cells}
+        budgets: dict[int, int] = {}
+        capped: list[int] = []
+        for c in cells:
+            n = counts.get(int(c), floor)
+            if n > AUTO_SIGN_BUDGET_CAP:
+                capped.append(int(c))
+                n = AUTO_SIGN_BUDGET_CAP
+            budgets[int(c)] = max(floor, int(n))
+        if capped:
+            warnings.warn(
+                f"{tier}: auto-derived stage-1 budget capped at "
+                f"{AUTO_SIGN_BUDGET_CAP} for {len(capped)} probed "
+                f"cell(s) (e.g. {capped[:4]}) whose population exceeds "
+                "the cap; on tightly-clustered corpora recall may "
+                "degrade (SCALING.md finding 41). Pass "
+                "candidates_per_cell explicitly, rebalance() the hot "
+                "cells, or use the sq8/pq tiers.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        return budgets
 
     def search_bq(
         self,
@@ -2823,15 +2882,18 @@ class IVFIndex:
         bound — sign codes discard magnitude, recall is a measured
         property (tests/test_bq.py, SCALING.md) and the tier is the
         right choice only when scan bytes dominate and a small recall
-        slack is acceptable.  ``predicate`` / ``exclude_ids`` /
+        slack is acceptable.  When ``candidates_per_cell`` is None the
+        budget AUTO-DERIVES per probed cell from that cell's actual
+        population (``_auto_sign_budget`` — finding 41: a fixed 8·k
+        default collapses recall to 0.33 on clustered corpora), capped
+        at ``AUTO_SIGN_BUDGET_CAP``; an explicit value is a uniform
+        per-cell budget.  ``predicate`` / ``exclude_ids`` /
         ``snapshot`` compose exactly as in ``search_sq8`` (pre-cut
         metadata semi-join / anti-join; generation-keyed sidecar)."""
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
         spark = self.spark
-        if candidates_per_cell is None:
-            self._warn_default_sign_budget(k, "search_bq")
-        C = candidates_per_cell or 8 * k
+        C = int(candidates_per_cell) if candidates_per_cell else 8 * k
         qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
         if len(qids) == 0:
             return spark.createDataFrame(
@@ -2851,6 +2913,11 @@ class IVFIndex:
             )
         )
         needed = sorted({c for _, c in pairs})
+        budget_map = (
+            self._auto_sign_budget(k, snap, needed, "search_bq")
+            if candidates_per_cell is None
+            else None
+        )
         bq_dir = self.ensure_bq(snapshot=snap)
         with open(os.path.join(bq_dir, "thresholds.json")) as f:
             thr = np.array(json.load(f)["thresholds"], dtype=np.float64)
@@ -2866,7 +2933,7 @@ class IVFIndex:
             F.col("centroid_id").isin(needed)
         )
         cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
-            "qid", id_col, "code", "dim"
+            "qid", "centroid_id", id_col, "code", "dim"
         )
         if exclude_ids is not None:
             cand_codes = cand_codes.join(
@@ -2884,11 +2951,15 @@ class IVFIndex:
             cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
 
         def approx_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # per (query, cell slice of an Arrow batch): the cut budget
+            # is the auto-derived per-cell population (finding 41) when
+            # the caller left candidates_per_cell unset, else the
+            # caller's uniform C
             qm = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for qid, grp in pdf.groupby("qid"):
+                for (qid, cid), grp in pdf.groupby(["qid", "centroid_id"]):
                     q = qm[int(qid)]
                     ids = grp[id_col].to_numpy(dtype=np.int64)
                     d = int(grp["dim"].iloc[0])
@@ -2897,7 +2968,11 @@ class IVFIndex:
                         :, :d
                     ]
                     s = (2.0 * bits - 1.0) @ q
-                    keep = min(C, len(ids))
+                    cap_c = (
+                        C if budget_map is None
+                        else budget_map.get(int(cid), C)
+                    )
+                    keep = min(cap_c, len(ids))
                     sel = (
                         np.argpartition(-s, keep - 1)[:keep]
                         if len(ids) > keep
@@ -2951,11 +3026,14 @@ class IVFIndex:
 
         1. **BQ stage** (1 bit/dim, 32× scan-byte cut): probed cells'
            packed sign codes ranked by the asymmetric score; top
-           ``candidates_per_cell`` per (query, Arrow batch) survive —
-           note the PER-BATCH semantics: a cell split across Arrow
-           batches can keep more than C per (query, cell), so C is a
-           per-batch budget, not a hard per-cell cap (default ``8·k``).
-           This is the only lossy stage.
+           ``candidates_per_cell`` per (query, cell slice of an Arrow
+           batch) survive — note the PER-BATCH semantics: a cell split
+           across Arrow batches can keep more than C per (query, cell),
+           so C is a per-batch budget, not a hard per-cell cap.  When
+           ``candidates_per_cell`` is None the budget auto-derives per
+           probed cell from its actual population
+           (``_auto_sign_budget``, finding 41).  This is the only
+           lossy stage.
         2. **SQ8 stage** (8 bits/dim, 4× cut): ONLY stage-1 survivors'
            int8 codes are read (broadcast candidate semi-join — no code
            shuffle), and the lossless span/510 bound cut keeps every
@@ -2991,9 +3069,7 @@ class IVFIndex:
         vec_col = self.meta["vec_col"]
         dim = self.meta["dim"]
         spark = self.spark
-        if candidates_per_cell is None:
-            self._warn_default_sign_budget(k, "search_cascade")
-        C = candidates_per_cell or 8 * k
+        C = int(candidates_per_cell) if candidates_per_cell else 8 * k
         qids, Q = knn_query_arrays(queries, qid_col, qvec_col)
         if len(qids) == 0:
             return spark.createDataFrame(
@@ -3015,6 +3091,11 @@ class IVFIndex:
             )
         )
         needed = sorted({c for _, c in pairs})
+        budget_map = (
+            self._auto_sign_budget(k, snap, needed, "search_cascade")
+            if candidates_per_cell is None
+            else None
+        )
 
         # ---- stage 1: BQ asymmetric top-C over the probed 1-bit codes
         bq_dir = self.ensure_bq(snapshot=snap)
@@ -3030,7 +3111,7 @@ class IVFIndex:
         )
         cand_codes = bq_codes.join(
             F.broadcast(pairs_df), "centroid_id"
-        ).select("qid", id_col, "code", "dim")
+        ).select("qid", "centroid_id", id_col, "code", "dim")
         if exclude_ids is not None:
             cand_codes = cand_codes.join(
                 exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)),
@@ -3047,11 +3128,14 @@ class IVFIndex:
             cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
 
         def bq_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # per (query, cell slice of an Arrow batch); budget = the
+            # auto-derived cell population (finding 41) unless the
+            # caller passed an explicit uniform candidates_per_cell
             qm = bc_c.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for qid, grp in pdf.groupby("qid"):
+                for (qid, cid), grp in pdf.groupby(["qid", "centroid_id"]):
                     q = qm[int(qid)]
                     ids = grp[id_col].to_numpy(dtype=np.int64)
                     d = int(grp["dim"].iloc[0])
@@ -3060,7 +3144,11 @@ class IVFIndex:
                         :, :d
                     ]
                     s = (2.0 * bits - 1.0) @ q
-                    keep = min(C, len(ids))
+                    cap_c = (
+                        C if budget_map is None
+                        else budget_map.get(int(cid), C)
+                    )
+                    keep = min(cap_c, len(ids))
                     sel = (
                         np.argpartition(-s, keep - 1)[:keep]
                         if len(ids) > keep
@@ -3103,12 +3191,15 @@ class IVFIndex:
         )
 
         def _pair_bound(c: int) -> int:
+            C_c = (
+                C if budget_map is None else budget_map.get(int(c), C)
+            )  # the auto-derived budget is per cell (finding 41)
             n_c = cell_counts.get(c)
             if n_c is None:
-                return C  # pre-manifest raw layout: best-effort estimate
+                return C_c  # pre-manifest raw layout: best-effort estimate
             if arrow_batch <= 0:  # 0 = unlimited → one batch per partition
-                return min(n_c, C)
-            return min(n_c, C * -(-n_c // arrow_batch))
+                return min(n_c, C_c)
+            return min(n_c, C_c * -(-n_c // arrow_batch))
 
         est_cand1 = sum(_pair_bound(c) for _, c in pairs)
         sq_side = sq_codes.select(

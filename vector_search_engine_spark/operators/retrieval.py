@@ -576,6 +576,10 @@ SPARSE_PAIRS_CEILING = 2**28
 # past 2^16 buckets a dense row is ≥256 KB and the dense path stops
 # being the safe escape hatch — raise with guidance instead.
 GEMM_MAX_DENSE_BUCKETS = 2**16
+# Extra rows fetched past k+1 by the GEMM tier before its rounded
+# re-rank, so neighbors whose ROUNDED sim ties the k-th but whose
+# unrounded float32 rank falls just outside k+1 stay in the window.
+GEMM_RERANK_MARGIN = 8
 
 
 def doc_tfidf_knn(
@@ -610,18 +614,31 @@ def doc_tfidf_knn(
     measured 100k-doc scale the sparse shape shuffles ~10¹⁰ rows and
     exhausts local disk while the GEMM twin finishes (finding 39).
 
-    The vector table is eagerly checkpointed either way: the self-join
-    consumes it twice and the estimator once, and Catalyst does not
-    dedupe the common subplan — one corpus scan instead of three."""
+    The vector table is eagerly checkpointed on the estimator path: the
+    self-join consumes it twice and the estimator once, and Catalyst
+    does not dedupe the common subplan — one corpus scan instead of
+    three.  Fixture-scale fast path (r16, r15 verdict task 5): when the
+    corpus is small enough that even the WORST-CASE join volume
+    (``Σ_b df_b² ≤ N²·n_buckets`` — every doc colliding with every
+    other in every bucket) provably fits under ``max_join_pairs``, the
+    estimator job and the checkpoint are both skipped; the one-column
+    count is cheaper than either and the sparse plan is guaranteed."""
     from pyspark.sql import Window
 
-    v = doc_tfidf_vectors(documents, n_buckets).localCheckpoint(eager=True)
-    est = (
-        v.groupBy("bucket")
-        .agg(F.count("*").alias("df"))
-        .agg(F.sum(F.col("df") * F.col("df")).alias("pairs"))
-        .collect()[0]["pairs"]
-    )
+    n_docs = documents.count()
+    if n_docs * n_docs * n_buckets <= int(max_join_pairs):
+        v = doc_tfidf_vectors(documents, n_buckets)
+        est = None  # provably under the ceiling — sparse plan guaranteed
+    else:
+        v = doc_tfidf_vectors(documents, n_buckets).localCheckpoint(
+            eager=True
+        )
+        est = (
+            v.groupBy("bucket")
+            .agg(F.count("*").alias("df"))
+            .agg(F.sum(F.col("df") * F.col("df")).alias("pairs"))
+            .collect()[0]["pairs"]
+        )
     if est is not None and int(est) > int(max_join_pairs):
         if not allow_gemm_dispatch:
             raise ValueError(
@@ -732,24 +749,35 @@ def doc_tfidf_knn_gemm(
     res = knn_ops.knn_exact_distributed(
         dense,
         queries,
-        k=k + 1,
+        # +1 drops the self-pair; the extra GEMM_RERANK_MARGIN rows give
+        # the rounded re-rank below a tie window: the block kernel's
+        # internal cut ranks on UNROUNDED float32, so a neighbor whose
+        # rounded sim ties the k-th could otherwise sit just outside a
+        # bare k+1 fetch (r16 advisor fix)
+        k=k + 1 + GEMM_RERANK_MARGIN,
         metric="cosine",
         q_blocks=q_blocks,
         v_blocks=v_blocks,
         round_output=False,
     )
-    # Match the sparse tier's ROW SET and tie-break semantics exactly:
-    # the sparse join/oracle structurally never materializes zero-overlap
-    # pairs (cosine 0), so drop them here too — otherwise a doc sharing
-    # buckets with fewer than k others gets extra rows in this tier — and
-    # rank on round(sim, 6) (the sparse tier ranks on rounded float64;
-    # unrounded float32 could flip a within-noise tie).
+    # Match the sparse tier's ROW SET and tie-break semantics: the
+    # sparse join/oracle structurally never materializes zero-overlap
+    # pairs, so drop them here on UNROUNDED sim — TF-IDF weights are
+    # nonnegative, so a zero-overlap pair's float32 dot is EXACTLY 0.0
+    # (every addend is 0) while any shared-bucket pair is > 0; rounding
+    # before this filter would also drop shared-bucket pairs whose true
+    # positive cosine rounds to 0 at 6dp, which the sparse tier keeps
+    # (r16 advisor fix).  Ranking then keys on round(sim, 6) like the
+    # sparse tier.  Residual tolerance, documented not hidden: ties in
+    # rounded sim deeper than GEMM_RERANK_MARGIN beyond k+1 in the
+    # unrounded float32 order could still admit a different (equal-sim)
+    # neighbor than the sparse tier's global rounded ranking.
     w = Window.partitionBy("qid").orderBy(
         F.round("sim", 6).desc(), "neighbor_id"
     )
     return (
         res.filter(F.col("qid") != F.col("neighbor_id"))
-        .filter(F.round("sim", 6) > 0)
+        .filter(F.col("sim") > 0)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
