@@ -491,6 +491,26 @@ def main() -> None:
         print(json.dumps(out, separators=(",", ":")))
         return
 
+    # --mixed-only: run ONLY the sf-dir mixed_rw serving section —
+    # the finding-29 adjudication tool (N clean same-HEAD runs with
+    # raw per-search lists, no headline-query noise in between).
+    if "--mixed-only" in sys.argv:
+        n_runs = 1
+        if "--runs" in sys.argv:
+            n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
+        runs_out = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            r = _bench_mixed_rw(spark, sf_dir)
+            r["total_wall_sec"] = round(time.time() - t0, 2)
+            runs_out.append(r)
+        out = {"metric": "mixed_rw_only", "runs": runs_out, "sf": sf}
+        if "--out" in sys.argv:
+            with open(sys.argv[sys.argv.index("--out") + 1], "w") as f:
+                json.dump(out, f, indent=1)
+        print(json.dumps(out, separators=(",", ":")))
+        return
+
     # Warm the JVM/Arrow paths so per-query numbers measure the engine,
     # not classloading (reference benches also exclude setup), and warm the
     # IVF cache so ann_ivf_probe times the probe, not the build (the build

@@ -44,7 +44,13 @@ def distinct_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(word_shingles(tokens(text), n))
 
 
-def with_shingles(df, out_col: str = "sh", n: int = 3, text_col: str = "text"):
+def with_shingles(
+    df,
+    out_col: str = "sh",
+    n: int = 3,
+    text_col: str = "text",
+    tokens_col: str | None = None,
+):
     """Materialize distinct word n-gram shingles as a real column.
 
     Implementation notes from the bench audit (both matter at scale):
@@ -57,11 +63,16 @@ def with_shingles(df, out_col: str = "sh", n: int = 3, text_col: str = "text"):
       window, space-joined — byte-identical to ``word_shingles``) because
       higher-order-function lambdas evaluate interpreted (~40 µs/element),
       ~10× slower than the transformer for the same result.
-    """
+
+    ``tokens_col`` names an ALREADY-tokenized array column to consume
+    instead of re-splitting ``text_col`` — the pipeline-composition
+    path (one tokenization scan feeds every stage)."""
     from pyspark.ml.feature import NGram
 
-    df = df.withColumn("_toks", tokens(F.col(text_col)))
-    df = NGram(n=n, inputCol="_toks", outputCol="_ngrams").transform(df)
+    if tokens_col is None:
+        df = df.withColumn("_toks", tokens(F.col(text_col)))
+        tokens_col = "_toks"
+    df = NGram(n=n, inputCol=tokens_col, outputCol="_ngrams").transform(df)
     return df.withColumn(out_col, F.array_distinct(F.col("_ngrams"))).drop(
         "_toks", "_ngrams"
     )

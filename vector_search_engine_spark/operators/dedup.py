@@ -147,6 +147,7 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     length_band: int = LENGTH_BAND,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """All pairs with word-3-gram Jaccard >= threshold, blocked on
     |Δn_chars| <= length_band (blocking is part of the operator contract;
@@ -173,8 +174,9 @@ def ngram_jaccard_pairs(
       oracle gate's noise floor of literally-never at these corpus
       sizes).
     No shingle array ever crosses a shuffle, and pairs sharing zero
-    shingles never materialize at all."""
-    post = with_shingles(documents, "sh").select(
+    shingles never materialize at all.  ``tokens_col`` consumes a
+    pre-tokenized array column (the pipeline's one-scan handoff)."""
+    post = with_shingles(documents, "sh", tokens_col=tokens_col).select(
         "doc_id",
         "n_chars",
         F.size("sh").alias("n_sh"),

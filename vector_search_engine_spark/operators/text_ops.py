@@ -295,7 +295,9 @@ TOKEN_BUDGET = 800  # whitespace tokens per source — bites at every SF
 
 
 def token_budget_sample(
-    documents: DataFrame, budget: int = TOKEN_BUDGET
+    documents: DataFrame,
+    budget: int = TOKEN_BUDGET,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Token-budgeted per-source sampling (r14): walk each source's docs
     in salted-md5 order and keep them while the RUNNING token total
@@ -317,7 +319,9 @@ def token_budget_sample(
     from pyspark.sql import Window
 
     h = salted_md5_long(F.col("doc_id").cast("string"), SAMPLE_SALT)
-    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    n_tok = F.size(
+        tokens(F.col("text")) if tokens_col is None else F.col(tokens_col)
+    ).cast("long")
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     cum = F.sum("n_tokens").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -794,7 +798,9 @@ QF_MIN_ALPHA_WORD_FRAC = 0.80
 QF_MIN_STOPWORD_HITS = 2
 
 
-def quality_filter(documents: DataFrame) -> DataFrame:
+def quality_filter(
+    documents: DataFrame, tokens_col: str | None = None
+) -> DataFrame:
     """Rule-based document quality filter in the Gopher style (Rae et al.
     2021 §A1.1): word-count window, mean-word-length window, minimum
     fraction of words containing an alphabetic character, and a minimum
@@ -803,9 +809,12 @@ def quality_filter(documents: DataFrame) -> DataFrame:
     (stable across engines — arrays of strings hash differently).
 
     Pure column expressions over one materialized token array — zero
-    shuffle; the 100 TB plan is a single scan."""
-    documents = documents.withColumn("_t", tokens(F.col("text")))
-    t = F.col("_t")
+    shuffle; the 100 TB plan is a single scan.  ``tokens_col`` consumes
+    a pre-tokenized array column (the pipeline's one-scan handoff)."""
+    if tokens_col is None:
+        documents = documents.withColumn("_t", tokens(F.col("text")))
+        tokens_col = "_t"
+    t = F.col(tokens_col)
     n_words = F.size(t).cast("long")
     mean_wl = F.when(n_words == 0, F.lit(0.0)).otherwise(
         F.aggregate(
@@ -1847,7 +1856,9 @@ GROUP BY st.source
 """
 
 
-def bigram_logprob(documents: DataFrame) -> DataFrame:
+def bigram_logprob(
+    documents: DataFrame, tokens_col: str | None = None
+) -> DataFrame:
     """Per-document bigram language-model score — the perplexity-style
     quality filter (the CCNet/KenLM pass of web-corpus pipelines,
     LM-trained-on-the-corpus-itself variant): documents whose token
@@ -1867,9 +1878,15 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     prefix totals derive from the MODEL aggregate (one more partial agg
     on w1 — the corpus's bigram occurrences are never re-aggregated);
     scoring is one hash join of doc bigrams against the model on the
-    bigram key + one per-doc map-side-partial average."""
+    bigram key + one per-doc map-side-partial average.  ``tokens_col``
+    consumes a pre-tokenized array column (pipeline one-scan handoff)."""
     toks = documents.select(
-        "doc_id", tokens(F.col("text")).alias("t")
+        "doc_id",
+        (
+            tokens(F.col("text"))
+            if tokens_col is None
+            else F.col(tokens_col)
+        ).alias("t"),
     )
     bg = toks.select(
         "doc_id", F.explode(word_shingles(F.col("t"), 2)).alias("bg")
@@ -1996,7 +2013,9 @@ QUALITY_N_BUCKETS = 4
 
 
 def quality_buckets(
-    documents: DataFrame, n_buckets: int = QUALITY_N_BUCKETS
+    documents: DataFrame,
+    n_buckets: int = QUALITY_N_BUCKETS,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style quality bucketing: per-source ``ntile`` quartiles over
     the in-corpus bigram-LM score (``bigram_logprob`` — low avg −ln P =
@@ -2011,7 +2030,7 @@ def quality_buckets(
     (doc_id, source), and one per-source window over doc-count rows."""
     from pyspark.sql import Window
 
-    scores = bigram_logprob(documents)
+    scores = bigram_logprob(documents, tokens_col=tokens_col)
     w = Window.partitionBy("source").orderBy(
         F.col("avg_neg_logprob").asc(), F.col("doc_id").asc()
     )
@@ -2497,7 +2516,9 @@ FROM raw CROSS JOIN d
 CURRICULUM_SALT = "vse-curriculum:"
 
 
-def curriculum_order(documents: DataFrame) -> DataFrame:
+def curriculum_order(
+    documents: DataFrame, tokens_col: str | None = None
+) -> DataFrame:
     """Quality-annealed curriculum emission order — the final step that
     turns a curated corpus into a TRAINING SEQUENCE: documents are
     phased by their CCNet-style quality tile (``quality_buckets`` —
@@ -2521,7 +2542,7 @@ def curriculum_order(documents: DataFrame) -> DataFrame:
     across runs, engines, partitionings (oracle replays it exactly)."""
     from pyspark.sql import Window
 
-    b = quality_buckets(documents)
+    b = quality_buckets(documents, tokens_col=tokens_col)
     h = salted_md5_long(F.col("doc_id").cast("string"), CURRICULUM_SALT)
     w = Window.partitionBy("phase", "source").orderBy("h", "doc_id")
     return (
@@ -2588,9 +2609,16 @@ def text_curation_pipeline(
     anti-pattern; materializing the physical order is one
     ``repartitionByRange`` + sorted write).
 
-    Scale posture: the corpus is scanned once per stage family
-    (shingle pairs, quality stats, budget walk, curriculum LM) — the
-    stages are inherently multi-pass, but every pass is a full
+    Scale posture (r16, one-tokenization revision): TOKENIZATION runs
+    ONCE — the corpus is tokenized into a pinned ``(doc_id, source,
+    n_chars, _toks)`` frame (eager localCheckpoint, text column
+    dropped), and the shingle-pair, quality, budget-walk, and
+    curriculum-LM stage families all consume that frame through their
+    ``tokens_col`` hook instead of re-splitting text per stage.  At
+    the 100 TB posture tokenization is the dominant scan cost, so this
+    removes two full-corpus split passes for one materialization
+    (smaller than the raw corpus: the text column is dropped).  The
+    stages remain inherently multi-pass, but every pass is a full
     map-side-combined aggregate or a bucketed join; the dedup pair
     stage is the bucketed machinery ``dedup_clusters`` grades (no
     all-pairs anywhere), CC checkpoints per round, and the handoff
@@ -2600,19 +2628,31 @@ def text_curation_pipeline(
     from vector_search_engine_spark.operators import dedup as dedup_ops
     from vector_search_engine_spark.operators import graph as graph_ops
 
-    pairs = dedup_ops.ngram_jaccard_pairs(documents)
-    clusters = graph_ops.dedup_clusters(documents, pairs)
-    survivors = dedup_ops.keep_best(documents, clusters)
+    toked = documents.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        tokens(F.col("text")).alias("_toks"),
+    ).localCheckpoint(eager=True)
+    pairs = dedup_ops.ngram_jaccard_pairs(toked, tokens_col="_toks")
+    clusters = graph_ops.dedup_clusters(toked, pairs)
+    survivors = dedup_ops.keep_best(
+        toked,
+        clusters,
+        quality=quality_filter(toked, tokens_col="_toks").select(
+            "doc_id", "n_words", "keep"
+        ),
+    )
     split = leakage_safe_split(
         survivors.select("doc_id"), survivors, train_pct, val_pct
     )
     train_ids = split.filter(F.col("split") == "train").select(
         "doc_id", "cluster_id"
     )
-    train_docs = documents.join(train_ids.select("doc_id"), "doc_id")
-    budgeted = token_budget_sample(train_docs, budget)
-    kept_docs = documents.join(budgeted.select("doc_id"), "doc_id")
-    order = curriculum_order(kept_docs)
+    train_docs = toked.join(train_ids.select("doc_id"), "doc_id")
+    budgeted = token_budget_sample(train_docs, budget, tokens_col="_toks")
+    kept_docs = toked.join(budgeted.select("doc_id"), "doc_id")
+    order = curriculum_order(kept_docs, tokens_col="_toks")
     return (
         order.join(
             budgeted.select("doc_id", "n_tokens", "cum_tokens"), "doc_id"
@@ -2630,14 +2670,22 @@ def text_curation_pipeline(
     )
 
 
-def text_curation_oracle(clusters_oracle: str) -> str:
+def text_curation_oracle(
+    clusters_oracle: str,
+    train_pct: int = 80,
+    budget: int = TOKEN_BUDGET,
+) -> str:
     """DuckDB replay of the COMPOSED pipeline, doc-level: takes the
     cluster-assignment statement (``graph.DEDUP_CLUSTERS_ORACLE`` — it
     lives with the CC operator) and chains keep-best → cluster-keyed
     split → per-source token-budget walk → curriculum phases/ranks
     fit ON the final kept set, mirroring each stage's own oracle.  All
     CTEs join on doc_id (stable keys — no row_number-over-nothing rid
-    hazard), so DuckDB's CTE inlining cannot mispair rows."""
+    hazard), so DuckDB's CTE inlining cannot mispair rows.
+    ``train_pct``/``budget`` mirror ``text_curation_pipeline``'s
+    parameters (r16 advisor fix: the r15 oracle hardcoded the defaults,
+    so a non-default pipeline invocation graded against it would
+    silently diverge at the split and budget stages)."""
     return f"""
 WITH cl AS ({clusters_oracle}),
 qf AS ({QUALITY_FILTER_ORACLE.strip()}),
@@ -2656,7 +2704,7 @@ tr AS (
   FROM documents d JOIN kb USING (doc_id)
   WHERE CAST(('0x' || substr(md5('{CLUSTER_SPLIT_SALT}'
           || CAST(kb.cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
-        % 100 < 80
+        % 100 < {train_pct}
 ),
 tbh AS (
   SELECT source, doc_id, cluster_id,
@@ -2673,7 +2721,7 @@ kept AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            )::BIGINT AS cum_tokens
     FROM tbh
-  ) WHERE cum_tokens <= {TOKEN_BUDGET}
+  ) WHERE cum_tokens <= {budget}
 ),
 kd AS (
   SELECT d.doc_id, d.source, d.text

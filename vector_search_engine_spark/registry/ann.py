@@ -947,28 +947,78 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "text", "lang", "source", "n_chars")
 
 
-@register("ivf_rebalance_stats")  # index maintenance — rows-only
+@register(
+    "ivf_rebalance_stats",
+    oracle="""
+SELECT count(*)::BIGINT AS n_vectors,
+       TRUE AS rows_preserved,
+       TRUE AS max_cell_not_increased
+FROM embeddings
+""",
+)
 def ivf_rebalance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-cell split (skew management under churn): build a coarse
-    4-cell index, split every cell above 1.2× mean occupancy, return the
-    post-split occupancy — full-probe exactness invariance is pinned in
-    tests/test_ivf.py."""
+    4-cell index, split every cell above 1.2× mean occupancy, and grade
+    the split's CONTRACT (r16 conversion from rows-only — the per-cell
+    occupancy numbers are KMeans-dependent, but the invariants are not):
+    the post-split cells must partition exactly the same rows
+    (``rows_preserved`` — sum of post-split footer counts == table
+    count) and no cell may GROW (``max_cell_not_increased`` — children
+    partition their parent, untouched cells are carried).  The oracle
+    emits the expected literals + the SQL-computable total, so a split
+    that loses/duplicates rows or inflates a cell hash-mismatches.
+    Per-cell detail stays available via ``IVFIndex.stats()``; full-probe
+    exactness invariance is pinned in tests/test_ivf.py."""
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     idx = ivf.IVFIndex.build(
         emb, tempfile.mkdtemp(prefix="vse_rebal_") + "/index", n_centroids=4
     )
-    occ = [r["n_vectors"] for r in idx.stats().collect()]
-    idx.rebalance(max_cell_rows=max(1, int(1.2 * sum(occ) / len(occ))))
-    return idx.stats()
+    pre = [r["n_vectors"] for r in idx.stats().collect()]
+    idx.rebalance(max_cell_rows=max(1, int(1.2 * sum(pre) / len(pre))))
+    post = [r["n_vectors"] for r in idx.stats().collect()]
+    return spark.createDataFrame(
+        [(sum(post), sum(post) == emb.count(), max(post) <= max(pre))],
+        "n_vectors long, rows_preserved boolean, "
+        "max_cell_not_increased boolean",
+    )
 
 
-@register("ivf_index_stats")  # KMeans assignment — not SQL-expressible
+@register(
+    "ivf_index_stats",
+    oracle="""
+SELECT count(*)::BIGINT AS n_vectors, TRUE AS footer_matches_scan
+FROM embeddings
+""",
+)
 def ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-centroid occupancy of the built index (cell-balance health check
-    for the partition layout — skew here is shuffle skew at scale)."""
-    return ivf.build_or_load(spark, sf_dir).stats()
+    """Index-occupancy accounting, oracle-graded (r16 conversion from
+    rows-only): the per-centroid counts are KMeans-dependent, but their
+    SUM must equal the table count and the metadata-only footer path
+    (``stats()`` — parquet num_rows, no scan) must agree cell-for-cell
+    with an actual data scan (``vectors().groupBy``).  The oracle emits
+    the SQL-computable total + the expected literal, so a stale
+    manifest, a footer/scan divergence, or a dropped cell
+    hash-mismatches.  Per-cell detail (the cell-balance health check —
+    skew here is shuffle skew at scale) stays available via
+    ``IVFIndex.stats()``."""
+    idx = ivf.build_or_load(spark, sf_dir)
+    footer = {
+        int(r["centroid_id"]): int(r["n_vectors"])
+        for r in idx.stats().collect()
+    }
+    scan = {
+        int(r["centroid_id"]): int(r["n"])
+        for r in idx.vectors()
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    return spark.createDataFrame(
+        [(sum(footer.values()), footer == scan)],
+        "n_vectors long, footer_matches_scan boolean",
+    )
 
 
 

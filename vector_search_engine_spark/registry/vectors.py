@@ -308,17 +308,37 @@ def simjoin_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simjoin.edit_distance_pairs(names, k=2, q=2)
 
 
-@register("simjoin_edit_distance_stats")  # pair accounting → rows-only
+@register(
+    "simjoin_edit_distance_stats",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+v AS (
+  SELECT count(*)::BIGINT AS verified_pairs
+  FROM names a JOIN names b ON a.p_name < b.p_name
+  WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+    AND levenshtein(a.p_name, b.p_name) <= 2
+)
+SELECT (SELECT count(*)::BIGINT FROM names) AS n_strings,
+       v.verified_pairs,
+       TRUE AS candidates_cover_verified,
+       TRUE AS prefix_filter_prunes
+FROM v
+""",
+)
 def simjoin_edit_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ed-Join planning report — the boilerplate signal
     ``edit_distance_pairs``'s docstring promises (SCALING finding 16):
     candidate vs verified pair accounting for the catalog-confusability
     join, so a pipeline can GATE on cand/verified before paying the
-    verify at scale (a high ratio means the corpus has template
-    structure the prefix filter cannot prune — normalize upstream
-    instead of joining).  One diagnostic row; counts are exact (the
-    candidate set is persisted inside the operator so the accounting
-    job and the verify share one pipeline execution)."""
+    verify at scale.  r16 conversion from rows-only: ``n_strings`` and
+    ``verified_pairs`` replay in SQL (the same crossJoin+levenshtein
+    oracle as ``simjoin_edit_distance``), and the prefix filter's two
+    structural contracts grade as expected-literal booleans — the
+    candidate set must COVER every verified pair (a filter that drops a
+    true pair breaks completeness) and must PRUNE strictly below
+    all-pairs (a vacuous filter is an O(N²) join in disguise).  The raw
+    candidate count and ratios (Ed-Join internals, not SQL-replayable)
+    remain available via ``edit_distance_pairs(stats_out=...)``."""
     names = (
         load_table(spark, sf_dir, "part")
         .select(F.col("p_name").alias("key"), F.col("p_name").alias("s"))
@@ -335,14 +355,13 @@ def simjoin_edit_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             (
                 n,
-                cand,
                 verified,
-                round(cand / max(verified, 1), 4),
-                round(cand / max(all_pairs, 1), 8),
+                cand >= verified,
+                cand < all_pairs,
             )
         ],
-        "n_strings long, candidate_pairs long, verified_pairs long, "
-        "cand_per_verified double, cand_fraction_of_allpairs double",
+        "n_strings long, verified_pairs long, "
+        "candidates_cover_verified boolean, prefix_filter_prunes boolean",
     )
 
 
