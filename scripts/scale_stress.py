@@ -111,6 +111,10 @@ def main() -> None:
         _mixed_rw_sf1_section(spark, results)
         _emit(({"results": results}))
         return
+    if "--only-text1m" in sys.argv:  # finding-44 section alone
+        _text_1m_section(spark, results)
+        _emit(({"results": results}))
+        return
     if "--only-pipeline100k" in sys.argv:  # finding-42 section alone
         _pipeline_scale_section(spark, results)
         _emit(({"results": results}))
@@ -1595,6 +1599,152 @@ def _pipeline_scale_section(spark, results: dict) -> None:
         "collapse_ratio": round(n_docs / max(1, n_survivors), 2),
     }
     print(f"  gates: {results['gates']}", file=sys.stderr)
+
+
+def _text_1m_section(spark, results: dict) -> None:
+    """Finding 44 (r16, r15 verdict stretch task 8): the dedup →
+    keep-best → split chain — the expensive half of finding 42 — at
+    1M documents, with a KNOWN cluster structure so exactness gates are
+    driver-collected aggregates, not faith.
+
+    Corpus: each sf0.1 base doc spawns 10 PSEUDO-BASES (a per-base salt
+    token interleaved after every word — every 3-gram shingle then
+    contains a salt token, so cross-base Jaccard is EXACTLY 0 and no
+    true edge crosses a pseudo-base) × 20 near-identical variants
+    (" variant<k>" suffix — a handful of trailing shingles differ,
+    within-cluster Jaccard ≈ 0.99 ≫ the 0.4 threshold).  Ground truth:
+    clusters ARE the pseudo-bases (`doc_id // 32`), ~50k clusters × 20.
+
+    Pair tier: banded MinHash-LSH (`minhash_lsh_pairs` — exact verify,
+    so FALSE MERGES ARE IMPOSSIBLE; only recall can err).  The exact
+    postings tier is excluded by the finding-38/39 Σdf² law, measured
+    not assumed: every shingle inside a 20-variant cluster has df=20,
+    so the postings intersection materializes Σ df² ≈ |shingles|·400 ≈
+    10⁹·4 rows at this shape — the disk-exhaustion class.  LSH buckets
+    are the 20-doc clusters (far under max_bucket=1024), so candidate
+    volume is C(20,2)·50k ≈ 9.5M — linear in clusters, invariant to
+    corpus scale at fixed fan.  This IS the LSH dispatch claim the
+    rung exists to measure.
+
+    Gates (all driver-side aggregates over id-keyed frames):
+      * no_false_merges — max distinct pseudo-bases per CC cluster == 1
+        (structural: exact verify + disjoint cross-base shingles);
+      * recall — keep-best survivors == #pseudo-bases (every variant
+        edge found: at J≈0.99 the 4×4 band curve is ~1);
+      * split completeness + leakage — every survivor split, and the
+        train fraction lands near 80 on ~50k cluster draws.
+    """
+    import shutil
+
+    from vector_search_engine_spark.operators import dedup as dedup_ops
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    base = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    fan_bases, fan_vars = 10, 20
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != "")
+    # interleave the per-pseudo-base salt token after EVERY word: all
+    # 3-gram shingles contain it, so pseudo-bases share zero shingles
+    salt_tok = F.concat(F.lit("xbase"), F.col("base_id").cast("string"))
+    salted = F.flatten(
+        F.transform(toks, lambda x: F.array(x, salt_tok))
+    )
+    docs = (
+        base.crossJoin(
+            spark.range(fan_bases).select(F.col("id").alias("_m"))
+        )
+        .withColumn(
+            "base_id", F.col("doc_id") * fan_bases + F.col("_m")
+        )
+        .crossJoin(spark.range(fan_vars).select(F.col("id").alias("_v")))
+        .select(
+            (F.col("base_id") * 32 + F.col("_v")).alias("doc_id"),
+            F.concat(
+                F.concat_ws(" ", salted),
+                F.lit(" variant"),
+                F.col("_v"),
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    tmp = tempfile.mkdtemp(prefix="text1m-")
+    path = os.path.join(tmp, "documents.parquet")
+    docs.repartition(32).write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path)
+    n_docs = big.count()
+    n_bases = n_docs // fan_vars
+    results["corpus"] = {"n_docs": n_docs, "n_true_clusters": n_bases}
+
+    pairs_holder: dict = {}
+
+    def run_pairs():
+        p = dedup_ops.minhash_lsh_pairs(big).localCheckpoint(eager=True)
+        pairs_holder["pairs"] = p
+        return p.count()
+
+    timed(results, "lsh_pairs_1m", run_pairs)
+    pairs = pairs_holder["pairs"]
+
+    cl_holder: dict = {}
+
+    def run_cc():
+        c = graph_ops.dedup_clusters(big, pairs).localCheckpoint(eager=True)
+        cl_holder["cl"] = c
+        return c.count()
+
+    timed(results, "cc_clusters_1m", run_cc)
+    clusters = cl_holder["cl"]
+
+    kb_holder: dict = {}
+
+    def run_keepbest():
+        s = dedup_ops.keep_best(big, clusters).localCheckpoint(eager=True)
+        kb_holder["s"] = s
+        return s.count()
+
+    timed(results, "keep_best_1m", run_keepbest)
+    survivors = kb_holder["s"]
+
+    split_holder: dict = {}
+
+    def run_split():
+        sp = txt_ops.leakage_safe_split(
+            survivors.select("doc_id"), survivors
+        ).localCheckpoint(eager=True)
+        split_holder["sp"] = sp
+        return sp.count()
+
+    timed(results, "leakage_split_1m", run_split)
+    split = split_holder["sp"]
+
+    # exactness gates — aggregates only
+    merge_gate = (
+        clusters.withColumn("base", F.col("doc_id") / 32)
+        .withColumn("base", F.floor("base"))
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("base").alias("nb"))
+        .agg(F.max("nb").alias("max_bases_per_cluster"))
+        .collect()[0]["max_bases_per_cluster"]
+    )
+    n_surv = survivors.count()
+    split_counts = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    train_frac = split_counts.get("train", 0) / max(1, sum(split_counts.values()))
+    results["gates"] = {
+        "no_false_merges": int(merge_gate) == 1,
+        "keepbest_survivors": int(n_surv),
+        "recall_full": int(n_surv) == int(n_bases),
+        "split_total_matches_survivors": sum(split_counts.values()) == n_surv,
+        "train_frac": round(train_frac, 4),
+        "train_frac_near_80": abs(train_frac - 0.8) < 0.02,
+    }
+    print(f"  gates: {results['gates']}", file=sys.stderr)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _mixed_rw_sf1_section(spark, results: dict) -> None:

@@ -79,86 +79,82 @@ from vector_search_engine_spark.registry import analytics  # noqa: E402,F401
 # events_range_join, events_sessionize — families multiply covered in r1/r2)
 # made room for the 7 oracle-backed queries that had never been graded.
 _GRADE_FIRST: list[str] = [
-    # r15 window — same two principles as r14 (standing policy):
-    #   (1) rows this round TOUCHED go straight in: the new composed
-    #       pipeline row; the GEMM-dispatch / rounding / oracle-rid /
-    #       checkpoint fixes; and every consumer of the consolidated
-    #       salted-md5 hash family (functions/hashing.py) — a helper
-    #       migration is exactly the class of change the window exists
-    #       to catch.
+    # r16 window — same two principles as r14/r15 (standing policy):
+    #   (1) rows this round TOUCHED go straight in: every sign-tier
+    #       consumer (the stage-1 budget now AUTO-DERIVES per probed
+    #       cell — finding 43a — exactly the class of default change
+    #       the window exists to catch), the token-pinned composed
+    #       pipeline and its tokens_col stage family, the
+    #       doc_tfidf_knn estimator-skip/margin fixes, and the three
+    #       r16 rows-only→oracle conversions (ivf_index_stats,
+    #       ivf_rebalance_stats, simjoin_edit_distance_stats — newly
+    #       hash-gradeable, so they must be driver-run).
     #   (2) every remaining slot goes MAX-STALENESS-FIRST among
-    #       oracle-backed rows (ages computed from CORRECTNESS_r1-r14):
-    #       the five never-graded rows first (incl. the judge-requested
-    #       knn_exact_ivf_bounded and dedup_containment_ppjoin, and
-    #       embeddings_whitened_rank — rows-only by nature but never
-    #       once driver-run), then the age-1/2/5/6/7 blocks.  The four
-    #       r14-window rows-only diagnostics (ann_ivf_probe,
-    #       dedup_embedding_lsh, dedup_minhash_lsh, multimodal_features)
-    #       rotate out per the r14 verdict; rows-only-by-nature rows
-    #       with a prior grade (ann_ivf_recall_curve, knn_sq8_rescore,
-    #       ann_lsh_search, ivf_index_stats, dedup_simhash) stay in the
-    #       tail — the sweep and pytest grade them at HEAD each round.
-    # The r6-r14 rotation ledgers live in git history.
+    #       oracle-backed rows (ages computed from CORRECTNESS_r1-r15):
+    #       the r7 block, the whole r8 block, then r9 head.  The r15
+    #       window's rows-only diagnostics and one-round-old green
+    #       rows rotate out; rows-only-by-nature rows with a prior
+    #       grade stay in the tail — the sweep and pytest grade them
+    #       at HEAD each round.
+    # The r6-r15 rotation ledgers live in git history.
     #
-    # --- never driver-graded (age 0) ---
+    # --- r16-touched: sign-tier auto-budget (finding 43a) ---
+    "ann_ivf_bq",
+    "ann_ivf_bq_filtered",
+    "ann_ivf_cascade",
+    "ann_ivf_cascade_filtered",
+    "ann_ivf_ip_cascade",
+    "ann_ivf_cascade_distributed",
+    "streaming_merged_search_cascade",
+    "streaming_search_distributed",
+    "streaming_search_sq8_distributed",
+    "streaming_search_cascade_distributed",
+    # --- r16-touched: one-tokenization pipeline pin (finding 43c) ---
     "pipeline_text_curation",
-    "knn_exact_ivf_bounded",
-    "dedup_containment_ppjoin",
-    "ann_ivf_cogroup_scan_distributed",
-    "embeddings_whitened_rank",
-    # --- r15-touched: dispatch/rounding/oracle fixes ---
-    "doc_tfidf_knn",
-    "embeddings_cluster_quality",
-    "streaming_effective_rank",
-    "corpus_dsir_weights",
-    "corpus_dsir_sample",
-    "dedup_keep_best",
-    # --- r15-touched: salted-md5 family consumers (helper migration) ---
+    "dedup_ngram_jaccard",
+    "doc_quality_filter",
+    "doc_quality_buckets",
+    "doc_bigram_logprob",
     "corpus_token_budget_sample",
     "corpus_curriculum_order",
-    "corpus_split_leakage_safe",
-    "dedup_minhash_lsh_portable",
-    "corpus_source_overlap_minhash",
-    "corpus_mixture_sample",
-    "corpus_mixture_sample_weighted",
-    "corpus_capped_sample",
-    "corpus_weighted_sample_es",
-    "doc_tfidf_vectors",
-    # --- judge-requested return (yielded its slot in r14) ---
-    "corpus_pack_sequences",
-    # --- staleness: last graded r1 ---
-    "orders_cube",
-    "events_hourly_gapfill",
-    "events_daily_pivot",
-    "events_sliding_window",
-    "events_asof_attribution_pandas",
-    # --- last graded r2 ---
-    "knn_grouped_by_label",
-    "events_sessionize",
-    "events_range_join",
-    # --- last graded r5 ---
-    "knn_filtered",
-    "jsonl_roundtrip",
-    "events_hourly_stats",
-    "pipeline_clean_corpus",
-    "dedup_ngram_jaccard_ppjoin",
-    "corpus_train_val_split",
-    # --- last graded r6 ---
-    "knn_radius_search",
-    "knn_exact_cosine",
-    "knn_self_similarity_pairs",
-    "knn_pq_adc",
-    "events_json_stats",
-    "streaming_compacted_search",
-    # --- last graded r7 (family-spread pick of 8 from the 13) ---
-    "vector_norms",
-    "bvecs_roundtrip",
-    "ann_ivf_sq8",
-    "ann_ivf_cosine",
-    "tpch_top_unshipped_orders",
-    "doc_stats",
-    "dedup_clusters",
-    "streaming_upsert_search",
+    # --- r16-touched: tfidf estimator skip + GEMM margin ---
+    "doc_tfidf_knn",
+    # --- r16 conversions: rows-only → oracle mode ---
+    "ivf_index_stats",
+    "ivf_rebalance_stats",
+    "simjoin_edit_distance_stats",
+    # --- staleness: last graded r7 ---
+    "ann_ivf_ip",
+    "ann_ivf_pq",
+    "index_asof_search",
+    "multimodal_frame_index",
+    "orders_above_customer_avg",
+    # --- last graded r8 (whole block) ---
+    "ann_ivf_distributed",
+    "ann_ivf_sq8_filtered",
+    "brand_price_unpivot",
+    "corpus_dedup_stats",
+    "customers_without_orders",
+    "doc_dup_span_stats",
+    "doc_lang_id",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "doc_unigram_stats",
+    "index_asof_search_pq",
+    "ivecs_roundtrip",
+    "shipdate_set_ops",
+    "streaming_hourly_event_stats",
+    "streaming_merged_search",
+    "streaming_merged_search_pq",
+    # --- last graded r9 (head of the block; sq4/sq8 merged twins wait) ---
+    "ann_ivf_cosine_filtered",
+    "ann_ivf_ip_filtered",
+    "ann_ivf_opq",
+    "ann_ivf_prefix",
+    "fvecs_roundtrip",
+    "hybrid_search_rrf",
+    "knn_truncated_rescore",
+    "label_centroids",
 ]
 
 
