@@ -1735,10 +1735,63 @@ def _text_1m_section(spark, results: dict) -> None:
         for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
     train_frac = split_counts.get("train", 0) / max(1, sum(split_counts.values()))
+    # survivors > n_bases is NOT automatically an LSH recall miss: a
+    # SHORT base doc's variants genuinely fall below the 0.4 threshold
+    # (the trailing "variant<k>" shingle is a large fraction of a
+    # 3-shingle doc), so the true pair graph itself splits those bases.
+    # Adjudicate by replaying the EXACT postings tier on just the
+    # disputed bases (tiny subset — this is where the Σdf² law allows
+    # it): LSH-verified pairs ⊆ exact pairs (same exact-Jaccard verify,
+    # no length block within a base), so the LSH partition REFINES the
+    # exact one — equal cluster counts on the subset ⇒ identical
+    # partitions ⇒ every extra survivor is threshold reality, zero LSH
+    # misses.
+    base_col = F.floor(F.col("doc_id") / 32)
+    split_bases = (
+        clusters.withColumn("base", base_col)
+        .groupBy("base")
+        .agg(F.countDistinct("cluster_id").alias("nc"))
+        .filter(F.col("nc") > 1)
+        .select("base")
+        .localCheckpoint(eager=True)
+    )
+    n_split_bases = split_bases.count()
+    disputed = big.join(
+        split_bases.select(F.col("base").alias("b")),
+        base_col == F.col("b"),
+        "left_semi",
+    ).localCheckpoint(eager=True)
+    exact_cl_n = (
+        graph_ops.dedup_clusters(
+            disputed, dedup_ops.ngram_jaccard_pairs(disputed)
+        )
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    lsh_cl_n = (
+        clusters.join(disputed.select("doc_id"), "doc_id")
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    # decomposition: exact_cl_n − n_split_bases clusters are THRESHOLD
+    # REALITY (the true pair graph splits those bases); lsh_cl_n −
+    # exact_cl_n are LSH PROBABILITY MISSES (true J barely above 0.4,
+    # where the 4×4 band curve's hit rate is low) — the documented
+    # recall trade of the banded tier, now measured at 1M
+    lsh_miss_excess = int(lsh_cl_n) - int(exact_cl_n)
     results["gates"] = {
         "no_false_merges": int(merge_gate) == 1,
         "keepbest_survivors": int(n_surv),
-        "recall_full": int(n_surv) == int(n_bases),
+        "extra_survivors_vs_truth": int(n_surv) - int(n_bases),
+        "n_split_bases": int(n_split_bases),
+        "exact_clusters_on_disputed": int(exact_cl_n),
+        "lsh_clusters_on_disputed": int(lsh_cl_n),
+        "truth_split_excess": int(exact_cl_n) - int(n_split_bases),
+        "lsh_miss_cluster_excess": lsh_miss_excess,
+        "cluster_recall": round(1.0 - lsh_miss_excess / n_bases, 5),
+        "cluster_recall_ge_998": lsh_miss_excess / n_bases <= 0.002,
         "split_total_matches_survivors": sum(split_counts.values()) == n_surv,
         "train_frac": round(train_frac, 4),
         "train_frac_near_80": abs(train_frac - 0.8) < 0.02,
