@@ -717,6 +717,23 @@ def test_cluster_quality_centroids_broadcast_points_never_pair(spark, sf_dir):
     assert "BroadcastHashJoin" in final
 
 
+def test_text_curation_pipeline_single_tokenization(spark, sf_dir):
+    """r16 one-tokenization contract: the composed pipeline tokenizes
+    the corpus ONCE into a pinned checkpoint, so the returned frame's
+    optimized plan must contain ZERO parquet relations — every stage
+    downstream reads the token checkpoint (LogicalRDD), never the raw
+    documents table (pre-pin, three stage families each re-scanned and
+    re-split the corpus; SCALING finding 43c measured the cut at 100k:
+    162 s → 85 s)."""
+    from vector_search_engine_spark.operators import text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_ops.text_curation_pipeline(docs)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "parquet" not in plan.lower(), plan[:2000]
+    assert "LogicalRDD" in plan  # the pinned token checkpoint
+
+
 def test_salted_md5_family_has_one_definition():
     """r15 (finding-28 lesson applied to hash discipline): every
     Spark-side 60-bit salted-md5 draw — the primitive ALL portable

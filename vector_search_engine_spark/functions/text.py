@@ -69,13 +69,17 @@ def with_shingles(
     path (one tokenization scan feeds every stage)."""
     from pyspark.ml.feature import NGram
 
-    if tokens_col is None:
+    own_toks = tokens_col is None
+    if own_toks:
         df = df.withColumn("_toks", tokens(F.col(text_col)))
         tokens_col = "_toks"
     df = NGram(n=n, inputCol=tokens_col, outputCol="_ngrams").transform(df)
-    return df.withColumn(out_col, F.array_distinct(F.col("_ngrams"))).drop(
-        "_toks", "_ngrams"
+    out = df.withColumn(out_col, F.array_distinct(F.col("_ngrams"))).drop(
+        "_ngrams"
     )
+    # only drop the scratch column WE created — a caller-provided
+    # tokens_col stays on the frame (it may feed further stages)
+    return out.drop("_toks") if own_toks else out
 
 
 def jaccard(a: Column, b: Column) -> Column:
