@@ -2266,7 +2266,10 @@ class IVFIndex:
             queries, qid_col, qvec_col, snap, nprobe
         )
         cells = self._probed_cells_distributed(probes, nprobe, n_cells, snap)
-        budget_map = (
+        # broadcast, not closure-capture: the bulk path probes up to ALL
+        # cells, so the per-cell budget dict scales with n_cells and a
+        # closure would re-ship it with every task
+        bc_budget = spark.sparkContext.broadcast(
             self._auto_sign_budget(
                 k, snap, cells, "search_cascade_distributed"
             )
@@ -2301,6 +2304,7 @@ class IVFIndex:
             # auto-derived cell population (finding 41) unless the
             # caller passed an explicit uniform candidates_per_cell
             thr_ = bc_thr.value
+            bm = bc_budget.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -2320,10 +2324,7 @@ class IVFIndex:
                         raw.reshape(len(ids), -1), axis=1
                     )[:, :d]
                     s = (2.0 * bits_ - 1.0) @ q
-                    cap_c = (
-                        C if budget_map is None
-                        else budget_map.get(int(cid), C)
-                    )
+                    cap_c = C if bm is None else bm.get(int(cid), C)
                     keep = min(cap_c, len(ids))
                     sel = (
                         np.argpartition(-s, keep - 1)[:keep]
