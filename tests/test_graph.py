@@ -41,6 +41,42 @@ def test_empty_edges(spark):
     assert graph_ops.connected_components(df).count() == 0
 
 
+def test_cc_tier_identity_unionfind_vs_star_rounds(spark):
+    """r16 dispatch: below CC_DRIVER_EDGE_BOUND the driver union-find
+    tier must produce labels IDENTICAL to the iterative star rounds
+    (forced via max_driver_edges=0) — same min-id component per node,
+    same node domain — on a graph mixing paths, a star, duplicate and
+    reversed edges, and self-loops."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(16)
+    edges = [(i, i + 1) for i in range(0, 40, 2)]  # 20 tiny paths
+    edges += [(100, 100 + i) for i in range(1, 15)]  # a star
+    edges += [(i + 1, i) for i in range(0, 20, 2)]  # reversed dups
+    edges += [(7, 7), (200, 200)]  # self-loops (dropped)
+    extra = rng.integers(300, 340, (30, 2))  # random clutter
+    edges += [(int(a), int(b)) for a, b in extra]
+    df = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["u", "v"]), "u long, v long"
+    )
+    st: dict = {}
+    fast = {
+        r["node"]: r["component"]
+        for r in graph_ops.connected_components(df, stats_out=st).collect()
+    }
+    assert st["tier"] == "driver_unionfind" and st["rounds"] == 0
+    st2: dict = {}
+    slow = {
+        r["node"]: r["component"]
+        for r in graph_ops.connected_components(
+            df, stats_out=st2, max_driver_edges=0
+        ).collect()
+    }
+    assert st2["tier"] == "star_rounds" and st2["rounds"] >= 1
+    assert fast == slow
+
+
 def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_ops.ngram_jaccard_pairs(docs).collect()
