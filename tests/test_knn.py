@@ -503,6 +503,36 @@ def test_block_cogroup_keys_helper_contract(spark):
         knn_ops._assert_block_key_types(qb_bad, vb_ok)
 
 
+def test_kcenter_tier_identity_driver_vs_distributed(spark):
+    """r16 small-input tier: the driver NumPy greedy loop must select
+    the SAME exemplars with the SAME dist_sq as the per-round Spark
+    tier (forced via max_driver_elems=0) — including on duplicate
+    vectors, where the min-id tie-break is the only separator."""
+    import pandas as pd
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    rng = np.random.default_rng(45)
+    V = rng.normal(0, 1, (60, 8)).astype(np.float32)
+    V[17] = V[3]  # exact duplicates: equal distances, id tie-break
+    V[41] = V[3]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                      "embedding": list(V)})
+    )
+    fast = [
+        (r["rank"], r["vec_id"], r["dist_sq"])
+        for r in knn_ops.kcenter_select(df, k=9).orderBy("rank").collect()
+    ]
+    slow = [
+        (r["rank"], r["vec_id"], r["dist_sq"])
+        for r in knn_ops.kcenter_select(df, k=9, max_driver_elems=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert fast == slow
+
+
 def test_kcenter_select_fewer_rows_than_k(spark):
     """k > N returns every row once in selection order instead of
     IndexError (ADVICE r13); empty input raises ValueError."""

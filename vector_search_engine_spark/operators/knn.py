@@ -1734,11 +1734,86 @@ def recall_at_k(results: DataFrame, ground_truth: DataFrame, k: int) -> DataFram
     )
 
 
+# N·d float64 elements at or below this collect to the driver and run
+# the greedy loop in NumPy (finding 45's job-count lesson: each Spark
+# round is a full scan + TakeOrderedAndProject job, so at small N the
+# k−1 rounds are pure scheduling overhead).  2^22 elements = 32 MB.
+KCENTER_DRIVER_ELEMS = 1 << 22
+# row ceiling for the tier probe (limit(bound+1) — one job both decides
+# the tier and delivers the matrix); with the element bound above this
+# caps the probe at ≤32 MB even for very wide vectors
+KCENTER_DRIVER_ROWS = 32_768
+
+
+def _seq_fold_l2_sq(a, b) -> float:
+    """Exact left-to-right float64 squared-L2 fold — bit-identical to
+    the ``l2_sq`` higher-order aggregate (and DuckDB's ``list_sum``),
+    which both accumulate in dim order.  The driver tier uses it to
+    confirm winners so tier choice can never flip a near-tie."""
+    s = 0.0
+    for x, y in zip(a, b):
+        t = float(x) - float(y)
+        s = s + t * t
+    return s
+
+
+def _kcenter_driver(
+    pdf, k: int, id_col: str, vec_col: str
+) -> list[tuple[int, int, float]]:
+    """Driver-side greedy k-center over an already-collected pandas
+    frame: vectorized min-distance maintenance + exact-fold
+    confirmation of the argmax (and of every candidate within a safety
+    margin of it, where pairwise-summed NumPy could disagree with the
+    sequential fold).  Returns [(rank, vec_id, dist_sq)] with dist_sq
+    from the exact fold."""
+    import numpy as np
+
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    M = np.array(
+        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]],
+        dtype=np.float64,
+    )
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+    n = len(ids)
+    sel_rows: list[tuple[int, int, float]] = [(1, int(ids[0]), 0.0)]
+    sel_idx = [0]
+    taken = np.zeros(n, dtype=bool)
+    taken[0] = True
+    mind = np.full(n, np.inf)
+    while len(sel_rows) < min(int(k), n):
+        c = M[sel_idx[-1]]
+        diff = M - c
+        mind = np.minimum(mind, np.einsum("ij,ij->i", diff, diff))
+        avail = np.where(~taken)[0]
+        vals = mind[avail]
+        v1 = float(vals.max())
+        # candidates whose EXACT fold could still win: vectorized vs
+        # sequential summation differ by O(d·ulp) relative — 1e-9 is
+        # orders of magnitude of headroom
+        margin = 1e-9 * (1.0 + abs(v1))
+        near = avail[vals >= v1 - margin]
+        best_id, best_val = None, -1.0
+        for idx in near:
+            exact = min(
+                _seq_fold_l2_sq(M[idx], M[s]) for s in sel_idx
+            )
+            if exact > best_val or (
+                exact == best_val and int(ids[idx]) < best_id
+            ):
+                best_val, best_id, best_i = exact, int(ids[idx]), int(idx)
+        sel_rows.append((len(sel_rows) + 1, best_id, float(best_val)))
+        sel_idx.append(best_i)
+        taken[best_i] = True
+    return sel_rows
+
+
 def kcenter_select(
     vectors: DataFrame,
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_driver_elems: int = KCENTER_DRIVER_ELEMS,
 ) -> DataFrame:
     """Greedy k-center coreset selection (Gonzalez 1985 — the classic
     2-approximation for the k-center objective): start from the
@@ -1779,17 +1854,46 @@ def kcenter_select(
 
     Fewer than ``k`` input rows → returns the available exemplars
     (every input row once, in selection order) rather than erroring;
-    an empty input raises ``ValueError``."""
+    an empty input raises ``ValueError``.
+
+    Small-input tier (r16, finding 45): when ``N·d`` float64 elements
+    fit ``max_driver_elems`` the whole matrix collects once (Arrow) and
+    the greedy loop runs in NumPy — zero per-round Spark jobs, output
+    IDENTICAL by construction: candidates are scored vectorized, then
+    the winner (and any candidate within a safety margin of it, where
+    vectorized pairwise summation could disagree with the distributed
+    tier's sequential fold) is re-confirmed with the EXACT left-to-right
+    float64 fold ``l2_sq`` uses, ties by smallest id — so selection AND
+    the reported ``dist_sq`` hash-match the oracle at either tier
+    (tier-identity pytest-pinned)."""
     from vector_search_engine_spark.functions.vector import l2_sq
 
+    spark = vectors.sparkSession
+    # ONE bounded probe job decides the tier AND, when small, IS the
+    # whole input: limit(bound+1) overflowing by one row means "too
+    # big, fall through" without ever counting the table
+    probe = (
+        vectors.select(id_col, vec_col)
+        .limit(KCENTER_DRIVER_ROWS + 1)
+        .toPandas()
+    )
+    if len(probe) == 0:
+        raise ValueError("kcenter_select: input has no rows")
+    dim = len(probe[vec_col].iloc[0])
+    if (
+        len(probe) <= KCENTER_DRIVER_ROWS
+        and len(probe) * dim <= int(max_driver_elems)
+    ):
+        rows = _kcenter_driver(probe, k, id_col, vec_col)
+        return spark.createDataFrame(
+            rows, schema="rank long, vec_id long, dist_sq double"
+        ).withColumn("dist_sq", F.round("dist_sq", DIST_DECIMALS))
     anchor_rows = (
         vectors.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(1)
         .collect()
     )
-    if not anchor_rows:
-        raise ValueError("kcenter_select: input has no rows")
     first = anchor_rows[0]
     sel: list[tuple[int, list, float]] = [
         (int(first[0]), [float(x) for x in first[1]], 0.0)
