@@ -405,6 +405,11 @@ class VectorEngine:
         results as the float tier; BQ's top-C cut and graph's finite-ef
         beam have no lossless bound (recall measured, tests/test_bq.py /
         tests/test_hnsw.py) though returned distances are always exact.
+        For the sign tiers (``bq``/``cascade``) an UNSET
+        ``candidates_per_cell`` auto-derives per probed cell from that
+        cell's population (``IVFIndex._auto_sign_budget``, finding 41 —
+        the fixed 8·k default collapsed recall on clustered corpora);
+        an explicit value is the uniform per-cell serving knob.
         The delta side always scans exact floats, deltas are small."""
         if tier not in (
             "float", "sq8", "sq4", "pq", "bq", "prefix", "prefix_pca",
