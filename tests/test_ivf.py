@@ -1171,6 +1171,48 @@ def test_cascade_distributed_exact_unbounded_and_sane_finite_c(
     assert hit / max(1, len(fin)) >= 0.8
 
 
+def test_cascade_distributed_broadcasts_memoized_per_generation(
+    spark, embeddings, index
+):
+    """r16 advisor: repeated auto-budget cascade searches against the
+    same generation must REUSE one budget broadcast and one thresholds
+    broadcast (keyed (gen, k) / sidecar dir) instead of leaking a fresh
+    broadcast per search — and results stay exact at full probe."""
+    q = knn_ops.make_queries(embeddings, n=4)
+    full = index.meta["n_centroids"]
+    exact = [
+        tuple(r)
+        for r in index.search(q, k=5, nprobe=full)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    r1 = [
+        tuple(r)
+        for r in index.search_cascade_distributed(q, k=5, nprobe=full)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    bud_cache = dict(index._sign_budget_bc_cache)
+    thr_cache = dict(index._bq_thr_bc_cache)
+    assert len(bud_cache) == 1 and len(thr_cache) == 1
+    r2 = [
+        tuple(r)
+        for r in index.search_cascade_distributed(q, k=5, nprobe=full)
+        .orderBy("qid", "rank")
+        .collect()
+    ]
+    # same broadcast OBJECTS after the second search — no new entries,
+    # no replacement
+    assert index._sign_budget_bc_cache == bud_cache
+    assert index._bq_thr_bc_cache == thr_cache
+    assert r1 == r2
+    # auto-budget at full probe keeps the finding-41 exactness contract
+    assert {t[:2] for t in r1} == {t[:2] for t in exact}
+    # a different k derives a different budget map → its own cache key
+    index.search_cascade_distributed(q, k=3, nprobe=full).count()
+    assert len(index._sign_budget_bc_cache) == 2
+
+
 def test_pca_staleness_monitor_and_retrain(spark, tmp_path):
     """r12 (verdict item 3): the pcarot sidecar's carried-forward
     rotation is MONITORED — build-time prefix energy persists in the

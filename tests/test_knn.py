@@ -533,6 +533,43 @@ def test_kcenter_tier_identity_driver_vs_distributed(spark):
     assert fast == slow
 
 
+def test_kcenter_mass_tie_vectorized_fold_tier_identity(spark):
+    """r16 advisor: a duplicate-heavy corpus puts >64 candidates inside
+    the exact-fold confirmation margin — the driver tier must take the
+    VECTORIZED dim-order fold (bit-identical to the scalar fold by
+    construction) and still agree with the distributed tier on both
+    selection and dist_sq, min-id tie-break included."""
+    import pandas as pd
+
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    # id 0 anchors at the origin; ids 1..100 are ALL the same far point
+    # (they tie exactly at the round-2 argmax, |near|=100 > 64); a few
+    # mid points give later rounds real choices
+    V = np.zeros((104, 6), dtype=np.float32)
+    V[1:101] = 7.0
+    V[101] = [3, 0, 0, 0, 0, 0]
+    V[102] = [0, 4, 0, 0, 0, 0]
+    V[103] = [0, 0, 2, 0, 0, 0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(104, dtype=np.int64),
+                      "embedding": list(V)})
+    )
+    fast = [
+        tuple(r)
+        for r in knn_ops.kcenter_select(df, k=5).orderBy("rank").collect()
+    ]
+    slow = [
+        tuple(r)
+        for r in knn_ops.kcenter_select(df, k=5, max_driver_elems=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert fast == slow
+    # round 2 must pick the SMALLEST id among the 100 tied duplicates
+    assert fast[1][1] == 1
+
+
 def test_kcenter_select_fewer_rows_than_k(spark):
     """k > N returns every row once in selection order instead of
     IndexError (ADVICE r13); empty input raises ValueError."""

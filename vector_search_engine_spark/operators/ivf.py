@@ -2259,18 +2259,20 @@ class IVFIndex:
         )
         bq_dir = self.ensure_bq(snapshot=snap)
         sq_dir = self.ensure_sq8(snapshot=snap, bits=8)
-        with open(os.path.join(bq_dir, "thresholds.json")) as f:
-            thr = np.array(json.load(f)["thresholds"], dtype=np.float64)
-        bc_thr = spark.sparkContext.broadcast(thr)
+        bc_thr = self._bq_thr_broadcast(bq_dir)
         probes, n_cells, nprobe = self._assign_probes_distributed(
             queries, qid_col, qvec_col, snap, nprobe
         )
         cells = self._probed_cells_distributed(probes, nprobe, n_cells, snap)
         # broadcast, not closure-capture: the bulk path probes up to ALL
         # cells, so the per-cell budget dict scales with n_cells and a
-        # closure would re-ship it with every task
-        bc_budget = spark.sparkContext.broadcast(
-            self._auto_sign_budget(
+        # closure would re-ship it with every task.  Memoized per
+        # (generation, k) — r16 advisor: a fresh broadcast per search
+        # accumulates driver+executor blocks across a long-lived serving
+        # session; the budget derives only from footer counts + k, so
+        # one broadcast serves every search against the same generation.
+        bc_budget = (
+            self._sign_budget_broadcast(
                 k, snap, cells, "search_cascade_distributed"
             )
             if candidates_per_cell is None
@@ -2304,7 +2306,7 @@ class IVFIndex:
             # auto-derived cell population (finding 41) unless the
             # caller passed an explicit uniform candidates_per_cell
             thr_ = bc_thr.value
-            bm = bc_budget.value
+            bm = bc_budget.value if bc_budget is not None else None
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -2858,6 +2860,79 @@ class IVFIndex:
                 stacklevel=3,
             )
         return budgets
+
+    def _sign_budget_broadcast(
+        self, k: int, snap: dict | None, cells, tier: str
+    ):
+        """Broadcast of the auto-derived stage-1 sign budgets for EVERY
+        cell of the pinned generation, memoized per ``(generation, k)``
+        (r16 advisor): the distributed cascade used to create a fresh
+        O(n_cells) broadcast per search and never release it, so a
+        long-lived serving session accumulated driver+executor broadcast
+        blocks without bound.  The budget map is a pure function of the
+        generation's footer counts and ``k`` (``max(8k, min(pop, cap))``
+        — same formula as ``_auto_sign_budget``), so one broadcast
+        serves every search against that generation; eviction (>16
+        retained keys, same bound as ``_cell_counts_cache``) destroys
+        the stale broadcasts it drops.  Probed-cell WARNING semantics
+        are unchanged: ``_auto_sign_budget`` still runs per call on the
+        probed set (memoized counts — no extra footer reads) purely for
+        its capped-cell / pre-manifest diagnostics.  A pre-manifest raw
+        layout broadcasts ``None`` — the kernel then falls back to its
+        closure floor, matching the per-query fallback."""
+        gen = (snap or {}).get("latest_gen")
+        cache = getattr(self, "_sign_budget_bc_cache", None)
+        if cache is None:
+            cache = self._sign_budget_bc_cache = {}
+        key = (gen, int(k))
+        bc = cache.get(key) if gen is not None else None
+        if bc is None:
+            counts = self._snapshot_counts(snap)
+            floor = 8 * int(k)
+            budgets = {
+                int(c): max(floor, min(int(n), AUTO_SIGN_BUDGET_CAP))
+                for c, n in counts.items()
+            } or None
+            bc = self.spark.sparkContext.broadcast(budgets)
+            if gen is not None:
+                if len(cache) > 16:
+                    for old in cache.values():
+                        try:
+                            old.destroy()
+                        except Exception:
+                            pass
+                    cache.clear()
+                cache[key] = bc
+        # per-call diagnostics on the PROBED cells (warnings only; the
+        # returned driver-side dict is discarded)
+        self._auto_sign_budget(k, snap, cells, tier)
+        return bc
+
+    def _bq_thr_broadcast(self, bq_dir: str):
+        """Memoized broadcast of a BQ sidecar's threshold vector, keyed
+        by sidecar dir (generation-specific path, so a regenerated
+        sidecar gets a fresh broadcast).  Same leak discipline as
+        ``_sign_budget_broadcast`` — the dim-length array is small, but
+        per-search broadcasts still accumulate in a serving loop."""
+        cache = getattr(self, "_bq_thr_bc_cache", None)
+        if cache is None:
+            cache = self._bq_thr_bc_cache = {}
+        bc = cache.get(bq_dir)
+        if bc is None:
+            with open(os.path.join(bq_dir, "thresholds.json")) as f:
+                thr = np.array(
+                    json.load(f)["thresholds"], dtype=np.float64
+                )
+            bc = self.spark.sparkContext.broadcast(thr)
+            if len(cache) > 16:
+                for old in cache.values():
+                    try:
+                        old.destroy()
+                    except Exception:
+                        pass
+                cache.clear()
+            cache[bq_dir] = bc
+        return bc
 
     def search_bq(
         self,

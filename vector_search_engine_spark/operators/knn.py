@@ -1793,15 +1793,41 @@ def _kcenter_driver(
         # orders of magnitude of headroom
         margin = 1e-9 * (1.0 + abs(v1))
         near = avail[vals >= v1 - margin]
-        best_id, best_val = None, -1.0
-        for idx in near:
-            exact = min(
-                _seq_fold_l2_sq(M[idx], M[s]) for s in sel_idx
-            )
-            if exact > best_val or (
-                exact == best_val and int(ids[idx]) < best_id
-            ):
-                best_val, best_id, best_i = exact, int(ids[idx]), int(idx)
+        if len(near) > 64:
+            # mass-tie regime (r16 advisor: duplicate-heavy corpora put
+            # nearly every remaining row inside the margin, making the
+            # per-candidate interpreted fold O(|near|·|sel|·d) Python —
+            # minutes at the 32k tier bound).  Vectorize the SAME
+            # left-to-right dim-order float64 summation over all
+            # candidates at once: one accumulator updated one dim at a
+            # time preserves the scalar fold's addition order for every
+            # row simultaneously, so the result is bit-identical to
+            # _seq_fold_l2_sq and tier choice still can't flip a tie.
+            Nm = M[near]
+            exact_min = np.full(len(near), np.inf)
+            for s in sel_idx:
+                dv = Nm - M[s]
+                acc = np.zeros(len(near))
+                for j in range(dv.shape[1]):
+                    t = dv[:, j]
+                    acc = acc + t * t
+                np.minimum(exact_min, acc, out=exact_min)
+            best_val = float(exact_min.max())
+            tied = near[exact_min == best_val]
+            best_i = int(tied[np.argmin(ids[tied])])
+            best_id = int(ids[best_i])
+        else:
+            best_id, best_val = None, -1.0
+            for idx in near:
+                exact = min(
+                    _seq_fold_l2_sq(M[idx], M[s]) for s in sel_idx
+                )
+                if exact > best_val or (
+                    exact == best_val and int(ids[idx]) < best_id
+                ):
+                    best_val, best_id, best_i = (
+                        exact, int(ids[idx]), int(idx)
+                    )
         sel_rows.append((len(sel_rows) + 1, best_id, float(best_val)))
         sel_idx.append(best_i)
         taken[best_i] = True
@@ -1869,31 +1895,40 @@ def kcenter_select(
     from vector_search_engine_spark.functions.vector import l2_sq
 
     spark = vectors.sparkSession
-    # ONE bounded probe job decides the tier AND, when small, IS the
-    # whole input: limit(bound+1) overflowing by one row means "too
-    # big, fall through" without ever counting the table
-    probe = (
-        vectors.select(id_col, vec_col)
-        .limit(KCENTER_DRIVER_ROWS + 1)
-        .toPandas()
-    )
-    if len(probe) == 0:
-        raise ValueError("kcenter_select: input has no rows")
-    dim = len(probe[vec_col].iloc[0])
-    if (
-        len(probe) <= KCENTER_DRIVER_ROWS
-        and len(probe) * dim <= int(max_driver_elems)
-    ):
-        rows = _kcenter_driver(probe, k, id_col, vec_col)
-        return spark.createDataFrame(
-            rows, schema="rank long, vec_id long, dist_sq double"
-        ).withColumn("dist_sq", F.round("dist_sq", DIST_DECIMALS))
+    # Tier probe is sized by the ELEMENT bound, not a fixed row count
+    # (r16 advisor): a one-row peek learns the vector dim first, so a
+    # wide-vector corpus never over-collects — at d=4096 a fixed
+    # 32,769-row probe would pull ~1 GB to the driver only to be
+    # discarded by the element check.  max_driver_elems <= 0 skips the
+    # probe entirely (pure distributed tier).
+    if int(max_driver_elems) > 0:
+        head = vectors.select(id_col, vec_col).limit(1).toPandas()
+        if len(head) == 0:
+            raise ValueError("kcenter_select: input has no rows")
+        dim = max(1, len(head[vec_col].iloc[0]))
+        bound = min(KCENTER_DRIVER_ROWS, int(max_driver_elems) // dim)
+        if bound > 0:
+            # ONE bounded probe job decides the tier AND, when small,
+            # IS the whole input: limit(bound+1) overflowing by one row
+            # means "too big, fall through" without counting the table
+            probe = (
+                vectors.select(id_col, vec_col)
+                .limit(bound + 1)
+                .toPandas()
+            )
+            if len(probe) <= bound:
+                rows = _kcenter_driver(probe, k, id_col, vec_col)
+                return spark.createDataFrame(
+                    rows, schema="rank long, vec_id long, dist_sq double"
+                ).withColumn("dist_sq", F.round("dist_sq", DIST_DECIMALS))
     anchor_rows = (
         vectors.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(1)
         .collect()
     )
+    if not anchor_rows:
+        raise ValueError("kcenter_select: input has no rows")
     first = anchor_rows[0]
     sel: list[tuple[int, list, float]] = [
         (int(first[0]), [float(x) for x in first[1]], 0.0)

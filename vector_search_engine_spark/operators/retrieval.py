@@ -621,12 +621,20 @@ def doc_tfidf_knn(
     corpus is small enough that even the WORST-CASE join volume
     (``Σ_b df_b² ≤ N²·n_buckets`` — every doc colliding with every
     other in every bucket) provably fits under ``max_join_pairs``, the
-    estimator job and the checkpoint are both skipped; the one-column
-    count is cheaper than either and the sparse plan is guaranteed."""
+    estimator job and the checkpoint are both skipped; the guard itself
+    is a BOUNDED probe (r16 advisor) — ``limit(t+1).count()`` with
+    ``t = isqrt(max_join_pairs / n_buckets)`` the largest corpus whose
+    worst case provably fits — so deciding the tier never scans more
+    than ``t+1`` rows even over an expensive non-parquet upstream plan
+    (a full ``count()`` would evaluate the whole plan just to learn the
+    answer is "too big")."""
+    import math
+
     from pyspark.sql import Window
 
-    n_docs = documents.count()
-    if n_docs * n_docs * n_buckets <= int(max_join_pairs):
+    t = math.isqrt(max(0, int(max_join_pairs) // max(1, int(n_buckets))))
+    n_docs = documents.limit(t + 1).count()
+    if n_docs <= t:
         v = doc_tfidf_vectors(documents, n_buckets)
         est = None  # provably under the ceiling — sparse plan guaranteed
     else:
