@@ -583,10 +583,12 @@ def main() -> None:
         out["value_partial"] = total
     # The verbose artifact (all raw run timings — min is what "queries"
     # reports — so cross-round drift can be adjudicated as noise vs
-    # regression) goes to a FILE; stdout carries ONE COMPACT json line.
-    # Rationale: the driver's stdout capture window front-truncated the
-    # old long line every round ("parsed": null in BENCH_r{N}.json) —
-    # the compact line is sized to survive the window and parse.
+    # regression; full mixed_rw including per-search lists) goes to a
+    # FILE; stdout's LAST line is a COMPACT headline sized to survive
+    # the driver's 2,000-char tail-capture window (r16 verdict task 2:
+    # the old full line front-truncated every round → "parsed": null in
+    # BENCH_r{N}.json).  Compact = per-query mins rounded to 2 decimals
+    # + a scalar subset of mixed_rw — measured ~1.5 KB at 40 queries.
     try:
         details_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
@@ -595,7 +597,29 @@ def main() -> None:
             json.dump({**out, "queries_runs": runs}, f, indent=1)
     except Exception as exc:  # noqa: BLE001
         print(f"bench details write failed: {exc!r}", file=sys.stderr)
-    print(json.dumps(out, separators=(",", ":")))
+    mix_keys = (
+        "search_qps", "search_p50_ms", "search_p99_ms",
+        "search_cascade_p50_ms", "search_bq_recall_at_10",
+        "search_cascade_recall_at_10", "recall_at_10_mean",
+        "recall_at_10_final", "compactions", "search_radius_exact",
+        "insert_rows_per_sec", "error",
+    )
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {
+            k: (round(v, 2) if v is not None else None)
+            for k, v in timings.items()
+        },
+        "mixed_rw": {k: mixed[k] for k in mix_keys if k in mixed},
+        "sf": sf,
+        "details": "BENCH_DETAILS.json",
+    }
+    if errors:
+        compact["errors_n"] = len(errors)
+        compact["value_partial"] = total
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

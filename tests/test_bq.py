@@ -313,3 +313,72 @@ def test_sign_tier_auto_budget_cap_and_raw_layout_warn(spark, tmp_path, monkeypa
         budgets = idx._auto_sign_budget(10, None, [0, 1], "t")
         assert any("finding 41" in str(x.message) for x in w)
     assert budgets == {0: 80, 1: 80}
+
+
+def test_heal_sign_budget_cap_restores_full_population_budgets(
+    spark, tmp_path, monkeypatch
+):
+    """r17 (r16 verdict task 1): a hot cell above AUTO_SIGN_BUDGET_CAP
+    is the one place the sign-tier default could still silently
+    under-recall.  heal_sign_budget_cap() must split the offender(s)
+    via rebalance until every cell fits the cap, after which the
+    auto-derived budget is the FULL population again (no capped
+    warning) and default-budget BQ/cascade at full probe return the
+    exact top-k.  The cap warning itself must name the heal call."""
+    import warnings
+
+    from vector_search_engine_spark.operators import ivf as ivf_mod
+    from vector_search_engine_spark.operators import knn as knn_ops
+
+    idx, emb = _skewed_clustered_index(spark, str(tmp_path))
+    monkeypatch.setattr(ivf_mod, "AUTO_SIGN_BUDGET_CAP", 600)
+    snap = idx._read_manifest()
+    pops = {
+        int(r["centroid_id"]): int(r["n_vectors"])
+        for r in idx.stats().collect()
+    }
+    hot = max(pops, key=pops.get)
+    assert pops[hot] > 600  # precondition: the cap engages
+    # capped state: warning names the exact remedy
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        idx._auto_sign_budget(10, snap, sorted(pops), "t")
+        msgs = [str(x.message) for x in w]
+    assert any("heal_sign_budget_cap" in m and "rebalance" in m for m in msgs)
+    # heal: every post-split cell fits the cap, budgets = populations
+    mapping = idx.heal_sign_budget_cap()
+    assert hot in mapping and len(mapping[hot]) >= 2
+    pops2 = {
+        int(r["centroid_id"]): int(r["n_vectors"])
+        for r in idx.stats().collect()
+    }
+    assert max(pops2.values()) <= 600
+    snap2 = idx._read_manifest()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        budgets2 = idx._auto_sign_budget(10, snap2, sorted(pops2), "t")
+        assert not any("capped" in str(x.message) for x in w)
+    for c, n in pops2.items():
+        assert budgets2[c] == max(80, n)  # population (or the 8·k floor)
+    # healed default budget: exact at full probe, no finding-41 warning
+    q = knn_ops.make_queries(emb, n=6)
+    exact = sorted(
+        (r.qid, r.rank, r.neighbor_id)
+        for r in knn_ops.knn_exact(emb, q, k=10).collect()
+    )
+    full = idx.meta["n_centroids"]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got_bq = sorted(
+            (r.qid, r.rank, r.neighbor_id)
+            for r in idx.search_bq(q, k=10, nprobe=full).collect()
+        )
+        got_casc = sorted(
+            (r.qid, r.rank, r.neighbor_id)
+            for r in idx.search_cascade(q, k=10, nprobe=full).collect()
+        )
+        assert not any("capped" in str(x.message) for x in w)
+    assert got_bq == exact
+    assert got_casc == exact
+    # idempotent: nothing left to split
+    assert idx.heal_sign_budget_cap() == {}

@@ -2848,18 +2848,91 @@ class IVFIndex:
                 n = AUTO_SIGN_BUDGET_CAP
             budgets[int(c)] = max(floor, int(n))
         if capped:
+            worst = max(counts.get(c, 0) for c in capped)
+            sub_k = max(2, -(-worst // AUTO_SIGN_BUDGET_CAP) + 1)
             warnings.warn(
                 f"{tier}: auto-derived stage-1 budget capped at "
                 f"{AUTO_SIGN_BUDGET_CAP} for {len(capped)} probed "
                 f"cell(s) (e.g. {capped[:4]}) whose population exceeds "
                 "the cap; on tightly-clustered corpora recall may "
-                "degrade (SCALING.md finding 41). Pass "
-                "candidates_per_cell explicitly, rebalance() the hot "
-                "cells, or use the sq8/pq tiers.",
+                "degrade (SCALING.md findings 41/46). Heal with "
+                "index.heal_sign_budget_cap() — equivalently "
+                f"index.rebalance(max_cell_rows={AUTO_SIGN_BUDGET_CAP}, "
+                f"sub_k={sub_k}) — which splits the hot cell(s) so the "
+                "default budget covers full populations again; or pass "
+                "candidates_per_cell explicitly, or use the sq8/pq "
+                "tiers.",
                 RuntimeWarning,
                 stacklevel=3,
             )
         return budgets
+
+    def heal_sign_budget_cap(
+        self, max_rounds: int = 4, sub_k: int | None = None
+    ) -> dict[int, list[int]]:
+        """Restore the sign-tier default's full-population budgets by
+        SPLITTING every cell whose population exceeds
+        ``AUTO_SIGN_BUDGET_CAP`` (r16 verdict task 1 — the last place a
+        sign-tier default could silently under-recall was a capped hot
+        cell that only warned).  This is the warning's named remedy made
+        one call: iterated ``rebalance(max_cell_rows=cap)`` with
+        ``sub_k`` derived from the WORST offender's overage
+        (``ceil(worst/cap)+1`` — the +1 absorbs k-means child-size
+        imbalance), repeated up to ``max_rounds`` because one k-means
+        split of a pathological cell can leave a child still above the
+        cap.  Full-probe exactness is invariant round-to-round (the
+        children partition the parent's rows); the measured recall
+        consequence of the capped state and the healed state is SCALING
+        finding 46 (`scripts/sign_cap_heal.py`).
+
+        Returns the union of per-round ``{parent: [children]}`` split
+        mappings ({} when no cell is above the cap — the common case at
+        sane layouts: SIFT1M at C=1000 averages ~1k rows/cell).  Warns
+        (without looping further) if offenders remain after
+        ``max_rounds`` — an effectively-indivisible cell of >65k
+        IDENTICAL vectors would need dedup, not rebalance."""
+        import math
+        import warnings
+
+        merged: dict[int, list[int]] = {}
+        for _ in range(int(max_rounds)):
+            counts = self._snapshot_counts(self._read_manifest())
+            over = {
+                c: n for c, n in counts.items() if n > AUTO_SIGN_BUDGET_CAP
+            }
+            if not over:
+                return merged
+            k_round = (
+                int(sub_k)
+                if sub_k is not None
+                else max(
+                    2,
+                    math.ceil(max(over.values()) / AUTO_SIGN_BUDGET_CAP) + 1,
+                )
+            )
+            mapping = self.rebalance(
+                max_cell_rows=AUTO_SIGN_BUDGET_CAP, sub_k=k_round
+            )
+            if not mapping:
+                break
+            merged.update(mapping)
+        counts = self._snapshot_counts(self._read_manifest())
+        still = sorted(
+            c for c, n in counts.items() if n > AUTO_SIGN_BUDGET_CAP
+        )
+        if still:
+            warnings.warn(
+                f"heal_sign_budget_cap: {len(still)} cell(s) (e.g. "
+                f"{still[:4]}) remain above AUTO_SIGN_BUDGET_CAP="
+                f"{AUTO_SIGN_BUDGET_CAP} after {max_rounds} rebalance "
+                "round(s) — the cell does not separate under k-means "
+                "(e.g. >cap identical vectors). Deduplicate the corpus "
+                "or pass candidates_per_cell explicitly for these "
+                "cells' queries.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return merged
 
     def _sign_budget_broadcast(
         self, k: int, snap: dict | None, cells, tier: str
