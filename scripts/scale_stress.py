@@ -115,6 +115,10 @@ def main() -> None:
         _text_1m_section(spark, results)
         _emit(({"results": results}))
         return
+    if "--only-pipeline1m" in sys.argv:  # finding-47 section alone
+        _pipeline_1m_section(spark, results)
+        _emit(({"results": results}))
+        return
     if "--only-pipeline100k" in sys.argv:  # finding-42 section alone
         _pipeline_scale_section(spark, results)
         _emit(({"results": results}))
@@ -1599,6 +1603,231 @@ def _pipeline_scale_section(spark, results: dict) -> None:
         "collapse_ratio": round(n_docs / max(1, n_survivors), 2),
     }
     print(f"  gates: {results['gates']}", file=sys.stderr)
+
+
+def _pipeline_1m_section(spark, results: dict) -> None:
+    """Finding 47 (r17, r16 verdict task 3): the FULL composed
+    text-curation pipeline at 1M documents — finding 44 measured the
+    dedup half (pairs → CC → keep-best → split); this rung carries the
+    chain through quality / token-budget / curriculum WITH the
+    one-tokenization pin, and prices the pin itself at this scale.
+
+    Corpus: the finding-44 salted construction (10 pseudo-bases × 20
+    near-identical variants per sf0.1 base doc — cross-base Jaccard
+    exactly 0, within-base ≈ 0.99), so the dedup stages do real work
+    (~95% of the corpus collapses) and ground truth stays structural.
+
+    Pair tier: ``pair_tier='minhash'`` — the finding-44 dispatch now a
+    composition-level switch (the exact postings tier is the
+    disk-exhaustion class on this Σdf² shape, measured not assumed).
+
+    Pin accounting (the r16 verdict's open question): the pinned
+    ``(doc_id, source, n_chars, _toks)`` eager checkpoint materializes
+    the full token corpus — this rung records (a) that checkpoint's
+    wall, (b) the wall of ONE raw tokenize pass over the corpus (the
+    scan each of the 4 downstream stage families would otherwise
+    re-pay), so the trade is two measured numbers, not prose.
+
+    Gates: the finding-42 composition invariants re-checked at 1M on
+    driver-side AGGREGATES only — one survivor per cluster, emitted ⊆
+    train split, per-source budget ceiling, contiguous curriculum
+    ranks per (phase, source) — plus the plan-level zero-rescan gate
+    (no corpus scan downstream of the pin in the composed operator's
+    optimized plan)."""
+    import shutil
+
+    from vector_search_engine_spark.functions.text import tokens as _tokens
+    from vector_search_engine_spark.operators import dedup as dedup_ops
+    from vector_search_engine_spark.operators import graph as graph_ops
+
+    base = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    fan_bases, fan_vars = 10, 20
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != "")
+    salt_tok = F.concat(F.lit("xbase"), F.col("base_id").cast("string"))
+    salted = F.flatten(F.transform(toks, lambda x: F.array(x, salt_tok)))
+    docs = (
+        base.crossJoin(
+            spark.range(fan_bases).select(F.col("id").alias("_m"))
+        )
+        .withColumn("base_id", F.col("doc_id") * fan_bases + F.col("_m"))
+        .crossJoin(spark.range(fan_vars).select(F.col("id").alias("_v")))
+        .select(
+            (F.col("base_id") * 32 + F.col("_v")).alias("doc_id"),
+            F.concat(
+                F.concat_ws(" ", salted),
+                F.lit(" variant"),
+                F.col("_v"),
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    tmp = tempfile.mkdtemp(prefix="pipe1m-")
+    path = os.path.join(tmp, "documents.parquet")
+    docs.repartition(32).write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path)
+    n_docs = big.count()
+    results["corpus"] = {"n_docs": n_docs, "n_true_clusters": n_docs // fan_vars}
+    budget = 2_000_000  # tokens/source — exercises the walk at depth
+
+    # ---- pin accounting: checkpoint cost vs the scan it saves
+    toked_holder: dict = {}
+
+    def run_pin():
+        t = big.select(
+            "doc_id", "source", "n_chars",
+            _tokens(F.col("text")).alias("_toks"),
+        ).localCheckpoint(eager=True)
+        toked_holder["t"] = t
+        return t.count()
+
+    timed(results, "tokenize_pin_checkpoint_1m", run_pin)
+    toked = toked_holder["t"]
+
+    def run_raw_scan():
+        # ONE raw tokenize pass — what every non-pinned stage family
+        # re-pays; aggregate only (no materialization)
+        return big.select(
+            F.sum(F.size(_tokens(F.col("text")))).alias("s")
+        ).collect()[0]["s"]
+
+    timed(results, "raw_tokenize_scan_1m", run_raw_scan)
+
+    # ---- staged run over the pinned frame (walls per stage)
+    h: dict = {}
+
+    def run_pairs():
+        p = dedup_ops.minhash_lsh_pairs(
+            toked, tokens_col="_toks"
+        ).localCheckpoint(eager=True)
+        h["pairs"] = p
+        return p.count()
+
+    timed(results, "lsh_pairs_1m", run_pairs)
+
+    def run_cc():
+        c = graph_ops.dedup_clusters(toked, h["pairs"]).localCheckpoint(
+            eager=True
+        )
+        h["cl"] = c
+        return c.count()
+
+    timed(results, "cc_clusters_1m", run_cc)
+
+    def run_keepbest():
+        s = dedup_ops.keep_best(
+            toked,
+            h["cl"],
+            quality=txt_ops.quality_filter(
+                toked, tokens_col="_toks"
+            ).select("doc_id", "n_words", "keep"),
+        ).localCheckpoint(eager=True)
+        h["surv"] = s
+        return s.count()
+
+    timed(results, "quality_keepbest_1m", run_keepbest)
+
+    def run_split():
+        sp = txt_ops.leakage_safe_split(
+            h["surv"].select("doc_id"), h["surv"]
+        ).localCheckpoint(eager=True)
+        h["split"] = sp
+        return sp.count()
+
+    timed(results, "leakage_split_1m", run_split)
+
+    def run_budget():
+        train_ids = h["split"].filter(F.col("split") == "train").select(
+            "doc_id"
+        )
+        train_docs = toked.join(train_ids, "doc_id")
+        b = txt_ops.token_budget_sample(
+            train_docs, budget, tokens_col="_toks"
+        ).localCheckpoint(eager=True)
+        h["bud"] = b
+        return b.count()
+
+    timed(results, "token_budget_1m", run_budget)
+
+    def run_curriculum():
+        kept = toked.join(h["bud"].select("doc_id"), "doc_id")
+        o = txt_ops.curriculum_order(
+            kept, tokens_col="_toks"
+        ).localCheckpoint(eager=True)
+        h["order"] = o
+        return o.count()
+
+    timed(results, "curriculum_1m", run_curriculum)
+    results["end_to_end_sec"] = round(
+        sum(
+            results[k]["sec"]
+            for k in (
+                "tokenize_pin_checkpoint_1m", "lsh_pairs_1m",
+                "cc_clusters_1m", "quality_keepbest_1m",
+                "leakage_split_1m", "token_budget_1m", "curriculum_1m",
+            )
+        ),
+        2,
+    )
+
+    # ---- finding-42 invariants at 1M (aggregates only)
+    out = h["order"].join(
+        h["bud"].select("doc_id", "n_tokens", "cum_tokens"), "doc_id"
+    ).join(
+        h["surv"].select("doc_id", "cluster_id"), "doc_id"
+    )
+    agg = out.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.max("cum_tokens").alias("max_cum"),
+    ).collect()[0]
+    train_only = (
+        out.join(h["split"], "doc_id")
+        .filter(F.col("split") != "train")
+        .count()
+    )
+    # contiguous ranks per (phase, source): in every group the rank
+    # multiset must be exactly 1..n — max == count == distinct-count
+    rank_bad = (
+        h["order"]
+        .groupBy("phase", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("rank").alias("mx"),
+            F.countDistinct("rank").alias("nd"),
+        )
+        .filter((F.col("mx") != F.col("n")) | (F.col("nd") != F.col("n")))
+        .count()
+    )
+    results["gates"] = {
+        "emitted_rows": int(agg["n_rows"]),
+        "one_per_cluster": int(agg["n_clusters"]) == int(agg["n_rows"]),
+        "budget_ceiling_ok": int(agg["max_cum"]) <= budget,
+        "train_only_emission": int(train_only) == 0,
+        "ranks_contiguous": int(rank_bad) == 0,
+    }
+    # ---- plan gate on the COMPOSED operator (no execution needed):
+    # zero corpus re-reads downstream of the pin
+    lazy = txt_ops.text_curation_pipeline(
+        big.cache(), budget=budget, pair_tier="minhash"
+    )
+    plan = lazy._jdf.queryExecution().optimizedPlan().toString()
+    results["gates"]["corpus_scans_after_tokenize"] = plan.count(
+        "InMemoryRelation"
+    )
+    big.unpersist()
+    results["gates"]["all_pass"] = (
+        results["gates"]["one_per_cluster"]
+        and results["gates"]["budget_ceiling_ok"]
+        and results["gates"]["train_only_emission"]
+        and results["gates"]["ranks_contiguous"]
+        and results["gates"]["corpus_scans_after_tokenize"] == 0
+    )
+    print(f"  gates: {results['gates']}", file=sys.stderr)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _text_1m_section(spark, results: dict) -> None:

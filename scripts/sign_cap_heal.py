@@ -11,18 +11,28 @@ warning re-enters the finding-41 regime).  This rung:
 
   1. builds a CLUSTERED corpus whose layout puts one IVF cell well past
      the cap: one tight gaussian cluster of ``--hot`` rows (default
-     90,000 — 1.37x the cap) plus a ring of small far-apart clusters,
-     kmeans(C) with C sized so the hot cluster lands in ONE cell
-     (verified from stats(), not assumed);
-  2. measures default-budget BQ + cascade recall@10 IN the capped state
-     for queries drawn from the hot cluster (the adversarial workload:
-     within a tight cluster 1-bit sign codes cannot order candidates,
-     so the capped 65,536-of-90,000 stage-1 cut loses true neighbors);
+     90,000 — 1.37x the cap) plus a ring of small far-apart clusters.
+     The layout is PINNED with a pretrained coarse quantizer (the
+     build's FAISS-style ``centroids=`` path: one centroid per true
+     cluster center) — sample-trained Lloyd seeds proportionally to
+     mass, so on a 73%-hot corpus it splits the hot cluster across
+     several cells and the cap never engages; real ingest reaches this
+     state the other way (compaction pouring rows into a fixed coarse
+     layout, which no amount of init luck prevents).  The hot-cell
+     population is verified from stats(), not assumed;
+  2. measures default-budget BQ + cascade (per-query AND bulk) recall
+     AND wall IN the capped state for queries drawn from the hot
+     cluster — the adversarial workload.  MEASURED RESULT (finding 46):
+     recall stays 1.0 — the stage-1 cut unit is min(budget, Arrow
+     batch slice), and default 10k-row batches never reach the 65,536
+     cap, so the cap cannot cut at default batching; what the >cap
+     cell DOES cost is wall — one 90k-row straggler task and an
+     unbounded exact-rescore set (capped BQ 44.6 s vs healed 13.3 s);
   3. heals via ``index.heal_sign_budget_cap()`` (iterated rebalance of
      the offenders — the exact call the cap warning names) and
      re-measures at the SAME default budget: post-heal every cell fits
-     the cap, the auto-budget covers full populations again, and recall
-     must return to 1.0;
+     the cap, the auto-budget covers full populations with no warning,
+     recall stays 1.0, and the straggler wall is bought back;
   4. re-checks full-probe exactness after the heal (rebalance must not
      have changed the answer set, only the partitioning).
 
@@ -59,7 +69,13 @@ from vector_search_engine_spark.session import get_spark  # noqa: E402
 DIM = 32
 N_COLD_CLUSTERS = 8
 COLD_PER_CLUSTER = 4_000
-NQ = 200
+# 48 queries, not 200: the per-query sign tiers replicate the probed
+# cell per query (|Q|·90k rows through ONE hot-cell task — at 200
+# queries that single task runs ~360k tiny per-(batch,query) Python
+# groups and takes minutes; the bulk-|Q| workload belongs to the
+# *_distributed tiers, which the rung also measures via the cascade).
+# 48·k = 480 neighbor checks keeps recall resolution at 0.2%.
+NQ = 48
 K = 10
 
 
@@ -123,9 +139,10 @@ def main() -> None:
     }
     try:
         t0 = time.time()
-        idx = IVFIndex.build(
-            emb, os.path.join(root, "i"), n_centroids=N_COLD_CLUSTERS + 1
-        )
+        C0 = np.vstack(
+            [np.full((1, DIM), 10.0), cold_centers]
+        )  # one centroid per TRUE cluster center — layout pinned
+        idx = IVFIndex.build(emb, os.path.join(root, "i"), centroids=C0)
         res["build_sec"] = round(time.time() - t0, 2)
         pops = {
             int(r["centroid_id"]): int(r["n_vectors"])
@@ -149,6 +166,7 @@ def main() -> None:
         for tier, fn in (
             ("bq", idx.search_bq),
             ("cascade", idx.search_cascade),
+            ("cascade_distributed", idx.search_cascade_distributed),
         ):
             with warnings.catch_warnings(record=True) as w:
                 warnings.simplefilter("always")
@@ -181,6 +199,7 @@ def main() -> None:
         for tier, fn in (
             ("bq", idx.search_bq),
             ("cascade", idx.search_cascade),
+            ("cascade_distributed", idx.search_cascade_distributed),
         ):
             with warnings.catch_warnings(record=True) as w:
                 warnings.simplefilter("always")
@@ -201,10 +220,26 @@ def main() -> None:
         res["post_heal_full_probe_exact"] = ex == sorted(
             (r.qid, r.rank, r.neighbor_id) for r in gt_rows
         )
+        # MEASURED adjudication of the r16 fear (finding 46): the
+        # stage-1 cut applies per (query, cell, ARROW-BATCH) slice, and
+        # default 10k-row batches never reach a 65,536 budget — so a
+        # >cap hot cell loses NO recall at default batching; what it
+        # costs is serving wall (the 90k-row cell is one straggler
+        # task and an unbounded exact-rescore set).  The gates pin
+        # exactly that shape: capped recall STAYS 1.0, the heal removes
+        # the warning AND buys back the straggler wall.
+        res["semantics_note"] = (
+            "stage-1 cut unit = min(budget, arrow batch slice); at the "
+            "default 10k-row batches the 65,536 cap never cuts, so the "
+            "capped state is recall-exact and the cap's real cost is "
+            "the hot-cell straggler wall the heal removes"
+        )
         res["gates"] = {
-            "capped_recall_below_one": (
-                res[f"capped_bq_recall_at_{K}"] < 0.999
-                or res[f"capped_cascade_recall_at_{K}"] < 0.999
+            "capped_recall_exact_at_default_batching": (
+                res[f"capped_bq_recall_at_{K}"] >= 0.999
+                and res[f"capped_cascade_recall_at_{K}"] >= 0.999
+                and res[f"capped_cascade_distributed_recall_at_{K}"]
+                >= 0.999
             ),
             "capped_warned": bool(
                 res["capped_bq_warned"] and res["capped_cascade_warned"]
@@ -215,6 +250,10 @@ def main() -> None:
             ),
             "healed_no_warning": not (
                 res["healed_bq_warned"] or res["healed_cascade_warned"]
+            ),
+            "heal_speedup_bq_over_1p5x": (
+                res["capped_bq_wall_sec"]
+                >= 1.5 * res["healed_bq_wall_sec"]
             ),
             "post_heal_full_probe_exact": bool(
                 res["post_heal_full_probe_exact"]

@@ -470,6 +470,70 @@ def test_doc_tfidf_knn_gemm_agrees_with_sparse_join(spark, sf_dir):
     assert mismatched_neighbor <= len(a) * 0.02
 
 
+def test_doc_tfidf_knn_gemm_margin_boundary_planted_ties(spark):
+    """r16 verdict minor (c): pin the GEMM tier's documented residual AT
+    the GEMM_RERANK_MARGIN boundary.  Corpus A plants a rounded-sim tie
+    class LARGER than the k+1+margin fetch window (identical docs, all
+    pairwise sims exactly 1.0); corpus B keeps the tie class inside the
+    window.  On BOTH sides the GEMM tier must return the sparse tier's
+    exact rows: exact float ties are broken by neighbor_id inside the
+    block kernel's (dist, id) cut, so the fetch window always contains
+    the globally smallest tied ids.  Any residual divergence is
+    asserted to be the documented mode ONLY — an equal-rounded-sim
+    neighbor swap, never a sim change or a rank hole."""
+    from vector_search_engine_spark.operators import retrieval
+    from vector_search_engine_spark.operators.retrieval import (
+        GEMM_RERANK_MARGIN,
+    )
+
+    k = 5
+    window = k + 1 + GEMM_RERANK_MARGIN
+
+    def corpus(n_tied):
+        rows = [
+            (i, "alpha beta gamma delta epsilon", "en", "s", 30)
+            for i in range(n_tied)
+        ]
+        rows += [
+            (100 + j, f"zeta eta theta word{j} iota", "en", "s", 25)
+            for j in range(4)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+
+    for n_tied in (window + 15, window - 5):  # both sides of the margin
+        docs = corpus(n_tied)
+        sparse = {
+            (r.doc_id, r.rank): r
+            for r in retrieval.doc_tfidf_knn(
+                docs, k=k, n_buckets=256
+            ).collect()
+        }
+        gemm = {
+            (r.doc_id, r.rank): r
+            for r in retrieval.doc_tfidf_knn_gemm(
+                docs, k=k, n_buckets=256
+            ).collect()
+        }
+        assert set(sparse) == set(gemm)
+        for key, ra in sparse.items():
+            rb = gemm[key]
+            assert abs(ra.sim - rb.sim) <= 1e-4
+            if ra.neighbor_id != rb.neighbor_id:
+                assert ra.sim == rb.sim  # documented residual mode only
+        # tied docs: top-k must be the k SMALLEST tied ids (global
+        # rounded ranking), even when the tie class dwarfs the window
+        for q in range(min(n_tied, 8)):
+            got = sorted(
+                gemm[(q, r)].neighbor_id for r in range(1, k + 1)
+            )
+            expect = [i for i in range(n_tied) if i != q][:k]
+            assert got == expect, (n_tied, q, got)
+
+
 def test_doc_tfidf_knn_size_aware_dispatch(spark):
     """Finding 39's routing rule is CODE now (r15): past
     ``max_join_pairs`` estimated intermediate rows (Σ_b df_b² — the

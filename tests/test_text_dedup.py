@@ -1513,6 +1513,45 @@ def test_containment_prefix_tier_on_planted_subset(spark):
     assert rows[0].cont_ab == 1.0
 
 
+def test_text_curation_pipeline_minhash_tier_matches_exact(spark):
+    """r17: the composed pipeline's ``pair_tier='minhash'`` (the
+    finding-44 scale dispatch surfaced at the composition level) must
+    reproduce the exact tier's output row-for-row on a corpus whose
+    duplicate clusters sit far above the threshold (J≈0.99 — where the
+    band curve's hit rate is ~1, so the two tiers find the SAME pair
+    set and every downstream stage is a pure function of it); an
+    unknown tier name raises."""
+    import pytest
+
+    from vector_search_engine_spark.operators import text_ops
+
+    rows = []
+    for b in range(12):
+        salted = " ".join(f"w{i}b{b}" for i in range(60))
+        for v in range(3):
+            did = b * 3 + v
+            text = f"{salted} variant{v}"
+            rows.append((did, text, "en", f"s{b % 2}", len(text)))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    exact = sorted(
+        tuple(r)
+        for r in text_ops.text_curation_pipeline(docs).collect()
+    )
+    lsh = sorted(
+        tuple(r)
+        for r in text_ops.text_curation_pipeline(
+            docs, pair_tier="minhash"
+        ).collect()
+    )
+    assert exact == lsh and len(exact) > 0
+    with pytest.raises(ValueError, match="pair_tier"):
+        text_ops.text_curation_pipeline(docs, pair_tier="simhash")
+
+
 def test_text_curation_pipeline_composition_contracts(spark, documents):
     """r15 composed pipeline: the properties only the COMPOSITION can
     violate — (a) every emitted doc is a keep-best SURVIVOR in the

@@ -510,6 +510,7 @@ def minhash_lsh_pairs(
     band_size: int = BAND_SIZE,
     max_bucket: int = MAX_LSH_BUCKET,
     postings_storage=None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with true Jaccard.
 
@@ -564,8 +565,11 @@ def minhash_lsh_pairs(
     from pyspark.sql import Observation
 
     n_bands = num_perm // band_size
+    # tokens_col: consume an already-tokenized array column (the
+    # pipeline-composition one-tokenization pin) instead of re-splitting
+    # text — same hook as ngram_jaccard_pairs
     post = (
-        with_shingles(documents, "_sh")
+        with_shingles(documents, "_sh", tokens_col=tokens_col)
         .select("doc_id", F.explode("_sh").alias("s_str"))
         .select("doc_id", F.xxhash64("s_str").alias("s"))
     )

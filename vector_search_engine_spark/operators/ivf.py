@@ -278,10 +278,20 @@ class IVFIndex:
         max_iter: int = 10,
         extra_cols: tuple[str, ...] = (),
         train_cap: int = 65536,
+        centroids: "np.ndarray | None" = None,
     ) -> "IVFIndex":
         """Batch index build (reference bulk-load path ``server.cpp:72-112``):
         train the coarse quantizer, assign ``centroid_id``, write the table
         partitioned by it.
+
+        ``centroids`` (optional): a pretrained coarse quantizer — the
+        FAISS train()/add() separation.  Skips sampling + Lloyd entirely
+        and assigns against the given (k, dim) float matrix; the use
+        cases are a quantizer trained on a REFERENCE corpus slice (so
+        cell ids stay comparable across index builds), layout-controlled
+        experiments (scripts/sign_cap_heal.py), and re-sharding a corpus
+        under an existing quantizer.  ``n_centroids`` is ignored when
+        given.
 
         Quantizer training is FAISS-style **sample-train**: pull at most
         ``train_cap`` vectors to the driver (one Arrow job) and run seeded
@@ -297,18 +307,29 @@ class IVFIndex:
         n = vectors.count()
         if n == 0:
             raise ValueError("cannot build an IVF index over an empty table")
-        if n_centroids is None:
-            # sqrt(N) cells keeps probe cost ~ O(sqrt(N)) per query at fixed
-            # nprobe — standard IVF sizing; floor keeps tiny tables useful
-            n_centroids = max(4, min(int(np.sqrt(n)), 4096))
+        if centroids is not None:
+            C = np.asarray(centroids, dtype=np.float64)
+            if C.ndim != 2 or len(C) == 0:
+                raise ValueError(
+                    "centroids must be a non-empty (k, dim) matrix"
+                )
+            dim = C.shape[1]
+        else:
+            if n_centroids is None:
+                # sqrt(N) cells keeps probe cost ~ O(sqrt(N)) per query at
+                # fixed nprobe — standard IVF sizing; floor keeps tiny
+                # tables useful
+                n_centroids = max(4, min(int(np.sqrt(n)), 4096))
 
-        frac = min(1.0, train_cap / n)
-        sample_df = vectors.select(vec_col)
-        if frac < 1.0:
-            sample_df = sample_df.sample(fraction=frac, seed=seed)
-        S = np.stack(sample_df.toPandas()[vec_col].to_numpy()).astype(np.float64)
-        dim = S.shape[1]
-        C = _train_quantizer(S, n_centroids, seed=seed, max_iter=max_iter)
+            frac = min(1.0, train_cap / n)
+            sample_df = vectors.select(vec_col)
+            if frac < 1.0:
+                sample_df = sample_df.sample(fraction=frac, seed=seed)
+            S = np.stack(
+                sample_df.toPandas()[vec_col].to_numpy()
+            ).astype(np.float64)
+            dim = S.shape[1]
+            C = _train_quantizer(S, n_centroids, seed=seed, max_iter=max_iter)
         n_centroids = len(C)
 
         @F.pandas_udf("centroid_id int, dist_to_centroid double")
@@ -2854,14 +2875,18 @@ class IVFIndex:
                 f"{tier}: auto-derived stage-1 budget capped at "
                 f"{AUTO_SIGN_BUDGET_CAP} for {len(capped)} probed "
                 f"cell(s) (e.g. {capped[:4]}) whose population exceeds "
-                "the cap; on tightly-clustered corpora recall may "
-                "degrade (SCALING.md findings 41/46). Heal with "
-                "index.heal_sign_budget_cap() — equivalently "
+                "the cap. Measured consequence (SCALING.md finding 46): "
+                "recall is UNAFFECTED at default Arrow batching (the "
+                "stage-1 cut unit is min(budget, batch slice), so the "
+                "cap never engages below ~65k-row batches) — the real "
+                "cost is the hot cell itself: one straggler task and an "
+                "unbounded exact-rescore set (~2-3x sign-tier wall). "
+                "Heal with index.heal_sign_budget_cap() — equivalently "
                 f"index.rebalance(max_cell_rows={AUTO_SIGN_BUDGET_CAP}, "
-                f"sub_k={sub_k}) — which splits the hot cell(s) so the "
-                "default budget covers full populations again; or pass "
-                "candidates_per_cell explicitly, or use the sq8/pq "
-                "tiers.",
+                f"sub_k={sub_k}) — which splits the hot cell(s); recall "
+                "could only degrade under enlarged "
+                "spark.sql.execution.arrow.maxRecordsPerBatch, where "
+                "finding 41's clustered-corpus geometry applies.",
                 RuntimeWarning,
                 stacklevel=3,
             )
@@ -2881,9 +2906,14 @@ class IVFIndex:
         imbalance), repeated up to ``max_rounds`` because one k-means
         split of a pathological cell can leave a child still above the
         cap.  Full-probe exactness is invariant round-to-round (the
-        children partition the parent's rows); the measured recall
-        consequence of the capped state and the healed state is SCALING
-        finding 46 (`scripts/sign_cap_heal.py`).
+        children partition the parent's rows).  What the heal buys is
+        MEASURED in SCALING finding 46 (`scripts/sign_cap_heal.py`):
+        not recall — the per-batch cut unit keeps the capped state
+        recall-exact at default Arrow batching — but the hot cell's
+        straggler wall (capped BQ 44.6 s vs healed 13.3 s on a 90k-row
+        cell at 48 queries) and the unbounded rescore set, plus recall
+        insurance under enlarged Arrow batches where finding 41's
+        geometry would re-apply.
 
         Returns the union of per-round ``{parent: [children]}`` split
         mappings ({} when no cell is above the cap — the common case at

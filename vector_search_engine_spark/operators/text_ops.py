@@ -2577,6 +2577,7 @@ def text_curation_pipeline(
     budget: int = TOKEN_BUDGET,
     train_pct: int = 80,
     val_pct: int = 10,
+    pair_tier: str = "exact",
 ) -> DataFrame:
     """The engine's north-star workload composed END-TO-END (r15): the
     full text-side curation chain a production LLM data pipeline runs
@@ -2628,13 +2629,31 @@ def text_curation_pipeline(
     from vector_search_engine_spark.operators import dedup as dedup_ops
     from vector_search_engine_spark.operators import graph as graph_ops
 
+    # pair_tier (r17): the finding-44 dispatch surfaced at the
+    # composition level.  "exact" (default, the oracle-graded twin) is
+    # the postings-join Jaccard — right while Σ_s df_s² stays sane;
+    # "minhash" is the banded-LSH tier for dense-duplicate corpora
+    # where the exact tier's intermediate explodes (finding 44: at 1M
+    # docs × 20-variant clusters every in-cluster shingle has df=20 and
+    # the postings join is the disk-exhaustion class, while LSH buckets
+    # ARE the clusters — 9.5M candidates, precision exact by verify,
+    # recall 0.998 measured).  Output contract identical either way.
+    if pair_tier not in ("exact", "minhash"):
+        raise ValueError(
+            f"text_curation_pipeline: unknown pair_tier {pair_tier!r} "
+            "(expected 'exact' or 'minhash')"
+        )
     toked = documents.select(
         "doc_id",
         "source",
         "n_chars",
         tokens(F.col("text")).alias("_toks"),
     ).localCheckpoint(eager=True)
-    pairs = dedup_ops.ngram_jaccard_pairs(toked, tokens_col="_toks")
+    pairs = (
+        dedup_ops.ngram_jaccard_pairs(toked, tokens_col="_toks")
+        if pair_tier == "exact"
+        else dedup_ops.minhash_lsh_pairs(toked, tokens_col="_toks")
+    )
     clusters = graph_ops.dedup_clusters(toked, pairs)
     survivors = dedup_ops.keep_best(
         toked,

@@ -79,82 +79,84 @@ from vector_search_engine_spark.registry import analytics  # noqa: E402,F401
 # events_range_join, events_sessionize — families multiply covered in r1/r2)
 # made room for the 7 oracle-backed queries that had never been graded.
 _GRADE_FIRST: list[str] = [
-    # r16 window — same two principles as r14/r15 (standing policy):
-    #   (1) rows this round TOUCHED go straight in: every sign-tier
-    #       consumer (the stage-1 budget now AUTO-DERIVES per probed
-    #       cell — finding 43a — exactly the class of default change
-    #       the window exists to catch), the token-pinned composed
-    #       pipeline and its tokens_col stage family, the
-    #       doc_tfidf_knn estimator-skip/margin fixes, and the three
-    #       r16 rows-only→oracle conversions (ivf_index_stats,
-    #       ivf_rebalance_stats, simjoin_edit_distance_stats — newly
-    #       hash-gradeable, so they must be driver-run).
+    # r17 window — same two principles as r14-r16 (standing policy):
+    #   (1) rows this round TOUCHED go straight in: the sign-tier cap
+    #       heal (heal_sign_budget_cap + the cap warning's named remedy
+    #       + the memoized cascade budget/threshold broadcasts), the
+    #       kcenter probe re-sizing + mass-tie vectorized fold, the
+    #       doc_tfidf_knn bounded guard probe, the build(centroids=)
+    #       pretrained-quantizer path (ivf_index_stats /
+    #       ivf_rebalance_stats re-grade the stats+rebalance surface it
+    #       feeds) — plus the r16-changed rows the r16 window never
+    #       graded (kcenter/CC-era graph tiers, dedup_clusters and
+    #       embeddings_dbscan through the CC size dispatch,
+    #       pipeline_embedding_curation through both driver tiers).
     #   (2) every remaining slot goes MAX-STALENESS-FIRST among
-    #       oracle-backed rows (ages computed from CORRECTNESS_r1-r15):
-    #       the r7 block, the whole r8 block, then r9 head.  The r15
-    #       window's rows-only diagnostics and one-round-old green
-    #       rows rotate out; rows-only-by-nature rows with a prior
-    #       grade stay in the tail — the sweep and pytest grade them
-    #       at HEAD each round.
-    # The r6-r15 rotation ledgers live in git history.
+    #       oracle-backed rows (ages from CORRECTNESS_r1-r16): the r9
+    #       trio, the whole ungraded r10 block, then the r12 head.
+    #       streaming_engine_metrics (trimmed this round) is
+    #       rows-only-by-nature and stays in the tail per policy —
+    #       sweep + pytest grade it at HEAD.
+    # The r6-r16 rotation ledgers live in git history.
     #
-    # --- r16-touched: sign-tier auto-budget (finding 43a) ---
+    # --- r17-touched: sign-tier cap heal + memoized broadcasts ---
     "ann_ivf_bq",
     "ann_ivf_bq_filtered",
     "ann_ivf_cascade",
-    "ann_ivf_cascade_filtered",
-    "ann_ivf_ip_cascade",
     "ann_ivf_cascade_distributed",
     "streaming_merged_search_cascade",
-    "streaming_search_distributed",
-    "streaming_search_sq8_distributed",
     "streaming_search_cascade_distributed",
-    # --- r16-touched: one-tokenization pipeline pin (finding 43c) ---
-    "pipeline_text_curation",
-    "dedup_ngram_jaccard",
-    "doc_quality_filter",
-    "doc_quality_buckets",
-    "doc_bigram_logprob",
-    "corpus_token_budget_sample",
-    "corpus_curriculum_order",
-    # --- r16-touched: tfidf estimator skip + GEMM margin ---
+    # --- r17-touched: kcenter probe/fold + curation consumer ---
+    "embeddings_kcenter_coreset",
+    "pipeline_embedding_curation",
+    # --- r17-touched: bounded tfidf guard probe ---
     "doc_tfidf_knn",
-    # --- r16 conversions: rows-only → oracle mode ---
-    "ivf_index_stats",
+    # --- r17-touched: build(centroids=) feeds stats/rebalance ---
     "ivf_rebalance_stats",
-    "simjoin_edit_distance_stats",
-    # --- staleness: last graded r7 ---
-    "ann_ivf_ip",
-    "ann_ivf_pq",
-    "index_asof_search",
-    "multimodal_frame_index",
-    "orders_above_customer_avg",
-    # --- last graded r8 (whole block) ---
-    "ann_ivf_distributed",
-    "ann_ivf_sq8_filtered",
-    "brand_price_unpivot",
-    "corpus_dedup_stats",
-    "customers_without_orders",
-    "doc_dup_span_stats",
-    "doc_lang_id",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
-    "doc_unigram_stats",
-    "index_asof_search_pq",
-    "ivecs_roundtrip",
-    "shipdate_set_ops",
-    "streaming_hourly_event_stats",
-    "streaming_merged_search",
-    "streaming_merged_search_pq",
-    # --- last graded r9 (head of the block; sq4/sq8 merged twins wait) ---
-    "ann_ivf_cosine_filtered",
-    "ann_ivf_ip_filtered",
-    "ann_ivf_opq",
-    "ann_ivf_prefix",
-    "fvecs_roundtrip",
-    "hybrid_search_rrf",
-    "knn_truncated_rescore",
-    "label_centroids",
+    "ivf_index_stats",
+    # --- r16-era code the r16 window never graded (verdict task 6) ---
+    "ann_ivf_graph",
+    "ann_ivf_graph_filtered",
+    "ann_ivf_cosine_graph",
+    "streaming_merged_search_graph",
+    "dedup_clusters",
+    "embeddings_dbscan",
+    # --- staleness: last graded r9 ---
+    "lineitem_column_profile",
+    "streaming_merged_search_sq4",
+    "streaming_merged_search_sq8",
+    # --- last graded r10 (whole remaining block) ---
+    "ann_ivf_cosine_sq8",
+    "ann_ivf_filtered",
+    "ann_ivf_filtered_auto",
+    "ann_ivf_parent_closest",
+    "ann_ivf_pq_filtered",
+    "ann_ivf_prefix_filtered",
+    "ann_ivf_sq4",
+    "corpus_approx_distinct",
+    "dedup_incremental",
+    "dedup_semantic",
+    "dedup_substring_spans",
+    "doc_bm25_topk",
+    "doc_bm25_topk_capped",
+    "doc_chunks",
+    "hybrid_retrieval_eval",
+    "hybrid_search_rrf_weighted",
+    "index_asof_search_prefix",
+    "knn_opq_adc",
+    "streaming_dedup_ingest",
+    "streaming_filtered_search",
+    "streaming_filtered_search_auto",
+    # --- last graded r12 (head of the block) ---
+    "ann_ivf_cosine_radius",
+    "ann_ivf_ip_graph",
+    "ann_ivf_prefix_pca",
+    "ann_ivf_radius_filtered",
+    "corpus_frequent_ngrams",
+    "corpus_source_kl",
+    "dbscan_kdist_report",
+    "dedup_substring_clean",
+    "embeddings_dbscan_ivf",
 ]
 
 

@@ -363,16 +363,23 @@ def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_engine_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 metrics sink (reference bvar LatencyRecorder, server.cpp):
     exercise insert + search + compact on a small engine and return the
-    per-op count/avg/p50/p99/p999 latency table."""
+    per-op count/avg/p50/p99/p999 latency table.
+
+    Lifecycle sized for signal-per-second (r16 verdict task 5: this was
+    the sweep's single most expensive row at 53.9 s): every phase the
+    sink must record — insert, search, compact — still runs, but on 4
+    cells with 2 searches and a 50-row delta; the full-scale LSM
+    lifecycle is measured where scale is the point (bench.py mixed_rw,
+    MIXED_RW_SF1.json), not in a correctness row."""
     from vector_search_engine_spark.streaming.engine import VectorEngine
 
     emb = load_table(spark, sf_dir, "embeddings")
     eng = VectorEngine.create(
-        emb.filter(F.col("vec_id") < 400), _fresh_engine_root(), n_centroids=8
+        emb.filter(F.col("vec_id") < 450), _fresh_engine_root(), n_centroids=4
     )
-    eng.insert(emb.filter(F.col("vec_id") >= 400))
+    eng.insert(emb.filter(F.col("vec_id") >= 450))
     q = knn_ops.make_queries(emb)
-    for _ in range(3):
+    for _ in range(2):
         eng.search_timed(q, k=10, nprobe=eng.index.meta["n_centroids"])
     eng.compact()
     return eng.metrics()
