@@ -21,12 +21,16 @@ Determinism contract (oracle parity): scores are rounded to
 — both engines compute the same float64 arithmetic from the same integer
 tf/df/dl inputs, so rounded scores and hence ranks hash-match.
 
-Scale posture (100 TB): the corpus is touched twice, both column-pruned
-scans (once for per-doc token lengths, once for postings filtered to the
-broadcast query-term set — at most ``|terms|`` distinct join keys, so the
-posting shuffle is a tiny fraction of the corpus); per-(query, doc)
-scoring joins are against broadcast-sized stats; the final top-k is one
-window over ``|Q| × matched-docs`` rows.  No all-pairs anything.
+Scale posture (100 TB): the corpus is tokenized EXACTLY ONCE into a
+pinned ``(doc_id, dl, matched query-term occurrences)`` proxy frame —
+tens of bytes per doc (guide §8: decide with small rows) — from which
+corpus stats, df, tf and the scores all derive; the only corpus-sized
+shuffle is the matched-occurrence tf aggregation, bounded by
+``|docs| × |query terms|`` with map-side partial aggregation;
+per-(query, doc) scoring joins are against broadcast-sized stats; the
+final top-k is one window over ``|Q| × matched-docs`` rows.  No
+all-pairs anything.  (Query frames too large to collect take the
+three-scan broadcast-join fallback, ``_bm25_topk_join``.)
 """
 
 from __future__ import annotations
@@ -44,6 +48,11 @@ BM25_B = 0.75
 SCORE_DECIMALS = 4
 RRF_K = 60  # the SIGIR'09 paper's constant
 HYBRID_DEPTH = 20  # per-list candidate depth fed into fusion
+# bm25_topk collects the distinct query-term set to the driver when it is
+# at most this many terms (the client-RAM query-workload contract every
+# kNN search path already uses); larger frames take the broadcast-join
+# fallback so the driver never holds unbounded data.
+BM25_MAX_CLIENT_TERMS = 100_000
 
 # Fixture query set (query_id, terms) — mirrored verbatim in the oracle
 # VALUES CTE, like MIXTURE_WEIGHTS_FIXTURE.  Terms come from the synthetic
@@ -64,38 +73,18 @@ def make_term_queries(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "query_id long, term string")
 
 
-def bm25_topk(
+def _bm25_topk_join(
     documents: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    max_df_fraction: float | None = None,
+    k: int,
+    k1: float,
+    b: float,
+    max_df_fraction: float | None,
 ) -> DataFrame:
-    """Top-k documents per query under Okapi BM25.
-
-    ``queries``: an exploded ``(query_id, term)`` DataFrame (duplicate
-    terms within a query are deduplicated — each distinct term
-    contributes once, the standard bag-of-distinct-terms form).
-
-    ``score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
-    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` — all inputs
-    (tf, df, dl, N) exact integers, avgdl an exact ratio, so both engines
-    evaluate the identical float64 expression.
-
-    ``max_df_fraction``: the common-term guard — classic stopword
-    pruning.  Terms whose document frequency exceeds ``fraction · N``
-    are dropped BEFORE the postings aggregation, so the big shuffle is
-    bounded by ``|terms| · fraction · N`` (doc, term) pairs instead of
-    degenerating to O(corpus) when a query contains a stopword-common
-    term (such terms have idf ≈ 0 and contribute almost nothing to
-    ranking anyway).  ``None`` = exact Okapi over every query term —
-    correct at any df, but at 100 TB a careless common-term query
-    shuffles the corpus; production callers should set a cap.
-
-    Returns ``(query_id, doc_id, rank, bm25)``; only documents containing
-    at least one surviving query term appear (BM25 of a no-overlap doc
-    is 0 and unranked)."""
+    """Broadcast-join BM25 (the r16 shape) — fallback for query frames
+    too large to collect as a literal term set.  Three tokenizing corpus
+    scans (lengths, df pre-pass, postings), each filtered to the
+    broadcast query-term set; identical results to ``bm25_topk``."""
     q = queries.select("query_id", "term").distinct()
     qterm_set = q.select("term").distinct()
 
@@ -168,6 +157,133 @@ def bm25_topk(
         .join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", contrib.alias("contrib"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("bm25"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "bm25",
+        )
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    max_df_fraction: float | None = None,
+) -> DataFrame:
+    """Top-k documents per query under Okapi BM25.
+
+    ``queries``: an exploded ``(query_id, term)`` DataFrame (duplicate
+    terms within a query are deduplicated — each distinct term
+    contributes once, the standard bag-of-distinct-terms form).
+
+    ``score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` — all inputs
+    (tf, df, dl, N) exact integers, avgdl an exact ratio, so both engines
+    evaluate the identical float64 expression.
+
+    ``max_df_fraction``: the common-term guard — classic stopword
+    pruning.  Terms whose document frequency exceeds ``fraction · N``
+    are dropped BEFORE the postings aggregation, so the big shuffle is
+    bounded by ``|terms| · fraction · N`` (doc, term) pairs instead of
+    degenerating to O(corpus) when a query contains a stopword-common
+    term (such terms have idf ≈ 0 and contribute almost nothing to
+    ranking anyway).  ``None`` = exact Okapi over every query term —
+    correct at any df, but at 100 TB a careless common-term query
+    shuffles the corpus; production callers should set a cap.
+
+    Returns ``(query_id, doc_id, rank, bm25)``; only documents containing
+    at least one surviving query term appear (BM25 of a no-overlap doc
+    is 0 and unranked).
+
+    Plan shape (r17 optimization, guide §8 "decide with small rows"):
+    the query-term set is a client-RAM workload (the same contract as
+    every kNN query set — ``knn_query_arrays`` collects those), so it is
+    collected ONCE and pushed into the corpus scan as a literal IN
+    filter over the token array.  The corpus is then scanned and
+    tokenized EXACTLY ONCE into a pinned ``(doc_id, dl, matched
+    occurrences)`` proxy — ~tens of bytes per doc, everything every
+    downstream stage needs — from which corpus stats (n_docs, avgdl),
+    per-term df, per-(doc,term) tf, and the final scores all derive.
+    The r16 shape ran three separate tokenizing scans (lengths, df
+    pre-pass, postings) plus two more under ``max_df_fraction``; the df
+    guard now prunes capped terms at the scoring join instead (same
+    results — tf/df values are independent of the guard), and the big
+    shuffle stays bounded by matched occurrences either way.  Query
+    frames beyond ``BM25_MAX_CLIENT_TERMS`` distinct terms fall back to
+    the broadcast-join path (no driver collect of unbounded data)."""
+    q = queries.select("query_id", "term").distinct()
+    term_rows = (
+        q.select("term").distinct().limit(BM25_MAX_CLIENT_TERMS + 1).collect()
+    )
+    qterms = sorted(r["term"] for r in term_rows)
+    if len(qterms) > BM25_MAX_CLIENT_TERMS:
+        return _bm25_topk_join(documents, queries, k, k1, b, max_df_fraction)
+    if not qterms:
+        return documents.sparkSession.createDataFrame(
+            [], "query_id long, doc_id long, rank long, bm25 double"
+        )
+
+    toks = tokens(F.col("text"))
+    pinned = documents.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: t.isin(*qterms)).alias("_mtoks"),
+    ).localCheckpoint(eager=True)
+
+    stats = pinned.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    postings = (
+        pinned.select(
+            "doc_id", "dl", F.explode("_mtoks").alias("term")
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    # df from the same postings aggregate (one row per (doc, term)) —
+    # the separate df-scan of the corpus is gone
+    df_t = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl / F.col("avgdl")
+    )
+    contrib = idf * tf * F.lit(k1 + 1.0) / denom
+
+    scored = postings.join(F.broadcast(q), "term").join(
+        F.broadcast(df_t), "term"
+    ).crossJoin(F.broadcast(stats))
+    if max_df_fraction is not None:
+        # the common-term guard, applied at the scoring join: terms over
+        # the df cap contribute nothing (identical results to pruning
+        # them before the tf aggregation — tf/df are guard-independent)
+        scored = scored.filter(
+            F.col("df") <= F.lit(float(max_df_fraction)) * F.col("n_docs")
+        )
+    scored = (
+        scored.select("query_id", "doc_id", contrib.alias("contrib"))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("bm25"))
     )

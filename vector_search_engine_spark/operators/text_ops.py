@@ -1675,8 +1675,15 @@ def frequent_ngrams(
         documents.withColumn("_toks", tokens(F.col("text")))
     )
     if capacity is None:
+        # gram count without building gram strings: a doc with t tokens
+        # has max(t - n + 1, 0) n-grams — the pre-scan only tokenizes
+        # (r17; the NGram transform ran here for nothing but a size())
         total = (
-            grammed.select(F.size("_g").alias("m"))
+            documents.select(
+                F.greatest(
+                    F.size(tokens(F.col("text"))) - (n - 1), F.lit(0)
+                ).alias("m")
+            )
             .agg(F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n"))
             .collect()[0]["n"]
         )
@@ -2090,56 +2097,74 @@ def source_overlap(
     count.  Pairs sharing nothing are absent (inner semantics — both
     sides of the oracle agree).
 
-    Plan shape at 100 TB: one distinct over (source, shingle) — the
-    postings table, bounded by content diversity not corpus size — then
-    a self-equi-join ON THE SHINGLE with map-side partial counting into
-    per-pair aggregates.  Each shingle's join group is at most the
-    number of sources containing it, so pair volume per shingle is
-    bounded by C(S, 2) with S = source count (hundreds in practice),
-    never by corpus rows; there is no all-pairs document join anywhere.
-    For very large S, ``source_overlap_minhash`` trades exactness for a
-    fixed-size per-source sketch.
+    Plan shape at 100 TB (r17 optimization — guide §2.3/§2.4): ONE
+    corpus scan builds per-doc distinct shingles via the MLlib ``NGram``
+    kernel (the interpreted ``word_shingles`` higher-order path is
+    O(tokens²) per row — ``with_shingles`` audit note), then ONE wide
+    shuffle groups the exploded postings by shingle with a map-side
+    ``collect_set(source)`` partial aggregate.  Everything downstream
+    derives from that per-shingle source-set table: the C(S,2)-bounded
+    pair counts come from exploding in-array source combinations (no
+    self-join — the r16 shape shuffled the postings table into BOTH
+    sides of a shingle-keyed join, i.e. twice more), and the per-source
+    distinct-shingle sizes come from re-exploding the same grouped
+    table (its exchange is reused, not recomputed).  Pair volume per
+    shingle stays bounded by C(S, 2) with S = source count (hundreds in
+    practice), never by corpus rows; a shingle present in every source
+    carries an S-element array — still tiny.  For very large S,
+    ``source_overlap_minhash`` trades exactness for a fixed-size
+    per-source sketch.
 
-    ``pin_postings``: the distinct postings have THREE consumers (sizes
-    + both self-join sides) and the executed plan shows 4 corpus scans
-    with zero exchange reuse when left lazy.  Pinning them with an eager
-    localCheckpoint collapses that to ONE corpus scan — but pays the
-    string-postings serialization tax finding 3 measured for MinHash
-    (at sf0.1 the pin is a wash: ~5.5 s either way — re-tokenizing 5k
-    docs is as cheap as re-reading 2M checkpointed strings).  Default
-    False (finding 3's resolution: recompute wins at tested scales);
-    set True when the corpus scan itself dominates — cold object
-    storage, very wide rows, or true 100 TB inputs where 4 scans vs 1
-    is the whole game."""
-    sh = documents.select(
-        "source",
-        F.explode(word_shingles(tokens(F.col("text")), n)).alias(
-            "shingle"
-        ),
-    ).distinct()
+    ``pin_postings``: the grouped per-shingle table has three consumer
+    branches (pairs + the two sizes sides), and the executed plan
+    recomputes its scan+group subtree per branch (measured: AQE does
+    NOT reuse the exchange across them).  Default False recomputes —
+    at tested scales the re-scan is as cheap as re-reading a pinned
+    2M-row string table (finding 3's resolution, re-measured for this
+    shape at sf0.1: 2.1–3.5 s either way).  ``True`` pins the grouped
+    table with an eager localCheckpoint, collapsing to ONE corpus scan
+    — set it when the input scan dominates (cold object storage, very
+    wide rows, true 100 TB inputs)."""
+    grouped = (
+        with_shingles(documents.select("source", "text"), out_col="_sh", n=n)
+        .select("source", F.explode("_sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    )
     if pin_postings:
-        sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+        grouped = grouped.localCheckpoint(eager=True)
+    sizes = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    # ordered in-array pairs: srcs is sorted, so (srcs[i], srcs[j]) with
+    # i < j reproduces the a.source < b.source join condition exactly
+    pair_expr = F.expr(
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs) - i - 1), "
+        "y -> struct(x AS source_a, y AS source_b))))"
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
     return (
         inter.join(
-            sizes.select(
-                F.col("source").alias("source_a"), F.col("n").alias("_na")
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"), F.col("n").alias("_na")
+                )
             ),
             "source_a",
         )
         .join(
-            sizes.select(
-                F.col("source").alias("source_b"), F.col("n").alias("_nb")
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("n").alias("_nb")
+                )
             ),
             "source_b",
         )
@@ -2204,14 +2229,13 @@ def source_overlap_minhash(
     graduated from rows-only to oracle mode.  Hashes are deduped per
     source before ranking (bottom-k over the hashed SET — Broder's
     formulation; 60-bit collisions are ~S·D²/2⁶¹, vanishing)."""
+    # r17: NGram shingle kernel (the interpreted word_shingles path is
+    # O(tokens²) per row) and ONE distinct on the 60-bit hash instead of
+    # a string-level distinct followed by a hash-level one — the dedup
+    # shuffle carries 8-byte keys, not shingle strings (guide §2.3).
     sh = (
-        documents.select(
-            "source",
-            F.explode(word_shingles(tokens(F.col("text")), n)).alias(
-                "shingle"
-            ),
-        )
-        .distinct()
+        with_shingles(documents.select("source", "text"), out_col="_sh", n=n)
+        .select("source", F.explode("_sh").alias("shingle"))
         .select(
             "source",
             salted_md5_long(F.col("shingle"), MINHASH_OVERLAP_SALT)
