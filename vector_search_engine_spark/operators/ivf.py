@@ -144,6 +144,35 @@ def _sq_bound_mask(
     return (sd - e) <= kth
 
 
+def _sq_bound_mask_multi(
+    codes, lo: np.ndarray, hi: np.ndarray, Qm: np.ndarray, dim: int,
+    bits: int, k: int,
+) -> np.ndarray:
+    """Multi-query form of ``_sq_bound_mask`` (r17): decode the group's
+    codes ONCE and evaluate the same lossless bound against every probing
+    query via one GEMM — returns an (n_rows, n_queries) keep mask, column
+    j being the cut for query j.  The bound argument is per (group,
+    query) and does not care how d̂ is computed (any faithful float64
+    evaluation yields a superset of the true top-k; the exact rescore
+    stage makes the final results identical), so the GEMM expansion is
+    safe here even though its last-ulp rounding can differ from the
+    matrix-vector form."""
+    from vector_search_engine_spark.operators.sq import sq_codes_matrix
+
+    levels = float((1 << bits) - 1)
+    M = sq_codes_matrix(codes, len(lo), bits, dim)
+    span = hi - lo
+    span[span <= 0] = 1.0
+    V = lo[:, None] + M * (span[:, None] / levels)
+    D = l2_sq_matrix(V, Qm)  # (n, m), clamped >= 0
+    SD = np.sqrt(D)
+    e = (np.sqrt(dim) * (span / (2.0 * levels)) * (1 + 1e-5) + 1e-6)[:, None]
+    UB = SD + e
+    kk = min(k, len(lo)) - 1
+    kth = np.partition(UB, kk, axis=0)[kk]
+    return (SD - e) <= kth[None, :]
+
+
 def _train_quantizer(
     S: np.ndarray, k: int, seed: int = 42, max_iter: int = 10
 ) -> np.ndarray:
@@ -607,10 +636,20 @@ class IVFIndex:
             )
         # explicit leaf dirs + basePath: the manifest IS the snapshot —
         # partition columns (gen, centroid_id) still infer, centroid_id
-        # pruning still applies, superseded generations are never listed
-        return (
-            self.spark.read.option("basePath", root).parquet(*dirs).drop("gen")
-        )
+        # pruning still applies, superseded generations are never listed.
+        # The schema is memoized after the first read (r17): per-search
+        # reads skip footer schema inference — columns are invariant
+        # across generations by the build/compact contract, and a stale
+        # memo is impossible because compaction never alters the column
+        # set (only file contents and the gen dir).
+        st = getattr(self, "_vec_schema", None)
+        reader = self.spark.read.option("basePath", root)
+        if st is not None:
+            reader = reader.schema(st)
+        df = reader.parquet(*dirs)
+        if st is None:
+            self._vec_schema = df.schema
+        return df.drop("gen")
 
     def stats(self) -> DataFrame:
         """Per-centroid occupancy — the index's health check.
@@ -763,18 +802,27 @@ class IVFIndex:
         pairs = self.probe_pairs(
             qids, Q, nprobe, centroid_set=self._centroids_for(snap)
         )
-        pairs_df = spark.createDataFrame(
-            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
-                {"qid": "int64", "centroid_id": "int32"}
-            )
-        )
         needed = sorted({c for _, c in pairs})
 
-        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
-        bc = spark.sparkContext.broadcast(qmap)
+        # r17 (guide §2.3/§4): the probe assignment rides the query
+        # broadcast as a cell→query-index map instead of a pairs
+        # DataFrame broadcast-joined onto the scan.  The old join
+        # DUPLICATED every candidate row once per probing query before
+        # the Python boundary (nprobe·|Q| fan-out: at full probe every
+        # vector crossed Arrow |Q| times); now each cell's rows cross
+        # ONCE and the per-cell kernel is a single GEMM over that
+        # cell's probing queries — the same ``l2_sq_matrix`` the exact
+        # path (knn_exact) uses, so merged searches rank indexed and
+        # delta candidates with bitwise-identical arithmetic.
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        cell_qidx: dict[int, list[int]] = {}
+        for qid, c in pairs:
+            cell_qidx.setdefault(int(c), []).append(qpos[int(qid)])
+        bc = spark.sparkContext.broadcast(
+            (qids.astype(np.int64), Q.astype(np.float64), cell_qidx)
+        )
 
-        # isin on the partition column → parquet partition pruning;
-        # broadcast join fans each partition's rows out to its probing queries
+        # isin on the partition column → parquet partition pruning
         base = self.vectors(snapshot=snap).filter(
             F.col("centroid_id").isin(needed)
         )
@@ -791,26 +839,29 @@ class IVFIndex:
                 base = base.filter(~F.col(id_col).isin(list(exclude_ids)))
         if predicate is not None:
             base = base.filter(predicate)
-        cand = base.join(F.broadcast(pairs_df), "centroid_id").select(
-            F.col("qid"), F.col(id_col), F.col(vec_col)
+        cand = base.select(
+            F.col("centroid_id"), F.col(id_col), F.col(vec_col)
         )
 
         def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qm = bc.value
+            qids_, Q_, cq = bc.value
             best: dict[int, list] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for qid, grp in pdf.groupby("qid"):
-                    q = qm[int(qid)]
+                for cid, grp in pdf.groupby("centroid_id"):
+                    qidx = cq.get(int(cid))
+                    if not qidx:
+                        continue
                     ids = grp[id_col].to_numpy(dtype=np.int64)
                     V = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
-                    d = ((V * V).sum(axis=1) - 2.0 * (V @ q) + float(q @ q))
-                    np.maximum(d, 0.0, out=d)
-                    order = np.lexsort((ids, d))[:k]
-                    best.setdefault(int(qid), []).append(
-                        (ids[order], d[order])
-                    )
+                    D = l2_sq_matrix(V, Q_[qidx])
+                    for j, qi in enumerate(qidx):
+                        d = D[:, j]
+                        order = np.lexsort((ids, d))[:k]
+                        best.setdefault(int(qids_[qi]), []).append(
+                            (ids[order], d[order])
+                        )
             for qid, parts in best.items():
                 ids = np.concatenate([p[0] for p in parts])
                 d = np.concatenate([p[1] for p in parts])
@@ -1179,14 +1230,19 @@ class IVFIndex:
         pairs = self.probe_pairs(
             qids, Q, nprobe, centroid_set=self._centroids_for(snap)
         )
-        pairs_df = spark.createDataFrame(
-            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
-                {"qid": "int64", "centroid_id": "int32"}
-            )
-        )
         needed = sorted({c for _, c in pairs})
-        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
-        bc = spark.sparkContext.broadcast(qmap)
+        # r17: probe assignment rides the query broadcast (see search())
+        # — cell rows cross the Python boundary once and are stacked
+        # once per cell, with the per-query prefix-cut arithmetic kept
+        # byte-for-byte identical (the cut threshold and the returned
+        # full distances use the same expressions as before).
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        cell_qidx: dict[int, list[int]] = {}
+        for qid, c in pairs:
+            cell_qidx.setdefault(int(c), []).append(qpos[int(qid)])
+        bc = spark.sparkContext.broadcast(
+            (qids.astype(np.int64), Q.astype(np.float64), cell_qidx)
+        )
         base = self.vectors(snapshot=snap).filter(
             F.col("centroid_id").isin(needed)
         )
@@ -1203,44 +1259,47 @@ class IVFIndex:
                 base = base.filter(~F.col(id_col).isin(list(exclude_ids)))
         if predicate is not None:
             base = base.filter(predicate)
-        cand = base.join(F.broadcast(pairs_df), "centroid_id").select(
-            F.col("qid"), F.col(id_col), F.col(vec_col)
+        cand = base.select(
+            F.col("centroid_id"), F.col(id_col), F.col(vec_col)
         )
 
         def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qm = bc.value
+            qids_, Q_, cq = bc.value
             best: dict[int, list] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for qid, grp in pdf.groupby("qid"):
-                    q = qm[int(qid)]
-                    qp = q[:dp]
+                for cid, grp in pdf.groupby("centroid_id"):
+                    qidx = cq.get(int(cid))
+                    if not qidx:
+                        continue
                     ids = grp[id_col].to_numpy(dtype=np.int64)
                     V = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
                     n = len(ids)
                     Vp = V[:, :dp]
-                    dpd = (Vp * Vp).sum(axis=1) - 2.0 * (Vp @ qp) + float(
-                        qp @ qp
-                    )
-                    np.maximum(dpd, 0.0, out=dpd)
+                    VVp = (Vp * Vp).sum(axis=1)
                     kk = min(k, n)
-                    seed = (
-                        np.argpartition(dpd, kk - 1)[:kk]
-                        if n > kk
-                        else np.arange(n)
-                    )
-                    diff = V[seed] - q
-                    T = (diff * diff).sum(axis=1).max()
-                    # same fp-slack guard as knn_prefix_rescore: the GEMM
-                    # bound may exceed the true one by ~1e-13
-                    surv = np.flatnonzero(dpd <= T + 1e-9 * (1.0 + T))
-                    diff = V[surv] - q
-                    full = (diff * diff).sum(axis=1)
-                    order = np.lexsort((ids[surv], full))[:kk]
-                    best.setdefault(int(qid), []).append(
-                        (ids[surv][order], full[order])
-                    )
+                    for qi in qidx:
+                        q = Q_[qi]
+                        qp = q[:dp]
+                        dpd = VVp - 2.0 * (Vp @ qp) + float(qp @ qp)
+                        np.maximum(dpd, 0.0, out=dpd)
+                        seed = (
+                            np.argpartition(dpd, kk - 1)[:kk]
+                            if n > kk
+                            else np.arange(n)
+                        )
+                        diff = V[seed] - q
+                        T = (diff * diff).sum(axis=1).max()
+                        # same fp-slack guard as knn_prefix_rescore: the
+                        # GEMM bound may exceed the true one by ~1e-13
+                        surv = np.flatnonzero(dpd <= T + 1e-9 * (1.0 + T))
+                        diff = V[surv] - q
+                        full = (diff * diff).sum(axis=1)
+                        order = np.lexsort((ids[surv], full))[:kk]
+                        best.setdefault(int(qids_[qi]), []).append(
+                            (ids[surv][order], full[order])
+                        )
             for qid, parts in best.items():
                 ids = np.concatenate([p[0] for p in parts])
                 d = np.concatenate([p[1] for p in parts])
@@ -1602,28 +1661,27 @@ class IVFIndex:
         pairs = self.probe_pairs(
             qids, Q, nprobe, centroid_set=self._centroids_for(snap)
         )
-        pairs_df = spark.createDataFrame(
-            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
-                {"qid": "int64", "centroid_id": "int32"}
-            )
-        )
         needed = sorted({c for _, c in pairs})
         rot_dir = self.ensure_pca_rot(snapshot=snap)
         R = np.load(os.path.join(rot_dir, "rotation.npy"))
         dp = max(1, min(int(prefix_dims), Q.shape[1]))
-        qmap = {
-            int(q): (
-                Q[i].astype(np.float64),
-                Q[i].astype(np.float64) @ R,
-            )
-            for i, q in enumerate(qids)
-        }
-        bc = spark.sparkContext.broadcast(qmap)
+        # r17: probe assignment rides the query broadcast (see search())
+        # — each rotated row crosses the Python boundary once, stacked
+        # once per cell; the per-query cut/threshold/rescore arithmetic
+        # below is byte-for-byte the previous expressions.
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        cell_qidx: dict[int, list[int]] = {}
+        for qid, c in pairs:
+            cell_qidx.setdefault(int(c), []).append(qpos[int(qid)])
+        Q64 = Q.astype(np.float64)
+        bc = spark.sparkContext.broadcast(
+            (qids.astype(np.int64), Q64, Q64 @ R, cell_qidx)
+        )
         rows = spark.read.parquet(rot_dir).filter(
             F.col("centroid_id").isin(needed)
         )
-        cand_rows = rows.join(F.broadcast(pairs_df), "centroid_id").select(
-            "qid", id_col, vec_col, "rotvec", "vnorm"
+        cand_rows = rows.select(
+            "centroid_id", id_col, vec_col, "rotvec", "vnorm"
         )
         if exclude_ids is not None:
             cand_rows = cand_rows.join(
@@ -1641,48 +1699,52 @@ class IVFIndex:
             cand_rows = cand_rows.join(keep_ids, id_col, "left_semi")
 
         def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qm = bc.value
+            qids_, Q_, QR_, cq = bc.value
             best: dict[int, list] = {}
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for qid, grp in pdf.groupby("qid"):
-                    q, qr = qm[int(qid)]
-                    qp = qr[:dp]
+                for cid, grp in pdf.groupby("centroid_id"):
+                    qidx = cq.get(int(cid))
+                    if not qidx:
+                        continue
                     ids = grp[id_col].to_numpy(dtype=np.int64)
                     Zp = np.stack(
                         [z[:dp] for z in grp["rotvec"].to_numpy()]
                     ).astype(np.float64)
+                    ZZp = (Zp * Zp).sum(axis=1)
                     vn = grp["vnorm"].to_numpy(dtype=np.float64)
                     n = len(ids)
                     # float32-storage error budget (see docstring)
                     e_v = (2.0 ** -23) * vn + 1e-9
-                    dpd = (Zp * Zp).sum(axis=1) - 2.0 * (Zp @ qp) + float(
-                        qp @ qp
-                    )
-                    np.maximum(dpd, 0.0, out=dpd)
-                    lb = np.sqrt(dpd) - e_v
                     kk = min(k, n)
-                    seed = (
-                        np.argpartition(lb, kk - 1)[:kk]
-                        if n > kk
-                        else np.arange(n)
-                    )
-                    # original floats materialize ONLY for seed +
-                    # survivors — the FLOPs (and copy) saving the cut
-                    # exists to deliver
                     vec_arr = grp[vec_col].to_numpy()
-                    diff = np.stack(vec_arr[seed]).astype(np.float64) - q
-                    # threshold from EXACT original-float distances — the
-                    # seed's true distances upper-bound the k-th best
-                    T = np.sqrt((diff * diff).sum(axis=1).max())
-                    surv = np.flatnonzero(lb <= T * (1 + 1e-9) + 1e-9)
-                    diff = np.stack(vec_arr[surv]).astype(np.float64) - q
-                    full = (diff * diff).sum(axis=1)
-                    order = np.lexsort((ids[surv], full))[:kk]
-                    best.setdefault(int(qid), []).append(
-                        (ids[surv][order], full[order])
-                    )
+                    for qi in qidx:
+                        q = Q_[qi]
+                        qp = QR_[qi][:dp]
+                        dpd = ZZp - 2.0 * (Zp @ qp) + float(qp @ qp)
+                        np.maximum(dpd, 0.0, out=dpd)
+                        lb = np.sqrt(dpd) - e_v
+                        seed = (
+                            np.argpartition(lb, kk - 1)[:kk]
+                            if n > kk
+                            else np.arange(n)
+                        )
+                        # original floats materialize ONLY for seed +
+                        # survivors — the FLOPs (and copy) saving the cut
+                        # exists to deliver
+                        diff = np.stack(vec_arr[seed]).astype(np.float64) - q
+                        # threshold from EXACT original-float distances —
+                        # the seed's true distances upper-bound the k-th
+                        # best
+                        T = np.sqrt((diff * diff).sum(axis=1).max())
+                        surv = np.flatnonzero(lb <= T * (1 + 1e-9) + 1e-9)
+                        diff = np.stack(vec_arr[surv]).astype(np.float64) - q
+                        full = (diff * diff).sum(axis=1)
+                        order = np.lexsort((ids[surv], full))[:kk]
+                        best.setdefault(int(qids_[qi]), []).append(
+                            (ids[surv][order], full[order])
+                        )
             for qid, parts in best.items():
                 ids = np.concatenate([p[0] for p in parts])
                 d = np.concatenate([p[1] for p in parts])
@@ -2648,21 +2710,30 @@ class IVFIndex:
         pairs = self.probe_pairs(
             qids, Q, nprobe, centroid_set=self._centroids_for(snap)
         )
-        pairs_df = spark.createDataFrame(
-            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
-                {"qid": "int64", "centroid_id": "int32"}
-            )
-        )
         needed = sorted({c for _, c in pairs})
-        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
-        bc = spark.sparkContext.broadcast(qmap)
+        # r17: probe assignment rides the query broadcast as a
+        # cell→query-index map (see search()) — codes cross the Python
+        # boundary ONCE instead of once per probing query, and each
+        # cell decodes once with the bound evaluated for all its
+        # probing queries in one GEMM (_sq_bound_mask_multi).  The cut
+        # group becomes (cell slice of an Arrow batch, query) instead
+        # of (mixed-cell batch slice, query) — a coarser group, so the
+        # kept set is a (still lossless) superset and the exact rescore
+        # below yields identical results.
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        cell_qidx: dict[int, list[int]] = {}
+        for qid, c in pairs:
+            cell_qidx.setdefault(int(c), []).append(qpos[int(qid)])
+        bc = spark.sparkContext.broadcast(
+            (qids.astype(np.int64), Q.astype(np.float64), cell_qidx)
+        )
 
         sq_dir = self.ensure_sq8(snapshot=snap, bits=bits)
         codes = spark.read.parquet(sq_dir).filter(
             F.col("centroid_id").isin(needed)
         )
-        cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
-            "qid", id_col, "code", "lo", "hi"
+        cand_codes = codes.select(
+            "centroid_id", id_col, "code", "lo", "hi"
         )
         if exclude_ids is not None:
             cand_codes = cand_codes.join(
@@ -2683,21 +2754,31 @@ class IVFIndex:
             cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
 
         def approx_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qm = bc.value
+            qids_, Q_, cq = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for qid, grp in pdf.groupby("qid"):
-                    q = qm[int(qid)]
+                for cid, grp in pdf.groupby("centroid_id"):
+                    qidx = cq.get(int(cid))
+                    if not qidx:
+                        continue
                     ids = grp[id_col].to_numpy(dtype=np.int64)
-                    keep = _sq_bound_mask(
+                    KEEP = _sq_bound_mask_multi(
                         grp["code"],
                         grp["lo"].to_numpy(dtype=np.float64),
                         grp["hi"].to_numpy(dtype=np.float64),
-                        q, dim, bits, k,
+                        Q_[qidx], dim, bits, k,
                     )
+                    out_q = [
+                        np.full(int(KEEP[:, j].sum()), qids_[qi], dtype=np.int64)
+                        for j, qi in enumerate(qidx)
+                    ]
+                    out_id = [ids[KEEP[:, j]] for j in range(len(qidx))]
                     yield pd.DataFrame(
-                        {"qid": int(qid), "neighbor_id": ids[keep]}
+                        {
+                            "qid": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_id),
+                        }
                     )
 
         cand = cand_codes.mapInPandas(
@@ -3086,11 +3167,6 @@ class IVFIndex:
         pairs = self.probe_pairs(
             qids, Q, nprobe, centroid_set=self._centroids_for(snap)
         )
-        pairs_df = spark.createDataFrame(
-            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
-                {"qid": "int64", "centroid_id": "int32"}
-            )
-        )
         needed = sorted({c for _, c in pairs})
         budget_map = (
             self._auto_sign_budget(k, snap, needed, "search_bq")
@@ -3100,19 +3176,32 @@ class IVFIndex:
         bq_dir = self.ensure_bq(snapshot=snap)
         with open(os.path.join(bq_dir, "thresholds.json")) as f:
             thr = np.array(json.load(f)["thresholds"], dtype=np.float64)
-        # the asymmetric score works in centered space: bits encode
+        # r17: probe assignment rides the query broadcast as a
+        # cell→query-index map (see search()) — the packed codes cross
+        # the Python boundary ONCE instead of once per probing query,
+        # and each cell slice unpacks its bits once, scoring all its
+        # probing queries in one GEMM.  The cut unit is unchanged:
+        # per (cell slice of an Arrow batch, query), budget per cell.
+        # The asymmetric score works in centered space: bits encode
         # sign(v − t), so the scan side ranks by (q − t) · sign(v − t);
-        # the exact rescore below uses the UNcentered queries
-        qmap = {
-            int(q): Q[i].astype(np.float64) - thr for i, q in enumerate(qids)
-        }
-        bc = spark.sparkContext.broadcast(qmap)
+        # the exact rescore below uses the UNcentered queries.
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        cell_qidx: dict[int, list[int]] = {}
+        for qid, c in pairs:
+            cell_qidx.setdefault(int(c), []).append(qpos[int(qid)])
+        bc = spark.sparkContext.broadcast(
+            (
+                qids.astype(np.int64),
+                Q.astype(np.float64) - thr[None, :],
+                cell_qidx,
+            )
+        )
 
         codes = spark.read.parquet(bq_dir).filter(
             F.col("centroid_id").isin(needed)
         )
-        cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
-            "qid", "centroid_id", id_col, "code", "dim"
+        cand_codes = codes.select(
+            "centroid_id", id_col, "code", "dim"
         )
         if exclude_ids is not None:
             cand_codes = cand_codes.join(
@@ -3130,35 +3219,46 @@ class IVFIndex:
             cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
 
         def approx_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # per (query, cell slice of an Arrow batch): the cut budget
+            # per (cell slice of an Arrow batch, query): the cut budget
             # is the auto-derived per-cell population (finding 41) when
             # the caller left candidates_per_cell unset, else the
             # caller's uniform C
-            qm = bc.value
+            qids_, Qc_, cq = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for (qid, cid), grp in pdf.groupby(["qid", "centroid_id"]):
-                    q = qm[int(qid)]
+                for cid, grp in pdf.groupby("centroid_id"):
+                    qidx = cq.get(int(cid))
+                    if not qidx:
+                        continue
                     ids = grp[id_col].to_numpy(dtype=np.int64)
                     d = int(grp["dim"].iloc[0])
                     raw = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8)
                     bits = np.unpackbits(raw.reshape(len(ids), -1), axis=1)[
                         :, :d
                     ]
-                    s = (2.0 * bits - 1.0) @ q
+                    S = (2.0 * bits - 1.0) @ Qc_[qidx].T  # (n, |qidx|)
                     cap_c = (
                         C if budget_map is None
                         else budget_map.get(int(cid), C)
                     )
                     keep = min(cap_c, len(ids))
-                    sel = (
-                        np.argpartition(-s, keep - 1)[:keep]
-                        if len(ids) > keep
-                        else np.arange(len(ids))
-                    )
+                    out_q, out_id = [], []
+                    for j, qi in enumerate(qidx):
+                        sel = (
+                            np.argpartition(-S[:, j], keep - 1)[:keep]
+                            if len(ids) > keep
+                            else np.arange(len(ids))
+                        )
+                        out_q.append(
+                            np.full(len(sel), qids_[qi], dtype=np.int64)
+                        )
+                        out_id.append(ids[sel])
                     yield pd.DataFrame(
-                        {"qid": int(qid), "neighbor_id": ids[sel]}
+                        {
+                            "qid": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_id),
+                        }
                     )
 
         cand = cand_codes.mapInPandas(
@@ -3264,11 +3364,6 @@ class IVFIndex:
         pairs = self.probe_pairs(
             qids, Q, nprobe, centroid_set=self._centroids_for(snap)
         )
-        pairs_df = spark.createDataFrame(
-            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
-                {"qid": "int64", "centroid_id": "int32"}
-            )
-        )
         needed = sorted({c for _, c in pairs})
         budget_map = (
             self._auto_sign_budget(k, snap, needed, "search_cascade")
@@ -3276,21 +3371,31 @@ class IVFIndex:
             else None
         )
 
-        # ---- stage 1: BQ asymmetric top-C over the probed 1-bit codes
+        # ---- stage 1: BQ asymmetric top-C over the probed 1-bit codes.
+        # r17: probe assignment rides the query broadcast as a
+        # cell→query-index map (see search_bq) — codes cross Arrow once,
+        # each cell slice unpacks once and scores all its probing
+        # queries in one GEMM.  Cut unit unchanged: per (cell slice of
+        # an Arrow batch, query), budget per cell.
         bq_dir = self.ensure_bq(snapshot=snap)
         with open(os.path.join(bq_dir, "thresholds.json")) as f:
             thr = np.array(json.load(f)["thresholds"], dtype=np.float64)
-        qmap_c = {
-            int(q): Q[i].astype(np.float64) - thr for i, q in enumerate(qids)
-        }
-        bc_c = spark.sparkContext.broadcast(qmap_c)
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        cell_qidx: dict[int, list[int]] = {}
+        for qid, c in pairs:
+            cell_qidx.setdefault(int(c), []).append(qpos[int(qid)])
+        bc_c = spark.sparkContext.broadcast(
+            (
+                qids.astype(np.int64),
+                Q.astype(np.float64) - thr[None, :],
+                cell_qidx,
+            )
+        )
 
         bq_codes = spark.read.parquet(bq_dir).filter(
             F.col("centroid_id").isin(needed)
         )
-        cand_codes = bq_codes.join(
-            F.broadcast(pairs_df), "centroid_id"
-        ).select("qid", "centroid_id", id_col, "code", "dim")
+        cand_codes = bq_codes.select("centroid_id", id_col, "code", "dim")
         if exclude_ids is not None:
             cand_codes = cand_codes.join(
                 exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col)),
@@ -3307,34 +3412,45 @@ class IVFIndex:
             cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
 
         def bq_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # per (query, cell slice of an Arrow batch); budget = the
+            # per (cell slice of an Arrow batch, query); budget = the
             # auto-derived cell population (finding 41) unless the
             # caller passed an explicit uniform candidates_per_cell
-            qm = bc_c.value
+            qids_, Qc_, cq = bc_c.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for (qid, cid), grp in pdf.groupby(["qid", "centroid_id"]):
-                    q = qm[int(qid)]
+                for cid, grp in pdf.groupby("centroid_id"):
+                    qidx = cq.get(int(cid))
+                    if not qidx:
+                        continue
                     ids = grp[id_col].to_numpy(dtype=np.int64)
                     d = int(grp["dim"].iloc[0])
                     raw = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8)
                     bits = np.unpackbits(raw.reshape(len(ids), -1), axis=1)[
                         :, :d
                     ]
-                    s = (2.0 * bits - 1.0) @ q
+                    S = (2.0 * bits - 1.0) @ Qc_[qidx].T
                     cap_c = (
                         C if budget_map is None
                         else budget_map.get(int(cid), C)
                     )
                     keep = min(cap_c, len(ids))
-                    sel = (
-                        np.argpartition(-s, keep - 1)[:keep]
-                        if len(ids) > keep
-                        else np.arange(len(ids))
-                    )
+                    out_q, out_id = [], []
+                    for j, qi in enumerate(qidx):
+                        sel = (
+                            np.argpartition(-S[:, j], keep - 1)[:keep]
+                            if len(ids) > keep
+                            else np.arange(len(ids))
+                        )
+                        out_q.append(
+                            np.full(len(sel), qids_[qi], dtype=np.int64)
+                        )
+                        out_id.append(ids[sel])
                     yield pd.DataFrame(
-                        {"qid": int(qid), "neighbor_id": ids[sel]}
+                        {
+                            "qid": np.concatenate(out_q),
+                            "neighbor_id": np.concatenate(out_id),
+                        }
                     )
 
         cand1 = cand_codes.mapInPandas(
@@ -4155,14 +4271,24 @@ class IVFIndex:
         # pin one (manifest, centroids) view for radii, probes, and scan
         snap = self._read_manifest()
         cids, C = self._centroids_for(snap)
-        # per-cell radii: one column-pruned scan of the index's stats column
-        radii = {
-            int(r["centroid_id"]): float(r["r_sq"])
-            for r in self.vectors(snapshot=snap)
-            .groupBy("centroid_id")
-            .agg(F.max("dist_to_centroid").alias("r_sq"))
-            .collect()
-        }
+        # per-cell radii: one column-pruned scan of the index's stats
+        # column, MEMOIZED per generation (r17 — the _snapshot_counts
+        # discipline): cells are immutable per generation, so repeated
+        # radius searches against one snapshot pay the scan once
+        radii_cache = getattr(self, "_radii_cache", None)
+        if radii_cache is None:
+            radii_cache = self._radii_cache = {}
+        gen_key = self._sidecar_gen(snap)
+        radii = radii_cache.get(gen_key)
+        if radii is None:
+            radii = {
+                int(r["centroid_id"]): float(r["r_sq"])
+                for r in self.vectors(snapshot=snap)
+                .groupBy("centroid_id")
+                .agg(F.max("dist_to_centroid").alias("r_sq"))
+                .collect()
+            }
+            radii_cache[gen_key] = radii
         Dqc = l2_sq_matrix(Q.astype(np.float64), C)  # (|Q|, C)
         r = float(np.sqrt(radius_sq))
         pairs = [
@@ -4173,14 +4299,18 @@ class IVFIndex:
         ]
         if not pairs:
             return spark.createDataFrame([], "qid long, neighbor_id long, dist_sq double")
-        pairs_df = spark.createDataFrame(
-            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
-                {"qid": "int64", "centroid_id": "int32"}
-            )
-        )
         needed = sorted({c for _, c in pairs})
-        qmap = {int(q): Q[i].astype(np.float64) for i, q in enumerate(qids)}
-        bc = spark.sparkContext.broadcast(qmap)
+        # r17: probe assignment rides the query broadcast (see search())
+        # — cell rows cross the Python boundary once; per-query distance
+        # arithmetic below is byte-for-byte the previous expression
+        # (these distances ARE the output values).
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        cell_qidx: dict[int, list[int]] = {}
+        for qid, c in pairs:
+            cell_qidx.setdefault(int(c), []).append(qpos[int(qid)])
+        bc = spark.sparkContext.broadcast(
+            (qids.astype(np.int64), Q.astype(np.float64), cell_qidx)
+        )
 
         base = self.vectors(snapshot=snap).filter(
             F.col("centroid_id").isin(needed)
@@ -4201,26 +4331,35 @@ class IVFIndex:
                 base = base.filter(~F.col(id_col).isin(list(exclude_ids)))
         if predicate is not None:
             base = base.filter(predicate)
-        cand = base.join(F.broadcast(pairs_df), "centroid_id").select(
-            F.col("qid"), F.col(id_col), F.col(vec_col)
+        cand = base.select(
+            F.col("centroid_id"), F.col(id_col), F.col(vec_col)
         )
 
         def in_radius(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            qm = bc.value
+            qids_, Q_, cq = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for qid, grp in pdf.groupby("qid"):
-                    q = qm[int(qid)]
+                for cid, grp in pdf.groupby("centroid_id"):
+                    qidx = cq.get(int(cid))
+                    if not qidx:
+                        continue
                     ids = grp[id_col].to_numpy(dtype=np.int64)
                     V = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
-                    d = (V * V).sum(axis=1) - 2.0 * (V @ q) + float(q @ q)
-                    np.maximum(d, 0.0, out=d)
-                    hit = d <= radius_sq
-                    if hit.any():
-                        yield pd.DataFrame(
-                            {"qid": int(qid), "neighbor_id": ids[hit], "dist": d[hit]}
-                        )
+                    VV = (V * V).sum(axis=1)
+                    for qi in qidx:
+                        q = Q_[qi]
+                        d = VV - 2.0 * (V @ q) + float(q @ q)
+                        np.maximum(d, 0.0, out=d)
+                        hit = d <= radius_sq
+                        if hit.any():
+                            yield pd.DataFrame(
+                                {
+                                    "qid": int(qids_[qi]),
+                                    "neighbor_id": ids[hit],
+                                    "dist": d[hit],
+                                }
+                            )
 
         out = cand.mapInPandas(
             in_radius, schema="qid long, neighbor_id long, dist double"

@@ -320,11 +320,20 @@ class VectorEngine:
         # directory listing against a concurrent GC rmtree (the r10 bench
         # mixed_rw FileNotFound); live seqs are by construction never
         # GC'd (> watermark > gc_watermark), so this read cannot race.
-        # _seq is directory-inferred (int by default) — cast to long so
-        # the schema matches the empty-delta branch above exactly
+        # The schema is EXPLICIT (r17): it is the same string the
+        # empty-delta branch already pins (the two branches must match
+        # exactly), so per-search delta reads skip footer schema
+        # inference; _seq parses as long straight from the dir name.
+        extra_schema = "".join(
+            f", {c} {t}" for c, t in self._extra_schema().items()
+        )
         dirs = [os.path.join(self.delta_dir, f"_seq={s}") for s in seqs]
         return (
-            self.spark.read.option("basePath", self.delta_dir)
+            self.spark.read.schema(
+                f"{id_col} long, {vec_col} array<float>"
+                f"{extra_schema}, _seq long"
+            )
+            .option("basePath", self.delta_dir)
             .parquet(*dirs)
             .select(
                 id_col,
