@@ -4129,7 +4129,10 @@ class IVFIndex:
         metadata read of the probed cells (id + predicate columns only —
         no vector bytes) semi-joined against the codes; the PQ tier's
         scan-byte win is untouched."""
-        from vector_search_engine_spark.operators.pq import pq_bound_cut
+        from vector_search_engine_spark.operators.pq import (
+            _adc_lut,
+            bound_cut_mask,
+        )
 
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
@@ -4147,11 +4150,6 @@ class IVFIndex:
         pairs = self.probe_pairs(
             qids, Q, nprobe, centroid_set=self._centroids_for(snap)
         )
-        pairs_df = spark.createDataFrame(
-            pd.DataFrame(pairs, columns=["qid", "centroid_id"]).astype(
-                {"qid": "int64", "centroid_id": "int32"}
-            )
-        )
         needed = sorted({c for _, c in pairs})
         codes_dir, books = self.ensure_pq(
             m=m, residual=residual, snapshot=snap, opq=opq
@@ -4166,15 +4164,22 @@ class IVFIndex:
             if opq
             else None
         )
-        qmap = {
-            int(q): (
-                Q[i].astype(np.float64)
-                if R is None
-                else Q[i].astype(np.float64) @ R
-            )
-            for i, q in enumerate(qids)
-        }
-        qmap_bc = spark.sparkContext.broadcast(qmap)
+        # r17: probe assignment rides the query broadcast as a
+        # cell→query-index map (see search()) — codes cross the Python
+        # boundary once and decode once per cell slice; the per-(query,
+        # cell) ADC LUT count is unchanged (it was always per pair).
+        # Cut group becomes (cell slice of an Arrow batch, query) — for
+        # the lossless bound a still-lossless superset (exact rescore
+        # unchanged); for top-C mode a per-cell-slice C (≥ recall of the
+        # old per-batch C).
+        Qs = Q.astype(np.float64) if R is None else Q.astype(np.float64) @ R
+        qpos = {int(q): i for i, q in enumerate(qids)}
+        cell_qidx: dict[int, list[int]] = {}
+        for qid, c in pairs:
+            cell_qidx.setdefault(int(c), []).append(qpos[int(qid)])
+        q_bc = spark.sparkContext.broadcast(
+            (qids.astype(np.int64), Qs, cell_qidx)
+        )
         books_bc = spark.sparkContext.broadcast(books)
         cm = self.center_map(snap) if residual else None
         if cm is not None and R is not None:
@@ -4183,8 +4188,8 @@ class IVFIndex:
         codes = spark.read.parquet(codes_dir).filter(
             F.col("centroid_id").isin(needed)
         )
-        cand_codes = codes.join(F.broadcast(pairs_df), "centroid_id").select(
-            "qid", id_col, "code", "resid", "centroid_id"
+        cand_codes = codes.select(
+            "centroid_id", id_col, "code", "resid"
         )
         if exclude_ids is not None:
             # exclusion must happen BEFORE the cut: an excluded vector's
@@ -4207,14 +4212,50 @@ class IVFIndex:
                 .select(id_col)
             )
             cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
-        cand = pq_bound_cut(
-            cand_codes,
-            qmap_bc,
-            books_bc,
-            k,
-            id_col,
-            candidates_per_partition=candidates_per_partition,
-            center_map_bc=cm_bc,
+        def adc_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            B = books_bc.value
+            m_, _, _ = B.shape
+            qids_, Qs_, cq = q_bc.value
+            CM = cm_bc.value if cm_bc is not None else None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for cid, grp in pdf.groupby("centroid_id"):
+                    qidx = cq.get(int(cid))
+                    if not qidx:
+                        continue
+                    ids = grp[id_col].to_numpy(dtype=np.int64)
+                    raw = np.frombuffer(b"".join(grp["code"]), dtype=np.uint8)
+                    Cc = raw.reshape(len(ids), m_)
+                    resid = grp["resid"].to_numpy(dtype=np.float64)
+                    cols = np.arange(m_)[None, :]
+                    for qi in qidx:
+                        q = Qs_[qi]
+                        if CM is not None:
+                            q = q - CM[int(cid)]
+                        lut = _adc_lut(q, B)
+                        # ADC: d̂ = Σ_j lut[j, code_j] — m lookups/vector
+                        d_adc = lut[cols, Cc].sum(axis=1)
+                        np.maximum(d_adc, 0.0, out=d_adc)
+                        if candidates_per_partition is not None:
+                            keep_n = min(
+                                max(candidates_per_partition, k), len(ids)
+                            )
+                            part = np.argpartition(d_adc, keep_n - 1)[:keep_n]
+                            yield pd.DataFrame(
+                                {
+                                    "qid": int(qids_[qi]),
+                                    "neighbor_id": ids[part],
+                                }
+                            )
+                            continue
+                        keep = bound_cut_mask(d_adc, resid, k)
+                        yield pd.DataFrame(
+                            {"qid": int(qids_[qi]), "neighbor_id": ids[keep]}
+                        )
+
+        cand = cand_codes.mapInPandas(
+            adc_cut, schema="qid long, neighbor_id long"
         )
         base = self.vectors(snapshot=snap).filter(
             F.col("centroid_id").isin(needed)
