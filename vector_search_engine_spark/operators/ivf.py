@@ -173,6 +173,43 @@ def _sq_bound_mask_multi(
     return (SD - e) <= kth[None, :]
 
 
+def _emit_topk_once(best: dict, k: int):
+    """Final per-task emit shared by the probed-search kernels (r18,
+    guide §4): merge each query's accumulated candidate piles with the
+    same exact (dist, id) lexsort cut as before, but yield ONE
+    (qid, neighbor_id, dist) DataFrame per task — the per-query yield
+    shape paid one tiny Arrow batch per query per task."""
+    out_q, out_i, out_d = [], [], []
+    for qid, parts in best.items():
+        ids = np.concatenate([p[0] for p in parts])
+        d = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((ids, d))[:k]
+        out_q.append(np.full(len(order), qid, dtype=np.int64))
+        out_i.append(ids[order])
+        out_d.append(d[order])
+    if out_q:
+        yield pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_i),
+                "dist": np.concatenate(out_d),
+            }
+        )
+
+
+def _emit_pairs_once(out_q: list, out_i: list):
+    """Final per-task emit for the candidate-cut kernels (r18): one
+    (qid, neighbor_id) DataFrame per task instead of one per cut group.
+    The candidate SETS are whatever the caller accumulated — unchanged."""
+    if out_i:
+        yield pd.DataFrame(
+            {
+                "qid": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_i),
+            }
+        )
+
+
 def _train_quantizer(
     S: np.ndarray, k: int, seed: int = 42, max_iter: int = 10
 ) -> np.ndarray:
@@ -512,6 +549,12 @@ class IVFIndex:
         with open(tmp, "w") as f:
             json.dump(out, f)
         os.rename(tmp, self._manifest_path())
+        # invalidate the per-snapshot read memos: superseded generations
+        # may be GC'd above, and an in-place rebuild changing the column
+        # set must re-infer the schema (the memos are metadata caches,
+        # never result caches — see vectors())
+        self._vectors_df_cache = {}
+        self._vec_schema = None
 
     def next_gen(self) -> int:
         m = self._read_manifest()
@@ -637,11 +680,22 @@ class IVFIndex:
         # explicit leaf dirs + basePath: the manifest IS the snapshot —
         # partition columns (gen, centroid_id) still infer, centroid_id
         # pruning still applies, superseded generations are never listed.
-        # The schema is memoized after the first read (r17): per-search
-        # reads skip footer schema inference — columns are invariant
-        # across generations by the build/compact contract, and a stale
-        # memo is impossible because compaction never alters the column
-        # set (only file contents and the gen dir).
+        # r18: the WHOLE lazy DataFrame is memoized per cell-map signature
+        # — creating it costs a per-call file-listing pass over every cell
+        # dir (O(n_cells) driver+FS work on every search), while the plan
+        # itself is pure metadata: every execution still scans parquet, so
+        # this caches no results.  Cell files are immutable between
+        # commits and both memos are invalidated by ``commit_cells`` (the
+        # single commit bottleneck), so a rebuild that changes the column
+        # set re-infers instead of being silently masked (r17 kept the
+        # schema memo for the instance lifetime).
+        sig = tuple(sorted((int(c), int(g)) for c, g in cells.items()))
+        cache = getattr(self, "_vectors_df_cache", None)
+        if cache is None:
+            cache = self._vectors_df_cache = {}
+        hit = cache.get(sig)
+        if hit is not None:
+            return hit
         st = getattr(self, "_vec_schema", None)
         reader = self.spark.read.option("basePath", root)
         if st is not None:
@@ -649,7 +703,11 @@ class IVFIndex:
         df = reader.parquet(*dirs)
         if st is None:
             self._vec_schema = df.schema
-        return df.drop("gen")
+        out = df.drop("gen")
+        if len(cache) > 8:
+            cache.clear()  # bound retained plans (one per live snapshot)
+        cache[sig] = out
+        return out
 
     def stats(self) -> DataFrame:
         """Per-centroid occupancy — the index's health check.
@@ -844,30 +902,69 @@ class IVFIndex:
         )
 
         def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # r18 kernel shape (guide §4.2): ONE object-array stack per
+            # Arrow batch (the per-cell np.stack was the dominant Python
+            # cost), contiguous cell slices via argsort instead of pandas
+            # groupby, a vectorized tie-inclusive cut per cell (argpartition
+            # over the full D matrix — keeps every candidate at or below the
+            # k-th smallest distance, a provable superset of the exact
+            # (dist, id) top-k, so the exact merges below are unchanged),
+            # and ONE DataFrame yield per task instead of one tiny Arrow
+            # batch per query.  Per-cell GEMM is the same l2_sq_matrix call
+            # as before — merged searches still rank indexed and delta
+            # candidates with bitwise-identical arithmetic.
             qids_, Q_, cq = bc.value
-            best: dict[int, list] = {}
+            nq = len(qids_)
+            acc_ids: list[list] = [[] for _ in range(nq)]
+            acc_d: list[list] = [[] for _ in range(nq)]
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for cid, grp in pdf.groupby("centroid_id"):
-                    qidx = cq.get(int(cid))
+                cids = pdf["centroid_id"].to_numpy()
+                ids_all = pdf[id_col].to_numpy(dtype=np.int64)
+                V_all = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                order = np.argsort(cids, kind="stable")
+                cs = cids[order]
+                cuts = np.flatnonzero(cs[1:] != cs[:-1]) + 1
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [len(cs)]))
+                for s, e in zip(starts, ends):
+                    qidx = cq.get(int(cs[s]))
                     if not qidx:
                         continue
-                    ids = grp[id_col].to_numpy(dtype=np.int64)
-                    V = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
-                    D = l2_sq_matrix(V, Q_[qidx])
-                    for j, qi in enumerate(qidx):
-                        d = D[:, j]
-                        order = np.lexsort((ids, d))[:k]
-                        best.setdefault(int(qids_[qi]), []).append(
-                            (ids[order], d[order])
-                        )
-            for qid, parts in best.items():
-                ids = np.concatenate([p[0] for p in parts])
-                d = np.concatenate([p[1] for p in parts])
-                order = np.lexsort((ids, d))[:k]
+                    rows = order[s:e]
+                    ids = ids_all[rows]
+                    D = l2_sq_matrix(V_all[rows], Q_[qidx])
+                    if len(ids) > k:
+                        part = np.argpartition(D, k - 1, axis=0)[:k]
+                        t = np.take_along_axis(D, part, 0).max(axis=0)
+                        for j, qi in enumerate(qidx):
+                            keep = D[:, j] <= t[j]
+                            acc_ids[qi].append(ids[keep])
+                            acc_d[qi].append(D[keep, j])
+                    else:
+                        for j, qi in enumerate(qidx):
+                            acc_ids[qi].append(ids)
+                            acc_d[qi].append(D[:, j])
+            out_q, out_i, out_d = [], [], []
+            for qi in range(nq):
+                if not acc_ids[qi]:
+                    continue
+                ids = np.concatenate(acc_ids[qi])
+                d = np.concatenate(acc_d[qi])
+                if len(ids) > k:
+                    o = np.lexsort((ids, d))[:k]
+                    ids, d = ids[o], d[o]
+                out_q.append(np.full(len(ids), qids_[qi], dtype=np.int64))
+                out_i.append(ids)
+                out_d.append(d)
+            if out_q:
                 yield pd.DataFrame(
-                    {"qid": qid, "neighbor_id": ids[order], "dist": d[order]}
+                    {
+                        "qid": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    }
                 )
 
         cand_topk = cand.mapInPandas(
@@ -1300,13 +1397,7 @@ class IVFIndex:
                         best.setdefault(int(qids_[qi]), []).append(
                             (ids[surv][order], full[order])
                         )
-            for qid, parts in best.items():
-                ids = np.concatenate([p[0] for p in parts])
-                d = np.concatenate([p[1] for p in parts])
-                order = np.lexsort((ids, d))[:k]
-                yield pd.DataFrame(
-                    {"qid": qid, "neighbor_id": ids[order], "dist": d[order]}
-                )
+            yield from _emit_topk_once(best, k)
 
         cand_topk = cand.mapInPandas(
             local_topk, schema="qid long, neighbor_id long, dist double"
@@ -1745,13 +1836,7 @@ class IVFIndex:
                         best.setdefault(int(qids_[qi]), []).append(
                             (ids[surv][order], full[order])
                         )
-            for qid, parts in best.items():
-                ids = np.concatenate([p[0] for p in parts])
-                d = np.concatenate([p[1] for p in parts])
-                order = np.lexsort((ids, d))[:k]
-                yield pd.DataFrame(
-                    {"qid": qid, "neighbor_id": ids[order], "dist": d[order]}
-                )
+            yield from _emit_topk_once(best, k)
 
         cand_topk = cand_rows.mapInPandas(
             local_topk, schema="qid long, neighbor_id long, dist double"
@@ -1849,6 +1934,9 @@ class IVFIndex:
         vec_col = self.meta["vec_col"]
 
         def batch_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            out_q: list = []
+            out_i: list = []
+            out_d: list = []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -1861,13 +1949,17 @@ class IVFIndex:
                     d = (V * V).sum(axis=1) - 2.0 * (V @ q) + float(q @ q)
                     np.maximum(d, 0.0, out=d)
                     order = np.lexsort((ids, d))[:k]
-                    yield pd.DataFrame(
-                        {
-                            "qid": int(qid),
-                            "neighbor_id": ids[order],
-                            "dist": d[order],
-                        }
-                    )
+                    out_q.append(np.full(len(order), int(qid), dtype=np.int64))
+                    out_i.append(ids[order])
+                    out_d.append(d[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
 
         return batch_topk
 
@@ -2248,6 +2340,12 @@ class IVFIndex:
         def bound_cut(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
+            # r18: survivors accumulate across the task and cross Arrow
+            # ONCE per task (the per-(qid, batch) yield shape paid one
+            # tiny Arrow batch per query per batch); cut math unchanged.
+            out_q: list = []
+            out_i: list = []
+            out_v: list = []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -2263,13 +2361,17 @@ class IVFIndex:
                         q, dim, bits, k,
                     )
                     kept = ids[keep]
-                    yield pd.DataFrame(
-                        {
-                            "qid": int(qid),
-                            "query": [grp["query"].iloc[0]] * len(kept),
-                            "neighbor_id": kept,
-                        }
-                    )
+                    out_q.append(np.full(len(kept), int(qid), dtype=np.int64))
+                    out_i.append(kept)
+                    out_v.extend([grp["query"].iloc[0]] * len(kept))
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "query": out_v,
+                        "neighbor_id": np.concatenate(out_i),
+                    }
+                )
 
         cand = cand_codes.mapInPandas(
             bound_cut,
@@ -2390,6 +2492,9 @@ class IVFIndex:
             # caller passed an explicit uniform candidates_per_cell
             thr_ = bc_thr.value
             bm = bc_budget.value if bc_budget is not None else None
+            out_q: list = []
+            out_i: list = []
+            out_v: list = []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -2416,13 +2521,17 @@ class IVFIndex:
                         if len(ids) > keep
                         else np.arange(len(ids))
                     )
-                    yield pd.DataFrame(
-                        {
-                            "qid": int(qid),
-                            "query": [grp["query"].iloc[0]] * len(sel),
-                            "neighbor_id": ids[sel],
-                        }
-                    )
+                    out_q.append(np.full(len(sel), int(qid), dtype=np.int64))
+                    out_i.append(ids[sel])
+                    out_v.extend([grp["query"].iloc[0]] * len(sel))
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "query": out_v,
+                        "neighbor_id": np.concatenate(out_i),
+                    }
+                )
 
         cand1 = cand_codes.mapInPandas(
             bq_cut, schema="qid long, query array<float>, neighbor_id long"
@@ -2437,6 +2546,9 @@ class IVFIndex:
         cand2_codes = cand1.join(sq_side, "neighbor_id")
 
         def sq_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            out_q: list = []
+            out_i: list = []
+            out_v: list = []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -2452,13 +2564,17 @@ class IVFIndex:
                         q, dim, 8, k,
                     )
                     kept = ids[keep]
-                    yield pd.DataFrame(
-                        {
-                            "qid": int(qid),
-                            "query": [grp["query"].iloc[0]] * len(kept),
-                            "neighbor_id": kept,
-                        }
-                    )
+                    out_q.append(np.full(len(kept), int(qid), dtype=np.int64))
+                    out_i.append(kept)
+                    out_v.extend([grp["query"].iloc[0]] * len(kept))
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "query": out_v,
+                        "neighbor_id": np.concatenate(out_i),
+                    }
+                )
 
         cand2 = cand2_codes.mapInPandas(
             sq_cut, schema="qid long, query array<float>, neighbor_id long"
@@ -2755,6 +2871,8 @@ class IVFIndex:
 
         def approx_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qids_, Q_, cq = bc.value
+            out_q: list = []
+            out_id: list = []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -2769,17 +2887,13 @@ class IVFIndex:
                         grp["hi"].to_numpy(dtype=np.float64),
                         Q_[qidx], dim, bits, k,
                     )
-                    out_q = [
-                        np.full(int(KEEP[:, j].sum()), qids_[qi], dtype=np.int64)
-                        for j, qi in enumerate(qidx)
-                    ]
-                    out_id = [ids[KEEP[:, j]] for j in range(len(qidx))]
-                    yield pd.DataFrame(
-                        {
-                            "qid": np.concatenate(out_q),
-                            "neighbor_id": np.concatenate(out_id),
-                        }
-                    )
+                    for j, qi in enumerate(qidx):
+                        kept = ids[KEEP[:, j]]
+                        out_q.append(
+                            np.full(len(kept), qids_[qi], dtype=np.int64)
+                        )
+                        out_id.append(kept)
+            yield from _emit_pairs_once(out_q, out_id)
 
         cand = cand_codes.mapInPandas(
             approx_cut, schema="qid long, neighbor_id long"
@@ -3224,6 +3338,8 @@ class IVFIndex:
             # the caller left candidates_per_cell unset, else the
             # caller's uniform C
             qids_, Qc_, cq = bc.value
+            out_q: list = []
+            out_id: list = []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -3243,7 +3359,6 @@ class IVFIndex:
                         else budget_map.get(int(cid), C)
                     )
                     keep = min(cap_c, len(ids))
-                    out_q, out_id = [], []
                     for j, qi in enumerate(qidx):
                         sel = (
                             np.argpartition(-S[:, j], keep - 1)[:keep]
@@ -3254,12 +3369,7 @@ class IVFIndex:
                             np.full(len(sel), qids_[qi], dtype=np.int64)
                         )
                         out_id.append(ids[sel])
-                    yield pd.DataFrame(
-                        {
-                            "qid": np.concatenate(out_q),
-                            "neighbor_id": np.concatenate(out_id),
-                        }
-                    )
+            yield from _emit_pairs_once(out_q, out_id)
 
         cand = cand_codes.mapInPandas(
             approx_cut, schema="qid long, neighbor_id long"
@@ -3416,6 +3526,8 @@ class IVFIndex:
             # auto-derived cell population (finding 41) unless the
             # caller passed an explicit uniform candidates_per_cell
             qids_, Qc_, cq = bc_c.value
+            out_q: list = []
+            out_id: list = []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -3435,7 +3547,6 @@ class IVFIndex:
                         else budget_map.get(int(cid), C)
                     )
                     keep = min(cap_c, len(ids))
-                    out_q, out_id = [], []
                     for j, qi in enumerate(qidx):
                         sel = (
                             np.argpartition(-S[:, j], keep - 1)[:keep]
@@ -3446,12 +3557,7 @@ class IVFIndex:
                             np.full(len(sel), qids_[qi], dtype=np.int64)
                         )
                         out_id.append(ids[sel])
-                    yield pd.DataFrame(
-                        {
-                            "qid": np.concatenate(out_q),
-                            "neighbor_id": np.concatenate(out_id),
-                        }
-                    )
+            yield from _emit_pairs_once(out_q, out_id)
 
         cand1 = cand_codes.mapInPandas(
             bq_cut, schema="qid long, neighbor_id long"
@@ -3512,6 +3618,8 @@ class IVFIndex:
 
         def sq_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qm = bc_q.value
+            out_q: list = []
+            out_id: list = []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -3524,9 +3632,10 @@ class IVFIndex:
                         grp["hi"].to_numpy(dtype=np.float64),
                         q, dim, 8, k,
                     )
-                    yield pd.DataFrame(
-                        {"qid": int(qid), "neighbor_id": ids[keep]}
-                    )
+                    kept = ids[keep]
+                    out_q.append(np.full(len(kept), int(qid), dtype=np.int64))
+                    out_id.append(kept)
+            yield from _emit_pairs_once(out_q, out_id)
 
         cand2 = cand2_codes.mapInPandas(
             sq_cut, schema="qid long, neighbor_id long"
@@ -4213,10 +4322,18 @@ class IVFIndex:
             )
             cand_codes = cand_codes.join(keep_ids, id_col, "left_semi")
         def adc_cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # r18: candidate (qid, id) pairs accumulate across the task and
+            # cross Arrow ONCE per task — the r17 shape yielded one tiny
+            # DataFrame per (cell, query) pair (|Q|·nprobe Arrow batches per
+            # task).  The cut math per (cell slice, query) is UNCHANGED:
+            # same LUT, same d_adc, same argpartition / bound mask — the
+            # candidate SET is identical, only its framing is batched.
             B = books_bc.value
             m_, _, _ = B.shape
             qids_, Qs_, cq = q_bc.value
             CM = cm_bc.value if cm_bc is not None else None
+            out_q: list = []
+            out_i: list = []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -4242,17 +4359,20 @@ class IVFIndex:
                                 max(candidates_per_partition, k), len(ids)
                             )
                             part = np.argpartition(d_adc, keep_n - 1)[:keep_n]
-                            yield pd.DataFrame(
-                                {
-                                    "qid": int(qids_[qi]),
-                                    "neighbor_id": ids[part],
-                                }
-                            )
-                            continue
-                        keep = bound_cut_mask(d_adc, resid, k)
-                        yield pd.DataFrame(
-                            {"qid": int(qids_[qi]), "neighbor_id": ids[keep]}
+                            kept = ids[part]
+                        else:
+                            kept = ids[bound_cut_mask(d_adc, resid, k)]
+                        out_q.append(
+                            np.full(len(kept), qids_[qi], dtype=np.int64)
                         )
+                        out_i.append(kept)
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_i),
+                    }
+                )
 
         cand = cand_codes.mapInPandas(
             adc_cut, schema="qid long, neighbor_id long"
@@ -4378,6 +4498,9 @@ class IVFIndex:
 
         def in_radius(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             qids_, Q_, cq = bc.value
+            out_q: list = []
+            out_i: list = []
+            out_d: list = []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -4394,13 +4517,21 @@ class IVFIndex:
                         np.maximum(d, 0.0, out=d)
                         hit = d <= radius_sq
                         if hit.any():
-                            yield pd.DataFrame(
-                                {
-                                    "qid": int(qids_[qi]),
-                                    "neighbor_id": ids[hit],
-                                    "dist": d[hit],
-                                }
+                            out_q.append(
+                                np.full(
+                                    int(hit.sum()), qids_[qi], dtype=np.int64
+                                )
                             )
+                            out_i.append(ids[hit])
+                            out_d.append(d[hit])
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
 
         out = cand.mapInPandas(
             in_radius, schema="qid long, neighbor_id long, dist double"
@@ -4502,6 +4633,9 @@ class IVFIndex:
         def in_radius(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
+            out_q: list = []
+            out_i: list = []
+            out_d: list = []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -4515,13 +4649,19 @@ class IVFIndex:
                     np.maximum(d, 0.0, out=d)
                     hit = d <= radius_sq
                     if hit.any():
-                        yield pd.DataFrame(
-                            {
-                                "qid": int(qid),
-                                "neighbor_id": ids[hit],
-                                "dist": d[hit],
-                            }
+                        out_q.append(
+                            np.full(int(hit.sum()), int(qid), dtype=np.int64)
                         )
+                        out_i.append(ids[hit])
+                        out_d.append(d[hit])
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_i),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
 
         out = cand.mapInPandas(
             in_radius, schema="qid long, neighbor_id long, dist double"
