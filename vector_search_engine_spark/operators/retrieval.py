@@ -53,6 +53,32 @@ HYBRID_DEPTH = 20  # per-list candidate depth fed into fusion
 # kNN search path already uses); larger frames take the broadcast-join
 # fallback so the driver never holds unbounded data.
 BM25_MAX_CLIENT_TERMS = 100_000
+# Above this many distinct terms the per-literal Column ``isin`` is
+# replaced by ONE parsed SQL IN expression (r18): each Column literal
+# costs a py4j round-trip, so plan BUILD time is linear with a brutal
+# constant — measured on this box: 0.8 s at 1k, 5.6 s at 10k, 37.5 s at
+# 50k terms — while the SQL parser ingests the same IN list in one call
+# (0.23 s / 0.45 s / 3.8 s at 10k/50k/100k).  The optimizer converts
+# both forms to the same InSet plan (inSetConversionThreshold=10), so
+# execution and results are identical.
+BM25_SQL_IN_TERMS = 512
+
+
+def _matched_tokens(toks, qterms: list[str]):
+    """``filter(toks, t -> t IN qterms)`` built the cheap way for large
+    term sets (see BM25_SQL_IN_TERMS).  The parsed branch inlines the
+    SAME tokenizer expression (functions.text.tokens) as SQL text."""
+    if len(qterms) <= BM25_SQL_IN_TERMS:
+        return F.filter(toks, lambda t: t.isin(*qterms))
+
+    def esc(t: str) -> str:
+        return "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    in_list = ",".join(esc(t) for t in qterms)
+    return F.expr(
+        "filter(filter(split(trim(text), ' '), x -> x != ''), "
+        f"t -> t IN ({in_list}))"
+    )
 
 # Fixture query set (query_id, terms) — mirrored verbatim in the oracle
 # VALUES CTE, like MIXTURE_WEIGHTS_FIXTURE.  Terms come from the synthetic
@@ -211,19 +237,28 @@ def bm25_topk(
     Plan shape (r17 optimization, guide §8 "decide with small rows"):
     the query-term set is a client-RAM workload (the same contract as
     every kNN query set — ``knn_query_arrays`` collects those), so it is
-    collected ONCE and pushed into the corpus scan as a literal IN
-    filter over the token array.  The corpus is then scanned and
+    collected ONCE and pushed into the corpus scan as a term-set filter
+    over the token array.  The corpus is then scanned and
     tokenized EXACTLY ONCE into a pinned ``(doc_id, dl, matched
     occurrences)`` proxy — ~tens of bytes per doc, everything every
     downstream stage needs — from which corpus stats (n_docs, avgdl),
     per-term df, per-(doc,term) tf, and the final scores all derive.
     The r16 shape ran three separate tokenizing scans (lengths, df
-    pre-pass, postings) plus two more under ``max_df_fraction``; the df
-    guard now prunes capped terms at the scoring join instead (same
-    results — tf/df values are independent of the guard), and the big
-    shuffle stays bounded by matched occurrences either way.  Query
-    frames beyond ``BM25_MAX_CLIENT_TERMS`` distinct terms fall back to
-    the broadcast-join path (no driver collect of unbounded data)."""
+    pre-pass, postings) plus two more under ``max_df_fraction``.  df
+    comes from a by-term (map-side-collapsing) aggregate of the proxy,
+    and the df guard prunes capped terms BEFORE the (doc, dl, term) tf
+    aggregation via a lazy broadcast semi-join (r18) — so the big
+    shuffle is bounded by ``|terms| · fraction · N`` again, as this
+    paragraph promises.  Query frames beyond ``BM25_MAX_CLIENT_TERMS``
+    distinct terms fall back to the broadcast-join path (no driver
+    collect of unbounded data).
+
+    EAGERNESS NOTE: this path runs two driver-visible side effects at
+    PLAN-CONSTRUCTION time — the bounded term-set collect and the eager
+    ``localCheckpoint`` materializing the proxy (which also truncates
+    lineage: a lost executor cannot recompute the pinned blocks; the
+    >cap fallback path stays fully lazy/recomputable).  Callers building
+    plans they may never execute should use ``_bm25_topk_join``."""
     q = queries.select("query_id", "term").distinct()
     term_rows = (
         q.select("term").distinct().limit(BM25_MAX_CLIENT_TERMS + 1).collect()
@@ -240,24 +275,48 @@ def bm25_topk(
     pinned = documents.select(
         "doc_id",
         F.size(toks).alias("dl"),
-        F.filter(toks, lambda t: t.isin(*qterms)).alias("_mtoks"),
+        _matched_tokens(toks, qterms).alias("_mtoks"),
     ).localCheckpoint(eager=True)
 
     stats = pinned.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    postings = (
-        pinned.select(
-            "doc_id", "dl", F.explode("_mtoks").alias("term")
-        )
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
+    # df straight from the pinned proxy: explode DISTINCT matched terms
+    # per doc and count by term — keys are terms only, so the partial
+    # (map-side) aggregation collapses a stopword's n_docs rows to one
+    # row per task before the exchange.  Same values as counting the
+    # (doc, term) tf rows (both = number of docs containing the term),
+    # but independent of the postings aggregation below — which lets the
+    # df guard prune BEFORE the big shuffle (r18, ADVICE fix).
+    df_t = (
+        pinned.select(F.explode(F.array_distinct("_mtoks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
     )
-    # df from the same postings aggregate (one row per (doc, term)) —
-    # the separate df-scan of the corpus is gone
-    df_t = postings.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
+    postings = pinned.select(
+        "doc_id", "dl", F.explode("_mtoks").alias("term")
+    )
+    if max_df_fraction is not None:
+        # the common-term guard, restored to BEFORE the tf aggregation
+        # (r18): the r17 shape dropped capped terms only at the scoring
+        # join, so a stopword-common term still shuffled one
+        # (doc, dl, term) row per matching doc — O(corpus) at 100 TB,
+        # exactly what the guard exists to prevent.  Surviving terms
+        # come from the tiny df aggregate via a LAZY broadcast semi-join
+        # (no driver collect, no eager job); tf/df values are
+        # guard-independent, so results are identical either way.
+        kept_terms = (
+            df_t.crossJoin(F.broadcast(stats))
+            .filter(
+                F.col("df")
+                <= F.lit(float(max_df_fraction)) * F.col("n_docs")
+            )
+            .select("term")
+        )
+        postings = postings.join(F.broadcast(kept_terms), "term")
+    postings = postings.groupBy("doc_id", "dl", "term").agg(
+        F.count("*").cast("long").alias("tf")
     )
 
     tf = F.col("tf").cast("double")
