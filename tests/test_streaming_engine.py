@@ -1183,3 +1183,20 @@ def test_visible_vectors_invariant_under_compaction(spark, embeddings, tmp_path)
     after = snap(eng.visible_vectors())
     assert before == after
     assert {i for i, _ in after}.isdisjoint({5, 360, 499})
+
+
+def test_insert_casts_to_pinned_delta_schema(spark, embeddings, engine):
+    """r18: insert() enforces the delta's pinned schema on the write side
+    — int32 ids / array<double> vectors previously worked via footer
+    inference but fail the explicit-schema scan (parquet forbids the
+    int32->int64 / double->float column conversions at read time)."""
+    wide = embeddings.filter(F.col("vec_id") >= 400).select(
+        F.col("vec_id").cast("int").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    engine.insert(wide)
+    q = knn_ops.make_queries(embeddings, n=5)
+    merged = engine.search(q, k=10, nprobe=engine.index.meta["n_centroids"])
+    exact = knn_ops.knn_exact(embeddings, q, k=10)
+    assert _sorted(merged) == _sorted(exact)

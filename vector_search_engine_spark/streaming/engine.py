@@ -231,12 +231,22 @@ class VectorEngine:
         (monotone batch number) makes 'latest version of an id' well-defined
         — the reference has no such notion and returns duplicates."""
         t0 = time.time()
-        cols = [
-            self.index.meta["id_col"],
-            self.index.meta["vec_col"],
-            *self._extra,
+        id_col = self.index.meta["id_col"]
+        vec_col = self.index.meta["vec_col"]
+        # enforce the pinned delta schema on the WRITE side (r18, ADVICE
+        # fix): delta() reads with an explicit "{id} long, {vec}
+        # array<float>, ..." schema (no per-search footer inference), so
+        # a caller inserting int32 ids or array<double> vectors must be
+        # cast here — parquet does not allow those column conversions at
+        # scan time, and delete() already casts its tombstones this way.
+        typed = [
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(vec_col).cast("array<float>").alias(vec_col),
+        ] + [
+            F.col(c).cast(t).alias(c)
+            for c, t in self._extra_schema().items()
         ]
-        self._publish_delta_batch(rows.select(*cols), seq)
+        self._publish_delta_batch(rows.select(*typed), seq)
         self.recorder.record("insert", time.time() - t0)
 
     def delete(self, ids, seq: int | None = None) -> None:
