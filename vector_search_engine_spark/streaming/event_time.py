@@ -40,6 +40,43 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+# Stateful-query state-partition sizing (r18, guide §2.2 applied to the
+# state store): a stateful operator's partition count is pinned at FIRST
+# start from spark.sql.shuffle.partitions and every micro-batch commits
+# one delta file PER state store PER partition — a stream-stream join
+# carries 4 stores/partition, so a 32-partition session pays 128 store
+# commits per micro-batch regardless of input size (measured: the
+# interval-join replay spent ~3.5 s/batch on 5k rows, almost all state
+# overhead).  State partitions are a STATE-VOLUME capacity knob, not a
+# cluster-core knob: size them to expected keys/throughput via the env
+# override; the default caps the bounded-replay demo queries at 8
+# without ever RAISING a session's own setting.
+def _state_partitions(spark: SparkSession) -> int:
+    env = os.environ.get("VSE_STREAM_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return min(8, cur)
+
+
+class _pinned_state_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions for a stateful
+    streaming query's lifetime (the value is captured into the
+    checkpoint at first start; restored after the blocking drain)."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
 
 def _ts_bounds(events: DataFrame, n_files: int) -> list[float]:
     """Approximate event-time quantile boundaries (one job)."""
@@ -218,18 +255,24 @@ def run_to_memory(
     checkpoint: str,
     table: str,
     output_mode: str = "complete",
+    state_partitions: int | None = -1,
 ):
     """Drain an availableNow streaming query into a memory sink; returns
-    the finished StreamingQuery (progress is inspectable)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    the finished StreamingQuery (progress is inspectable).
+    ``state_partitions``: -1 (default) = the sized default
+    (``_state_partitions``), None = leave the session value alone."""
+    spark = stream_df.sparkSession
+    n = _state_partitions(spark) if state_partitions == -1 else state_partitions
+    with _pinned_state_partitions(spark, n):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
@@ -303,7 +346,12 @@ def streaming_sessionize(events_stream: DataFrame) -> DataFrame:
     )
 
 
-def run_updates_to_parquet(stream_df: DataFrame, checkpoint: str, out_dir: str) -> None:
+def run_updates_to_parquet(
+    stream_df: DataFrame,
+    checkpoint: str,
+    out_dir: str,
+    state_partitions: int | None = -1,
+) -> None:
     """Drain an update-mode stream by appending every micro-batch's
     emissions to a parquet dir (memory sink doesn't take update mode);
     downstream compaction folds rows to final versions."""
@@ -311,14 +359,17 @@ def run_updates_to_parquet(stream_df: DataFrame, checkpoint: str, out_dir: str) 
     def append_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf.write.mode("append").parquet(out_dir)
 
-    q = (
-        stream_df.writeStream.foreachBatch(append_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    n = _state_partitions(spark) if state_partitions == -1 else state_partitions
+    with _pinned_state_partitions(spark, n):
+        q = (
+            stream_df.writeStream.foreachBatch(append_batch)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def compact_session_updates(updates: DataFrame) -> DataFrame:
@@ -411,16 +462,22 @@ def streaming_dedup(
 
 
 def run_append_to_parquet(
-    stream_df: DataFrame, checkpoint: str, out_dir: str
+    stream_df: DataFrame,
+    checkpoint: str,
+    out_dir: str,
+    state_partitions: int | None = -1,
 ) -> None:
     """Run an append-mode stream to parquet files (availableNow), blocking
     until every staged file is processed."""
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    spark = stream_df.sparkSession
+    n = _state_partitions(spark) if state_partitions == -1 else state_partitions
+    with _pinned_state_partitions(spark, n):
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
