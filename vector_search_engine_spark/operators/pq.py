@@ -330,6 +330,10 @@ def pq_bound_cut(
         # residual codes: the LUT is per (query, cell) — built from
         # q − centroid_cell, since codes quantize x − centroid_cell
         keys = ["qid"] if CM is None else ["qid", centroid_col]
+        # r18: survivors accumulate across the task and cross Arrow ONCE
+        # per task (cut math per group unchanged — identical sets)
+        out_q: list = []
+        out_i: list = []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -347,15 +351,22 @@ def pq_bound_cut(
                 np.maximum(d_adc, 0.0, out=d_adc)
                 if candidates_per_partition is not None:
                     keep_n = min(max(candidates_per_partition, k), len(ids))
-                    part = np.argpartition(d_adc, keep_n - 1)[:keep_n]
-                    yield pd.DataFrame(
-                        {"qid": int(qid), "neighbor_id": ids[part]}
-                    )
-                    continue
-                keep = bound_cut_mask(
-                    d_adc, grp["resid"].to_numpy(dtype=np.float64), k
-                )
-                yield pd.DataFrame({"qid": int(qid), "neighbor_id": ids[keep]})
+                    kept = ids[np.argpartition(d_adc, keep_n - 1)[:keep_n]]
+                else:
+                    kept = ids[
+                        bound_cut_mask(
+                            d_adc, grp["resid"].to_numpy(dtype=np.float64), k
+                        )
+                    ]
+                out_q.append(np.full(len(kept), int(qid), dtype=np.int64))
+                out_i.append(kept)
+        if out_i:
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_i),
+                }
+            )
 
     return codes.mapInPandas(cut, schema="qid long, neighbor_id long")
 
