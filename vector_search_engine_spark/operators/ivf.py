@@ -4685,45 +4685,72 @@ class IVFIndex:
             )
         if predicate is not None:
             base = base.filter(predicate)
-        cand = probes.join(base, "centroid_id").select(
-            "qid", "query", F.col(id_col), F.col(vec_col)
+        # r18 (finding 48's shape applied to the radius sibling): the
+        # probes⋈cells join duplicated every float row once per probing
+        # query before the Python boundary; the scan is now a per-cell
+        # COGROUP — cells shuffle once + probe stubs, one stack per
+        # cell.  The distance arithmetic stays the PER-QUERY
+        # matrix-vector expression (these distances ARE the output
+        # values, rounded at 4 decimals — the GEMM form could differ in
+        # the last ulp), and each row's dot product is row-independent,
+        # so the emitted values are byte-identical to the join shape.
+        qside = probes.select(
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            "qid",
+            "query",
+        )
+        vside = base.select(
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nvec"),
         )
 
-        def in_radius(
-            batches: Iterator[pd.DataFrame],
-        ) -> Iterator[pd.DataFrame]:
+        def cell_radius(qpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "qid": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "dist": pd.Series(dtype="float64"),
+                }
+            )
+            if len(qpdf) == 0 or len(vpdf) == 0:
+                return empty
+            qids_ = qpdf["qid"].to_numpy(dtype=np.int64)
+            qv = qpdf["query"].to_numpy()
+            ids = vpdf["nid"].to_numpy(dtype=np.int64)
+            V = np.stack(vpdf["nvec"].to_numpy()).astype(np.float64)
+            VV = (V * V).sum(axis=1)
             out_q: list = []
             out_i: list = []
             out_d: list = []
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                for qid, grp in pdf.groupby("qid"):
-                    q = np.asarray(
-                        grp["query"].iloc[0], dtype=np.float32
-                    ).astype(np.float64)
-                    ids = grp[id_col].to_numpy(dtype=np.int64)
-                    V = np.stack(grp[vec_col].to_numpy()).astype(np.float64)
-                    d = (V * V).sum(axis=1) - 2.0 * (V @ q) + float(q @ q)
-                    np.maximum(d, 0.0, out=d)
-                    hit = d <= radius_sq
-                    if hit.any():
-                        out_q.append(
-                            np.full(int(hit.sum()), int(qid), dtype=np.int64)
-                        )
-                        out_i.append(ids[hit])
-                        out_d.append(d[hit])
-            if out_i:
-                yield pd.DataFrame(
-                    {
-                        "qid": np.concatenate(out_q),
-                        "neighbor_id": np.concatenate(out_i),
-                        "dist": np.concatenate(out_d),
-                    }
-                )
+            for j in range(len(qids_)):
+                q = np.asarray(qv[j], dtype=np.float32).astype(np.float64)
+                d = VV - 2.0 * (V @ q) + float(q @ q)
+                np.maximum(d, 0.0, out=d)
+                hit = d <= radius_sq
+                if hit.any():
+                    out_q.append(
+                        np.full(int(hit.sum()), qids_[j], dtype=np.int64)
+                    )
+                    out_i.append(ids[hit])
+                    out_d.append(d[hit])
+            if not out_i:
+                return empty
+            return pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_i),
+                    "dist": np.concatenate(out_d),
+                }
+            )
 
-        out = cand.mapInPandas(
-            in_radius, schema="qid long, neighbor_id long, dist double"
+        out = (
+            qside.groupBy("centroid_id")
+            .cogroup(vside.groupBy("centroid_id"))
+            .applyInPandas(
+                lambda ql, vl: cell_radius(ql, vl),
+                schema="qid long, neighbor_id long, dist double",
+            )
         )
         d = (
             F.round("dist", 4) if round_output else F.col("dist").cast("double")
